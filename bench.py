@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion through the noop sink (full plan runs,
+nothing is collected to the driver — measures engine throughput, not
+toPandas serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_unshipped_revenue",
+    "q05_region_revenue",
+    "q_equi_join_left_wins",
+    "q_conditional_pivot",
+    "q_monthly_lags",
+    "q_rolling_stats",
+    "q_pit_join",
+    "q_string_normalize",
+    "q_ratios_pct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from databricks_demo_feature_store_spark import get_spark
+    from databricks_demo_feature_store_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in QUERIES] + [
+        n for n in QUERIES if n.startswith("q_ext_") and n not in HEADLINE
+    ]
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch overheads
+    QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

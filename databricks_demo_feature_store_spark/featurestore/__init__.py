@@ -1,0 +1,17 @@
+"""Feature-table persistence, registry, and training-set assembly."""
+
+from databricks_demo_feature_store_spark.featurestore.manager import (
+    FeatureStoreManager,
+    FeatureTableSpec,
+    SchemaDiff,
+    EvolutionPolicy,
+)
+from databricks_demo_feature_store_spark.featurestore.training import create_training_set
+
+__all__ = [
+    "FeatureStoreManager",
+    "FeatureTableSpec",
+    "SchemaDiff",
+    "EvolutionPolicy",
+    "create_training_set",
+]

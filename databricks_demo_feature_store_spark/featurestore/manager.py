@@ -1,0 +1,174 @@
+"""Feature-table writer + registry with schema evolution.
+
+Parity targets in the reference (``notebooks/utils.py``):
+
+- ``FeatureStoreManager._validate_schema`` — :1510-1599 (NEW_COLUMNS /
+  MISSING_COLUMNS / DATA_TYPE_CHANGED via ``dataType.simpleString()``)
+- ``save_in_datalake`` — :1601-1775 (overwriteSchema full overwrite;
+  mergeSchema append; ADD COLUMNS + MERGE keyed on PKs restricted to the
+  new columns; OPTIMIZE after save)
+- ``_update_metadata`` / ``_get_metadata`` — :1490-1508 / :1440-1456
+  (description, primary_keys, timestamp_keys, tags, source_tables persisted
+  as table properties; we persist the same dict as a JSON sidecar because
+  parquet has no TBLPROPERTIES — with Delta available it would be
+  ``ALTER TABLE ... SET TBLPROPERTIES``)
+- the interactive ``TimedInput`` missing-columns gate — :732-761,1991-2014
+  — replaced by a non-interactive :class:`EvolutionPolicy`
+  (``fail | evolve | overwrite``) per SURVEY §4.3.
+
+Feature tables are deliberately **unpartitioned** (reference
+:1656-1663 — time-series feature tables forbid partition columns so PIT
+lookups scan a compact unfragmented table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_demo_feature_store_spark.sources.writers import merge_upsert
+
+METADATA_FILE = "_feature_metadata.json"
+
+
+class EvolutionPolicy(str, Enum):
+    FAIL = "fail"
+    EVOLVE = "evolve"
+    OVERWRITE = "overwrite"
+
+
+@dataclass(frozen=True)
+class FeatureTableSpec:
+    name: str
+    primary_keys: tuple[str, ...]
+    timestamp_keys: tuple[str, ...] = ()
+    description: str = ""
+    tags: dict = field(default_factory=dict)
+    source_tables: tuple[str, ...] = ()
+
+
+@dataclass
+class SchemaDiff:
+    new_columns: list[str]
+    missing_columns: list[str]
+    type_changed: list[tuple[str, str, str]]  # (col, old, new)
+
+    @property
+    def unchanged(self) -> bool:
+        return not (self.new_columns or self.missing_columns or self.type_changed)
+
+
+class FeatureStoreManager:
+    """Persist + register feature tables under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt
+
+    # -- paths / registry ---------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self.path(name))
+
+    def get_metadata(self, name: str) -> dict:
+        """Registry read — reference ``_get_metadata`` (:1440-1456)."""
+        meta_path = os.path.join(self.path(name), METADATA_FILE)
+        if not os.path.exists(meta_path):
+            return {}
+        with open(meta_path) as fh:
+            return json.load(fh)
+
+    def _update_metadata(self, spec: FeatureTableSpec) -> None:
+        """Registry write — reference ``_update_metadata`` (:1490-1508)."""
+        meta = {
+            "name": spec.name,
+            "description": spec.description,
+            "primary_keys": list(spec.primary_keys),
+            "timestamp_keys": list(spec.timestamp_keys),
+            "tags": dict(spec.tags),
+            "source_tables": list(spec.source_tables),
+        }
+        os.makedirs(self.path(spec.name), exist_ok=True)
+        with open(os.path.join(self.path(spec.name), METADATA_FILE), "w") as fh:
+            json.dump(meta, fh, indent=2, sort_keys=True)
+
+    def list_tables(self) -> list[str]:
+        if not os.path.exists(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    # -- schema validation --------------------------------------------------
+    def validate_schema(self, name: str, df: DataFrame) -> SchemaDiff:
+        """Structural diff against the stored table — reference :1510-1599."""
+        if not self.exists(name):
+            return SchemaDiff([], [], [])
+        existing = self.read(name)
+        old = {f.name: f.dataType.simpleString() for f in existing.schema.fields}
+        new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        return SchemaDiff(
+            new_columns=[c for c in new if c not in old],
+            missing_columns=[c for c in old if c not in new],
+            type_changed=[
+                (c, old[c], new[c]) for c in new if c in old and old[c] != new[c]
+            ],
+        )
+
+    # -- save ---------------------------------------------------------------
+    def save(
+        self,
+        df: DataFrame,
+        spec: FeatureTableSpec,
+        mode: str = "merge",
+        policy: EvolutionPolicy = EvolutionPolicy.EVOLVE,
+    ) -> SchemaDiff:
+        """Write a feature table with policy-driven schema evolution.
+
+        ``mode="overwrite"`` replaces the table (reference overwriteSchema
+        path :1707-1711). ``mode="merge"`` upserts on the PKs; new columns
+        are added to matched rows and full rows inserted for new keys
+        (reference ADD COLUMNS + MERGE :1727-1758). Type changes or missing
+        columns under ``policy=fail`` raise; under ``evolve``/``overwrite``
+        they force a full overwrite (the reference asks interactively —
+        :1991-2014 — which a batch engine must not do).
+        """
+        diff = self.validate_schema(spec.name, df)
+        path = self.path(spec.name)
+
+        needs_overwrite = mode == "overwrite"
+        if diff.missing_columns or diff.type_changed:
+            if policy == EvolutionPolicy.FAIL:
+                raise ValueError(
+                    f"Schema evolution blocked by policy=fail: missing={diff.missing_columns} "
+                    f"type_changed={diff.type_changed}"
+                )
+            needs_overwrite = True
+
+        if needs_overwrite or not self.exists(spec.name):
+            # Feature tables stay unpartitioned by design (reference :1656-1663).
+            df.write.format(self.fmt).mode("overwrite").save(path)
+        else:
+            keys = list(spec.primary_keys)
+            update_columns = diff.new_columns or None
+            merge_upsert(
+                df,
+                path,
+                keys,
+                fmt=self.fmt,
+                update_columns=update_columns,
+            )
+        self._update_metadata(spec)
+        return diff

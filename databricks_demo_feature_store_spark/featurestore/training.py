@@ -1,0 +1,63 @@
+"""Training-set assembly: point-in-time lookup of feature tables for a
+label/spine DataFrame.
+
+This is the Feature Store capability the reference delegates to the
+Databricks client (``fs.register_table`` / ``create_training_set``; see
+``notebooks/utils.py:1778-1836``) — here re-expressed on the engine's own
+scalable as-of join (:func:`point_in_time_join`,
+``databricks_demo_feature_store_spark.operators.joins``), which is the union+last_value
+linear-shuffle form rather than the reference's quadratic ``>=`` theta join
+(``src/packages/preprocessing/merge_tables/joins.py:115-238``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from databricks_demo_feature_store_spark.featurestore.manager import FeatureStoreManager
+from databricks_demo_feature_store_spark.operators.joins import point_in_time_join
+
+
+@dataclass(frozen=True)
+class FeatureLookup:
+    table: str
+    lookup_keys: tuple[str, ...]
+    feature_names: tuple[str, ...] = ()  # empty = all non-key columns
+    tolerance: str | None = None  # e.g. "INTERVAL 90 DAYS"
+
+
+def create_training_set(
+    manager: FeatureStoreManager,
+    spine: DataFrame,
+    lookups: Sequence[FeatureLookup],
+    spine_time: str,
+) -> DataFrame:
+    """Left-join each feature table onto the spine as-of ``spine_time``.
+
+    For every lookup the feature table's own timestamp key (from registry
+    metadata) is used as the as-of time; the latest feature row at or
+    before the spine timestamp wins; spine rows with no history keep NULL
+    features (reference PIT semantics, ``joins.py:229-236``).
+    """
+    out = spine
+    for lk in lookups:
+        meta = manager.get_metadata(lk.table)
+        ts_keys = meta.get("timestamp_keys") or []
+        if not ts_keys:
+            raise ValueError(
+                f"Feature table {lk.table!r} has no timestamp_keys in its registry metadata"
+            )
+        features = manager.read(lk.table)
+        out = point_in_time_join(
+            out,
+            features,
+            keys=list(lk.lookup_keys),
+            spine_time=spine_time,
+            feature_time=ts_keys[0],
+            feature_cols=list(lk.feature_names) or None,
+            tolerance_expr=lk.tolerance,
+        )
+    return out

@@ -1,0 +1,53 @@
+"""Scalar/column function families: dates, strings, feature generation,
+data quality, type normalization."""
+
+from databricks_demo_feature_store_spark.functions.dates import (
+    shift_date,
+    subtract_from_date,
+    format_date_to_yyyymm,
+    yearmonth_from_columns,
+    difference_between_dates,
+    months_between_dates,
+)
+from databricks_demo_feature_store_spark.functions.strings import (
+    trim_string_columns,
+    clean_accents,
+    normalize_string_values,
+    preprocess_ingested_table,
+    standardize_column_names,
+    concat_columns,
+)
+from databricks_demo_feature_store_spark.functions.feature_generation import (
+    math_operations,
+    calculate_ratios,
+    calculate_percentages,
+    choose_columns_as_value,
+    categorize_by_fixed_values,
+    binarize,
+    create_constant_column,
+)
+from databricks_demo_feature_store_spark.functions.quality import (
+    standardize_na_values,
+    drop_na,
+    drop_duplicates,
+    impute_dataframe,
+    rename_columns,
+)
+from databricks_demo_feature_store_spark.functions.types import (
+    decimals_to_floats,
+    longs_to_integers,
+    apply_schema,
+)
+
+__all__ = [
+    "shift_date", "subtract_from_date", "format_date_to_yyyymm",
+    "yearmonth_from_columns", "difference_between_dates", "months_between_dates",
+    "trim_string_columns", "clean_accents", "normalize_string_values",
+    "preprocess_ingested_table", "standardize_column_names", "concat_columns",
+    "math_operations", "calculate_ratios", "calculate_percentages",
+    "choose_columns_as_value", "categorize_by_fixed_values", "binarize",
+    "create_constant_column",
+    "standardize_na_values", "drop_na", "drop_duplicates", "impute_dataframe",
+    "rename_columns",
+    "decimals_to_floats", "longs_to_integers", "apply_schema",
+]

@@ -1,0 +1,201 @@
+"""Feature-generation functions: arithmetic, ratios, CASE categorization,
+binarization, constants.
+
+Parity targets in the reference:
+
+- ``math_operations`` — ``src/packages/preprocessing/transformers/feature_generation.py:12-58``
+- ``calculate_ratios`` — ``fs_cus_credit_risk.py:472-486`` (NULL on zero denominator)
+- ``ratio_column`` — ``fs_cus_credit_risk.py:153-164`` (0 on zero denominator)
+- ``calculate_percentages`` — ``fs_cus_credit_risk.py:456-470``
+- ``choose_columns_as_value`` — ``feature_generation.py:121-192``
+- ``categorize_by_fixed_values`` — ``feature_generation.py:195-284`` (we drop
+  its eager ``distinct().collect()`` logging, SURVEY §4.3)
+- ``binarize`` — ``feature_generation.py:287-317``
+- ``create_unic_value_col`` — ``feature_generation.py:320-345``
+"""
+
+from __future__ import annotations
+
+import operator as py_operator
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from databricks_demo_feature_store_spark.functions.rounding import dround
+
+_BINARY_OPS = {
+    "add": py_operator.add,
+    "sub": py_operator.sub,
+    "mul": py_operator.mul,
+    "truediv": py_operator.truediv,
+    "div": py_operator.truediv,
+    "mod": py_operator.mod,
+    "pow": py_operator.pow,
+}
+
+
+def math_operations(
+    df: DataFrame,
+    new_column: str,
+    left: str,
+    right: str,
+    operation: str,
+    right_is_literal: bool = False,
+) -> DataFrame:
+    """Binary column arithmetic via the python ``operator`` module.
+
+    Reference ``feature_generation.py:12-58`` (dispatch :48-57) — the
+    operators compile to Column expressions, so this stays JVM-side.
+    """
+    if operation not in _BINARY_OPS:
+        raise ValueError(f"Unsupported operation {operation!r}; use {sorted(_BINARY_OPS)}")
+    rhs: Any = F.lit(right) if right_is_literal else F.col(right)
+    df_col = _BINARY_OPS[operation](F.col(left), rhs)
+    return df.withColumn(new_column, df_col)
+
+
+def ratio_col(
+    numerator: str | Column,
+    denominator: str | Column,
+    round_to: int = 4,
+    zero_denominator_value: float | None = None,
+) -> Column:
+    """``when(den != 0, round(num/den, r)).otherwise(default)``.
+
+    ``zero_denominator_value=None`` reproduces ``calculate_ratios``
+    (``fs_cus_credit_risk.py:472-486``); ``0.0`` reproduces ``ratio_column``
+    (:153-164``).
+    """
+    num = F.col(numerator) if isinstance(numerator, str) else numerator
+    den = F.col(denominator) if isinstance(denominator, str) else denominator
+    return F.when(
+        den.isNotNull() & (den != 0), dround(num / den, round_to)
+    ).otherwise(F.lit(zero_denominator_value))
+
+
+def calculate_ratios(
+    df: DataFrame, pairs: Sequence[tuple[str, str]], round_to: int = 4
+) -> DataFrame:
+    """Add ``{a}_to_{b}_ratio`` for each (numerator, denominator) pair."""
+    return df.withColumns(
+        {f"{a}_to_{b}_ratio": ratio_col(a, b, round_to) for a, b in pairs}
+    )
+
+
+def calculate_percentages(
+    df: DataFrame, pairs: Sequence[tuple[str, str]], round_to: int = 4
+) -> DataFrame:
+    """Add ``{a}_pct`` = 100 * a / b — ``fs_cus_credit_risk.py:456-470``."""
+    return df.withColumns(
+        {
+            f"{a}_pct": F.when(
+                F.col(b).isNotNull() & (F.col(b) != 0),
+                dround(F.col(a) * 100.0 / F.col(b), round_to),
+            )
+            for a, b in pairs
+        }
+    )
+
+
+_NULL_KEYWORDS = {"NONE", "NULL", "NA", "N/A", "NAN"}
+
+
+def _value_expr(value: Any) -> Column:
+    if isinstance(value, str) and value.upper() in _NULL_KEYWORDS:
+        return F.lit(None)
+    return F.lit(value)
+
+
+def choose_columns_as_value(
+    df: DataFrame,
+    new_column: str,
+    cases: Sequence[Mapping[str, Any]],
+    default: Any = None,
+    cast_to: str | None = None,
+) -> DataFrame:
+    """CASE WHEN cond THEN col-or-value ... ELSE default END.
+
+    Reference ``feature_generation.py:121-192`` builds a SQL string; we
+    build the Column expression directly (same plan, no string escaping
+    risks). Each case is ``{"condition": <sql bool expr>, "column": name}``
+    or ``{"condition": ..., "value": literal}``; NULL keywords
+    (NONE/NULL/NA/N/A/NAN) map to NULL as in the reference.
+    """
+    expr: Column | None = None
+    for case in cases:
+        cond = F.expr(case["condition"])
+        then = (
+            F.col(case["column"]) if "column" in case else _value_expr(case.get("value"))
+        )
+        expr = F.when(cond, then) if expr is None else expr.when(cond, then)
+    if expr is None:
+        raise ValueError("choose_columns_as_value requires at least one case")
+    expr = expr.otherwise(_value_expr(default))
+    if cast_to:
+        expr = expr.cast(cast_to)
+    return df.withColumn(new_column, expr)
+
+
+def categorize_by_fixed_values(
+    df: DataFrame,
+    column: str,
+    new_column: str,
+    mapping: Mapping[str, Sequence[Any]],
+    default: Any = None,
+) -> DataFrame:
+    """Map value sets of one column to category labels.
+
+    Reference ``feature_generation.py:195-284`` (minus its eager
+    ``distinct().collect()`` debug actions at :263-266, :278-281).
+    """
+    expr: Column | None = None
+    for label, values in mapping.items():
+        cond = F.col(column).isin(list(values))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    assert expr is not None
+    return df.withColumn(new_column, expr.otherwise(_value_expr(default)))
+
+
+def binarize(df: DataFrame, expressions: Mapping[str, str]) -> DataFrame:
+    """``new_col = f.expr(sql_bool_expr)`` per entry — ``feature_generation.py:287-317``."""
+    return df.withColumns({name: F.expr(sql) for name, sql in expressions.items()})
+
+
+def create_constant_column(
+    df: DataFrame, new_column: str, value: Any, cast_to: str | None = None
+) -> DataFrame:
+    """Constant column — ``feature_generation.py:320-345``."""
+    col = F.lit(value)
+    if cast_to:
+        col = col.cast(cast_to)
+    return df.withColumn(new_column, col)
+
+
+_ALLOWED_SPARK_FUNCS = {
+    "abs", "round", "floor", "ceil", "sqrt", "exp", "log", "log10", "pow",
+    "greatest", "least", "coalesce", "upper", "lower", "length", "substring",
+    "concat", "concat_ws", "split", "regexp_replace", "regexp_extract",
+    "to_date", "date_format", "add_months", "datediff", "months_between",
+    "trunc", "year", "month", "dayofmonth", "when", "lit", "hash", "md5",
+    "sha2", "crc32",
+}
+
+
+def spark_function_operations(
+    df: DataFrame,
+    new_column: str,
+    function: str,
+    columns: Sequence[str] = (),
+    literals: Sequence[Any] = (),
+) -> DataFrame:
+    """Escape hatch: arbitrary allowlisted ``pyspark.sql.functions`` by name.
+
+    Reference ``feature_generation.py:61-118`` dispatches any function name;
+    we keep the surface but allowlist it (SURVEY §2.10).
+    """
+    if function not in _ALLOWED_SPARK_FUNCS:
+        raise ValueError(f"Function {function!r} not in allowlist")
+    fn = getattr(F, function)
+    args = [F.col(c) for c in columns] + [F.lit(v) for v in literals]
+    return df.withColumn(new_column, fn(*args))

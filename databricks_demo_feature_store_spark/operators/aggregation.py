@@ -1,0 +1,170 @@
+"""Aggregation operators: name-dispatched group aggregation, pivot,
+deterministic conditional pivot, and generic window-function application.
+
+Parity targets in the reference:
+
+- ``aggregation_operations`` — ``src/packages/preprocessing/transformers/aggregation.py:60-159``
+- ``window_operations`` — ``aggregation.py:11-57``
+- manual SUM(CASE WHEN) pivot + ``LIT`` boolean indicators —
+  ``notebooks/development/fs_cus_holding_products.py:279-300`` and
+  ``fs_cus_transactions.py:281-302``
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Name-dispatch allowlist: the reference dispatches any pyspark.sql.functions
+# name via getattr (``aggregation.py:53,120-126``); we keep the surface but
+# restrict it so a config file can't call arbitrary functions.
+_ALLOWED_AGG_FUNCS = {
+    "sum", "avg", "mean", "min", "max", "count", "countDistinct",
+    "count_distinct", "first", "last", "stddev", "stddev_samp", "stddev_pop",
+    "variance", "var_samp", "var_pop", "skewness", "kurtosis", "collect_set",
+    "collect_list", "approx_count_distinct", "median", "mode", "sum_distinct",
+    "percentile_approx", "any_value", "bool_and", "bool_or",
+}
+_ALLOWED_WINDOW_FUNCS = _ALLOWED_AGG_FUNCS | {
+    "row_number", "rank", "dense_rank", "percent_rank", "ntile", "cume_dist",
+    "lag", "lead", "nth_value", "first_value", "last_value",
+}
+
+
+def _dispatch(func_name: str, allowed: set[str]) -> Any:
+    if func_name not in allowed:
+        raise ValueError(f"Aggregate function {func_name!r} is not in the allowlist")
+    return getattr(F, func_name)
+
+
+def _agg_exprs(operations: Sequence[Mapping[str, Any]]) -> list[Column]:
+    """Build aggregate Columns from ``[{column, operation, alias?, args?}]``."""
+    exprs: list[Column] = []
+    for op in operations:
+        fn = _dispatch(op["operation"], _ALLOWED_AGG_FUNCS)
+        args = op.get("args", [])
+        col = fn(op["column"], *args) if args else fn(op["column"])
+        alias = op.get("alias") or f"{op['column']}_{op['operation']}"
+        exprs.append(col.alias(alias))
+    return exprs
+
+
+def aggregation_operations(
+    df: DataFrame,
+    group_by: Sequence[str],
+    operations: Sequence[Mapping[str, Any]],
+    pivot_column: str | None = None,
+    pivot_values: Sequence[str] | None = None,
+    join_back: bool = False,
+) -> DataFrame:
+    """Generic groupBy + N aggregations, optional pivot, optional join-back.
+
+    Reference: ``aggregation.py:60-159`` (dispatch :118-129, pivot :140-143,
+    join-back :147-156). Differences for scale:
+
+    - ``pivot_values`` should be passed explicitly when known — ``.pivot``
+      without values runs an extra distinct job over the data.
+    - ``join_back=True`` in the reference joins the agg result back to the
+      source. When the group keys are the join keys that is exactly an
+      aggregate-over-window; we implement it as the join the reference does
+      (the window alternative is exposed via :func:`window_operations`).
+    """
+    grouped = df.groupBy(*group_by)
+    exprs = _agg_exprs(operations)
+    if pivot_column is not None:
+        grouped = (
+            grouped.pivot(pivot_column, list(pivot_values))
+            if pivot_values
+            else grouped.pivot(pivot_column)
+        )
+    result = grouped.agg(*exprs)
+    if join_back:
+        dup = [c for c in result.columns if c in df.columns and c not in group_by]
+        result = df.drop(*dup).join(result, on=list(group_by), how="left")
+    return result
+
+
+def window_operations(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    operations: Sequence[Mapping[str, Any]],
+    order_by: Sequence[str] | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """Apply named window functions over ``partitionBy[, orderBy]``.
+
+    Reference: ``aggregation.py:11-57`` (getattr dispatch :49-56). All new
+    columns land in a single ``select("*", *ops)`` projection so the plan
+    has one Window node per frame instead of N (reference does the same for
+    rolling stats at ``fs_cus_credit_risk.py:444``).
+    """
+    w = Window.partitionBy(*partition_by)
+    if order_by:
+        cols = [F.col(c).desc() if descending else F.col(c).asc() for c in order_by]
+        w = w.orderBy(*cols)
+
+    new_cols: list[Column] = []
+    for op in operations:
+        fn = _dispatch(op["operation"], _ALLOWED_WINDOW_FUNCS)
+        args = op.get("args", [])
+        column = op.get("column")
+        if column is not None:
+            col = fn(column, *args) if args else fn(column)
+        else:
+            col = fn(*args)
+        alias = op.get("alias") or f"{column or op['operation']}_{op['operation']}"
+        new_cols.append(col.over(w).alias(alias))
+    return df.select("*", *new_cols)
+
+
+def conditional_pivot(
+    df: DataFrame,
+    group_by: Sequence[str],
+    pivot_column: str,
+    categories: Sequence[str],
+    value_column: str | None = None,
+    agg: str = "sum",
+    prefix: str = "",
+    indicators: bool = False,
+    indicator_prefix: str = "ind_",
+    extra_operations: Sequence[Mapping[str, Any]] = (),
+    fill_value: float | int = 0,
+) -> DataFrame:
+    """Deterministic pivot via per-category conditional aggregation.
+
+    Reference: the manual ``SUM(CASE WHEN pivot_col = c THEN x ELSE 0 END)``
+    pivot at ``fs_cus_holding_products.py:279-300`` with the ``LIT``
+    pseudo-op emitting boolean holding indicators ``ind_*`` (:283-287).
+
+    Compared to ``GroupedData.pivot`` this keeps the output column set
+    **deterministic** (derived from config, not from the data), which is
+    what a feature store needs for stable schemas — and it compiles to a
+    single hash aggregate with no extra distinct job.
+    """
+    import re
+
+    exprs: list[Column] = []
+    fn = _dispatch(agg, _ALLOWED_AGG_FUNCS)
+    for cat in categories:
+        safe = re.sub(r"_+", "_", re.sub(r"[^a-z0-9]+", "_", cat.strip().lower())).strip("_")
+        if value_column is not None:
+            exprs.append(
+                fn(
+                    F.when(F.col(pivot_column) == cat, F.col(value_column)).otherwise(
+                        F.lit(fill_value)
+                    )
+                ).alias(f"{prefix}{safe}")
+            )
+        if indicators:
+            exprs.append(
+                (
+                    F.sum(
+                        F.when(F.col(pivot_column) == cat, F.lit(1)).otherwise(F.lit(0))
+                    )
+                    > 0
+                ).alias(f"{indicator_prefix}{safe}")
+            )
+    exprs.extend(_agg_exprs(extra_operations))
+    return df.groupBy(*group_by).agg(*exprs)

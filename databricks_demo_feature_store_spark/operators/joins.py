@@ -1,0 +1,215 @@
+"""Join operators: equi-join, point-in-time (as-of) join, anti-join, month spine.
+
+Parity targets in the reference:
+
+- ``make_join`` — ``src/packages/preprocessing/merge_tables/joins.py:11-112``
+- ``point_in_time_join`` — ``joins.py:115-238``
+- ``exclude_ids_leftjoin`` — ``joins.py:241-268``
+- month-spine cross join — ``notebooks/development/fs_cus_demographic.py:64-113``
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def make_join(
+    df_left: DataFrame,
+    df_right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str] | None = None,
+    how: str = "inner",
+    drop_na: bool = False,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join with different-named keys and left-wins duplicate resolution.
+
+    Semantics of the reference's ``make_join`` (``joins.py:11-112``):
+    right-side keys are renamed to the left names (:79-87); non-key columns
+    present on both sides are kept from the *left* only (:89-94); optional
+    ``dropna()`` afterwards (:106-108). Unlike the reference we never run an
+    eager ``count()`` for logging, and we expose ``broadcast_right`` for
+    small dimension tables (Catalyst auto-broadcasts below the threshold,
+    but an explicit hint is free insurance for dims we *know* are small).
+    """
+    right_keys = list(right_keys or left_keys)
+    left_keys = list(left_keys)
+    if len(left_keys) != len(right_keys):
+        raise ValueError("left_keys and right_keys must have equal length")
+
+    renames = {r: l for r, l in zip(right_keys, left_keys) if r != l}
+    if renames:
+        df_right = df_right.withColumnsRenamed(renames)
+
+    dup_cols = [
+        c for c in df_right.columns if c in df_left.columns and c not in left_keys
+    ]
+    if dup_cols:
+        df_right = df_right.drop(*dup_cols)
+
+    if broadcast_right:
+        df_right = F.broadcast(df_right)
+
+    joined = df_left.join(df_right, on=left_keys, how=how)
+    if drop_na:
+        joined = joined.dropna()
+    return joined
+
+
+def point_in_time_join(
+    df_spine: DataFrame,
+    df_features: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    feature_time: str,
+    feature_cols: Sequence[str] | None = None,
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """As-of join: latest feature row at-or-before each spine timestamp.
+
+    Matches the reference's ``point_in_time_join`` (``joins.py:115-238``):
+    left join on ``spine.time >= feature.time AND keys equal`` (:213-215),
+    then ``row_number()`` over ``partitionBy(keys + spine_time)
+    .orderBy(feature_time DESC)`` keeping ``row_num == 1 OR row_num IS
+    NULL`` (:229-236) so unmatched spine rows survive with NULL features.
+
+    Scale note: the raw ``>=`` theta join is quadratic per key for long
+    histories. This implementation uses the **union + last-value** shape
+    instead: tag spine rows and feature rows, union them on the shared key
+    + time axis, and carry the latest feature values forward with a
+    ``last(ignorenulls=True)`` window. That is one shuffle on ``keys`` and
+    strictly linear in rows — it survives a 100× scale-up where the theta
+    join would explode. Ties (feature_time == spine_time) resolve to the
+    feature row, matching the reference's ``>=``.
+
+    ``tolerance_expr`` (e.g. ``"INTERVAL 90 DAYS"``) optionally discards
+    matches older than ``spine_time - tolerance``.
+    """
+    keys = list(keys)
+    if feature_cols is None:
+        feature_cols = [
+            c for c in df_features.columns if c not in keys and c != feature_time
+        ]
+    feature_cols = list(feature_cols)
+
+    spine_cols = [c for c in df_spine.columns if c not in keys and c != spine_time]
+
+    # Build a common shape: keys, event time, side tag, payloads from each side.
+    left = df_spine.select(
+        *keys,
+        F.col(spine_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_spine"),
+        F.struct(*[F.col(c) for c in ([spine_time] + spine_cols)]).alias("__spine_payload"),
+        F.lit(None).cast("timestamp").alias("__ft"),
+        *[F.lit(None).cast(df_features.schema[c].dataType).alias(c) for c in feature_cols],
+    )
+    right = df_features.select(
+        *keys,
+        F.col(feature_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_spine"),
+        F.lit(None)
+        .cast(left.schema["__spine_payload"].dataType)
+        .alias("__spine_payload"),
+        F.col(feature_time).cast("timestamp").alias("__ft"),
+        *feature_cols,
+    )
+
+    unioned = left.unionByName(right)
+
+    # Feature rows sort before spine rows at equal time (__is_spine ASC) so a
+    # same-instant feature is visible to the spine row, reproducing `>=`.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_spine").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *keys,
+        "__is_spine",
+        "__spine_payload",
+        F.last("__ft", ignorenulls=True).over(w).alias("__matched_ft"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in feature_cols],
+    )
+
+    result = carried.filter(F.col("__is_spine") == 1)
+    if tolerance_expr is not None:
+        too_old = F.col("__matched_ft") < (
+            F.col("__spine_payload").getField(spine_time).cast("timestamp")
+            - F.expr(tolerance_expr)
+        )
+        result = result.select(
+            *keys,
+            "__spine_payload",
+            *[
+                F.when(too_old, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in feature_cols
+            ],
+        )
+
+    out_cols = (
+        keys
+        + [F.col("__spine_payload").getField(spine_time).alias(spine_time)]
+        + [F.col("__spine_payload").getField(c).alias(c) for c in spine_cols]
+        + [F.col(c) for c in feature_cols]
+    )
+    return result.select(*out_cols)
+
+
+def exclude_ids_anti_join(
+    df: DataFrame,
+    df_exclude: DataFrame,
+    keys: Sequence[str],
+    exclude_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Drop rows whose keys appear in the exclusion DataFrame.
+
+    Reference: ``exclude_ids_leftjoin`` (``joins.py:241-268``) — distinct
+    exclusion keys then ``how="leftanti"`` (:265-266). The ``distinct()`` is
+    unnecessary for correctness of an anti-join; we skip it and let Spark
+    build the hash set directly (one less shuffle).
+    """
+    exclude_keys = list(exclude_keys or keys)
+    keys = list(keys)
+    renames = {e: k for e, k in zip(exclude_keys, keys) if e != k}
+    right = df_exclude.select(*exclude_keys)
+    if renames:
+        right = right.withColumnsRenamed(renames)
+    return df.join(right, on=keys, how="left_anti")
+
+
+def month_spine(
+    df_entities: DataFrame,
+    entity_keys: Sequence[str],
+    start_date: str,
+    end_date: str,
+    date_col: str = "release_dt",
+    open_date_col: str | None = None,
+) -> DataFrame:
+    """Month-start spine cross-joined to entities.
+
+    The reference builds the month range in driver-side pandas then
+    ``CROSS JOIN``s it (``fs_cus_demographic.py:64-113``). We generate the
+    range distributed with ``sequence()`` + ``explode`` (no driver work) and
+    broadcast the tiny month dim into the cross join. The optional
+    ``open_date_col`` filter reproduces the
+    ``release_dt >= fecha_apertura`` predicate (:109-113).
+    """
+    months = (
+        df_entities.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.trunc(F.lit(start_date).cast("date"), "month"),
+                    F.trunc(F.lit(end_date).cast("date"), "month"),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ).alias(date_col)
+        )
+    )
+    spine = df_entities.select(*entity_keys, *( [open_date_col] if open_date_col else [] )).distinct()
+    out = spine.crossJoin(F.broadcast(months))
+    if open_date_col:
+        out = out.filter(F.col(date_col) >= F.trunc(F.col(open_date_col), "month"))
+    return out

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the engine.
+
+The reference runs on a Databricks single-node cluster
+(``spark.master local[*, 4]``, see
+``/root/reference/config/dev/job_resources/feature-store-bncapers-resource.yml:2-9``)
+and delegates all physical planning to Catalyst. We do the same, but set the
+knobs that matter at scale explicitly: AQE (runtime re-planning, skew-join
+handling, partition coalescing), Arrow for any pandas interchange, UTC
+session timezone (so results compare exactly against UTC-naive oracles),
+and shuffle partitions sized to the local core count instead of the
+200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "databricks_demo_feature_store_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster ``master`` comes from the environment; locally we
+    default to ``local[N]`` with N = SPARK_GRAFT_CPUS (32 in CI).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # the driver testdata's events table carries TIMESTAMP(NANOS) which
+        # Spark has no native type for; read as long and convert in load()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

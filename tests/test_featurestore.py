@@ -1,0 +1,107 @@
+"""Feature-store manager: save modes, schema evolution, PIT training set."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_demo_feature_store_spark.featurestore import (
+    EvolutionPolicy,
+    FeatureStoreManager,
+    FeatureTableSpec,
+    create_training_set,
+)
+from databricks_demo_feature_store_spark.featurestore.training import FeatureLookup
+
+
+@pytest.fixture()
+def manager(spark, tmp_path):
+    return FeatureStoreManager(spark, str(tmp_path / "fs"))
+
+
+SPEC = FeatureTableSpec(
+    name="cust_features",
+    primary_keys=("pk_customer", "tpk_release_dt"),
+    timestamp_keys=("tpk_release_dt",),
+    description="test table",
+    source_tables=("orders",),
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "pk_customer int, tpk_release_dt date, f1 double")
+
+
+def test_save_and_metadata_roundtrip(spark, manager):
+    df = _df(spark, [(1, dt.date(2024, 1, 1), 1.0)])
+    diff = manager.save(df, SPEC, mode="overwrite")
+    assert diff.unchanged
+    meta = manager.get_metadata("cust_features")
+    assert meta["primary_keys"] == ["pk_customer", "tpk_release_dt"]
+    assert meta["timestamp_keys"] == ["tpk_release_dt"]
+    assert manager.list_tables() == ["cust_features"]
+    assert manager.read("cust_features").count() == 1
+
+
+def test_merge_upserts_on_pk(spark, manager):
+    manager.save(_df(spark, [(1, dt.date(2024, 1, 1), 1.0), (2, dt.date(2024, 1, 1), 2.0)]), SPEC, mode="overwrite")
+    manager.save(_df(spark, [(2, dt.date(2024, 1, 1), 20.0), (3, dt.date(2024, 1, 1), 3.0)]), SPEC, mode="merge")
+    got = {
+        (r.pk_customer, r.f1)
+        for r in manager.read("cust_features").collect()
+    }
+    assert got == {(1, 1.0), (2, 20.0), (3, 3.0)}
+
+
+def test_merge_new_column_evolution(spark, manager):
+    manager.save(_df(spark, [(1, dt.date(2024, 1, 1), 1.0)]), SPEC, mode="overwrite")
+    wide = _df(spark, [(1, dt.date(2024, 1, 1), 99.0)]).withColumn("f2", F.lit(7.0))
+    diff = manager.save(wide, SPEC, mode="merge")
+    assert diff.new_columns == ["f2"]
+    row = manager.read("cust_features").first()
+    # reference semantics (utils.py:1748-1758): merge restricted to the NEW
+    # columns for matched rows — f1 keeps its old value, f2 arrives
+    assert row.f1 == 1.0 and row.f2 == 7.0
+
+
+def test_missing_column_policy(spark, manager):
+    manager.save(_df(spark, [(1, dt.date(2024, 1, 1), 1.0)]), SPEC, mode="overwrite")
+    narrow = _df(spark, [(1, dt.date(2024, 1, 1), 5.0)]).drop("f1").withColumn("f1b", F.lit(1.0))
+    with pytest.raises(ValueError, match="policy=fail"):
+        manager.save(narrow, SPEC, mode="merge", policy=EvolutionPolicy.FAIL)
+    diff = manager.save(narrow, SPEC, mode="merge", policy=EvolutionPolicy.EVOLVE)
+    assert "f1" in diff.missing_columns
+    assert set(manager.read("cust_features").columns) == {"pk_customer", "tpk_release_dt", "f1b"}
+
+
+def test_create_training_set_pit(spark, manager):
+    feats = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), 10.0),
+            (1, dt.date(2024, 2, 1), 20.0),
+        ],
+        "pk_customer int, tpk_release_dt date, f1 double",
+    )
+    manager.save(feats, SPEC, mode="overwrite")
+    labels = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 15), 1),
+            (1, dt.date(2024, 3, 1), 0),
+            (2, dt.date(2024, 3, 1), 1),
+        ],
+        "pk_customer int, label_dt date, y int",
+    )
+    ts = create_training_set(
+        manager,
+        labels,
+        [FeatureLookup(table="cust_features", lookup_keys=("pk_customer",))],
+        spine_time="label_dt",
+    )
+    got = {(r.pk_customer, r.label_dt, r.y, r.f1) for r in ts.collect()}
+    assert got == {
+        (1, dt.date(2024, 1, 15), 1, 10.0),
+        (1, dt.date(2024, 3, 1), 0, 20.0),
+        (2, dt.date(2024, 3, 1), 1, None),
+    }

@@ -1,0 +1,180 @@
+"""Unit tests for scalar function families."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_demo_feature_store_spark.functions import (
+    binarize,
+    calculate_percentages,
+    calculate_ratios,
+    categorize_by_fixed_values,
+    choose_columns_as_value,
+    concat_columns,
+    decimals_to_floats,
+    drop_duplicates,
+    drop_na,
+    impute_dataframe,
+    longs_to_integers,
+    math_operations,
+    months_between_dates,
+    normalize_string_values,
+    rename_columns,
+    shift_date,
+    standardize_na_values,
+    trim_string_columns,
+    yearmonth_from_columns,
+)
+from databricks_demo_feature_store_spark.functions.feature_generation import spark_function_operations
+from databricks_demo_feature_store_spark.functions.strings import standardize_column_names
+from databricks_demo_feature_store_spark.functions.types import apply_schema
+
+
+def one(df, col):
+    return df.select(col).first()[0]
+
+
+def test_shift_date_availability_shift(spark):
+    df = spark.createDataFrame([("2024-03",)], "periodo string")
+    out = shift_date(df, "periodo", "release_dt", source_format="yyyy-MM", months_to_add=1)
+    assert one(out, "release_dt") == dt.date(2024, 4, 1)
+
+
+def test_shift_date_days_no_truncate(spark):
+    df = spark.createDataFrame([("2024-03-15",)], "d string")
+    out = shift_date(df, "d", "shifted", source_format="yyyy-MM-dd", days_to_add=3)
+    assert one(out, "shifted") == dt.date(2024, 3, 18)
+
+
+def test_yearmonth_from_columns(spark):
+    df = spark.createDataFrame([(2024, 3)], "y int, m int")
+    out = yearmonth_from_columns(df, "y", "m", "d")
+    assert one(out, "d") == dt.date(2024, 3, 1)
+
+
+def test_months_between_truncates(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 15), dt.date(2024, 4, 1))], "a date, b date"
+    )
+    out = months_between_dates(df, "a", "b", "mm")
+    assert one(out, "mm") == 2  # 2.548... truncated by int cast
+
+
+def test_normalize_strings(spark):
+    df = spark.createDataFrame([("  Tarjeta de Crédito!! ",)], "s string")
+    out = normalize_string_values(df, ["s"])
+    assert one(out, "s") == "tarjeta_de_credito"
+
+
+def test_trim_only_strings(spark):
+    df = spark.createDataFrame([(" a ", 1)], "s string, i int")
+    out = trim_string_columns(df)
+    assert one(out, "s") == "a"
+
+
+def test_standardize_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], "`Fecha Apertura` int, `Año-Censo` int")
+    out = standardize_column_names(df)
+    assert out.columns == ["fecha_apertura", "ano_censo"]
+
+
+def test_concat_columns_with_literal(spark):
+    df = spark.createDataFrame([("x", 7)], "a string, b int")
+    out = concat_columns(df, "c", ["lit:pre_", "a", "b"])
+    assert one(out, "c") == "pre_x7"
+
+
+def test_math_operations(spark):
+    df = spark.createDataFrame([(10.0, 4.0)], "a double, b double")
+    assert one(math_operations(df, "o", "a", "b", "sub"), "o") == 6.0
+    with pytest.raises(ValueError):
+        math_operations(df, "o", "a", "b", "bitand")
+
+
+def test_ratios_and_percentages(spark):
+    df = spark.createDataFrame([(10.0, 4.0), (10.0, 0.0)], "num double, den double")
+    out = calculate_ratios(df, [("num", "den")])
+    got = sorted(r[0] for r in out.select("num_to_den_ratio").collect() if r[0] is not None)
+    assert got == [2.5]
+    pct = calculate_percentages(df, [("den", "num")])
+    assert sorted(r[0] for r in pct.select("den_pct").collect()) == [0.0, 40.0]
+
+
+def test_choose_columns_as_value(spark):
+    df = spark.createDataFrame([(1, 5.0, 9.0), (2, 5.0, 9.0)], "k int, a double, b double")
+    out = choose_columns_as_value(
+        df,
+        "c",
+        cases=[
+            {"condition": "k = 1", "column": "a"},
+            {"condition": "k = 2", "value": "NULL"},
+        ],
+        default=0.0,
+    )
+    assert [r[0] for r in out.orderBy("k").select("c").collect()] == [5.0, None]
+
+
+def test_categorize_by_fixed_values(spark):
+    df = spark.createDataFrame([("Soltero",), ("Casado",), ("???",)], "estado string")
+    out = categorize_by_fixed_values(
+        df, "estado", "grp", {"single": ["Soltero"], "married": ["Casado"]}, default="other"
+    )
+    assert sorted(r[0] for r in out.select("grp").collect()) == ["married", "other", "single"]
+
+
+def test_binarize(spark):
+    df = spark.createDataFrame([(5.0,), (-1.0,)], "v double")
+    out = binarize(df, {"pos": "v > 0"})
+    assert sorted(r[0] for r in out.select("pos").collect()) == [False, True]
+
+
+def test_standardize_na_and_drops(spark):
+    df = spark.createDataFrame(
+        [("999999999", 1.0), ("42", None), ("42", None)], "id string, v double"
+    )
+    out = standardize_na_values(df, ["id"])
+    assert out.filter(F.col("id").isNull()).count() == 1
+    assert drop_na(out, subset=["v"]).count() == 1
+    assert drop_duplicates(out).count() == 2
+
+
+def test_impute_and_rename(spark):
+    df = spark.createDataFrame([(None, None)], "a double, b string")
+    out = impute_dataframe(df, {"a": 0.0, "b": "missing"})
+    assert out.first() == (0.0, "missing")
+    renamed = rename_columns(df, {"a": "x"})
+    assert renamed.columns == ["x", "b"]
+    with pytest.raises(ValueError):
+        rename_columns(df, {"zzz": "y"})
+
+
+def test_type_normalization(spark):
+    df = spark.createDataFrame([(1,)], "i long").select(
+        F.col("i"), F.lit("1.5").cast("decimal(10,2)").alias("d")
+    )
+    out = longs_to_integers(decimals_to_floats(df))
+    types = dict(out.dtypes)
+    assert types == {"i": "int", "d": "double"}
+
+
+def test_apply_schema_quarter_dates(spark):
+    df = spark.createDataFrame([("2024-03-q2", "7")], "fecha string, monto string")
+    out = apply_schema(
+        df,
+        [
+            {"source": "fecha", "name": "event_dt", "data_type": "date", "format_source": "yyyy-MM-qq"},
+            {"source": "monto", "name": "amount", "data_type": "double"},
+        ],
+    )
+    assert out.first() == (dt.date(2024, 3, 16), 7.0)
+
+
+def test_spark_function_operations_allowlist(spark):
+    df = spark.createDataFrame([(-3.0,)], "v double")
+    out = spark_function_operations(df, "a", "abs", columns=["v"])
+    assert one(out, "a") == 3.0
+    with pytest.raises(ValueError):
+        spark_function_operations(df, "x", "expr", literals=["1=1"])

@@ -1,0 +1,271 @@
+"""Unit tests for relational operators on tiny inline DataFrames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_demo_feature_store_spark.operators import (
+    aggregation_operations,
+    conditional_pivot,
+    create_lags_ind,
+    exclude_ids_anti_join,
+    filter_by_fixed_conditions,
+    filter_by_max_value,
+    generate_lags,
+    lag_diff_roc,
+    make_join,
+    month_spine,
+    point_in_time_join,
+    relative_strength_index,
+    rolling_categorical_stats,
+    rolling_numeric_stats,
+    select_columns,
+    select_distinct,
+    union_dataframes,
+    window_operations,
+)
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted([tuple(r) for r in out.collect()])
+
+
+def test_select_columns_validates(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    assert select_columns(df, ["id"]).columns == ["id"]
+    with pytest.raises(ValueError, match="missing"):
+        select_columns(df, ["missing"])
+
+
+def test_select_distinct(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, name string")
+    assert rows(select_distinct(df, ["id", "name"])) == [(1, "a"), (2, "b")]
+
+
+def test_filter_by_fixed_conditions(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 30.0, "y"), (3, 50.0, "x")], "id int, v double, tag string"
+    )
+    out = filter_by_fixed_conditions(df, ["v > 15.0", "tag = 'x'"])
+    assert rows(out, "id") == [(3,)]
+    assert filter_by_fixed_conditions(df, []).count() == 3
+
+
+def test_filter_by_max_value(spark):
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 2, 1)), (3, dt.date(2024, 2, 1))],
+        "id int, d date",
+    )
+    assert rows(filter_by_max_value(df, "d"), "id") == [(2,), (3,)]
+
+
+def test_make_join_left_wins_and_rename(spark):
+    left = spark.createDataFrame(
+        [(1, "L1", 10), (2, "L2", 20), (3, "L3", 30)], "k int, shared string, lv int"
+    )
+    right = spark.createDataFrame(
+        [(1, "R1", 100), (2, "R2", 200)], "rk int, shared string, rv int"
+    )
+    out = make_join(left, right, left_keys=["k"], right_keys=["rk"], how="left")
+    # duplicate non-key column 'shared' kept from the LEFT side
+    assert rows(out, "k", "shared", "rv") == [
+        (1, "L1", 100),
+        (2, "L2", 200),
+        (3, "L3", None),
+    ]
+
+
+def test_make_join_dropna(spark):
+    left = spark.createDataFrame([(1,), (3,)], "k int")
+    right = spark.createDataFrame([(1, "a")], "k int, v string")
+    out = make_join(left, right, left_keys=["k"], how="left", drop_na=True)
+    assert rows(out) == [(1, "a")]
+
+
+def test_point_in_time_join_basic(spark):
+    spine = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 10)),
+            (1, dt.datetime(2024, 1, 20)),
+            (2, dt.datetime(2024, 1, 10)),
+        ],
+        "uid int, asof timestamp",
+    )
+    feats = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), 10.0),
+            (1, dt.datetime(2024, 1, 10), 20.0),  # tie with first spine row → matched (>=)
+            (1, dt.datetime(2024, 1, 15), 30.0),
+            (3, dt.datetime(2024, 1, 1), 99.0),
+        ],
+        "uid int, ft timestamp, v double",
+    )
+    out = point_in_time_join(spine, feats, ["uid"], "asof", "ft", ["v"])
+    assert rows(out, "uid", "asof", "v") == [
+        (1, dt.datetime(2024, 1, 10), 20.0),
+        (1, dt.datetime(2024, 1, 20), 30.0),
+        (2, dt.datetime(2024, 1, 10), None),  # no history → NULL survives
+    ]
+
+
+def test_point_in_time_join_tolerance(spark):
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1))], "uid int, asof timestamp"
+    )
+    feats = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "uid int, ft timestamp, v double"
+    )
+    ok = point_in_time_join(
+        spine, feats, ["uid"], "asof", "ft", ["v"], tolerance_expr="INTERVAL 90 DAYS"
+    )
+    assert rows(ok, "v") == [(1.0,)]
+    stale = point_in_time_join(
+        spine, feats, ["uid"], "asof", "ft", ["v"], tolerance_expr="INTERVAL 30 DAYS"
+    )
+    assert rows(stale, "v") == [(None,)]
+
+
+def test_exclude_ids_anti_join(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    excl = spark.createDataFrame([(2, "x"), (2, "y")], "ek int, other string")
+    out = exclude_ids_anti_join(df, excl, keys=["k"], exclude_keys=["ek"])
+    assert rows(out) == [(1,), (3,)]
+
+
+def test_month_spine(spark):
+    ents = spark.createDataFrame(
+        [(1, dt.date(2024, 2, 15)), (2, dt.date(2023, 12, 1))], "uid int, opened date"
+    )
+    out = month_spine(
+        ents, ["uid"], "2024-01-01", "2024-03-31", open_date_col="opened"
+    )
+    got = rows(out, "uid", "release_dt")
+    assert (1, dt.date(2024, 1, 1)) not in got  # before account open month
+    assert (1, dt.date(2024, 2, 1)) in got
+    assert (2, dt.date(2024, 1, 1)) in got
+    assert len(got) == 2 + 3
+
+
+def test_aggregation_operations_dispatch_and_alias(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "g string, v double"
+    )
+    out = aggregation_operations(
+        df,
+        ["g"],
+        [
+            {"column": "v", "operation": "sum", "alias": "v_total"},
+            {"column": "v", "operation": "count"},
+        ],
+    )
+    assert rows(out) == [("a", 4.0, 2), ("b", 5.0, 1)]
+    with pytest.raises(ValueError, match="allowlist"):
+        aggregation_operations(df, ["g"], [{"column": "v", "operation": "expr"}])
+
+
+def test_aggregation_join_back(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0)], "g string, v double")
+    out = aggregation_operations(
+        df, ["g"], [{"column": "v", "operation": "max", "alias": "v_max"}], join_back=True
+    )
+    assert rows(out, "g", "v", "v_max") == [("a", 1.0, 3.0), ("a", 3.0, 3.0)]
+
+
+def test_window_operations_row_number(spark):
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 1), ("b", 9)], "g string, t int"
+    )
+    out = window_operations(
+        df,
+        partition_by=["g"],
+        order_by=["t"],
+        operations=[{"operation": "row_number", "alias": "rn"}],
+    )
+    assert rows(out, "g", "t", "rn") == [("a", 1, 1), ("a", 2, 2), ("b", 9, 1)]
+
+
+def test_conditional_pivot_indicators(spark):
+    df = spark.createDataFrame(
+        [(1, "credit card", 10.0), (1, "mortgage", 5.0), (2, "credit card", 7.0)],
+        "uid int, product string, amt double",
+    )
+    out = conditional_pivot(
+        df,
+        group_by=["uid"],
+        pivot_column="product",
+        categories=["credit card", "mortgage"],
+        value_column="amt",
+        prefix="amt_",
+        indicators=True,
+    )
+    assert rows(out, "uid", "amt_credit_card", "amt_mortgage", "ind_credit_card", "ind_mortgage") == [
+        (1, 10.0, 5.0, True, True),
+        (2, 7.0, 0.0, True, False),
+    ]
+
+
+def test_generate_lags_and_diff_roc(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0)], "uid int, t int, v double"
+    )
+    lagged = generate_lags(df, ["v"], [1], ["uid"], ["t"])
+    assert rows(lagged, "t", "v_lag_1m") == [(1, None), (2, 10.0), (3, 20.0)]
+    ldr = lag_diff_roc(df, ["v"], [1], ["uid"], ["t"])
+    assert rows(ldr, "t", "v_diff_1m", "v_roc_1m") == [
+        (1, None, None),
+        (2, 10.0, 1.0),
+        (3, -5.0, -0.25),
+    ]
+
+
+def test_rolling_stats(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 4.0), (1, 3, 6.0)], "uid int, t int, v double"
+    )
+    out = rolling_numeric_stats(df, ["v"], [3], ["uid"], ["t"])
+    got = rows(out, "t", "v_ravg_3m", "v_rstd_3m")
+    assert got[0] == (1, 2.0, None)  # stddev of 1 row is NULL
+    assert got[2] == (3, 4.0, 2.0)
+    cat = rolling_categorical_stats(df, ["v"], [2], ["uid"], ["t"])
+    assert rows(cat, "t", "v_rmin_2m", "v_rmax_2m") == [
+        (1, 2.0, 2.0),
+        (2, 2.0, 4.0),
+        (3, 4.0, 6.0),
+    ]
+
+
+def test_rsi_all_gains_is_100(spark):
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(1, 6)], "uid int, t int, v double"
+    )
+    out = relative_strength_index(df, "v", ["uid"], ["t"], periods=3)
+    last = out.filter(F.col("t") == 5).select("v_rsi_3").first()[0]
+    assert last == 100.0
+
+
+def test_rsi_mixed(spark):
+    # deltas: +2, -1 → avg_gain=2/3, avg_loss=1/3 over 3-row frame at t=3
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 3.0), (1, 3, 2.0)], "uid int, t int, v double"
+    )
+    out = relative_strength_index(df, "v", ["uid"], ["t"], periods=3)
+    val = out.filter(F.col("t") == 3).select("v_rsi_3").first()[0]
+    assert val == pytest.approx(100 - 100 / (1 + 2.0), abs=1e-4)
+
+
+def test_create_lags_ind(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2), (1, 3)], "uid int, t int")
+    out = create_lags_ind(df, ["uid"], ["t"])
+    assert rows(out, "t", "lag_ind") == [(1, "lag_2"), (2, "lag_1"), (3, "lag_0")]
+
+
+def test_union_dataframes_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, "y")], "id int, b string")
+    out = union_dataframes(a, b)
+    assert set(out.columns) == {"id", "a", "b"}
+    assert out.count() == 2
