@@ -1,0 +1,467 @@
+"""Extension queries: training-data operators (text analysis, dedup,
+similarity search, multimodal, sessionization) with DuckDB oracles.
+
+The dedup/similarity oracles replicate the *full* pipelines (shingling,
+portable md5 hashing, MinHash banding, SimHash bit votes, LSH buckets) in
+SQL, so the correctness gate checks the algorithms end-to-end, not just row
+counts. Portability rests on two invariants verified empirically:
+
+- ``conv(substr(md5(x),1,15),16,10)`` (Spark) ==
+  ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` (DuckDB)
+- both engines' list ops (intersect/min/filter/inner_product) agree with
+  Spark's array ops on distinct-element semantics and sequential double
+  accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from databricks_demo_feature_store_spark.functions.rounding import dround, oracle_dround
+from databricks_demo_feature_store_spark.queries import load, register
+from databricks_demo_feature_store_spark.textops.analysis import (
+    LANG_MARKERS,
+    bpe_ish_token_count_col,
+    lang_id_col,
+    punct_ratio_col,
+    quality_score_col,
+    stopword_ratio_col,
+    token_count_col,
+)
+from databricks_demo_feature_store_spark.textops.dedup import (
+    duplicate_groups,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from databricks_demo_feature_store_spark.textops.multimodal import (
+    decode_features,
+    synthesize_media_from_documents,
+)
+from databricks_demo_feature_store_spark.textops.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+# tokens of normalized text (empty text → empty list, matching tokens_col)
+_O_TOKS = r"""
+    toks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             END AS toks
+      FROM documents
+    )
+"""
+
+# distinct word 3-shingles of single-space-normalized text (shingles_col)
+_O_SHINGLES = r"""
+    normed AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(t) >= 3 THEN list_distinct(
+                 list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+               WHEN len(t) > 0 AND norm <> '' THEN [norm]
+               ELSE CAST([] AS VARCHAR[])
+             END AS sh
+      FROM (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM normed)
+    )
+"""
+
+
+def _o_hash(expr: str, seed) -> str:
+    """DuckDB twin of portable_hash_col."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_text_stats",
+    oracle=f"""
+    WITH {_O_TOKS},
+    base AS (
+      SELECT doc_id, text,
+             len(toks) AS n_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_pieces,
+             length(text) AS n_chars_utf8,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+             len(list_filter(toks, t -> t IN ({", ".join(repr(m) for m in LANG_MARKERS["en"])}))) AS stophits
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, n_pieces, n_chars_utf8,
+           CASE WHEN nonspace > 0 THEN {oracle_dround('CAST(punct AS DOUBLE) / nonspace', 6)} END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN {oracle_dround('CAST(stophits AS DOUBLE) / n_tokens', 6)} END AS stopword_ratio
+    FROM base
+    """,
+)
+def q_ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), char counts, punctuation
+    and stopword ratios — pure codegen'd column expressions."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        bpe_ish_token_count_col(t).alias("n_pieces"),
+        F.length(t).alias("n_chars_utf8"),
+        punct_ratio_col(t).alias("punct_ratio"),
+        stopword_ratio_col(t).alias("stopword_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_intersect(toks, [{', '.join(repr(m) for m in markers)}]))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    case_langs = " ".join(
+        f"WHEN {score[lang]} = best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+    WITH {_O_TOKS},
+    scored AS (
+      SELECT doc_id, text, toks, {best} AS best FROM toks
+    )
+    SELECT scored.doc_id, documents.lang,
+           CASE WHEN regexp_matches(scored.text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN best <= 0 THEN 'und'
+                {case_langs}
+           END AS lang_pred
+    FROM scored JOIN documents ON scored.doc_id = documents.doc_id
+    """
+
+
+@register("q_ext_lang_id", oracle=_lang_oracle())
+def q_ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID vs. the table's labeled ``lang``."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "q_ext_fingerprint_dedup",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS representative_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_ext_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups keyed on the md5 fingerprint of normalized text."""
+    return duplicate_groups(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_ngram_jaccard",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS common,
+             len(a.sh) AS n_a, len(b.sh) AS n_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT id_a, id_b,
+           {oracle_dround('CAST(common AS DOUBLE) / (n_a + n_b - common)', 6)} AS jaccard
+    FROM pairs
+    WHERE {oracle_dround('CAST(common AS DOUBLE) / (n_a + n_b - common)', 6)} >= 0.8
+    """,
+)
+def q_ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via the shingle inverted index
+    (no all-pairs scan on the Spark side; the oracle may brute-force)."""
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.8
+    )
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_o_hash('s', i)})) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return f"sigs AS (SELECT doc_id, {mins} FROM sh)"
+
+
+@register(
+    "q_ext_minhash_sig",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    {_minhash_sig_sql(4)}
+    SELECT doc_id, mh0, mh1, mh2, mh3 FROM sigs
+    """,
+)
+def q_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (first 4 components) — verifies shingling +
+    portable hashing + array_min end-to-end for every document."""
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=4)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        *[F.element_at("signature", i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+            md5(concat_ws(',', {", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))})) AS band_key
+            FROM sigs"""
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_O_SHINGLES},
+    {_minhash_sig_sql(num_hashes)},
+    bands AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             {oracle_dround('CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh)))', 6)} AS jaccard
+      FROM cands c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@register("q_ext_minhash_dedup", oracle=_minhash_dedup_oracle())
+def q_ext_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH dedup: 16 hashes, 4 bands → candidates → exact
+    Jaccard verification ≥ 0.7. The oracle replays the identical banding,
+    so even the candidate-generation behavior is checked."""
+    return minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.7
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    contribs = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) - len(hs) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH normed AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(norm, ' ')),
+                            t -> {_o_hash('t', 'simhash')}) AS hs
+      FROM normed
+    )
+    SELECT doc_id, CAST({contribs} AS BIGINT) AS simhash16 FROM hashes
+    """
+
+
+@register("q_ext_simhash", oracle=_simhash_oracle())
+def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash (Charikar) — bit-vote majority over
+    portable token hashes, fully oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_col(F.col("text"), bits=16).alias("simhash16"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_O_EMB = """
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+"""
+
+_O_COS = (
+    "list_inner_product(e.v, q.qv)"
+    " / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))"
+)
+
+
+@register(
+    "q_ext_cosine_topk",
+    oracle=f"""
+    WITH {_O_EMB},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {oracle_dround(_O_COS, 6)} AS cosine
+      FROM e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 query vectors against the corpus —
+    the exact-ANN baseline (JVM-side zip_with/aggregate dot products)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+_O_BUCKET = (
+    "array_to_string(list_transform({v}[1:8], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@register(
+    "q_ext_ann_lsh",
+    oracle=f"""
+    WITH {_O_EMB},
+    eb AS (SELECT vec_id, v, {_O_BUCKET.format(v="v")} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {oracle_dround(_O_COS, 6)} AS cosine
+      FROM eb e JOIN q ON e.bucket = q.bucket
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5: candidates restricted to the
+    query's 8-bit sign bucket (≈1/256 of the corpus at scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, nbits=8)
+
+
+@register(
+    "q_ext_embedding_near_dup",
+    oracle=f"""
+    WITH {_O_EMB},
+    eb AS (SELECT vec_id, v, {_O_BUCKET.format(v="v")}[1:6] AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {oracle_dround("list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))", 6)} AS cosine
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+    """,
+)
+def q_ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs inside 6-bit sign-LSH blocks."""
+    return embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), nbits=6, threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Arrow-batched mapInPandas with stub decode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           64 AS feature_dim,
+           'stub' AS decode_ok
+    FROM documents
+    """,
+)
+def q_ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns through the Arrow-batched mapInPandas decode
+    path (stub decoder: byte stats + md5 checksum). Verifies schema,
+    batching, and byte-level fidelity of the binary plumbing."""
+    media = synthesize_media_from_documents(load(spark, sf_dir, "documents"))
+    return decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Event sessionization (batch form of the streaming session_window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap → new session, via
+    lag + cumulative sum (the batch twin of streaming session_window)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_us > 30 * 60 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = flagged.withColumn("session_idx", F.sum("is_new").over(cum))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )

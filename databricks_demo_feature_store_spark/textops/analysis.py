@@ -1,0 +1,126 @@
+"""Text analysis for large-scale training-data pipelines: tokenization
+stats, quality scoring, language ID, document fingerprinting.
+
+All pure JVM column expressions (split/regexp/aggregate) — no Python UDFs —
+so they run inside whole-stage codegen and scale linearly with no shuffle
+(per-row ops) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from databricks_demo_feature_store_spark.functions.rounding import dround
+
+# Tiny high-frequency marker sets per language. Deliberately small so the
+# language-ID heuristic is cheap (array_intersect on a literal array) and
+# portable to the SQL oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "del", "una"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "une", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+}
+CJK_PATTERN = "[一-鿿]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text; empty string → empty array."""
+    trimmed = F.trim(F.lower(text))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """A BPE-ish proxy: count word pieces + digits + punctuation runs.
+
+    Splits on the boundaries a byte-pair tokenizer typically respects
+    (letter-runs, digit-runs, single punctuation marks).
+    """
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def punct_ratio_col(text: Column) -> Column:
+    """Punctuation chars / total non-space chars (NULL when no chars)."""
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(nonspace > 0, dround(punct / nonspace, 6))
+
+
+def stopword_ratio_col(text: Column, markers: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (english, by default) stopwords."""
+    markers = markers or LANG_MARKERS["en"]
+    toks = tokens_col(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*markers))  # type: ignore[arg-type]
+    )
+    return F.when(F.size(toks) > 0, dround(hits / F.size(toks), 6))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1].
+
+    Rewards reasonable length (saturating at 200 tokens), penalizes
+    punctuation-heavy text, rewards stopword presence (prose-likeness) —
+    the standard cheap pre-filter stack for web-scale corpus cleaning
+    (C4-style rules re-expressed as column algebra).
+    """
+    ntok = token_count_col(text).cast("double")
+    length_score = F.least(ntok / F.lit(200.0), F.lit(1.0))
+    punct = F.coalesce(punct_ratio_col(text), F.lit(0.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct * 4.0)
+    stop = F.coalesce(stopword_ratio_col(text), F.lit(0.0))
+    stop_score = F.least(stop * 5.0, F.lit(1.0))
+    return dround(
+        0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score, 6
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """n-gram/marker-based language ID over {en, es, fr, de, zh}.
+
+    CJK characters present → ``zh``; otherwise argmax of distinct marker
+    hits with a fixed priority order (en, es, fr, de) on ties; no hits →
+    ``und``. Deterministic and expressible in any SQL engine.
+    """
+    toks = tokens_col(text)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(text.rlike(CJK_PATTERN), F.lit("zh")).when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # fixed priority order resolves ties
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text (the cheap exact-dup key)."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis profile in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_col(t).alias("n_tokens"),
+        bpe_ish_token_count_col(t).alias("n_pieces"),
+        F.length(t).alias("n_chars_utf8"),
+        punct_ratio_col(t).alias("punct_ratio"),
+        stopword_ratio_col(t).alias("stopword_ratio"),
+        quality_score_col(t).alias("quality_score"),
+        lang_id_col(t).alias("lang_pred"),
+        fingerprint_col(t).alias("fingerprint"),
+    )

@@ -1,0 +1,137 @@
+"""Unit tests for the training-data operators (text, dedup, similarity,
+multimodal)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_demo_feature_store_spark.textops import (
+    brute_force_topk,
+    decode_features,
+    duplicate_groups,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    lsh_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    synthesize_media_from_documents,
+    text_profile,
+)
+from databricks_demo_feature_store_spark.textops.dedup import shingles_col, simhash_col
+from databricks_demo_feature_store_spark.textops.multimodal import real_decode_unavailable
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 1
+        (3, "el rapido zorro marron salta sobre el perro", "es"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (5, "短 文本 例子", "zh"),
+        (6, "completely different content about spark engines and data", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_text_profile(docs):
+    out = {r.doc_id: r for r in text_profile(docs).collect()}
+    assert out[1].n_tokens == 9
+    assert out[1].lang_pred == "en"
+    assert out[3].lang_pred == "es"
+    assert out[5].lang_pred == "zh"
+    assert out[1].fingerprint == out[4].fingerprint
+    assert 0.0 <= out[1].quality_score <= 1.0
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 4 not in ids and 1 in ids  # representative = min id
+    groups = duplicate_groups(docs)
+    dup = groups.filter(F.col("n_docs") > 1).first()
+    assert dup.n_docs == 2 and dup.representative_id == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    got = [r[0] for r in df.select(shingles_col(F.col("text"), 3)).collect()]
+    assert sorted(got[0]) == ["a b c", "b c d"]
+    assert got[1] == ["x y"]  # shorter than k → whole text
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 6) not in pairs
+
+
+def test_minhash_dedup_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs  # identical docs always collide in every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identical_and_pairs(docs):
+    h = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()
+    }
+    assert h[1] == h[4]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert (1, 4) in pairs
+
+
+@pytest.fixture()
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(emb):
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = [(r.vec_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(0, 1), (1, 2)]  # self first, then the near-parallel vector
+
+
+def test_lsh_topk_bucket_restriction(emb):
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") == 0), k=4, nbits=4)
+    ids = {r.vec_id for r in out.collect()}
+    assert 3 not in ids  # opposite-sign vector lives in another bucket
+    assert 0 in ids
+
+
+def test_embedding_near_dup(emb):
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, nbits=4, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_multimodal_stub_roundtrip(docs):
+    media = synthesize_media_from_documents(docs.select("doc_id", "text"))
+    feats = {r.media_id: r for r in decode_features(media).collect()}
+    assert feats[1].n_bytes == len("the quick brown fox jumps over the lazy dog".encode())
+    assert feats[1].checksum == hashlib.md5(
+        "the quick brown fox jumps over the lazy dog".encode()
+    ).hexdigest()
+    assert feats[1].decode_ok == "stub"
+    with pytest.raises(NotImplementedError):
+        real_decode_unavailable()
