@@ -147,14 +147,20 @@ def relative_strength_index(
     frame = w.rowsBetween(-(periods - 1), 0)
 
     delta = F.col(column) - F.lag(column, 1).over(w)
-    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
-    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    # lit(0) (not 0.0) so a DECIMAL input column stays decimal — exact frame
+    # sums make the rolling averages reproducible under any partitioning.
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0))
 
     with_deltas = df.select(
         "*", gain.alias("__gain"), loss.alias("__loss")
     )
-    avg_gain = F.avg("__gain").over(frame)
-    avg_loss = F.avg("__loss").over(frame)
+    # avg as exact-sum / count: for decimal inputs the sum is exact, and the
+    # single double division is IEEE-deterministic (plain F.avg over a double
+    # frame would depend on accumulation order).
+    cnt = F.count(F.lit(1)).over(frame)
+    avg_gain = F.sum("__gain").over(frame).cast("double") / cnt
+    avg_loss = F.sum("__loss").over(frame).cast("double") / cnt
     rsi = F.when(
         avg_loss == 0,
         F.when(avg_gain > 0, F.lit(100.0)).otherwise(F.lit(None)),

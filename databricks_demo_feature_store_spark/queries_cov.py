@@ -1,0 +1,384 @@
+"""Coverage queries for the remaining SURVEY §2 operator families: RSI,
+reverse lag labels, native pivot, generic window dispatch, top-1-by-time,
+month-spine cross join, feature-generation scalar chain, and the layered
+sink→scan roundtrip.
+
+Every query is oracle-backed; determinism follows the repo contract
+(double sums through DECIMAL, divisions in IEEE double, dround for
+rounded outputs — see ``queries.py`` module docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from databricks_demo_feature_store_spark.functions import (
+    choose_columns_as_value,
+    concat_columns,
+    impute_dataframe,
+    math_operations,
+    standardize_na_values,
+)
+from databricks_demo_feature_store_spark.functions.feature_generation import (
+    spark_function_operations,
+)
+from databricks_demo_feature_store_spark.operators import (
+    aggregation_operations,
+    create_lags_ind,
+    relative_strength_index,
+    window_operations,
+)
+from databricks_demo_feature_store_spark.queries import (
+    _o_dsum,
+    load,
+    register,
+)
+from databricks_demo_feature_store_spark.functions.rounding import oracle_dround
+from databricks_demo_feature_store_spark.sources.catalog import Catalog
+from databricks_demo_feature_store_spark.sources.writers import save_table
+
+# Exact monthly spend kept in DECIMAL (not cast to double) so downstream
+# window arithmetic (RSI deltas, frame sums) is exact in both engines.
+_O_MONTHLY_DEC = """
+    monthly AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS total_spend
+      FROM orders
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _monthly_orders_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("order_month"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("total_spend"))
+
+
+# ---------------------------------------------------------------------------
+# RSI — composite lag + conditional split + rolling average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rsi",
+    oracle=f"""
+    WITH {_O_MONTHLY_DEC},
+    d AS (
+      SELECT custkey, order_month, total_spend,
+             total_spend - LAG(total_spend, 1) OVER w AS delta
+      FROM monthly
+      WINDOW w AS (PARTITION BY custkey ORDER BY order_month ASC)
+    ),
+    g AS (
+      SELECT custkey, order_month, total_spend,
+             CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+             CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+      FROM d
+    ),
+    a AS (
+      SELECT custkey, order_month, total_spend,
+             CAST(SUM(gain) OVER f AS DOUBLE) / COUNT(*) OVER f AS ag,
+             CAST(SUM(loss) OVER f AS DOUBLE) / COUNT(*) OVER f AS al
+      FROM g
+      WINDOW f AS (PARTITION BY custkey ORDER BY order_month ASC
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT custkey, order_month,
+           CAST(total_spend AS DOUBLE) AS total_spend,
+           CASE WHEN al = 0 THEN (CASE WHEN ag > 0 THEN 100.0 END)
+                ELSE {oracle_dround('100.0 - 100.0 / (1.0 + ag / al)')}
+           END AS total_spend_rsi_6
+    FROM a
+    """,
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index over the monthly spend series — the
+    reference's composite indicator (fs_cus_credit_risk.py:167-202),
+    6-period variant for a monthly grain."""
+    m = _monthly_orders_dec(spark, sf_dir)
+    out = relative_strength_index(
+        m, "total_spend", partition_by=["custkey"], order_by=["order_month"], periods=6
+    )
+    return out.select(
+        "custkey",
+        "order_month",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "total_spend_rsi_6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reverse sequence labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lags_ind",
+    oracle=f"""
+    WITH {_O_MONTHLY_DEC}
+    SELECT custkey, order_month,
+           concat('lag_', CAST(ROW_NUMBER() OVER (
+             PARTITION BY custkey ORDER BY order_month DESC) - 1 AS VARCHAR)) AS lag_ind
+    FROM monthly
+    """,
+)
+def q_lags_ind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_lags_ind reverse sequence label (reference lags.py:12-51) —
+    lag_0 is each customer's latest month."""
+    m = _monthly_orders_dec(spark, sf_dir)
+    return create_lags_ind(
+        m, partition_by=["custkey"], order_by=["order_month"]
+    ).select("custkey", "order_month", "lag_ind")
+
+
+# ---------------------------------------------------------------------------
+# Native pivot (GroupedData.pivot with explicit values)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_native_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS F_sum_qty,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_cnt,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS O_sum_qty,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupedData.pivot with explicit pivot values (reference
+    aggregation.py:142) — explicit values skip the extra distinct job a
+    value-less pivot runs, which matters when the fact table is 100 TB.
+    Absent (group, value) combos are NULL in both engines."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(25,2)")
+    )
+    out = aggregation_operations(
+        li,
+        group_by=["l_returnflag"],
+        operations=[
+            {"column": "qty_dec", "operation": "sum", "alias": "sum_qty"},
+            {"column": "l_orderkey", "operation": "count", "alias": "cnt"},
+        ],
+        pivot_column="l_linestatus",
+        pivot_values=["F", "O"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_sum_qty").cast("double").alias("F_sum_qty"),
+        "F_cnt",
+        F.col("O_sum_qty").cast("double").alias("O_sum_qty"),
+        "O_cnt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic window-function dispatch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_dispatch",
+    oracle=f"""
+    WITH {_O_MONTHLY_DEC}
+    SELECT custkey, order_month,
+           CAST(total_spend AS DOUBLE) AS total_spend,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(LEAD(total_spend, 1) OVER w AS DOUBLE) AS next_spend,
+           CAST(FIRST_VALUE(total_spend) OVER w AS DOUBLE) AS first_spend
+    FROM monthly
+    WINDOW w AS (PARTITION BY custkey ORDER BY order_month ASC)
+    """,
+)
+def q_window_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_operations name-dispatch (reference aggregation.py:11-57):
+    row_number / lead / first_value in ONE window projection (single
+    exchange + sort at scale)."""
+    m = _monthly_orders_dec(spark, sf_dir)
+    out = window_operations(
+        m,
+        partition_by=["custkey"],
+        order_by=["order_month"],
+        operations=[
+            {"operation": "row_number", "alias": "rn"},
+            {"column": "total_spend", "operation": "lead", "args": [1], "alias": "next_spend"},
+            {"column": "total_spend", "operation": "first_value", "alias": "first_spend"},
+        ],
+    )
+    return out.select(
+        "custkey",
+        "order_month",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "rn",
+        F.col("next_spend").cast("double").alias("next_spend"),
+        F.col("first_spend").cast("double").alias("first_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-1 by timestamp (orderBy desc + limit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top1_latest",
+    oracle="""
+    SELECT user_id, ts, event_id
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+    """,
+)
+def q_top1_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record probe — orderBy(desc).limit(1) (reference
+    monitor.py:47-49). Spark plans this as TakeOrderedAndProject: no
+    global sort, each partition contributes its top row."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("user_id", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-spine cross join (demographic snapshot materialization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_month_spine",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month
+      FROM orders
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(r AS DATE) AS spine_month
+      FROM range(DATE '1995-01-01', DATE '1996-01-01', INTERVAL 1 MONTH) t(r)
+    )
+    SELECT custkey, spine_month
+    FROM f CROSS JOIN s
+    WHERE spine_month >= first_month
+    """,
+)
+def q_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month spine × entities with an activation filter — the reference's
+    snapshot materialization (fs_cus_demographic.py:64-84,109-113), built
+    with sequence/explode instead of driver-side pandas. The 12-row spine
+    side broadcasts, so this is a map-side nested loop at any scale."""
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(F.trunc(F.col("o_orderdate").cast("date"), "month")).alias("first_month")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("spine_month")
+    )
+    return (
+        first.crossJoin(F.broadcast(spine))
+        .filter(F.col("spine_month") >= F.col("first_month"))
+        .select("custkey", "spine_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-generation scalar chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_feature_chain",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_brand = 'Brand#13' THEN 'unknown' ELSE p_brand END AS p_brand,
+           concat(CASE WHEN p_brand = 'Brand#13' THEN 'unknown' ELSE p_brand END, '_', p_type) AS brand_type,
+           p_retailprice / p_size AS value_density,
+           length(p_name) AS name_len,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'mid'
+                ELSE 'large' END AS size_class
+    FROM part
+    """,
+)
+def q_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar feature-generation chain: NA standardization → imputation →
+    concat → arithmetic dispatch → allowlisted function dispatch → CASE
+    builder (reference feature_generation.py / clean modules). All column
+    expressions — one codegen stage, no UDFs."""
+    p = load(spark, sf_dir, "part")
+    p = standardize_na_values(p, ["p_brand"], na_values=["Brand#13"])
+    p = impute_dataframe(p, {"p_brand": "unknown"})
+    p = concat_columns(p, "brand_type", ["p_brand", "p_type"], separator="_")
+    p = math_operations(p, "value_density", "p_retailprice", "p_size", "truediv")
+    p = spark_function_operations(p, "name_len", "length", columns=["p_name"])
+    p = choose_columns_as_value(
+        p,
+        "size_class",
+        cases=[
+            {"condition": "p_size < 10", "value": "small"},
+            {"condition": "p_size < 30", "value": "mid"},
+        ],
+        default="large",
+    )
+    return p.select(
+        "p_partkey", "p_brand", "brand_type", "value_density",
+        "name_len", "size_class",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layered sink → scan roundtrip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_layer_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {_o_dsum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """save_table partitioned write (dynamic partition overwrite) →
+    Catalog.get_table read-back → aggregate. Exercises the layered
+    sink/scan path end-to-end (reference storage_operations.py:19-57,
+    75-211); partitioning on the historical key means a re-run only
+    rewrites affected partitions."""
+    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_layers")
+    cat = Catalog(root=root)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    )
+    save_table(
+        li,
+        cat.path("lineitem_recent", "preprocessing"),
+        fmt="parquet",
+        mode="overwrite",
+        partition_by=["l_returnflag"],
+        partition_overwrite=True,
+    )
+    back = cat.get_table(spark, "lineitem_recent", "preprocessing", fmt="parquet")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double").alias("sum_qty"),
+    )
