@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from databricks_demo_feature_store_spark.queries import QUERIES  # noqa: E402
 import databricks_demo_feature_store_spark.queries_ext  # noqa: E402,F401  (registers q_ext_*)
 import databricks_demo_feature_store_spark.queries_cov  # noqa: E402,F401  (registers coverage queries)
+import databricks_demo_feature_store_spark.queries_val  # noqa: E402,F401  (registers q_val_*)
+import databricks_demo_feature_store_spark.queries_pipe  # noqa: E402,F401  (registers q_pipeline_*)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,18 @@
+"""Declarative pipeline surface: config-driven runner + feature pipelines."""
+
+from databricks_demo_feature_store_spark.pipelines.runner import OPS, Pipeline, Step
+from databricks_demo_feature_store_spark.pipelines.standardize import (
+    feature_output_standardize,
+    prefix_columns,
+)
+from databricks_demo_feature_store_spark.pipelines.customer_features import (
+    CUSTOMER_TX_PIPELINE,
+    CUSTOMER_TX_STEPS,
+    customer_transaction_features,
+)
+
+__all__ = [
+    "OPS", "Pipeline", "Step",
+    "feature_output_standardize", "prefix_columns",
+    "CUSTOMER_TX_PIPELINE", "CUSTOMER_TX_STEPS", "customer_transaction_features",
+]

@@ -1,0 +1,122 @@
+"""Validation-subsystem queries: config-driven schema cast (incl. the
+``yyyy-MM-qq`` half-month format), cross-check reconciliation, and
+dimension drift — each with a DuckDB oracle replaying the validator's
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from databricks_demo_feature_store_spark.functions.rounding import oracle_dround
+from databricks_demo_feature_store_spark.queries import load, register
+from databricks_demo_feature_store_spark.validation import (
+    cross_check,
+    dimension_drift,
+    schemas_validation,
+)
+
+
+@register(
+    "q_val_schema_cast",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS VARCHAR) AS custkey_raw,
+             strftime(o_orderdate, '%Y-%m-') ||
+               CASE WHEN EXTRACT(day FROM o_orderdate) < 16 THEN 'q1' ELSE 'q2' END AS qdate,
+             CAST(o_totalprice AS VARCHAR) AS price_raw
+      FROM orders
+    )
+    SELECT o_orderkey AS order_id,
+           CAST(custkey_raw AS BIGINT) AS customer_id,
+           CAST(regexp_replace(regexp_replace(qdate, 'q1', '01'), 'q2', '16') AS DATE) AS half_month,
+           CAST(price_raw AS DOUBLE) AS total_price
+    FROM raw
+    """,
+)
+def q_val_schema_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schemas_validation: per-column cast+rename config with the
+    ``yyyy-MM-qq`` quarter-marker date format (reference schemas.py:13-63,
+    format handling :46-52). The raw stringly-typed frame is synthesized
+    from orders, then the validator restores proper types — one projection,
+    fused into the scan at scale."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("custkey_raw"),
+        F.concat(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-"),
+            F.when(F.dayofmonth("o_orderdate") < 16, "q1").otherwise("q2"),
+        ).alias("qdate"),
+        F.col("o_totalprice").cast("string").alias("price_raw"),
+    )
+    return schemas_validation(
+        raw,
+        [
+            {"source": "o_orderkey", "name": "order_id", "data_type": "bigint"},
+            {"source": "custkey_raw", "name": "customer_id", "data_type": "bigint"},
+            {"source": "qdate", "name": "half_month", "data_type": "date",
+             "format_source": "yyyy-MM-qq"},
+            {"source": "price_raw", "name": "total_price", "data_type": "double"},
+        ],
+    )
+
+
+@register(
+    "q_val_crosscheck",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, COUNT(*) AS source_count
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS target_count
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(s.month, t.month) AS month,
+             COALESCE(s.source_count, 0) AS source_count,
+             COALESCE(t.target_count, 0) AS target_count
+      FROM s FULL OUTER JOIN t ON s.month = t.month
+    )
+    SELECT month, source_count, target_count,
+           source_count - target_count AS difference,
+           CASE WHEN source_count > 0
+                THEN {oracle_dround('abs(source_count - target_count) * 100.0 / source_count')}
+                WHEN target_count > 0 THEN 100.0 ELSE 0.0 END AS percentage,
+           (CASE WHEN source_count > 0
+                 THEN {oracle_dround('abs(source_count - target_count) * 100.0 / source_count')}
+                 WHEN target_count > 0 THEN 100.0 ELSE 0.0 END) <= 50.0 AS passed
+    FROM j
+    """,
+)
+def q_val_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS_CHECKING month-count reconciliation (reference
+    monitor.py:328-436): lineitem ship-months vs orders order-months,
+    full-outer joined, 50% threshold. Counts are map-side combined on a
+    ~80-value key, so both inputs reduce to broadcast-sized tables."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return cross_check(
+        li, o, "l_shipdate", "o_orderdate", threshold_pct=50.0
+    )
+
+
+@register(
+    "q_val_dimension_drift",
+    oracle=f"""
+    WITH cur AS (SELECT COUNT(*) AS current_count FROM customer),
+         prev AS (SELECT COUNT(*) AS previous_count FROM customer WHERE c_custkey % 20 <> 0)
+    SELECT current_count, previous_count,
+           {oracle_dround('abs(current_count - previous_count) * 100.0 / previous_count')} AS drift_pct,
+           {oracle_dround('abs(current_count - previous_count) * 100.0 / previous_count')} <= 5.0 AS passed
+    FROM cur CROSS JOIN prev
+    """,
+)
+def q_val_dimension_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensional 5% drift gate (reference monitor.py:492-520): current
+    customer dim vs a simulated previous version (5% of keys removed)."""
+    c = load(spark, sf_dir, "customer")
+    prev = c.filter(F.col("c_custkey") % 20 != 0)
+    return dimension_drift(c, prev, threshold_pct=5.0)

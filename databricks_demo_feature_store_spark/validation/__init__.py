@@ -1,0 +1,28 @@
+"""Data-validation subsystem: schema cast/rename, cross-checking,
+freshness, validation logs (reference ``src/packages/data_validation/``)."""
+
+from databricks_demo_feature_store_spark.validation.schemas import (
+    schemas_validation,
+    quarter_to_date,
+    year_to_date,
+    cast_column,
+    missing_columns,
+    QUARTER_FORMAT,
+)
+from databricks_demo_feature_store_spark.validation.monitor import (
+    monthly_counts,
+    cross_check,
+    dimension_drift,
+    outdateness,
+    OutdatenessResult,
+    ValidationLog,
+    SUMMARY_SCHEMA,
+    DETAIL_SCHEMA,
+)
+
+__all__ = [
+    "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
+    "missing_columns", "QUARTER_FORMAT",
+    "monthly_counts", "cross_check", "dimension_drift", "outdateness",
+    "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
+]

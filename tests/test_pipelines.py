@@ -1,0 +1,77 @@
+"""Tests for the declarative pipeline runner + feature pipelines."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from databricks_demo_feature_store_spark.pipelines import (
+    Pipeline,
+    customer_transaction_features,
+    feature_output_standardize,
+    prefix_columns,
+)
+
+
+def test_pipeline_rejects_unknown_op():
+    with pytest.raises(ValueError, match="Unknown pipeline ops"):
+        Pipeline([{"op": "not_a_real_op"}])
+
+
+def test_pipeline_runs_steps_lazily_with_debug(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], ["k", "v"])
+    seen = []
+    out = Pipeline(
+        [
+            {"op": "drop_duplicates", "params": {}},
+            {"op": "filter", "params": {"conditions": ["k > 1"]}},
+        ]
+    ).run(df, debug=lambda op, d: seen.append(op))
+    assert seen == ["drop_duplicates", "filter"]
+    assert out.collect() == [spark.createDataFrame([(2, "b")], ["k", "v"]).collect()[0]]
+
+
+def test_prefix_and_standardize(spark):
+    df = spark.createDataFrame([(1, dt.date(2024, 1, 1), 10)], ["ck", "rd", "spend"])
+    out = feature_output_standardize(
+        df, key_renames={"ck": "pk_customer", "rd": "tpk_release_dt"}, prefix="ctrx_"
+    )
+    assert out.columns == ["pk_customer", "tpk_release_dt", "ctrx_spend"]
+    # longs → int standardization
+    assert dict(out.dtypes)["ctrx_spend"] == "int"
+    assert dict(out.dtypes)["pk_customer"] == "int"
+    p = prefix_columns(df, "x_", exclude=["ck"])
+    assert p.columns == ["ck", "x_rd", "x_spend"]
+
+
+def test_customer_tx_pipeline_schema_and_values(spark):
+    out = customer_transaction_features(spark, "/root/testdata/sf0.001")
+    assert set(out.columns) == {
+        "pk_customer", "tpk_release_dt",
+        "ctrx_amt_1_urgent", "ctrx_ind_1_urgent",
+        "ctrx_total_spend", "ctrx_order_cnt",
+        "ctrx_total_spend_lag_1m", "ctrx_total_spend_lag_3m",
+        "ctrx_total_spend_ravg_3m", "ctrx_total_spend_rstd_3m",
+        "ctrx_amt_1_urgent_to_total_spend_ratio",
+    }
+    types = dict(out.dtypes)
+    assert types["pk_customer"] == "int" and types["ctrx_order_cnt"] == "int"
+    assert types["ctrx_total_spend"] == "double"
+    rows = out.filter("ctrx_ind_1_urgent").limit(5).collect()
+    for r in rows:
+        assert r["ctrx_amt_1_urgent"] > 0
+        ratio = r["ctrx_amt_1_urgent_to_total_spend_ratio"]
+        assert ratio is not None and 0 < ratio <= 1.0001
+    # availability shift: release months are first-of-month
+    assert all(
+        r["tpk_release_dt"].day == 1 for r in out.select("tpk_release_dt").limit(20).collect()
+    )
+
+
+def test_customer_tx_plan_is_one_shuffle_one_window(spark):
+    out = customer_transaction_features(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash-aggregate shuffle pair + one window sort; no extra exchanges
+    assert plan.count("Window") <= 2  # lags+rolling may split frames, not sorts
+    assert "Exchange" in plan

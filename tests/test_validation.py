@@ -1,0 +1,113 @@
+"""Unit tests for the validation subsystem (schemas, monitor, logs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_demo_feature_store_spark.validation import (
+    ValidationLog,
+    cross_check,
+    dimension_drift,
+    missing_columns,
+    outdateness,
+    schemas_validation,
+)
+
+
+def test_schemas_validation_quarter_dates(spark):
+    df = spark.createDataFrame(
+        [("2024-01-q1", "10"), ("2024-01-q2", "20"), ("2024-03-q1", "30")],
+        ["d", "v"],
+    )
+    out = schemas_validation(
+        df,
+        [
+            {"source": "d", "name": "half_month", "data_type": "date",
+             "format_source": "yyyy-MM-qq"},
+            {"source": "v", "name": "value", "data_type": "int"},
+        ],
+    )
+    rows = {r["half_month"]: r["value"] for r in out.collect()}
+    assert rows == {
+        dt.date(2024, 1, 1): 10,
+        dt.date(2024, 1, 16): 20,
+        dt.date(2024, 3, 1): 30,
+    }
+    assert out.columns == ["half_month", "value"]
+
+
+def test_schemas_validation_year_format_and_missing(spark):
+    df = spark.createDataFrame([(2021,)], ["y"])
+    out = schemas_validation(
+        df, [{"source": "y", "name": "yr", "data_type": "date", "format_source": "yyyy"}]
+    )
+    assert out.collect()[0]["yr"] == dt.date(2021, 12, 1)
+    with pytest.raises(ValueError, match="missing"):
+        schemas_validation(df, [{"source": "nope", "name": "x", "data_type": "int"}])
+    assert missing_columns(df, ["y", "z"]) == ["z"]
+
+
+def test_cross_check_thresholds(spark):
+    src = spark.createDataFrame(
+        [(dt.date(2024, 1, 5),)] * 100 + [(dt.date(2024, 2, 5),)] * 10,
+        ["d"],
+    )
+    tgt = spark.createDataFrame(
+        [(dt.date(2024, 1, 7),)] * 98 + [(dt.date(2024, 3, 2),)] * 5,
+        ["d"],
+    )
+    out = {r["month"]: r for r in cross_check(src, tgt, "d", "d", 5.0).collect()}
+    jan = out[dt.date(2024, 1, 1)]
+    assert (jan["source_count"], jan["target_count"], jan["difference"]) == (100, 98, 2)
+    assert jan["percentage"] == 2.0 and jan["passed"]
+    feb = out[dt.date(2024, 2, 1)]
+    assert feb["target_count"] == 0 and feb["percentage"] == 100.0 and not feb["passed"]
+    mar = out[dt.date(2024, 3, 1)]
+    assert mar["source_count"] == 0 and mar["percentage"] == 100.0 and not mar["passed"]
+
+
+def test_dimension_drift(spark):
+    cur = spark.range(100)
+    prev = spark.range(97)
+    row = dimension_drift(cur, prev, threshold_pct=5.0).collect()[0]
+    assert row["drift_pct"] == pytest.approx(3.0928, abs=1e-4)
+    assert row["passed"]
+    row2 = dimension_drift(spark.range(200), prev, threshold_pct=5.0).collect()[0]
+    assert not row2["passed"]
+
+
+def test_outdateness(spark):
+    df = spark.createDataFrame([(dt.date(2024, 3, 17),)], ["d"])
+    res = outdateness(df, "d", months_shift=1, reference_month=dt.date(2024, 4, 1))
+    assert res.passed and res.available_month == dt.date(2024, 4, 1)
+    res_stale = outdateness(df, "d", months_shift=1, reference_month=dt.date(2024, 6, 1))
+    assert not res_stale.passed
+    # December rollover
+    dec = spark.createDataFrame([(dt.date(2023, 12, 31),)], ["d"])
+    res_dec = outdateness(dec, "d", months_shift=1, reference_month=dt.date(2024, 1, 1))
+    assert res_dec.passed and res_dec.available_month == dt.date(2024, 1, 1)
+
+
+def test_validation_log_roundtrip(spark, tmp_path):
+    log = ValidationLog(
+        spark, str(tmp_path / "summary"), str(tmp_path / "detail")
+    )
+    src = spark.createDataFrame([(dt.date(2024, 1, 5),)] * 10, ["d"])
+    tgt = spark.createDataFrame([(dt.date(2024, 1, 5),)] * 10, ["d"])
+    detail = cross_check(src, tgt, "d", "d")
+    log.record(
+        "tbl_a", "CROSS_CHECKING", "ingestion", True,
+        detail="ok", detail_rows=detail,
+        executed_at=dt.datetime(2024, 1, 2, 3, 4, 5),
+    )
+    log.record(
+        "tbl_a", "CROSS_CHECKING", "ingestion", False,
+        executed_at=dt.datetime(2024, 2, 2, 3, 4, 5),
+    )
+    latest = log.latest("tbl_a").collect()
+    assert len(latest) == 1 and latest[0]["passed"] is False
+    det = spark.read.parquet(str(tmp_path / "detail")).collect()
+    assert len(det) == 1 and det[0]["table_name"] == "tbl_a" and det[0]["passed"]
