@@ -71,3 +71,66 @@ def q_pipeline_customer_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix + long→int / decimal→double standardization (the full
     fs_cus_transactions notebook flow, SURVEY §3.1)."""
     return customer_transaction_features(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (availableNow replay of the events backlog)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.streaming import (  # noqa: E402
+    hourly_counts,
+    read_events_stream,
+    run_available_now,
+    sessionize_stream,
+)
+
+
+@register(
+    "q_stream_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts through the REAL streaming
+    engine (file source → event-time window agg → availableNow replay →
+    memory sink). The DECIMAL-routed sum makes the result identical to
+    the batch answer regardless of micro-batch order."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(hourly_counts(stream))
+
+
+@register(
+    "q_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization through the streaming engine —
+    the stateful-operator twin of the batch lag+cumsum (q_ext_sessionize).
+    Spark's session end is last-event-time + gap; the oracle mirrors it."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(sessionize_stream(stream, gap="30 minutes"))

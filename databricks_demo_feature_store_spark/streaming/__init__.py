@@ -1,0 +1,18 @@
+"""Structured Streaming surface: file-source streams, watermarked window
+aggregations, session windows, and an availableNow batch-replay runner."""
+
+from databricks_demo_feature_store_spark.streaming.ops import (
+    read_events_stream,
+    hourly_counts,
+    sessionize_stream,
+    run_available_now,
+    stream_to_sink,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_counts",
+    "sessionize_stream",
+    "run_available_now",
+    "stream_to_sink",
+]

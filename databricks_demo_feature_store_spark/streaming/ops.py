@@ -1,0 +1,142 @@
+"""Streaming operators over the events stream.
+
+The reference has **no** streaming surface (SURVEY §2.9) — this module is
+the engine's net-new scale path for event data: the same monthly-snapshot
+semantics the reference computes in batch can be maintained incrementally,
+and at 100 TB/day an incremental pipeline is the only affordable shape.
+
+Design:
+
+- **File source** (``readStream.parquet``) replays the testdata events
+  table; in production the source becomes Kafka/Delta — the plan below the
+  source is identical.
+- **Watermarks** bound state: ``hourly_counts`` keeps at most
+  ``watermark`` of open windows per key; late events beyond it are dropped
+  (documented, late-data handling).
+- **session_window** implements gap-based sessionization natively
+  (the batch twin is ``q_ext_sessionize``'s lag+cumsum).
+- **availableNow** trigger processes the whole backlog in bounded
+  micro-batches then stops — this is how the driver (and tests) replay a
+  static directory through the streaming engine deterministically.
+
+State-store note: aggregations shuffle by grouping key into the state
+store, so key skew maps to state skew; the session/user keys used here
+are high-cardinality and uniform.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampType
+
+_MEMORY_QUERY_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    Handles the TIMESTAMP(NANOS) parquet type the same way the batch
+    ``queries.load`` does: read as epoch-nanos long, floor-divide to
+    micros (Spark has no nanos timestamp type).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file stream source requires a directory basePath; a glob that
+    # matches exactly the one file keeps basePath = sf_dir.
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque[t]")
+    if not isinstance(schema["ts"].dataType, TimestampType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def hourly_counts(
+    stream: DataFrame,
+    watermark: str = "7 days",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts + exact value sums per window.
+
+    The sum goes through DECIMAL so replaying the same data in any
+    micro-batch order produces bit-identical doubles.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Native gap-based session windows per user.
+
+    ``session_window`` merges events whose gaps are < ``gap``; the window
+    end is last-event-time + gap (so downstream consumers read
+    ``session_end - gap`` as the last activity)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Replay the stream's backlog with the availableNow trigger into an
+    in-memory sink; block until done; return the sink as a batch frame.
+
+    ``complete`` mode emits every window on the final micro-batch, so a
+    bounded replay yields exactly the batch answer (append mode would hold
+    back windows newer than the watermark — correct for unbounded streams,
+    lossy for a finite replay)."""
+    spark = result.sparkSession
+    name = f"stream_result_{next(_MEMORY_QUERY_IDS)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_to_sink(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    fmt: str = "parquet",
+):
+    """Continuous sink: exactly-once parquet/delta append with checkpoint.
+    Returns the StreamingQuery (caller owns its lifecycle)."""
+    return (
+        result.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

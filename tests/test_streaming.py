@@ -1,0 +1,66 @@
+"""Tests for the Structured Streaming surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_demo_feature_store_spark.streaming import (
+    hourly_counts,
+    read_events_stream,
+    run_available_now,
+    sessionize_stream,
+    stream_to_sink,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_matches_batch_hourly(spark):
+    from databricks_demo_feature_store_spark.queries import load
+
+    streamed = run_available_now(hourly_counts(read_events_stream(spark, SF)))
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_stream_sessionize_gap_semantics(spark):
+    out = run_available_now(sessionize_stream(read_events_stream(spark, SF)))
+    assert out.columns == ["user_id", "session_start", "session_end", "n_events"]
+    # session end is last-event + gap → every session spans >= 30 minutes
+    spans = out.select(
+        (F.unix_micros("session_end") - F.unix_micros("session_start")).alias("us")
+    )
+    assert spans.filter(F.col("us") < 30 * 60 * 1_000_000).count() == 0
+    # no user has two overlapping sessions
+    other = out.select([F.col(c).alias(f"b_{c}") for c in out.columns])
+    overlap = out.join(
+        other,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("session_start") < F.col("b_session_start"))
+        & (F.col("b_session_start") < F.col("session_end")),
+    )
+    assert overlap.count() == 0
+
+
+def test_stream_file_sink_roundtrip(spark, tmp_path):
+    result = hourly_counts(read_events_stream(spark, SF))
+    q = stream_to_sink(
+        result.withColumn("sum_value", F.col("sum_value")),
+        path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    # append mode only emits watermark-closed windows; for a bounded replay
+    # we just assert the query runs and terminates cleanly
+    q.processAllAvailable()
+    q.stop()
+    assert (tmp_path / "ckpt").exists()
