@@ -29,6 +29,13 @@ HEADLINE = [
     "q_pit_join",
     "q_string_normalize",
     "q_ratios_pct",
+    "q_pipeline_customer_tx",
+    "q_pipeline_demographic",
+    "q_training_set",
+    "q_stream_hourly",
+    "q_stream_sessionize",
+    "q_val_crosscheck",
+    "q_rsi",
 ]
 
 
@@ -39,6 +46,11 @@ def main() -> None:
 
     from databricks_demo_feature_store_spark import get_spark
     from databricks_demo_feature_store_spark.queries import QUERIES
+    # register every query family (ext/cov/val/pipe) into QUERIES
+    import databricks_demo_feature_store_spark.queries_ext  # noqa: F401
+    import databricks_demo_feature_store_spark.queries_cov  # noqa: F401
+    import databricks_demo_feature_store_spark.queries_val  # noqa: F401
+    import databricks_demo_feature_store_spark.queries_pipe  # noqa: F401
 
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in QUERIES] + [

@@ -10,9 +10,15 @@ from databricks_demo_feature_store_spark.pipelines.customer_features import (
     CUSTOMER_TX_STEPS,
     customer_transaction_features,
 )
+from databricks_demo_feature_store_spark.pipelines.demographic_features import (
+    DEMOGRAPHIC_PIPELINE,
+    DEMOGRAPHIC_STEPS,
+    customer_demographic_features,
+)
 
 __all__ = [
     "OPS", "Pipeline", "Step",
     "feature_output_standardize", "prefix_columns",
     "CUSTOMER_TX_PIPELINE", "CUSTOMER_TX_STEPS", "customer_transaction_features",
+    "DEMOGRAPHIC_PIPELINE", "DEMOGRAPHIC_STEPS", "customer_demographic_features",
 ]

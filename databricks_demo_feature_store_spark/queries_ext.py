@@ -204,9 +204,12 @@ def q_ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(num_hashes: int) -> str:
+    from databricks_demo_feature_store_spark.textops.dedup import MINHASH_P, minhash_params
+
+    base = f"({_o_hash('s', 0)}) % {MINHASH_P}"
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> {_o_hash('s', i)})) AS mh{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(sh, s -> ({a} * ({base}) + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     return f"sigs AS (SELECT doc_id, {mins} FROM sh)"
 

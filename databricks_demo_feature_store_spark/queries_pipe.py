@@ -134,3 +134,140 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's session end is last-event-time + gap; the oracle mirrors it."""
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(sessionize_stream(stream, gap="30 minutes"))
+
+
+# ---------------------------------------------------------------------------
+# Feature-store training-set assembly (manager + PIT lookup, end-to-end)
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+import tempfile  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from databricks_demo_feature_store_spark.featurestore.manager import (  # noqa: E402
+    FeatureStoreManager,
+    FeatureTableSpec,
+)
+from databricks_demo_feature_store_spark.featurestore.training import (  # noqa: E402
+    FeatureLookup,
+    create_training_set,
+)
+from databricks_demo_feature_store_spark.queries import load  # noqa: E402
+
+
+@register(
+    "q_training_set",
+    oracle="""
+    WITH feat AS (
+      SELECT o_custkey AS custkey,
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS release_dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend,
+             COUNT(*) AS order_cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT o_orderkey AS label_id,
+             o_custkey AS custkey,
+             CAST(o_orderdate AS TIMESTAMP) AS label_ts,
+             o_totalprice AS label_amount
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT s.custkey, s.label_ts, s.label_id, s.label_amount,
+           f.total_spend, f.order_cnt
+    FROM spine s
+    ASOF LEFT JOIN feat f
+      ON s.custkey = f.custkey AND s.label_ts >= f.release_dt
+    """,
+)
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature-store loop: compute monthly features → persist via
+    FeatureStoreManager (registry metadata incl. timestamp_keys) → assemble
+    a training set with point-in-time lookups against a label spine. The
+    as-of join is the linear union+last_value form (one shuffle on the
+    entity key), checked here against DuckDB's native ASOF JOIN."""
+    o = load(spark, sf_dir, "orders")
+    feat = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.add_months(F.trunc(F.col("o_orderdate").cast("date"), "month"), 1)
+        .cast("timestamp")
+        .alias("release_dt"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_store")
+    manager = FeatureStoreManager(spark, root)
+    manager.save(
+        feat,
+        FeatureTableSpec(
+            name="cus_monthly_spend",
+            primary_keys=("custkey", "release_dt"),
+            timestamp_keys=("release_dt",),
+            description="monthly customer spend features",
+            source_tables=("orders",),
+        ),
+        mode="overwrite",
+    )
+    spine = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("label_id"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("label_ts"),
+        F.col("o_totalprice").alias("label_amount"),
+    )
+    return create_training_set(
+        manager,
+        spine,
+        [FeatureLookup(table="cus_monthly_spend", lookup_keys=("custkey",))],
+        spine_time="label_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Demographic snapshot pipeline
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.pipelines.demographic_features import (  # noqa: E402
+    customer_demographic_features,
+)
+
+
+@register(
+    "q_pipeline_demographic",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month
+      FROM orders GROUP BY 1
+    ),
+    e AS (
+      SELECT c.c_custkey AS custkey, c.c_acctbal, c.c_mktsegment, f.first_month
+      FROM customer c JOIN f ON c.c_custkey = f.custkey
+    ),
+    s AS (
+      SELECT CAST(r AS DATE) AS release_dt
+      FROM range(DATE '1995-01-01', DATE '1996-01-01', INTERVAL 1 MONTH) t(r)
+    ),
+    spine AS (
+      SELECT e.*, s.release_dt
+      FROM e CROSS JOIN s
+      WHERE s.release_dt >= e.first_month
+    )
+    SELECT CAST(custkey AS INT) AS pk_customer,
+           release_dt AS tpk_release_dt,
+           CAST(date_diff('month', first_month, release_dt) AS INT) AS cdmg_tenure_months,
+           CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD') THEN 'consumer'
+                WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 'business'
+                ELSE 'other' END AS cdmg_segment_group,
+           c_acctbal AS cdmg_c_acctbal,
+           c_acctbal > 0 AS cdmg_ind_positive_balance,
+           date_diff('month', first_month, release_dt) <= 3 AS cdmg_ind_new_customer
+    FROM spine
+    """,
+)
+def q_pipeline_demographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demographic snapshot pipeline end-to-end: distributed month
+    spine × customers (broadcast cross join) → activation filter → tenure
+    → categorical grouping → indicators → pk/tpk + cdmg_ standardization
+    (the fs_cus_demographic notebook flow)."""
+    return customer_demographic_features(spark, sf_dir)

@@ -31,6 +31,29 @@ def portable_hash_col(col: Column, seed: int | str = 0) -> Column:
     ).cast("long")
 
 
+# Universal-hash MinHash family: ONE md5 per shingle, then cheap affine
+# derivations g_i(h) = (a_i * (h % P) + b_i) % P per seed. md5 is the
+# dominant cost of MinHash at scale — this is a ~num_hashes× reduction in
+# hashing work vs seed-prefixed md5 per seed. P = 2^31 - 1 keeps
+# a_i * h' < 2^62 (no BIGINT overflow, same arithmetic in any engine).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine constants (golden-ratio mixing)."""
+    out = []
+    for i in range(num_hashes):
+        a = (i * 0x9E3779B1 + 0x6C62272E) % MINHASH_P or 1
+        b = (i * 0x85EBCA77 + 7) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_component_col(base_hash: Column, a: int, b: int) -> Column:
+    """g(h) = (a * (h % P) + b) % P — one component of the hash family."""
+    return (F.lit(a) * (base_hash % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+
 def shingles_col(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of normalized text.
 
@@ -93,28 +116,67 @@ def ngram_jaccard_pairs(
     threshold) — exposed via the MinHash variant below which bounds
     candidate fan-out by construction.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
-    exploded = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(b, on="shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_shingles").alias("n_a"),
-            F.col("b.n_shingles").alias("n_b"),
+    # Work on sorted 60-bit shingle hashes: one md5 pass per doc, and all
+    # downstream set algebra (prefix, intersect) runs on longs, not strings.
+    # Hash collisions (2^-60) are negligible vs the 6-decimal similarity.
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.transform(
+                shingles_col(F.col(text_col), k), lambda s: portable_hash_col(s)
+            )
+        ).alias("hs"),
+    ).withColumn("n", F.size("hs"))
+
+    # PPJoin candidate generation (exact — no false negatives):
+    # 1. prefix filter: a pair with J >= t must share an element within the
+    #    first n - ceil(t*n) + 1 entries of the hash-sorted array;
+    # 2. length filter: t*n_a <= n_b (symmetric);
+    # 3. positional filter: at the first shared element, the remaining
+    #    suffix lengths bound the overlap, which must reach
+    #    ceil(t/(1+t) * (n_a + n_b)).
+    # The epsilons guard float roundup (0.8*15 must ceil to 12, not 13 —
+    # a short prefix would drop true pairs).
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    )
+    prefixed = hashed.select(
+        "id",
+        "n",
+        F.posexplode(F.slice("hs", 1, prefix_len.cast("int"))).alias("pos", "h"),
+    )
+    a, b = prefixed.alias("a"), prefixed.alias("b")
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
+    cands = (
+        a.join(b, on="h")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n") - F.lit(1e-9)))
+            & (F.col("a.n") >= F.ceil(F.lit(threshold) * F.col("b.n") - F.lit(1e-9)))
+            & (
+                F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos"))
+                >= min_overlap
+            )
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        pairs.withColumn("jaccard", dround(jac, 6))
+
+    left = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a"))
+    right = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b"))
+    common = F.size(F.array_intersect("hs_a", "hs_b"))
+    verified = (
+        cands.join(left, on="id_a")
+        .join(right, on="id_b")
+        .withColumn(
+            "jaccard", dround(common / (F.col("n_a") + F.col("n_b") - common), 6)
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -129,19 +191,30 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, min over shingles of
-    hash(i, shingle). Pure column algebra (transform + array_min) — the
-    signature never leaves the row, so this is shuffle-free."""
-    sh = shingles_col(F.col(text_col), k)
+    """Per-doc MinHash signature over the universal-hash family.
+
+    ONE md5 per shingle (the base hash), then ``num_hashes`` affine
+    derivations + array_min — pure column algebra, shuffle-free, and
+    ~``num_hashes``× cheaper than hashing each shingle per seed. This is
+    the cost that dominates MinHash at corpus scale.
+    """
+    # materialize base hashes in their own projection so the md5 pass runs
+    # once, not once per derived component
+    based = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles_col(F.col(text_col), k), lambda s: portable_hash_col(s)
+        ).alias("__base"),
+    )
     sig = F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s: portable_hash_col(s, seed=i))
+                F.transform("__base", lambda h: minhash_component_col(h, a, b))
             ).alias(f"mh{i}")
-            for i in range(num_hashes)
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return based.select("id", sig.alias("signature"))
 
 
 def minhash_lsh_candidates(

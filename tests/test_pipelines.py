@@ -75,3 +75,51 @@ def test_customer_tx_plan_is_one_shuffle_one_window(spark):
     # one hash-aggregate shuffle pair + one window sort; no extra exchanges
     assert plan.count("Window") <= 2  # lags+rolling may split frames, not sorts
     assert "Exchange" in plan
+
+
+def test_orchestrator_dag(spark):
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.pipelines.orchestrator import (
+        JobResult,
+        Orchestrator,
+        PipelineJob,
+        default_orchestrator,
+        resolve_parameters,
+    )
+
+    assert resolve_parameters(
+        {"end_date": "actual", "x": "keep"}, today=dt.date(2024, 5, 17)
+    ) == {"end_date": "2024-05-01", "x": "keep"}
+
+    calls = []
+
+    def ok_job(name):
+        def run(sp, sf):
+            calls.append(name)
+            return sp.range(3)
+        return run
+
+    def bad_job(sp, sf):
+        raise RuntimeError("boom")
+
+    orch = Orchestrator(
+        [
+            PipelineJob("a", ok_job("a")),
+            PipelineJob("b", bad_job, depends_on=("a",)),
+            PipelineJob("c", ok_job("c"), depends_on=("b",)),
+            PipelineJob("d", ok_job("d"), depends_on=("a",)),
+        ]
+    )
+    res = orch.run_all(spark, "/root/testdata/sf0.001")
+    assert res["a"].ok and res["a"].rows == 3
+    assert not res["b"].ok and "boom" in res["b"].error
+    assert not res["c"].ok and res["c"].error == "upstream failed"
+    assert res["d"].ok  # independent branch continues
+    assert calls == ["a", "d"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown dependencies"):
+        Orchestrator([PipelineJob("x", ok_job("x"), depends_on=("nope",))])
+
+    assert default_orchestrator().order() == ["fs_cus_demographic", "fs_cus_transactions"]
