@@ -213,3 +213,36 @@ def month_spine(
     if open_date_col:
         out = out.filter(F.col(date_col) >= F.trunc(F.col(open_date_col), "month"))
     return out
+
+
+def salted_join(
+    df_big: DataFrame,
+    df_small: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equi-join with deterministic key salting for skewed hot keys.
+
+    AQE's skew-join split handles most skew at runtime
+    (``spark.sql.adaptive.skewJoin.enabled``); this explicit form is for
+    the pathological case AQE can't fix — one reducer key so hot its
+    single partition exceeds memory even after splitting. The big side
+    gets ``salt = pmod(xxhash64(salt_source or all columns), buckets)``;
+    the small side is exploded ``buckets``× (size multiplier — keep the
+    small side genuinely small) so every (key, salt) pair matches.
+    Deterministic (hash-derived, no rand()), so results are reproducible
+    run to run.
+    """
+    keys = list(keys)
+    salt_cols = (
+        [F.col(salt_source)] if salt_source else [F.col(c) for c in df_big.columns]
+    )
+    big = df_big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets)).cast("int")
+    )
+    small = df_small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return big.join(small, on=keys + ["__salt"], how=how).drop("__salt")

@@ -10,6 +10,11 @@ from databricks_demo_feature_store_spark.pipelines.customer_features import (
     CUSTOMER_TX_STEPS,
     customer_transaction_features,
 )
+from databricks_demo_feature_store_spark.pipelines.supplier_risk_features import (
+    SUPPLIER_RISK_PIPELINE,
+    SUPPLIER_RISK_STEPS,
+    supplier_risk_features,
+)
 from databricks_demo_feature_store_spark.pipelines.demographic_features import (
     DEMOGRAPHIC_PIPELINE,
     DEMOGRAPHIC_STEPS,
@@ -21,4 +26,5 @@ __all__ = [
     "feature_output_standardize", "prefix_columns",
     "CUSTOMER_TX_PIPELINE", "CUSTOMER_TX_STEPS", "customer_transaction_features",
     "DEMOGRAPHIC_PIPELINE", "DEMOGRAPHIC_STEPS", "customer_demographic_features",
+    "SUPPLIER_RISK_PIPELINE", "SUPPLIER_RISK_STEPS", "supplier_risk_features",
 ]

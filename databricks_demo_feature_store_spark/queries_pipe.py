@@ -271,3 +271,81 @@ def q_pipeline_demographic(spark: SparkSession, sf_dir: str) -> DataFrame:
     → categorical grouping → indicators → pk/tpk + cdmg_ standardization
     (the fs_cus_demographic notebook flow)."""
     return customer_demographic_features(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Supplier-risk pipeline (rating CASE + lag/diff/roc + rolling cat + RSI)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.pipelines.supplier_risk_features import (  # noqa: E402
+    supplier_risk_features,
+)
+
+
+@register(
+    "q_pipeline_supplier_risk",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(CAST(date_trunc('month', l_shipdate) AS DATE) + INTERVAL 1 MONTH AS DATE) AS release_dt,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)) AS revenue_dec,
+             CASE l_returnflag WHEN 'R' THEN 3 WHEN 'A' THEN 2 ELSE 1 END AS rating
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT suppkey, release_dt,
+             SUM(revenue_dec) AS revenue_dec,
+             MAX(rating) AS rating,
+             COUNT(*) AS line_cnt
+      FROM base GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT suppkey, release_dt, rating, line_cnt, revenue_dec,
+             CAST(revenue_dec AS DOUBLE) AS revenue,
+             revenue_dec - LAG(revenue_dec, 1) OVER win AS delta,
+             CAST(LAG(revenue_dec, 1) OVER win AS DOUBLE) AS lag1,
+             MIN(rating) OVER f3 AS rating_rmin_3m,
+             MAX(rating) OVER f3 AS rating_rmax_3m
+      FROM agg
+      WINDOW win AS (PARTITION BY suppkey ORDER BY release_dt ASC),
+             f3 AS (PARTITION BY suppkey ORDER BY release_dt ASC
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ),
+    g AS (
+      SELECT *,
+             CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+             CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+      FROM d
+    ),
+    a AS (
+      SELECT *,
+             CAST(SUM(gain) OVER f6 AS DOUBLE) / COUNT(*) OVER f6 AS ag,
+             CAST(SUM(loss) OVER f6 AS DOUBLE) / COUNT(*) OVER f6 AS al
+      FROM g
+      WINDOW f6 AS (PARTITION BY suppkey ORDER BY release_dt ASC
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(suppkey AS INT) AS pk_supplier,
+           release_dt AS tpk_release_dt,
+           revenue AS chr_revenue,
+           rating AS chr_rating,
+           CAST(line_cnt AS INT) AS chr_line_cnt,
+           lag1 AS chr_revenue_lag_1m,
+           revenue - lag1 AS chr_revenue_diff_1m,
+           CASE WHEN lag1 IS NOT NULL AND lag1 <> 0
+                THEN {oracle_dround('(revenue - lag1) / lag1')}
+           END AS chr_revenue_roc_1m,
+           rating_rmin_3m AS chr_rating_rmin_3m,
+           rating_rmax_3m AS chr_rating_rmax_3m,
+           CASE WHEN al = 0 THEN (CASE WHEN ag > 0 THEN 100.0 END)
+                ELSE {oracle_dround('100.0 - 100.0 / (1.0 + ag / al)')}
+           END AS chr_revenue_rsi_6
+    FROM a
+    """,
+)
+def q_pipeline_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The credit-risk-flow twin on supplier/lineitem data: ingestion
+    rating CASE → availability shift → monthly aggregation → lag/diff/roc
+    → rolling categorical min/max → exact-decimal RSI → chr_ standardized
+    output. All window columns share one (suppkey, release_dt) sort."""
+    return supplier_risk_features(spark, sf_dir)

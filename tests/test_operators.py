@@ -269,3 +269,23 @@ def test_union_dataframes_missing_columns(spark):
     out = union_dataframes(a, b)
     assert set(out.columns) == {"id", "a", "b"}
     assert out.count() == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.operators.joins import salted_join
+
+    # skewed big side: one hot key
+    big = spark.range(0, 10_000).select(
+        (F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(i, f"dim_{i}") for i in range(50)], ["k", "name"])
+    plain = big.join(small, on="k", how="inner").select("k", "payload", "name")
+    salted = salted_join(big, small, keys=["k"], salt_buckets=8, salt_source="payload")
+    assert salted.count() == plain.count()
+    assert (
+        salted.exceptAll(plain.select("k", "payload", "name")).count() == 0
+        and plain.select("k", "payload", "name").exceptAll(salted).count() == 0
+    )

@@ -123,3 +123,15 @@ def test_orchestrator_dag(spark):
         Orchestrator([PipelineJob("x", ok_job("x"), depends_on=("nope",))])
 
     assert default_orchestrator().order() == ["fs_cus_demographic", "fs_cus_transactions"]
+
+
+def test_supplier_risk_pipeline(spark):
+    from databricks_demo_feature_store_spark.pipelines import supplier_risk_features
+
+    out = supplier_risk_features(spark, "/root/testdata/sf0.001")
+    types = dict(out.dtypes)
+    assert types["pk_supplier"] == "int"
+    assert types["chr_revenue_rsi_6"] == "double"
+    assert {"chr_rating_rmin_3m", "chr_rating_rmax_3m", "chr_revenue_roc_1m"} <= set(out.columns)
+    row = out.filter("chr_revenue_rsi_6 IS NOT NULL").limit(1).collect()
+    assert row and 0.0 <= row[0]["chr_revenue_rsi_6"] <= 100.0
