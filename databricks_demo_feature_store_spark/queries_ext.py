@@ -468,3 +468,38 @@ def q_ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+
+
+def _quality_oracle() -> str:
+    markers = ", ".join(repr(m) for m in LANG_MARKERS["en"])
+    punct = oracle_dround(
+        "CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)"
+        " / length(regexp_replace(text, '\\s+', '', 'g'))", 6)
+    stop = oracle_dround(
+        f"CAST(len(list_filter(toks, t -> t IN ({markers}))) AS DOUBLE) / len(toks)", 6)
+    return f"""
+    WITH {_O_TOKS},
+    b AS (
+      SELECT doc_id,
+             least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS length_score,
+             COALESCE(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+                           THEN {punct} END, 0.0) AS punct,
+             COALESCE(CASE WHEN len(toks) > 0 THEN {stop} END, 0.0) AS stop
+      FROM toks
+    )
+    SELECT doc_id,
+           {oracle_dround(
+               "0.4 * length_score"
+               " + 0.3 * greatest(0.0, 1.0 - punct * 4.0)"
+               " + 0.3 * least(stop * 5.0, 1.0)", 6)} AS quality_score
+    FROM b
+    """
+
+
+@register("q_ext_quality_score", oracle=_quality_oracle())
+def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4-style quality heuristic (length / punctuation /
+    prose-likeness) — pure codegen'd column algebra, oracle-replicated
+    term by term."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("quality_score"))

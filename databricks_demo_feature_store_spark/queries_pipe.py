@@ -349,3 +349,34 @@ def q_pipeline_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     → rolling categorical min/max → exact-decimal RSI → chr_ standardized
     output. All window columns share one (suppkey, release_dt) sort."""
     return supplier_risk_features(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.streaming.stateful import (  # noqa: E402
+    finalize_user_stats,
+    stateful_user_stats,
+)
+
+
+@register(
+    "q_stream_stateful_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through the REAL streaming state store:
+    applyInPandasWithState maintains per-user (count, min id, max ts)
+    across micro-batches; every state component is order-independent, so
+    the finalized emissions match the batch GROUP BY exactly."""
+    stream = read_events_stream(spark, sf_dir)
+    emissions = run_available_now(stateful_user_stats(stream), output_mode="update")
+    return finalize_user_stats(emissions)

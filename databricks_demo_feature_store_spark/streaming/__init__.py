@@ -8,6 +8,10 @@ from databricks_demo_feature_store_spark.streaming.ops import (
     run_available_now,
     stream_to_sink,
 )
+from databricks_demo_feature_store_spark.streaming.stateful import (
+    stateful_user_stats,
+    finalize_user_stats,
+)
 
 __all__ = [
     "read_events_stream",
@@ -15,4 +19,6 @@ __all__ = [
     "sessionize_stream",
     "run_available_now",
     "stream_to_sink",
+    "stateful_user_stats",
+    "finalize_user_stats",
 ]

@@ -64,3 +64,28 @@ def test_stream_file_sink_roundtrip(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert (tmp_path / "ckpt").exists()
+
+
+def test_stateful_user_stats_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.streaming.stateful import (
+        finalize_user_stats,
+        stateful_user_stats,
+    )
+
+    emissions = run_available_now(
+        stateful_user_stats(read_events_stream(spark, SF)), output_mode="update"
+    )
+    final = finalize_user_stats(emissions)
+    batch = (
+        load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}
