@@ -120,3 +120,55 @@ def q_val_dimension_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     prev = c.filter(F.col("c_custkey") % 20 != 0)
     return dimension_drift(c, prev, threshold_pct=5.0)
+
+
+@register(
+    "q_val_timetravel_crosscheck",
+    oracle=f"""
+    WITH cur AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS source_count
+      FROM orders GROUP BY 1
+    ),
+    prev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS target_count
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(cur.month, prev.month) AS month,
+             COALESCE(cur.source_count, 0) AS source_count,
+             COALESCE(prev.target_count, 0) AS target_count
+      FROM cur FULL OUTER JOIN prev ON cur.month = prev.month
+    )
+    SELECT month, source_count, target_count,
+           source_count - target_count AS difference,
+           CASE WHEN source_count > 0
+                THEN {oracle_dround('abs(source_count - target_count) * 100.0 / source_count')}
+                WHEN target_count > 0 THEN 100.0 ELSE 0.0 END AS percentage,
+           (CASE WHEN source_count > 0
+                 THEN {oracle_dround('abs(source_count - target_count) * 100.0 / source_count')}
+                 WHEN target_count > 0 THEN 100.0 ELSE 0.0 END) <= 5.0 AS passed
+    FROM j
+    """,
+)
+def q_val_timetravel_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-check the latest table version against the PREVIOUS one via
+    parquet time travel (the reference does this with Delta VERSION AS OF,
+    monitor.py:57-71): v0 = orders through 1996, v1 = all orders; new
+    months fail the 5% month-count drift gate, settled months pass."""
+    import os
+    import shutil
+    import tempfile
+
+    from databricks_demo_feature_store_spark.sources.versioned import (
+        VersionedTable,
+        cross_check_previous_version,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_versioned_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedTable(spark, root)
+    t.save(o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
+           operation="WRITE", count_rows=False)
+    t.save(o, operation="OVERWRITE", count_rows=False)
+    return cross_check_previous_version(t, "o_orderdate", threshold_pct=5.0)

@@ -1,0 +1,147 @@
+"""Versioned tables: Delta-style time travel on plain parquet.
+
+Parity target: the reference's validators read the PREVIOUS version of a
+table with Delta time travel (``SELECT ... VERSION AS OF n`` picked from
+``DeltaTable.history()`` — ``src/packages/data_validation/monitor.py:57-71``)
+to cross-check month counts between loads. Delta isn't on this image's
+classpath, so this module reproduces the minimal contract on parquet:
+every save writes an immutable ``v=N`` directory plus a JSON manifest
+(version, timestamp, operation, row count); reads resolve a version (or a
+timestamp) through the manifest. With delta-spark installed the same API
+maps 1:1 onto Delta's log.
+
+Scale notes: version directories are immutable — a read never races a
+write; old versions are pruned with ``vacuum(keep_last=N)`` exactly like
+Delta VACUUM. Data files are parquet with the caller's partitioning, so
+partition pruning still applies within a version.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_versions.json"
+
+
+@dataclass(frozen=True)
+class VersionInfo:
+    version: int
+    timestamp: str  # ISO-8601
+    operation: str
+    num_rows: int | None = None
+
+
+class VersionedTable:
+    """An append-only sequence of immutable table versions."""
+
+    def __init__(self, spark: SparkSession, path: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.path = path
+        self.fmt = fmt
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST)
+
+    def history(self) -> list[VersionInfo]:
+        """Newest-first version log (Delta ``history()`` contract)."""
+        if not os.path.exists(self._manifest_path()):
+            return []
+        with open(self._manifest_path()) as fh:
+            raw = json.load(fh)
+        infos = [VersionInfo(**v) for v in raw]
+        return sorted(infos, key=lambda v: v.version, reverse=True)
+
+    def latest_version(self) -> int | None:
+        h = self.history()
+        return h[0].version if h else None
+
+    # -- write --------------------------------------------------------------
+    def save(
+        self,
+        df: DataFrame,
+        operation: str = "WRITE",
+        partition_by: Sequence[str] | None = None,
+        count_rows: bool = True,
+    ) -> VersionInfo:
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        vdir = os.path.join(self.path, f"v={version}")
+        writer = df.write.format(self.fmt).mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.save(vdir)
+        info = VersionInfo(
+            version=version,
+            timestamp=_dt.datetime.now(_dt.timezone.utc).isoformat(),
+            operation=operation,
+            num_rows=(
+                self.spark.read.format(self.fmt).load(vdir).count()
+                if count_rows
+                else None
+            ),
+        )
+        manifest = [vars(v) for v in reversed(self.history())] + [vars(info)]
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._manifest_path(), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        return info
+
+    # -- read ---------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a version (default: latest) — ``VERSION AS OF`` semantics."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"No versions at {self.path}")
+        if not any(v.version == version for v in self.history()):
+            raise ValueError(f"Version {version} not found at {self.path}")
+        return self.spark.read.format(self.fmt).load(
+            os.path.join(self.path, f"v={version}")
+        )
+
+    def read_before(self, timestamp: str) -> DataFrame:
+        """Latest version strictly before an ISO timestamp — the
+        reference's pick of 'the version before the current month'
+        (``monitor.py:61-64``)."""
+        older = [v for v in self.history() if v.timestamp < timestamp]
+        if not older:
+            raise ValueError(f"No version before {timestamp} at {self.path}")
+        return self.read(older[0].version)
+
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (Delta VACUUM)."""
+        history = self.history()
+        keep = {v.version for v in history[:keep_last]}
+        dropped = []
+        for v in history[keep_last:]:
+            shutil.rmtree(os.path.join(self.path, f"v={v.version}"), ignore_errors=True)
+            dropped.append(v.version)
+        manifest = [vars(v) for v in reversed(history) if v.version in keep]
+        with open(self._manifest_path(), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        return dropped
+
+
+def cross_check_previous_version(
+    table: VersionedTable, date_column: str, threshold_pct: float = 5.0
+) -> DataFrame:
+    """The reference's CROSS_CHECKING against the previous load
+    (``monitor.py:328-436`` with time travel :57-71): month counts of the
+    latest version vs the version before it."""
+    from databricks_demo_feature_store_spark.validation.monitor import cross_check
+
+    latest = table.latest_version()
+    if latest is None or latest == 0:
+        raise ValueError("cross_check_previous_version needs >= 2 versions")
+    current = table.read(latest)
+    previous = table.read(latest - 1)
+    return cross_check(current, previous, date_column, date_column, threshold_pct)

@@ -1,0 +1,55 @@
+"""Tests for parquet time travel (VersionedTable)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from databricks_demo_feature_store_spark.sources.versioned import (
+    VersionedTable,
+    cross_check_previous_version,
+)
+
+
+def test_versioned_save_read_history(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    assert t.history() == [] and t.latest_version() is None
+
+    t.save(spark.range(10), operation="WRITE")
+    t.save(spark.range(25), operation="OVERWRITE")
+    hist = t.history()
+    assert [v.version for v in hist] == [1, 0]
+    assert hist[0].num_rows == 25 and hist[1].num_rows == 10
+
+    assert t.read().count() == 25          # latest
+    assert t.read(0).count() == 10         # VERSION AS OF 0
+    with pytest.raises(ValueError, match="not found"):
+        t.read(7)
+
+
+def test_versioned_read_before_and_vacuum(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.save(spark.range(5))
+    cutoff = dt.datetime.now(dt.timezone.utc).isoformat()
+    t.save(spark.range(8))
+    assert t.read_before(cutoff).count() == 5
+
+    t.save(spark.range(9))
+    dropped = t.vacuum(keep_last=2)
+    assert dropped == [0]
+    assert [v.version for v in t.history()] == [2, 1]
+    with pytest.raises(ValueError, match="not found"):
+        t.read(0)
+
+
+def test_cross_check_previous_version(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    jan = [(dt.date(2024, 1, 5),)] * 100
+    feb = [(dt.date(2024, 2, 5),)] * 50
+    t.save(spark.createDataFrame(jan, ["d"]))
+    t.save(spark.createDataFrame(jan + feb, ["d"]))
+    out = {r["month"]: r for r in cross_check_previous_version(t, "d").collect()}
+    assert out[dt.date(2024, 1, 1)]["passed"]          # unchanged month
+    assert not out[dt.date(2024, 2, 1)]["passed"]      # brand-new month: 100% diff
+    assert out[dt.date(2024, 2, 1)]["target_count"] == 0
