@@ -503,3 +503,109 @@ def q_ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     term by term."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score_col(F.col("text")).alias("quality_score"))
+
+
+_O_CENTS = """
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cv
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+      LIMIT 16
+    )
+"""
+
+_O_COS_CV = (
+    "list_inner_product(e.v, c.cv)"
+    " / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv)))"
+)
+
+
+@register(
+    "q_ext_ann_ivf",
+    oracle=f"""
+    WITH {_O_EMB},
+    {_O_CENTS},
+    ascored AS (
+      SELECT e.vec_id, e.v, c.centroid_id, {_O_COS_CV} AS cos
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, v, centroid_id AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, centroid_id ASC) AS rn
+            FROM ascored)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    qscored AS (
+      SELECT q.query_id, q.qv, c.centroid_id,
+             list_inner_product(q.qv, c.cv)
+               / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+      FROM q CROSS JOIN cents c
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, centroid_id ASC) AS rn
+            FROM qscored)
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {oracle_dround("list_inner_product(a.v, p.qv) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(p.qv, p.qv)))", 6)} AS cosine
+      FROM assign a JOIN probes p ON a.cluster = p.cluster
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: deterministic hash-sampled coarse quantizer (16
+    lists), nearest-centroid assignment, 4-probe search — the
+    cluster-sharded scale path where each query scans ~nprobe/nlist of
+    the corpus (partition-pruned when the assignment is persisted
+    partitioned by cluster). Oracle replays quantizer, assignment, probe
+    selection, and ranking exactly."""
+    from databricks_demo_feature_store_spark.textops.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, nlist=16, nprobe=4)
+
+
+@register(
+    "q_ext_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS base
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 2
+    ),
+    frames AS (
+      SELECT media_id,
+             CAST(unnest(range(0, least(1 + n_bytes // 512, 6))) AS INT) AS frame_idx
+      FROM vids
+    )
+    SELECT f.media_id, f.frame_idx,
+           CAST(f.frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(v.base || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_checksum
+    FROM frames f JOIN vids v ON f.media_id = v.media_id
+    """,
+)
+def q_ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one binary row fans out to N frame
+    rows through Arrow-batched mapInPandas (stub demuxer — deterministic
+    per-frame checksums); the oracle replays the fan-out with
+    generate_series."""
+    from databricks_demo_feature_store_spark.textops.multimodal import (
+        sample_frames,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(load(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000, max_frames=6)

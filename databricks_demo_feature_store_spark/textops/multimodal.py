@@ -140,3 +140,116 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("frame_checksum", StringType(), True),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("resize_ok", StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 6,
+    frame_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+) -> DataFrame:
+    """Frame sampling: one input video row → N frame rows (the fan-out
+    mapInPandas shape a video pipeline needs). The stub derives a
+    deterministic frame count from the payload size and checksums each
+    frame slot; a real ``frame_fn`` would demux with av/ffmpeg and emit
+    JPEG bytes per sampled timestamp."""
+
+    def make_stub() -> Callable[[pd.DataFrame], pd.DataFrame]:
+        def stub(batch: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            import pandas as _pd
+
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_checksum": []}
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                n_bytes = len(payload) if payload is not None else 0
+                n_frames = min(1 + n_bytes // 512, max_frames)
+                base = hashlib.md5(payload).hexdigest() if payload is not None else ""
+                for i in range(int(n_frames)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame_checksum"].append(
+                        hashlib.md5(f"{base}:{i}".encode()).hexdigest()
+                    )
+            return _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": _pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": _pd.Series(out["frame_ts_ms"], dtype="int64"),
+                    "frame_checksum": _pd.Series(out["frame_checksum"], dtype="object"),
+                }
+            )
+
+        return stub
+
+    fn = frame_fn or make_stub()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    videos = media.filter(F.col("media_type") == "video").select("media_id", "payload")
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    resize_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+) -> DataFrame:
+    """Image resize plumbing: binary in → binary out with new dims. The
+    stub truncates/pads the payload to width*height bytes (deterministic,
+    byte-exact testable); a real ``resize_fn`` uses Pillow."""
+
+    def make_stub() -> Callable[[pd.DataFrame], pd.DataFrame]:
+        def stub(batch: pd.DataFrame) -> pd.DataFrame:
+            import pandas as _pd
+
+            target = width * height
+            def fit(b):
+                if b is None:
+                    return None
+                return bytes(b[:target]) + b"\x00" * max(0, target - len(b))
+
+            return _pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "width": _pd.Series([width] * len(batch), dtype="int32"),
+                    "height": _pd.Series([height] * len(batch), dtype="int32"),
+                    "payload": batch["payload"].map(fit),
+                    "resize_ok": _pd.Series(["stub"] * len(batch)),
+                }
+            )
+
+        return stub
+
+    fn = resize_fn or make_stub()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    images = media.filter(F.col("media_type") == "image").select("media_id", "payload")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)

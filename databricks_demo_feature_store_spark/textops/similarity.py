@@ -152,3 +152,100 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-sharded scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``nlist`` corpus vectors with
+    the smallest md5(id) become centroids — a reproducible pseudo-random
+    sample (TakeOrdered, no global sort). Swap for k-means|| (MLlib) when
+    recall matters more than cross-engine reproducibility; the index
+    structure below is identical either way."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
+        )
+        .orderBy(F.md5(F.col("centroid_id").cast("string")).asc(), F.col("centroid_id").asc())
+        .limit(nlist)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    centroid id as tie-break). One pass: corpus × broadcast(nlist)."""
+    from pyspark.sql import Window as W
+
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        cosine_col(F.col(vec_col), F.col("centroid")).alias("__cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` clusters whose
+    centroids are nearest each query — per query ~nprobe/nlist of the
+    corpus is scored. At 100 TB the assignment is computed once and
+    persisted partitioned BY cluster, so a probe is a partition-pruned
+    scan, not a shuffle."""
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    cents = ivf_centroids(corpus, nlist, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    q = query.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    qscore = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "__qvec",
+        "centroid_id",
+        cosine_col(F.col("__qvec"), F.col("centroid")).alias("__cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("centroid_id"))
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", F.col("centroid_id").alias("cluster"))
+    )
+
+    scored = assigned.join(F.broadcast(probes), on="cluster").select(
+        "query_id",
+        id_col,
+        dround(cosine_col(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

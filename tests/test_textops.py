@@ -135,3 +135,22 @@ def test_multimodal_stub_roundtrip(docs):
     assert feats[1].decode_ok == "stub"
     with pytest.raises(NotImplementedError):
         real_decode_unavailable()
+
+
+def test_resize_images_byte_exact(spark):
+    from databricks_demo_feature_store_spark.textops.multimodal import (
+        resize_images,
+        synthesize_media_from_documents,
+    )
+    from databricks_demo_feature_store_spark.queries import load
+
+    media = synthesize_media_from_documents(load(spark, "/root/testdata/sf0.001", "documents"))
+    out = resize_images(media, width=8, height=4)
+    rows = out.limit(10).collect()
+    assert rows
+    for r in rows:
+        assert (r["width"], r["height"], r["resize_ok"]) == (8, 4, "stub")
+        assert len(r["payload"]) == 32  # truncated/padded to width*height
+    # fan-in check: only image rows survive
+    n_images = media.filter("media_type = 'image'").count()
+    assert out.count() == n_images
