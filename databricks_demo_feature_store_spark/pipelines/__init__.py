@@ -15,6 +15,11 @@ from databricks_demo_feature_store_spark.pipelines.supplier_risk_features import
     SUPPLIER_RISK_STEPS,
     supplier_risk_features,
 )
+from databricks_demo_feature_store_spark.pipelines.product_holdings_features import (
+    PRODUCT_HOLDINGS_PIPELINE,
+    PRODUCT_HOLDINGS_STEPS,
+    product_holdings_features,
+)
 from databricks_demo_feature_store_spark.pipelines.demographic_features import (
     DEMOGRAPHIC_PIPELINE,
     DEMOGRAPHIC_STEPS,
@@ -27,4 +32,5 @@ __all__ = [
     "CUSTOMER_TX_PIPELINE", "CUSTOMER_TX_STEPS", "customer_transaction_features",
     "DEMOGRAPHIC_PIPELINE", "DEMOGRAPHIC_STEPS", "customer_demographic_features",
     "SUPPLIER_RISK_PIPELINE", "SUPPLIER_RISK_STEPS", "supplier_risk_features",
+    "PRODUCT_HOLDINGS_PIPELINE", "PRODUCT_HOLDINGS_STEPS", "product_holdings_features",
 ]

@@ -107,14 +107,28 @@ def default_orchestrator() -> Orchestrator:
     from databricks_demo_feature_store_spark.pipelines.demographic_features import (
         customer_demographic_features,
     )
+    from databricks_demo_feature_store_spark.pipelines.product_holdings_features import (
+        product_holdings_features,
+    )
+    from databricks_demo_feature_store_spark.pipelines.supplier_risk_features import (
+        supplier_risk_features,
+    )
 
+    # mirrors the reference's two-workspace DAG: demographic -> credit_risk;
+    # holding_products -> transactions
     return Orchestrator(
         [
             PipelineJob("fs_cus_demographic", customer_demographic_features),
             PipelineJob(
+                "fs_supplier_risk",
+                supplier_risk_features,
+                depends_on=("fs_cus_demographic",),
+            ),
+            PipelineJob("fs_cus_holding_products", product_holdings_features),
+            PipelineJob(
                 "fs_cus_transactions",
                 customer_transaction_features,
-                depends_on=("fs_cus_demographic",),
+                depends_on=("fs_cus_holding_products",),
             ),
         ]
     )

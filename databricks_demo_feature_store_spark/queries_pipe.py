@@ -380,3 +380,74 @@ def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     emissions = run_available_now(stateful_user_stats(stream), output_mode="update")
     return finalize_user_stats(emissions)
+
+
+# ---------------------------------------------------------------------------
+# Product-holdings pipeline (pivot-first, multi-op aggs, post-pivot fill)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.pipelines.product_holdings_features import (  # noqa: E402
+    product_holdings_features,
+)
+
+
+@register(
+    "q_pipeline_product_holdings",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 1 MONTH AS DATE) AS release_dt,
+             CAST(o_totalprice AS DECIMAL(25,2)) AS price_dec,
+             o_orderstatus
+      FROM orders
+    ),
+    agg AS (
+      SELECT custkey, release_dt,
+             SUM(CASE WHEN o_orderstatus = 'O' THEN price_dec ELSE 0 END) AS amt_o_dec,
+             SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) > 0 AS ind_o,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN price_dec ELSE 0 END) AS amt_f_dec,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 AS ind_f,
+             SUM(CASE WHEN o_orderstatus = 'P' THEN price_dec ELSE 0 END) AS amt_p_dec,
+             SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) > 0 AS ind_p,
+             SUM(price_dec) AS sum_dec,
+             MIN(price_dec) AS min_dec,
+             MAX(price_dec) AS max_dec,
+             COUNT(*) AS n_orders
+      FROM base GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT custkey, release_dt,
+             CAST(amt_o_dec AS DOUBLE) AS amt_o, ind_o,
+             CAST(amt_f_dec AS DOUBLE) AS amt_f, ind_f,
+             CAST(amt_p_dec AS DOUBLE) AS amt_p, ind_p,
+             CAST(sum_dec AS DOUBLE) AS sum_m,
+             CAST(min_dec AS DOUBLE) AS min_m,
+             CAST(max_dec AS DOUBLE) AS max_m,
+             CAST(sum_dec AS DOUBLE) / n_orders AS avg_m,
+             n_orders
+      FROM agg
+    )
+    SELECT CAST(custkey AS INT) AS pk_customer,
+           release_dt AS tpk_release_dt,
+           amt_o AS chp_amt_o, ind_o AS chp_ind_o,
+           amt_f AS chp_amt_f, ind_f AS chp_ind_f,
+           amt_p AS chp_amt_p, ind_p AS chp_ind_p,
+           sum_m AS chp_totalprice_sum_m,
+           min_m AS chp_totalprice_min_m,
+           max_m AS chp_totalprice_max_m,
+           avg_m AS chp_totalprice_avg_m,
+           CAST(n_orders AS INT) AS chp_n_orders_m,
+           MIN(amt_o) OVER f3 AS chp_amt_o_rmin_3m,
+           MAX(amt_o) OVER f3 AS chp_amt_o_rmax_3m
+    FROM m
+    WINDOW f3 AS (PARTITION BY custkey ORDER BY release_dt ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_pipeline_product_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The holding-products flow: pivot-FIRST conditional aggregation
+    (per-status amounts + ind_* holding indicators + multi-op
+    {col}_{op}_m aggs in ONE hash aggregate), exact-sum/count average,
+    post-pivot fill, rolling min/max over a pivoted column, chp_
+    standardized output."""
+    return product_holdings_features(spark, sf_dir)

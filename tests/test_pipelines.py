@@ -122,7 +122,10 @@ def test_orchestrator_dag(spark):
     with _pytest.raises(ValueError, match="unknown dependencies"):
         Orchestrator([PipelineJob("x", ok_job("x"), depends_on=("nope",))])
 
-    assert default_orchestrator().order() == ["fs_cus_demographic", "fs_cus_transactions"]
+    order = default_orchestrator().order()
+    assert order.index("fs_cus_demographic") < order.index("fs_supplier_risk")
+    assert order.index("fs_cus_holding_products") < order.index("fs_cus_transactions")
+    assert len(order) == 4
 
 
 def test_supplier_risk_pipeline(spark):
