@@ -295,8 +295,10 @@ def _simhash_oracle(bits: int = 16) -> str:
 def q_ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 16-bit SimHash (Charikar) — bit-vote majority over
     portable token hashes, fully oracle-checked."""
+    from databricks_demo_feature_store_spark.textops.dedup import with_simhash
+
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_col(F.col("text"), bits=16).alias("simhash16"))
+    return with_simhash(d, "text", "simhash16", bits=16).select("doc_id", "simhash16")
 
 
 # ---------------------------------------------------------------------------

@@ -272,19 +272,25 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
 
+    # verify on 60-bit shingle hashes, not strings: the intersect/union on
+    # longs is far cheaper to shuffle and compare (collisions at 2^-60 are
+    # negligible vs the 6-decimal similarity)
     sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("shingles")
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles_col(F.col(text_col), k), lambda s: portable_hash_col(s)
+        ).alias("hs"),
     )
-    a = sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"})
-    b = sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"})
+    a = sh.withColumnsRenamed({"id": "id_a", "hs": "hs_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "hs": "hs_b"})
     verified = (
         cands.join(a, on="id_a")
         .join(b, on="id_b")
         .withColumn(
             "jaccard",
             dround(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
                 6,
             ),
         )
@@ -302,26 +308,69 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     """SimHash over word tokens (Charikar 2002): per bit, sum ±1 votes of
     each token's hash bit; bit set iff the vote is positive.
 
-    ``bits`` defaults to 16 so the per-row work (bits × tokens bit-tests)
-    stays cheap; the token hash is the portable md5 hash so the result is
-    engine-independent.
+    NOTE: as a single Column expression the token-hash array is inlined
+    into every bit vote (bits× md5 passes) — prefer :func:`with_simhash`
+    on DataFrames, which stages the hash array and the vote vector in
+    their own projections so each is computed once.
     """
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     toks = F.array_distinct(F.split(norm, " "))
     hashes = F.transform(toks, lambda t: portable_hash_col(t, seed="simhash"))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+    votes = _vote_vector(hashes, bits)
+    return _fold_votes(votes, bits)
+
+
+def _vote_vector(hashes: Column, bits: int) -> Column:
+    """±1 vote sums for all ``bits`` in ONE pass over the hash array:
+    fold with an int-array accumulator instead of ``bits`` scalar folds."""
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def step(acc: Column, h: Column) -> Column:
+        # h is a lambda variable (the materialized hash) — the 'bits'
+        # bit-tests per token are cheap integer ops, no re-hashing
+        signs = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
         )
-        for i in range(bits)
-    ]
+        return F.zip_with(acc, signs, lambda a, s: a + s)
+
+    return F.aggregate(hashes, zero, step)
+
+
+def _fold_votes(votes: Column, bits: int) -> Column:
     out = F.lit(0).cast("long")
-    for i, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    for i in range(bits):
+        out = out + (
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
     return out
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash16", bits: int = 16
+) -> DataFrame:
+    """Attach a SimHash column with staged projections: hash array → vote
+    vector → folded hash, each computed exactly once per row."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = F.array_distinct(F.split(norm, " "))
+    hashed = df.select(
+        "*",
+        F.transform(toks, lambda t: portable_hash_col(t, seed="simhash")).alias(
+            "__tok_hashes"
+        ),
+    )
+    voted = hashed.select(
+        "*", _vote_vector(F.col("__tok_hashes"), bits).alias("__votes")
+    ).drop("__tok_hashes")
+    return voted.select(
+        "*", _fold_votes(F.col("__votes"), bits).alias(out_col)
+    ).drop("__votes")
 
 
 def simhash_near_dup_pairs(
