@@ -66,6 +66,7 @@ def point_in_time_join(
     feature_time: str,
     feature_cols: Sequence[str] | None = None,
     tolerance_expr: str | None = None,
+    feature_tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """As-of join: latest feature row at-or-before each spine timestamp.
 
@@ -86,8 +87,14 @@ def point_in_time_join(
 
     ``tolerance_expr`` (e.g. ``"INTERVAL 90 DAYS"``) optionally discards
     matches older than ``spine_time - tolerance``.
+
+    ``feature_tiebreak`` orders feature rows that share the same
+    ``feature_time`` (ascending; the LAST one wins the carry) — this
+    makes the result deterministic without a pre-dedup window pass when
+    the feature table can hold several rows per (key, time).
     """
     keys = list(keys)
+    feature_tiebreak = list(feature_tiebreak)
     if feature_cols is None:
         feature_cols = [
             c for c in df_features.columns if c not in keys and c != feature_time
@@ -104,6 +111,10 @@ def point_in_time_join(
         F.struct(*[F.col(c) for c in ([spine_time] + spine_cols)]).alias("__spine_payload"),
         F.lit(None).cast("timestamp").alias("__ft"),
         *[F.lit(None).cast(df_features.schema[c].dataType).alias(c) for c in feature_cols],
+        *[
+            F.lit(None).cast(df_features.schema[c].dataType).alias(f"__tb{i}")
+            for i, c in enumerate(feature_tiebreak)
+        ],
     )
     right = df_features.select(
         *keys,
@@ -114,15 +125,21 @@ def point_in_time_join(
         .alias("__spine_payload"),
         F.col(feature_time).cast("timestamp").alias("__ft"),
         *feature_cols,
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(feature_tiebreak)],
     )
 
     unioned = left.unionByName(right)
 
     # Feature rows sort before spine rows at equal time (__is_spine ASC) so a
-    # same-instant feature is visible to the spine row, reproducing `>=`.
+    # same-instant feature is visible to the spine row, reproducing `>=`;
+    # tiebreak columns order same-instant feature rows (last wins).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__is_spine").asc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_spine").asc(),
+            *[F.col(f"__tb{i}").asc_nulls_first() for i in range(len(feature_tiebreak))],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

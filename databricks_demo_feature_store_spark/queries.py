@@ -371,10 +371,9 @@ _PIT_CHECKPOINTS = [
 def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """point_in_time_join: latest event at-or-before weekly user checkpoints
     (reference joins.py:115-238), in the union+last_value linear form —
-    one shuffle on the key, no quadratic theta join.
-
-    Right side is pre-deduplicated to the latest event per (user, ts) so
-    ties resolve identically to the oracle's row_number tie-breaker.
+    one shuffle on the key, no quadratic theta join. Ties within an
+    identical (user, ts) resolve via the operator's feature_tiebreak
+    (max event_id wins), so no pre-dedup window pass is needed.
     """
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
     spine = (
@@ -388,14 +387,7 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # deterministic tie-break within identical (user_id, ts): keep max event_id
-    w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    feats = (
-        e.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "event_id")
-        .withColumnRenamed("ts", "event_ts")
-    )
+    feats = e.withColumnRenamed("ts", "event_ts")
     return point_in_time_join(
         spine,
         feats,
@@ -403,6 +395,7 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine_time="asof_ts",
         feature_time="event_ts",
         feature_cols=["event_ts", "event_type", "value"],
+        feature_tiebreak=["event_id"],
     ).select("user_id", "asof_ts", "event_ts", "event_type", "value")
 
 
