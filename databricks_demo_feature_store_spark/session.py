@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # saveAsTable targets (bucketed tables) land in /tmp, not the cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/databricks_demo_fs_warehouse"
+            ),
+        )
         # the driver testdata's events table carries TIMESTAMP(NANOS) which
         # Spark has no native type for; read as long and convert in load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -140,3 +140,32 @@ def stream_to_sink(
         .outputMode(output_mode)
         .start()
     )
+
+
+def stream_features_to_store(
+    result: DataFrame,
+    manager,
+    spec,
+    checkpoint: str,
+):
+    """Streaming feature materialization: every micro-batch MERGE-upserts
+    into a feature table through the FeatureStoreManager (foreachBatch is
+    the streaming↔batch bridge — inside it the batch frame supports the
+    full writer surface, incl. schema-evolution policy).
+
+    Exactly-once: the checkpoint tracks committed batches; the upsert is
+    idempotent on the table's primary keys, so replays converge. Returns
+    the StreamingQuery (caller owns its lifecycle)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manager.save(batch_df, spec, mode="merge")
+
+    return (
+        result.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

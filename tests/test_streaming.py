@@ -89,3 +89,44 @@ def test_stateful_user_stats_matches_batch(spark):
         )
     )
     assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_features_to_store_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        stream_features_to_store,
+    )
+
+    manager = FeatureStoreManager(spark, str(tmp_path / "store"))
+    spec = FeatureTableSpec(
+        name="user_hourly",
+        primary_keys=("user_id", "hour_start"),
+        timestamp_keys=("hour_start",),
+    )
+    stream = read_events_stream(spark, SF)
+    per_user_hour = (
+        stream.withWatermark("ts", "7 days")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = stream_features_to_store(
+        per_user_hour, manager, spec, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    stored = manager.read("user_hourly")
+    batch = (
+        load(spark, SF, "events")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert {tuple(r) for r in stored.collect()} == {tuple(r) for r in batch.collect()}
+    # registry metadata persisted alongside the data
+    meta = manager.get_metadata("user_hourly")
+    assert meta["primary_keys"] == ["user_id", "hour_start"]
