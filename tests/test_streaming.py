@@ -130,3 +130,52 @@ def test_stream_features_to_store_upsert(spark, tmp_path):
     # registry metadata persisted alongside the data
     meta = manager.get_metadata("user_hourly")
     assert meta["primary_keys"] == ["user_id", "hour_start"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: with a tight watermark, an event arriving a
+    whole micro-batch after much-newer events is dropped from its (closed)
+    window; the same replay with a wide watermark keeps it."""
+    import pyspark.sql.functions as F
+
+    early = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 10:00:00")], ["id", "ts_str"]
+    ).select("id", F.col("ts_str").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 10:30:00")], ["id", "ts_str"]
+    ).select("id", F.col("ts_str").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "src")
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run(watermark, name):
+        stream = (
+            spark.readStream.schema(early.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("h"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        # the late file arrives in a later micro-batch
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+        return {(r["h"], r["n"]) for r in spark.table(name).collect()}
+
+    tight = run("10 minutes", "wm_tight")
+    # watermark advanced to Jan-2 minus 10min -> the Jan-1 10:00 window is
+    # closed; the late event was dropped, count stays 1
+    import datetime as dt
+
+    assert (dt.datetime(2024, 1, 1, 10, 0), 1) in tight
+    assert all(not (h == dt.datetime(2024, 1, 1, 10, 0) and n == 2) for h, n in tight)

@@ -154,3 +154,47 @@ def test_resize_images_byte_exact(spark):
     # fan-in check: only image rows survive
     n_images = media.filter("media_type = 'image'").count()
     assert out.count() == n_images
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """PPJoin prefix+length+positional filtering must be EXACT — compare
+    against a pure-Python all-pairs computation on a random corpus."""
+    import itertools
+    import random
+
+    from databricks_demo_feature_store_spark.textops.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 12))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # near-duplicate with a small edit
+            dup = list(base)
+            if rng.random() < 0.5 and len(dup) > 4:
+                dup[rng.randrange(len(dup))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(dup)))
+
+    def shingles(text, k=3):
+        toks = text.split()
+        if len(toks) >= k:
+            return {" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)}
+        return {text} if toks else set()
+
+    t = 0.6
+    expected = set()
+    sh = {i: shingles(x) for i, x in docs}
+    for (ia, sa), (ib, sb) in itertools.combinations(sorted(sh.items()), 2):
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 6) >= t:
+            expected.add((ia, ib))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, k=3, threshold=t).collect()
+    }
+    assert got == expected
