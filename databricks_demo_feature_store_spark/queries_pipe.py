@@ -451,3 +451,51 @@ def q_pipeline_product_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-pivot fill, rolling min/max over a pivoted column, chp_
     standardized output."""
     return product_holdings_features(spark, sf_dir)
+
+
+@register(
+    "q_stream_feature_store",
+    oracle="""
+    SELECT user_id,
+           date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature materialization end-to-end: per-(user, hour)
+    counts maintained by the streaming engine and MERGE-upserted into a
+    FeatureStoreManager table via checkpointed foreachBatch; the stored
+    table must equal the batch GROUP BY exactly."""
+    import shutil
+    import tempfile
+
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        stream_features_to_store,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_stream_store")
+    shutil.rmtree(root, ignore_errors=True)
+    manager = FeatureStoreManager(spark, os.path.join(root, "tables"))
+    spec = FeatureTableSpec(
+        name="user_hourly_counts",
+        primary_keys=("user_id", "hour_start"),
+        timestamp_keys=("hour_start",),
+        source_tables=("events",),
+    )
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "7 days")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = stream_features_to_store(
+        agg, manager, spec, checkpoint=os.path.join(root, "ckpt")
+    )
+    q.awaitTermination()
+    return manager.read("user_hourly_counts")
