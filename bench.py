@@ -27,6 +27,7 @@ HEADLINE = [
     "q_monthly_lags",
     "q_rolling_stats",
     "q_pit_join",
+    "q_interval_join",
     "q_string_normalize",
     "q_ratios_pct",
     "q_pipeline_customer_tx",

@@ -17,6 +17,7 @@ from databricks_demo_feature_store_spark.operators.joins import (
     point_in_time_join,
     exclude_ids_anti_join,
     month_spine,
+    interval_join,
 )
 from databricks_demo_feature_store_spark.operators.aggregation import (
     aggregation_operations,
@@ -42,6 +43,7 @@ __all__ = [
     "point_in_time_join",
     "exclude_ids_anti_join",
     "month_spine",
+    "interval_join",
     "aggregation_operations",
     "window_operations",
     "conditional_pivot",

@@ -263,3 +263,57 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big.join(small, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def interval_join(
+    df_left: DataFrame,
+    df_right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float = 0.0,
+    upper_seconds: float = 3600.0,
+) -> DataFrame:
+    """Range (interval) join: pairs where ``right_ts`` falls inside
+    ``[left_ts + lower, left_ts + upper]``, equi-matched on ``keys``.
+
+    Net-new vs the reference (its only temporal join is the PIT as-of,
+    ``src/packages/preprocessing/merge_tables/joins.py:115-238``); this is
+    the bounded-window companion (event attribution, feature windows).
+
+    Scale design — the naive formulation is a theta join (per-key cross
+    product then range filter), quadratic in rows per key. Instead the
+    time axis is bucketed by the window width: each right row lands in
+    exactly ONE bucket, each left row explodes to the (at most two)
+    buckets its window can touch, and the join becomes a pure equi-join
+    on ``keys + [bucket]`` — hash-partitioned, AQE-splittable, no
+    per-key cross product. The exact range predicate then prunes the
+    bucket-coarse candidates; bucket membership is unique per right row
+    so no post-join dedup is needed.
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    keys = list(keys)
+    lower_us = int(lower_seconds * 1_000_000)
+    upper_us = int(upper_seconds * 1_000_000)
+    width_us = max(upper_us - lower_us, 1)
+
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    left = df_left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + F.lit(lower_us)) / F.lit(width_us)),
+                F.floor((l_us + F.lit(upper_us)) / F.lit(width_us)),
+            )
+        ),
+    )
+    right = df_right.withColumn("__bkt", F.floor(r_us / F.lit(width_us)))
+    return (
+        left.join(right, on=keys + ["__bkt"], how="inner")
+        .where(
+            (r_us >= l_us + F.lit(lower_us)) & (r_us <= l_us + F.lit(upper_us))
+        )
+        .drop("__bkt")
+    )

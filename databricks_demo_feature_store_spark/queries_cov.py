@@ -382,3 +382,42 @@ def q_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+    SELECT e1.user_id AS user_id,
+           e1.event_id AS click_id,
+           e2.event_id AS purchase_id,
+           e1.ts AS click_ts,
+           e2.ts AS purchase_ts
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (click→purchase attribution within one hour, per user)
+    through the bucketed interval_join operator — a hash equi-join on
+    (user, time-bucket) plus an exact range filter, never a per-key cross
+    product (the naive theta-join is quadratic per key at scale)."""
+    from databricks_demo_feature_store_spark.operators import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_join(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts", 0.0, 3600.0
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")

@@ -499,3 +499,74 @@ def q_stream_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return manager.read("user_hourly_counts")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_keys
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup through dropDuplicatesWithinWatermark
+    (watermark-bounded state): one surviving row per (user, event_type)
+    key over the replayed backlog, then a batch rollup of the sink. The
+    rollup counts keys only, so the result is independent of WHICH
+    duplicate row the state store happened to see first."""
+    from databricks_demo_feature_store_spark.streaming import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = dedup_stream(stream, ["user_id", "event_type"])
+    sink = run_available_now(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+    return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@register(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT e1.user_id AS user_id,
+           e1.event_id AS click_id,
+           e2.event_id AS purchase_id
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase within one hour):
+    watermarks on both sides + the two-sided event-time range condition
+    keep join state finite; a bounded availableNow replay emits exactly
+    the batch answer (q_interval_join is the batch twin)."""
+    from databricks_demo_feature_store_spark.streaming import interval_join_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join_stream(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower_seconds=0.0,
+        upper_seconds=3600.0,
+    )
+    out = run_available_now(
+        joined.select("user_id", "click_id", "purchase_id"), output_mode="append"
+    )
+    return out

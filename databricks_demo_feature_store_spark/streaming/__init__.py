@@ -7,6 +7,9 @@ from databricks_demo_feature_store_spark.streaming.ops import (
     sessionize_stream,
     run_available_now,
     stream_to_sink,
+    stream_features_to_store,
+    dedup_stream,
+    interval_join_stream,
 )
 from databricks_demo_feature_store_spark.streaming.stateful import (
     stateful_user_stats,
@@ -19,6 +22,9 @@ __all__ = [
     "sessionize_stream",
     "run_available_now",
     "stream_to_sink",
+    "stream_features_to_store",
+    "dedup_stream",
+    "interval_join_stream",
     "stateful_user_stats",
     "finalize_user_stats",
 ]

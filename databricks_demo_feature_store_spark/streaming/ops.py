@@ -169,3 +169,59 @@ def stream_features_to_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys,
+    watermark: str = "7 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication with watermark-bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    evicts it once the event-time watermark passes — the only dedup shape
+    that survives an unbounded stream (plain ``dropDuplicates`` grows
+    state forever). First row per key is emitted immediately; later
+    duplicates inside the watermark horizon are dropped. This is the
+    streaming twin of ``textops.dedup.exact_dedup`` for ingestion-time
+    dedup (at-least-once sources deliver repeats by design).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float = 0.0,
+    upper_seconds: float = 3600.0,
+    watermark: str = "7 days",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: right events landing within
+    ``[left_ts + lower, left_ts + upper]`` of a left event, per key.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH columns, so the state store can evict rows once they can no
+    longer match (the range condition is what makes stream-stream join
+    state finite). The streaming twin of ``operators.joins.interval_join``;
+    ``left_ts``/``right_ts`` must be distinct names so the output is
+    unambiguous.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {int(lower_seconds)} SECOND"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {int(upper_seconds)} SECOND"))
+    )
+    for k in on:
+        cond = cond & (lw[k] == rw[k])
+    out = lw.join(rw, on=cond, how=how)
+    for k in on:
+        out = out.drop(rw[k])
+    return out

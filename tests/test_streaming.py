@@ -179,3 +179,92 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     assert (dt.datetime(2024, 1, 1, 10, 0), 1) in tight
     assert all(not (h == dt.datetime(2024, 1, 1, 10, 0) and n == 2) for h, n in tight)
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    from databricks_demo_feature_store_spark.streaming import dedup_stream
+
+    rows = [
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),  # dup key, later ts
+        (1, "view", "2024-01-01 10:06:00"),
+        (2, "click", "2024-01-01 11:00:00"),
+        (2, "click", "2024-01-01 11:00:00"),  # exact dup row
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_str"]).select(
+        "user_id", "event_type", F.col("ts_str").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = run_available_now(
+        dedup_stream(stream, ["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        output_mode="append",
+    )
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    assert out.count() == 3
+    assert got == {(1, "click"), (1, "view"), (2, "click")}
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    import random
+
+    from databricks_demo_feature_store_spark.operators import interval_join
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    lefts = [(rng.randrange(5), base + rng.randrange(20_000)) for _ in range(200)]
+    rights = [(rng.randrange(5), base + rng.randrange(20_000)) for _ in range(200)]
+    l = spark.createDataFrame(lefts, ["k", "lsec"]).select(
+        "k", F.timestamp_seconds("lsec").alias("lts")
+    )
+    r = spark.createDataFrame(rights, ["k", "rsec"]).select(
+        "k", F.timestamp_seconds("rsec").alias("rts")
+    )
+    # window NOT starting at zero (lower=-300) exercises bucket offsets
+    got = interval_join(l, r, ["k"], "lts", "rts", -300.0, 900.0)
+    naive = l.join(
+        r,
+        (l["k"] == r["k"])
+        & (r["rts"] >= l["lts"] - F.expr("INTERVAL 300 SECOND"))
+        & (r["rts"] <= l["lts"] + F.expr("INTERVAL 900 SECOND")),
+    ).select(l["k"], "lts", "rts")
+    assert got.count() == naive.count() > 0
+    assert got.exceptAll(naive).count() == 0 and naive.exceptAll(got).count() == 0
+
+
+def test_interval_join_stream_matches_batch(spark):
+    from databricks_demo_feature_store_spark.operators import interval_join
+    from databricks_demo_feature_store_spark.streaming import interval_join_stream
+
+    SF = "/root/testdata/sf0.001"
+    ev = read_events_stream(spark, SF)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    streamed = run_available_now(
+        interval_join_stream(
+            clicks, views, ["user_id"], "a_ts", "b_ts", 0.0, 7200.0
+        ).select("user_id", "a_id", "b_id"),
+        output_mode="append",
+    )
+    from databricks_demo_feature_store_spark.queries import load
+
+    bev = load(spark, SF, "events")
+    bl = bev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    br = bev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    batch = interval_join(bl, br, ["user_id"], "a_ts", "b_ts", 0.0, 7200.0).select(
+        "user_id", "a_id", "b_id"
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
