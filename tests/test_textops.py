@@ -198,3 +198,38 @@ def test_ngram_jaccard_matches_bruteforce(spark):
         for r in ngram_jaccard_pairs(df, k=3, threshold=t).collect()
     }
     assert got == expected
+
+
+def test_repetition_signals_known_values(spark):
+    from databricks_demo_feature_store_spark.textops.analysis import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 4 tokens, all same
+            (2, "a b c d"),                       # all distinct
+            (3, "x y x y x y"),                   # repeated bigram pattern
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(df, "text").collect()
+    }
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_token_ratio"] == 0.25
+    assert r1["top_token_fraction"] == 1.0
+    # bigrams: 3x "spam spam" -> 1 distinct of 3 -> dup fraction 2/3
+    assert r1["dup_bigram_fraction"] == 0.666667
+    assert r1["is_repetitive"]
+
+    r2 = out[2]
+    assert r2["distinct_token_ratio"] == 1.0
+    assert r2["dup_bigram_fraction"] == 0.0
+    assert not r2["is_repetitive"]
+
+    r3 = out[3]
+    # 6 tokens: bigrams = [x y, y x, x y, y x, x y] -> 2 distinct of 5
+    assert r3["dup_bigram_fraction"] == 0.6
+    assert r3["top_token_fraction"] == 0.5
+    assert r3["is_repetitive"]
