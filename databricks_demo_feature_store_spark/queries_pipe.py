@@ -570,3 +570,33 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("user_id", "click_id", "purchase_id"), output_mode="append"
     )
     return out
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream broadcast-joins the
+    customer dimension per micro-batch (map-side hash join, the stream is
+    never shuffled for the join), then rolls up per nation. DECIMAL-routed
+    sum keeps the replay bit-identical to the batch answer."""
+    from databricks_demo_feature_store_spark.streaming import enrich_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = enrich_stream(stream, dim, on=["user_id"])
+    agg = enriched.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
+    return run_available_now(agg, output_mode="complete")

@@ -10,6 +10,7 @@ from databricks_demo_feature_store_spark.streaming.ops import (
     stream_features_to_store,
     dedup_stream,
     interval_join_stream,
+    enrich_stream,
 )
 from databricks_demo_feature_store_spark.streaming.stateful import (
     stateful_user_stats,
@@ -25,6 +26,7 @@ __all__ = [
     "stream_features_to_store",
     "dedup_stream",
     "interval_join_stream",
+    "enrich_stream",
     "stateful_user_stats",
     "finalize_user_stats",
 ]

@@ -225,3 +225,22 @@ def interval_join_stream(
     for k in on:
         out = out.drop(rw[k])
     return out
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (batch) dimension table. No watermark or state store is involved —
+    the static side is re-planned per micro-batch, so a slowly-changing
+    dimension backed by a table picks up updates between batches. The
+    broadcast hint keeps it a map-side hash join (no shuffle of the
+    stream); drop it only if the dimension is too big to broadcast, in
+    which case pre-bucket both sides on the key instead.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=list(on), how=how)

@@ -268,3 +268,21 @@ def test_interval_join_stream_matches_batch(spark):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_enrich_stream_is_broadcast_join(spark):
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.streaming import enrich_stream
+
+    SF = "/root/testdata/sf0.001"
+    # enrich_stream is plain join algebra — drive it with batch frames to
+    # inspect the physical plan (the streaming twin plans identically per
+    # micro-batch)
+    ev = load(spark, SF, "events")
+    dim = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    out = enrich_stream(ev, dim, on=["user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == ev.count()  # every event matches a customer
