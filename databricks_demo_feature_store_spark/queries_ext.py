@@ -665,3 +665,61 @@ def q_ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_trigram_fraction",
         "is_repetitive",
     )
+
+
+@register(
+    "q_ext_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1000000
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 100000 END
+    """,
+)
+def q_ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (keep 50% en, 25% zh, 10%
+    elsewhere) via a portable hash bucket per doc — a pure filter, no
+    shuffle, exactly reproducible across reruns/engines (rand() sampling
+    is neither)."""
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return deterministic_stratified_sample(
+        d, "lang", {"en": 0.5, "zh": 0.25}, "doc_id", default_rate=0.1
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_ext_token_shards",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+             END AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_tok AS INT) AS n_tokens,
+           CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tokens,
+           CAST(FLOOR(CAST(SUM(n_tok) OVER w - n_tok AS DOUBLE) / 2048) AS INT) AS shard
+    FROM c
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ext_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (sequence packing for training batches):
+    cumulative token count per source, shard = floor(tokens-before /
+    2048) — ONE window exchange, no driver loop."""
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        token_budget_shards,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return token_budget_shards(d, "n_tokens", "source", "doc_id", 2048)

@@ -233,3 +233,47 @@ def test_repetition_signals_known_values(spark):
     assert r3["dup_bigram_fraction"] == 0.6
     assert r3["top_token_fraction"] == 0.5
     assert r3["is_repetitive"]
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    rates = {"en": 0.5, "zh": 0.25}
+    a = deterministic_stratified_sample(d, "lang", rates, "doc_id", 0.1)
+    b = deterministic_stratified_sample(d, "lang", rates, "doc_id", 0.1)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # exactly reproducible
+    # kept fraction tracks the stratum rate (500-doc corpus: loose bounds)
+    from pyspark.sql import functions as F2
+
+    kept = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(F2.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F2.count("*").alias("n")).collect()}
+    assert 0.3 < kept["en"] / tot["en"] < 0.7
+    assert kept.get("de", 0) / tot["de"] < 0.3
+    # different seed -> different selection
+    c = deterministic_stratified_sample(d, "lang", rates, "doc_id", 0.1, seed=1)
+    ids_c = sorted(r["doc_id"] for r in c.select("doc_id").collect())
+    assert ids_c != ids_a
+
+
+def test_token_budget_shards_boundaries(spark):
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        token_budget_shards,
+    )
+
+    rows = [("s", i, n) for i, n in enumerate([60, 60, 60, 10, 100, 5])]
+    df = spark.createDataFrame(rows, ["src", "ord", "n_tok"])
+    out = {
+        r["ord"]: (r["cum_tokens"], r["shard"])
+        for r in token_budget_shards(df, "n_tok", "src", "ord", budget=100).collect()
+    }
+    # cum:    60 120 180 190 290 295
+    # before:  0  60 120 180 190 290
+    # shard:   0   0   1   1   1   2
+    assert [out[i][1] for i in range(6)] == [0, 0, 1, 1, 1, 2]
+    assert out[5][0] == 295
