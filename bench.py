@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q01_pricing_summary",
     "q03_unshipped_revenue",
+    "q06_forecast_revenue",
     "q05_region_revenue",
     "q_equi_join_left_wins",
     "q_conditional_pivot",

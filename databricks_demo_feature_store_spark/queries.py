@@ -155,6 +155,40 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {_o_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective multi-predicate scan → global agg.
+
+    Every predicate is a plain column comparison, so all four push down
+    to the parquet reader (row-group + page pruning at scale); the agg
+    is a partial+final with no grouping key — the minimal-shuffle query.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "q03_unshipped_revenue",
     oracle=f"""
     SELECT l.l_orderkey AS orderkey,
