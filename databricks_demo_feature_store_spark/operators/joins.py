@@ -104,28 +104,36 @@ def point_in_time_join(
     spine_cols = [c for c in df_spine.columns if c not in keys and c != spine_time]
 
     # Build a common shape: keys, event time, side tag, payloads from each side.
+    # The feature payload is carried as ONE struct so the latest feature ROW
+    # wins atomically — per-column last(ignorenulls) would stitch values from
+    # different rows whenever a newer feature value is legitimately NULL,
+    # diverging from the reference's whole-row row_number semantics.
+    right = df_features.select(
+        *keys,
+        F.col(feature_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_spine"),
+        F.struct(
+            F.col(feature_time).cast("timestamp").alias("__ft"),
+            *[F.col(c) for c in feature_cols],
+        ).alias("__feat"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(feature_tiebreak)],
+    )
     left = df_spine.select(
         *keys,
         F.col(spine_time).cast("timestamp").alias("__t"),
         F.lit(1).alias("__is_spine"),
-        F.struct(*[F.col(c) for c in ([spine_time] + spine_cols)]).alias("__spine_payload"),
-        F.lit(None).cast("timestamp").alias("__ft"),
-        *[F.lit(None).cast(df_features.schema[c].dataType).alias(c) for c in feature_cols],
+        F.struct(*[F.col(c) for c in ([spine_time] + spine_cols)]).alias(
+            "__spine_payload"
+        ),
+        F.lit(None).cast(right.schema["__feat"].dataType).alias("__feat"),
         *[
             F.lit(None).cast(df_features.schema[c].dataType).alias(f"__tb{i}")
             for i, c in enumerate(feature_tiebreak)
         ],
     )
-    right = df_features.select(
-        *keys,
-        F.col(feature_time).cast("timestamp").alias("__t"),
-        F.lit(0).alias("__is_spine"),
-        F.lit(None)
-        .cast(left.schema["__spine_payload"].dataType)
-        .alias("__spine_payload"),
-        F.col(feature_time).cast("timestamp").alias("__ft"),
-        *feature_cols,
-        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(feature_tiebreak)],
+    right = right.withColumn(
+        "__spine_payload",
+        F.lit(None).cast(left.schema["__spine_payload"].dataType),
     )
 
     unioned = left.unionByName(right)
@@ -146,8 +154,14 @@ def point_in_time_join(
         *keys,
         "__is_spine",
         "__spine_payload",
-        F.last("__ft", ignorenulls=True).over(w).alias("__matched_ft"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in feature_cols],
+        F.last("__feat", ignorenulls=True).over(w).alias("__feat"),
+    )
+    carried = carried.select(
+        *keys,
+        "__is_spine",
+        "__spine_payload",
+        F.col("__feat").getField("__ft").alias("__matched_ft"),
+        *[F.col("__feat").getField(c).alias(c) for c in feature_cols],
     )
 
     result = carried.filter(F.col("__is_spine") == 1)

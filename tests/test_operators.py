@@ -289,3 +289,55 @@ def test_salted_join_matches_plain_join(spark):
         salted.exceptAll(plain.select("k", "payload", "name")).count() == 0
         and plain.select("k", "payload", "name").exceptAll(salted).count() == 0
     )
+
+
+def test_point_in_time_join_latest_row_wins_atomically(spark):
+    # a newer feature row with a NULL value must win WHOLE-ROW (the
+    # reference's row_number semantics) — per-column carry would stitch
+    # v from the older row with w from the newer one
+    spine = spark.createDataFrame([(1, "2024-01-10")], ["uid", "asof"]).select(
+        "uid", F.col("asof").cast("timestamp").alias("asof")
+    )
+    feats = spark.createDataFrame(
+        [(1, "2024-01-01", 100, "a"), (1, "2024-01-05", None, "b")],
+        ["uid", "ft", "v", "w"],
+    ).select("uid", F.col("ft").cast("timestamp").alias("ft"), "v", "w")
+    out = point_in_time_join(spine, feats, ["uid"], "asof", "ft", ["v", "w"]).collect()
+    assert out[0]["v"] is None and out[0]["w"] == "b"
+
+
+def test_point_in_time_join_property_vs_naive(spark):
+    """Randomized equivalence against a brute-force per-row reference:
+    ties at spine_time (feature wins), NULL feature values (row-atomic),
+    unmatched spine rows (NULL features), multiple keys."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(8):
+        nkeys = rng.randrange(1, 4)
+        feats = []
+        used = set()
+        for _ in range(rng.randrange(1, 25)):
+            k = rng.randrange(nkeys)
+            t = rng.randrange(30)
+            if (k, t) in used:  # unique (key, time) keeps expectation unambiguous
+                continue
+            used.add((k, t))
+            v = None if rng.random() < 0.3 else rng.randrange(1000)
+            feats.append((k, base + dt.timedelta(days=t), v))
+        spines = [
+            (rng.randrange(nkeys), base + dt.timedelta(days=rng.randrange(35)), i)
+            for i in range(rng.randrange(1, 25))
+        ]
+        fdf = spark.createDataFrame(feats, ["k", "ft", "v"])
+        sdf = spark.createDataFrame(spines, ["k", "asof", "sid"])
+        got = {
+            r["sid"]: r["v"]
+            for r in point_in_time_join(sdf, fdf, ["k"], "asof", "ft", ["v"]).collect()
+        }
+        for k, asof, sid in spines:
+            cands = [(ft, v) for fk, ft, v in feats if fk == k and ft <= asof]
+            expect = max(cands)[1] if cands else None
+            assert got[sid] == expect, (trial, sid, got[sid], expect)
