@@ -172,3 +172,33 @@ def q_val_timetravel_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
            operation="WRITE", count_rows=False)
     t.save(o, operation="OVERWRITE", count_rows=False)
     return cross_check_previous_version(t, "o_orderdate", threshold_pct=5.0)
+
+
+def _profile_oracle() -> str:
+    def one(c: str) -> str:
+        return f"""
+      SELECT '{c}' AS "column",
+             COUNT(*) AS n_rows,
+             COUNT({c}) AS n_non_null,
+             {oracle_dround(f'CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*)', 6)} AS null_rate,
+             CAST(MIN({c}) AS DOUBLE) AS min_value,
+             CAST(MAX({c}) AS DOUBLE) AS max_value,
+             {oracle_dround(f'CAST(SUM(CAST({c} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({c})', 6)} AS mean_value,
+             {oracle_dround(f'quantile_cont({c}, 0.5)', 6)} AS p50,
+             {oracle_dround(f'quantile_cont({c}, 0.95)', 6)} AS p95
+      FROM lineitem"""
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    return " UNION ALL ".join(one(c) for c in cols)
+
+
+@register("q_val_profile", oracle=_profile_oracle())
+def q_val_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (counts, null rate, min/max, exact mean,
+    interpolated p50/p95) — ONE aggregation job for all columns, rows
+    unpacked by explode; quantile interpolation matches quantile_cont
+    bit-exactly."""
+    from databricks_demo_feature_store_spark.validation import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])

@@ -14,6 +14,7 @@ from databricks_demo_feature_store_spark.validation.monitor import (
     cross_check,
     dimension_drift,
     outdateness,
+    profile_columns,
     OutdatenessResult,
     ValidationLog,
     SUMMARY_SCHEMA,
@@ -23,6 +24,6 @@ from databricks_demo_feature_store_spark.validation.monitor import (
 __all__ = [
     "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
     "missing_columns", "QUARTER_FORMAT",
-    "monthly_counts", "cross_check", "dimension_drift", "outdateness",
+    "monthly_counts", "cross_check", "dimension_drift", "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

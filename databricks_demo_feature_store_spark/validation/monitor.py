@@ -199,3 +199,52 @@ class ValidationLog:
             .orderBy(F.desc("fecha_ejecucion"))
             .limit(1)
         )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Column-level data profile: one output row per column with count,
+    null rate, min/max, exact DECIMAL-routed mean, and interpolated
+    p50/p95 quantiles.
+
+    Net-new vs the reference's monitor (its checks are count-based,
+    ``monitor.py:78-241``); this is the standard drift/quality baseline
+    a feature platform records per snapshot. ONE aggregation job for all
+    columns (a single partial+final agg, no per-column passes); the
+    per-column rows are unpacked from the single agg row with
+    explode — no extra shuffle. Quantiles use linear interpolation at
+    (n-1)*q, which DuckDB's quantile_cont reproduces bit-exactly.
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(col).alias(f"{c}__nn"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            (
+                F.sum(col.cast("decimal(25,6)")).cast("double") / F.count(col)
+            ).alias(f"{c}__mean"),
+            F.expr(f"percentile({c}, 0.5)").alias(f"{c}__p50"),
+            F.expr(f"percentile({c}, 0.95)").alias(f"{c}__p95"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                dround((F.col(f"{c}__n") - F.col(f"{c}__nn")) / F.col(f"{c}__n"), 6).alias(
+                    "null_rate"
+                ),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                dround(F.col(f"{c}__mean"), 6).alias("mean_value"),
+                dround(F.col(f"{c}__p50"), 6).alias("p50"),
+                dround(F.col(f"{c}__p95"), 6).alias("p95"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
