@@ -286,3 +286,46 @@ def test_enrich_stream_is_broadcast_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() == ev.count()  # every event matches a customer
+
+
+def test_dedup_stream_watermark_boundary(spark, tmp_path):
+    """Pins the state-expiry contract of dedup_stream: a duplicate
+    re-delivered AFTER the watermark passed its event time is dropped as
+    late data (not re-emitted as new). Within-watermark re-deliveries
+    are deduped by state; so every key is emitted at most once as long
+    as re-deliveries land within the watermark OR after it — there is no
+    window where a duplicate sneaks through."""
+    from databricks_demo_feature_store_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["k", "ts_str"]).select(
+            "k", F.col("ts_str").cast("timestamp").alias("ts")
+        )
+
+    mk([(1, "2024-01-01 10:00:00")]).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        dedup_stream(stream, ["k"], watermark="10 minutes")
+        .select("k", "ts")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # a much newer event advances the watermark past k=1's state
+    mk([(2, "2024-01-02 10:00:00")]).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # re-delivered duplicate of k=1, now older than the watermark
+    mk([(1, "2024-01-01 10:00:00")]).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = [tuple(r) for r in spark.table("wm_dedup_t").collect()]
+    assert len(rows) == 2  # the late duplicate was dropped, not re-emitted
+    assert sorted(k for k, _ in rows) == [1, 2]
