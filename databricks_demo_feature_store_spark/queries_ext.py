@@ -232,7 +232,9 @@ def q_ext_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+def _minhash_pairs_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """The shared CTE chain text→shingles→signatures→bands→candidates→
+    verified pairs, reused by the pair and cluster oracles."""
     rows = num_hashes // bands
     band_selects = " UNION ALL ".join(
         f"""SELECT doc_id, {b} AS band,
@@ -240,8 +242,7 @@ def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, threshold: float
             FROM sigs"""
         for b in range(bands)
     )
-    return f"""
-    WITH {_O_SHINGLES},
+    return f"""{_O_SHINGLES},
     {_minhash_sig_sql(num_hashes)},
     bands AS ({band_selects}),
     cands AS (
@@ -255,7 +256,12 @@ def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, threshold: float
       FROM cands c
       JOIN sh x ON x.doc_id = c.id_a
       JOIN sh y ON y.doc_id = c.id_b
-    )
+    )"""
+
+
+def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes(num_hashes, bands)}
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
     """
 
@@ -723,3 +729,36 @@ def q_ext_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count_col(F.col("text")).alias("n_tokens")
     )
     return token_budget_shards(d, "n_tokens", "source", "doc_id", 2048)
+
+
+def _dedup_clusters_oracle(threshold: float = 0.7) -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@register("q_ext_dedup_clusters", oracle=_dedup_clusters_oracle())
+def q_ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs closed into connected
+    components (component_id = min reachable doc id) by distributed
+    min-label propagation — the keep-one-per-cluster dedup step. The
+    oracle closes the same pair graph with a recursive CTE."""
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, num_hashes=16, bands=4, threshold=0.7)
+    return dedup_clusters(d, pairs)

@@ -451,3 +451,53 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc gets a
+    ``component_id`` = the MIN doc id reachable through the pair graph
+    (docs with no pairs are their own component) — the keep-one-per-
+    cluster step that turns pairwise near-dup output into dedup groups.
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm, cf. GraphFrames/Pregel): each round every node takes the
+    min of its label and its neighbors' labels, converging in
+    O(component diameter) rounds — near-dup clusters are shallow, so a
+    handful of rounds closes 100 TB-scale graphs. Each round is one
+    join + one groupBy (both hash-partitioned on the node id); the
+    driver only checks a one-row convergence flag per round, and
+    ``localCheckpoint`` truncates lineage so plans stay constant-size.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(msgs, labels["node"] == msgs["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component_id")
+    )

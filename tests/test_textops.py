@@ -277,3 +277,15 @@ def test_token_budget_shards_boundaries(spark):
     # shard:   0   0   1   1   1   2
     assert [out[i][1] for i in range(6)] == [0, 0, 1, 1, 1, 2]
     assert out[5][0] == 295
+
+
+def test_dedup_clusters_connected_components(spark):
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    # chain 1-2-3 (transitive closure needs >1 round), pair 5-6, isolates 0,4,7
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["component_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
