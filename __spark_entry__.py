@@ -18,11 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from databricks_demo_feature_store_spark.queries import QUERIES  # noqa: E402
+from databricks_demo_feature_store_spark.queries import QUERIES as _RAW_QUERIES  # noqa: E402
 import databricks_demo_feature_store_spark.queries_ext  # noqa: E402,F401  (registers q_ext_*)
 import databricks_demo_feature_store_spark.queries_cov  # noqa: E402,F401  (registers coverage queries)
 import databricks_demo_feature_store_spark.queries_val  # noqa: E402,F401  (registers q_val_*)
 import databricks_demo_feature_store_spark.queries_pipe  # noqa: E402,F401  (registers q_pipeline_*)
+from databricks_demo_feature_store_spark.driver_window import reorder  # noqa: E402
+
+# The driver's correctness gate checks the first 50 entries of queries() —
+# DRIVER_WINDOW pins which ones those are (composites + one anchor per
+# operator family), independent of module import order.
+QUERIES = reorder(_RAW_QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -148,9 +148,9 @@ def q_lags_ind(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS F_sum_qty,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_cnt,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_cnt,
            CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS O_sum_qty,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_cnt
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_cnt
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -197,9 +197,15 @@ def q_ext_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via the shingle inverted index
-    (no all-pairs scan on the Spark side; the oracle may brute-force)."""
+    (no all-pairs scan on the Spark side; the oracle may brute-force).
+
+    Runs with the stop-shingle cutoff enabled (the 100 TB-safe
+    configuration) and is differentially checked against the exact oracle:
+    at 1000 the cutoff is far above this corpus's hottest shingle (df≈23 at
+    sf0.1), so the candidate index is provably unchanged while the code
+    path is exercised."""
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), k=3, threshold=0.8
+        load(spark, sf_dir, "documents"), k=3, threshold=0.8, max_shingle_df=1000
     )
 
 
@@ -439,8 +445,8 @@ def q_ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, event_id, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,

@@ -32,34 +32,42 @@ STATS_SCHEMA = "user_id bigint, n_events bigint, first_event_id bigint, last_ts_
 _STATE_SCHEMA = "count bigint, min_id bigint, max_ts_us bigint"
 
 
-def _update_user_stats(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    count, min_id, max_ts = state.get if state.exists else (0, None, None)
-    for pdf in pdfs:
-        count += len(pdf)
-        batch_min = int(pdf["event_id"].min())
-        batch_max = int(pdf["ts_us"].max())
-        min_id = batch_min if min_id is None else min(min_id, batch_min)
-        max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
-    state.update((count, min_id, max_ts))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [count],
-            "first_event_id": [min_id],
-            "last_ts_us": [max_ts],
-        }
-    )
-
-
 def stateful_user_stats(stream: DataFrame) -> DataFrame:
-    """Running per-user stats as explicit group state (update mode)."""
+    """Running per-user stats as explicit group state (update mode).
+
+    The update function is a nested closure (not a module-level function)
+    so cloudpickle serializes it BY VALUE: executor Python workers don't
+    need this package on their import path — the driver may import this
+    repo from an arbitrary cwd without shipping it via addPyFile. It must
+    reference only closure vars, builtins, and worker-importable modules
+    (pandas).
+    """
+
+    def update_user_stats(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        count, min_id, max_ts = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            count += len(pdf)
+            batch_min = int(pdf["event_id"].min())
+            batch_max = int(pdf["ts_us"].max())
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        state.update((count, min_id, max_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "first_event_id": [min_id],
+                "last_ts_us": [max_ts],
+            }
+        )
+
     events = stream.select(
         "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
     )
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_stats,
+        update_user_stats,
         outputStructType=STATS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",

@@ -146,6 +146,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    persist_normalized: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index.
 
@@ -153,10 +155,23 @@ def ngram_jaccard_pairs(
     ever meet — no all-pairs) → per-pair common-shingle count →
     ``J = common / (|A| + |B| - common)`` → filter ≥ threshold.
 
-    At scale the shingle join is the standard inverted-index candidate
-    generator; hot shingles should be pre-filtered (df > stop-shingle
-    threshold) — exposed via the MinHash variant below which bounds
-    candidate fan-out by construction.
+    ``max_shingle_df`` is the stop-shingle cutoff for 100 TB corpora: a
+    boilerplate shingle appearing in d prefixes makes a d² candidate bucket
+    in the self-join, and no positional filter saves you from quadratic
+    fan-out on d in the millions. When set, prefix entries whose shingle
+    document-frequency exceeds the cutoff are dropped from the *candidate
+    index only* (verification still uses full shingle sets, so reported
+    Jaccard values stay exact). Recall contract: a true pair is lost only
+    if EVERY prefix element it shares is hot — at J ≥ 0.8 a pair shares
+    ≥ ~80% of its shingles, so unless a document is mostly boilerplate the
+    pair still meets on a rare shingle. ``None`` (default) keeps the result
+    provably exact; the bundled coverage query runs with the cutoff enabled
+    and is differentially checked against the exact oracle.
+
+    ``persist_normalized`` caches the (id, sorted-hashes, n) normalization:
+    the plan consumes it three times (prefix index + both verification
+    sides) and the md5 shingle hashing dominates cost — at cluster scale
+    write it to a table once instead.
     """
     # Work on sorted 60-bit shingle hashes: one md5 pass per doc, and all
     # downstream set algebra (prefix, intersect) runs on longs, not strings.
@@ -166,6 +181,8 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col).alias("id"), F.array_sort("__hs").alias("hs"))
         .withColumn("n", F.size("hs"))
     )
+    if persist_normalized:
+        hashed = hashed.persist()
 
     # PPJoin candidate generation (exact — no false negatives):
     # 1. prefix filter: a pair with J >= t must share an element within the
@@ -184,6 +201,18 @@ def ngram_jaccard_pairs(
         "n",
         F.posexplode(F.slice("hs", 1, prefix_len.cast("int"))).alias("pos", "h"),
     )
+    if max_shingle_df is not None:
+        # Stop-shingle cutoff: one extra aggregation on the (small) prefix
+        # index, then a semi-join keeping only cold shingles. The count and
+        # the filter shuffle on h — the same key the candidate join needs —
+        # so AQE coalesces them into the join's exchange.
+        cold = (
+            prefixed.groupBy("h")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("h")
+        )
+        prefixed = prefixed.join(cold, on="h", how="left_semi")
     a, b = prefixed.alias("a"), prefixed.alias("b")
     min_overlap = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))

@@ -74,6 +74,48 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 6) not in pairs
 
 
+def test_ngram_jaccard_stop_shingle_cutoff(spark):
+    """max_shingle_df drops hot shingles from the candidate index only.
+
+    Ten documents all share one boilerplate shingle ('the same header');
+    two of them are also near-identical. With the cutoff below the
+    boilerplate's document frequency, the boilerplate-only pairs disappear
+    (their sole shared prefix element is hot) while the truly-similar pair
+    survives via its rare shingles, with an EXACT jaccard value."""
+    boiler = "the same header"
+    rows = [(i, f"{boiler} unique body {i} filler words {i}") for i in range(1, 9)]
+    rows += [(9, f"{boiler} alpha beta gamma delta"), (10, f"{boiler} alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, k=3, threshold=0.5, max_shingle_df=5
+        ).collect()
+    }
+    assert (9, 10) in exact and (9, 10) in cut
+    assert cut[(9, 10)] == exact[(9, 10)] == 1.0  # verification stays exact
+    assert set(cut) <= set(exact)  # cutoff can only lose pairs, never invent
+
+
+def test_ngram_jaccard_cutoff_above_df_is_noop(docs):
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, max_shingle_df=10_000
+        ).collect()
+    }
+    assert cut == exact
+
+
 def test_minhash_dedup_pairs(docs):
     pairs = {
         (r.id_a, r.id_b)

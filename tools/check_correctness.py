@@ -35,6 +35,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _numeric_family(col: pd.Series) -> str | None:
+    """'int' / 'float' classification mirroring what the driver's value-hash
+    sees after toPandas: DuckDB HUGEINT / DECIMAL128 sums land as float64 or
+    Decimal objects while Spark emits int64 — equal values, different hash."""
+    if pd.api.types.is_bool_dtype(col):
+        return None
+    if pd.api.types.is_integer_dtype(col):
+        return "int"
+    if pd.api.types.is_float_dtype(col):
+        return "float"
+    if col.dtype == object:
+        import decimal
+
+        first = col.dropna()
+        if len(first) and isinstance(first.iloc[0], decimal.Decimal):
+            return "float"
+    return None
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
@@ -44,6 +63,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
         return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return problems
+    # Driver-hash predictor: an int column on one side vs float/decimal on the
+    # other hashes differently even when every value is equal (r1 failures
+    # q_native_pivot, q_ext_sessionize). Flag it BEFORE normalize() forgives it.
+    for c in spark_pdf.columns:
+        sf, of = _numeric_family(spark_pdf[c]), _numeric_family(oracle_pdf[c])
+        if sf and of and sf != of:
+            problems.append(
+                f"col {c!r}: dtype family mismatch spark={spark_pdf[c].dtype}({sf}) "
+                f"oracle={oracle_pdf[c].dtype}({of}) — driver hash would differ; "
+                f"CAST the oracle (integer SUM → BIGINT) or align the Spark type"
+            )
+    if problems:
         return problems
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     for c in s.columns:
