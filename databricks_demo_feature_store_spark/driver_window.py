@@ -48,6 +48,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_dedup",
     # operator-family anchors
     "q_filter_fold",
+    "q_filter_dict",
     "q_filter_max_value",
     "q_equi_join_left_wins",
     "q_anti_join",
@@ -70,7 +71,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_repetition",
     "q_ext_fingerprint_dedup",
     "q_ext_ngram_jaccard",
-    "q_ext_minhash_sig",
+    # q_ext_minhash_sig demoted: q_ext_minhash_dedup rebuilds the same
+    # signatures before banding, so the signature math is still hash-checked
     "q_ext_minhash_dedup",
     "q_ext_simhash",
     "q_ext_dedup_clusters",

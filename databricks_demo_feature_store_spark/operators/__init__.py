@@ -11,6 +11,7 @@ from databricks_demo_feature_store_spark.operators.selection import select_colum
 from databricks_demo_feature_store_spark.operators.filters import (
     filter_by_fixed_conditions,
     filter_by_max_value,
+    filter_dataframes,
 )
 from databricks_demo_feature_store_spark.operators.joins import (
     make_join,
@@ -39,6 +40,7 @@ __all__ = [
     "select_distinct",
     "filter_by_fixed_conditions",
     "filter_by_max_value",
+    "filter_dataframes",
     "make_join",
     "point_in_time_join",
     "exclude_ids_anti_join",

@@ -27,6 +27,32 @@ def filter_by_fixed_conditions(df: DataFrame, conditions: Sequence[str]) -> Data
     return df.filter(predicate)
 
 
+def filter_dataframes(
+    parameters: dict[str, dict[str, Sequence[str] | None]],
+    **dfs: DataFrame,
+) -> dict[str, DataFrame]:
+    """Dict-of-DataFrames filter: apply per-table condition lists.
+
+    Parity: ``filter_dataframe_by_fixed_conditions``
+    (reference ``src/packages/preprocessing/filter/dataframe.py:76-116``).
+    ``parameters[name]["conditions"]`` holds SQL boolean expression strings
+    for table ``name``; tables without parameters (or with an empty/None
+    list) pass through untouched.
+
+    Differences from the reference, deliberate: the reference's private
+    ``_filter_dataframe`` (``dataframe.py:12-61``) runs ``df.count()``
+    before AND after each filter for logging — two full materializations
+    per table, which at 100 TB is two extra jobs per input. We stay lazy
+    and fold the conditions into one conjunction (same AND semantics) so
+    Catalyst pushes each conjunct to the scan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name, df in dfs.items():
+        conditions = (parameters.get(name) or {}).get("conditions") or []
+        out[name] = filter_by_fixed_conditions(df, list(conditions))
+    return out
+
+
 def filter_by_max_value(df: DataFrame, column: str) -> DataFrame:
     """Keep rows where ``column`` equals its global maximum.
 

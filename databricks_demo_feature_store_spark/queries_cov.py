@@ -360,12 +360,14 @@ def q_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """save_table partitioned write (dynamic partition overwrite) →
-    Catalog.get_table read-back → aggregate. Exercises the layered
-    sink/scan path end-to-end (reference storage_operations.py:19-57,
-    75-211); partitioning on the historical key means a re-run only
-    rewrites affected partitions."""
+    named-catalog registration (CREATE DATABASE / CREATE TABLE ... LOCATION,
+    reference notebooks/utils.py:1896-1911) → ``spark.read.table("db.t")``
+    read-back → aggregate. Exercises the layered sink/scan path end-to-end
+    (reference storage_operations.py:19-57, 75-211); partitioning on the
+    historical key means a re-run only rewrites affected partitions, and
+    MSCK partition recovery makes them visible through the metastore."""
     root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_layers")
-    cat = Catalog(root=root)
+    cat = Catalog(root=root, database="demo_db")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
     )
@@ -376,6 +378,9 @@ def q_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="overwrite",
         partition_by=["l_returnflag"],
         partition_overwrite=True,
+    )
+    cat.register_table(
+        spark, "lineitem_recent", "preprocessing", fmt="parquet", partitioned=True
     )
     back = cat.get_table(spark, "lineitem_recent", "preprocessing", fmt="parquet")
     return back.groupBy("l_returnflag").agg(
@@ -457,5 +462,54 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lvl",
             "n_events",
             "sum_value",
+        )
+    )
+
+
+@register(
+    "q_filter_dict",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           {_o_dsum('o.o_totalprice', 2)} AS sum_price
+    FROM (SELECT * FROM orders
+          WHERE o_orderstatus = 'O' AND o_totalprice > 50000.0) o
+    JOIN (SELECT * FROM customer
+          WHERE c_acctbal >= 0.0) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_filter_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-of-DataFrames filter (reference
+    ``src/packages/preprocessing/filter/dataframe.py:76-116``): per-table
+    condition lists applied in one pass, tables without parameters pass
+    through. Unlike the reference's ``_filter_dataframe`` this stays lazy
+    (no before/after ``count()`` jobs), so both conjunctions reach the
+    parquet scans as pushed filters before the join."""
+    from databricks_demo_feature_store_spark.operators import filter_dataframes
+
+    filtered = filter_dataframes(
+        {
+            "orders": {"conditions": ["o_orderstatus = 'O'", "o_totalprice > 50000.0"]},
+            "customer": {"conditions": ["c_acctbal >= 0.0"]},
+            "nation": {},  # pass-through branch
+        },
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
+        nation=load(spark, sf_dir, "nation"),
+    )
+    return (
+        filtered["orders"]
+        .join(
+            filtered["customer"],
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )

@@ -1,0 +1,72 @@
+"""Named-catalog surface: CREATE DATABASE / external table registration /
+qualified reads / drop (reference notebooks/utils.py:1896-1969)."""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_demo_feature_store_spark.sources.catalog import Catalog, _check_ident
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(root=str(tmp_path), database="testdb_cat")
+    yield c
+    spark.sql("DROP DATABASE IF EXISTS testdb_cat CASCADE")
+
+
+def test_register_and_named_read(spark, cat):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, tag string")
+    df.write.parquet(cat.path("t1", "ingestion"))
+
+    q = cat.register_table(spark, "t1", "ingestion", fmt="parquet")
+    assert q == "testdb_cat.t1"
+    assert cat.table_exists(spark, "t1")
+    assert spark.read.table("testdb_cat.t1").count() == 2
+    # get_table resolves through the named table, not the path
+    assert cat.get_table(spark, "t1", "ingestion").count() == 2
+    # idempotent re-registration
+    assert cat.register_table(spark, "t1", "ingestion", fmt="parquet") == q
+
+
+def test_partitioned_register_recovers_partitions(spark, cat):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "y")], "id int, p string")
+    df.write.partitionBy("p").parquet(cat.path("t2", "feature"))
+    cat.register_table(spark, "t2", "feature", fmt="parquet", partitioned=True)
+    got = spark.read.table("testdb_cat.t2")
+    assert got.count() == 3
+    assert set(got.columns) == {"id", "p"}
+
+
+def test_drop_table_keeps_data(spark, cat):
+    df = spark.createDataFrame([(1,)], "id int")
+    df.write.parquet(cat.path("t3", "source"))
+    cat.register_table(spark, "t3", "source", fmt="parquet")
+    cat.drop_table(spark, "t3")
+    assert not cat.table_exists(spark, "t3")
+    # external table: path survives the drop, path-based read still works
+    assert cat.get_table(spark, "t3", "source", fmt="parquet").count() == 1
+
+
+def test_exists_probe_prefers_catalog(spark, cat):
+    assert not cat.exists(spark, "nope", "source")
+    df = spark.createDataFrame([(1,)], "id int")
+    df.write.parquet(cat.path("t4", "source"))
+    assert cat.exists(spark, "t4", "source")  # path-based
+    cat.register_table(spark, "t4", "source", fmt="parquet")
+    assert cat.exists(spark, "t4", "source")  # catalog-based
+
+
+def test_identifier_guard():
+    with pytest.raises(ValueError):
+        _check_ident("bad-name")
+    with pytest.raises(ValueError):
+        _check_ident("x; DROP TABLE y")
+    assert _check_ident("ok_name_1") == "ok_name_1"
+
+
+def test_pathless_catalog_unqualified(spark, tmp_path):
+    c = Catalog(root=str(tmp_path))  # no database
+    assert c.qualified("t") == "t"
+    with pytest.raises(ValueError):
+        c.ensure_database(spark)

@@ -55,6 +55,28 @@ def test_filter_by_fixed_conditions(spark):
     assert filter_by_fixed_conditions(df, []).count() == 3
 
 
+def test_filter_dataframes_dict(spark):
+    from databricks_demo_feature_store_spark.operators import filter_dataframes
+
+    a = spark.createDataFrame([(1, 10.0), (2, 30.0), (3, 50.0)], "id int, v double")
+    b = spark.createDataFrame([(1, "x"), (2, "y")], "id int, tag string")
+    c = spark.createDataFrame([(9,)], "id int")
+    out = filter_dataframes(
+        {
+            "a": {"conditions": ["v > 15.0", "id < 3"]},
+            "b": {"conditions": None},  # explicit None → pass-through
+            # "c" absent from parameters → pass-through
+        },
+        a=a,
+        b=b,
+        c=c,
+    )
+    assert rows(out["a"], "id") == [(2,)]
+    assert out["b"].count() == 2
+    assert out["c"].count() == 1
+    assert set(out) == {"a", "b", "c"}
+
+
 def test_filter_by_max_value(spark):
     df = spark.createDataFrame(
         [(1, dt.date(2024, 1, 1)), (2, dt.date(2024, 2, 1)), (3, dt.date(2024, 2, 1))],
