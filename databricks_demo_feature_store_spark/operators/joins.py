@@ -265,7 +265,15 @@ def salted_join(
     small side genuinely small) so every (key, salt) pair matches.
     Deterministic (hash-derived, no rand()), so results are reproducible
     run to run.
+
+    Only ``inner`` and ``left`` joins are supported: the exploded small
+    side would emit unmatched right/full-outer rows once per salt bucket.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner', 'left'}}, got {how!r}: "
+            "the exploded small side duplicates unmatched right-side rows"
+        )
     keys = list(keys)
     salt_cols = (
         [F.col(salt_source)] if salt_source else [F.col(c) for c in df_big.columns]
@@ -307,6 +315,14 @@ def interval_join(
     """
     if upper_seconds < lower_seconds:
         raise ValueError("upper_seconds must be >= lower_seconds")
+    if left_ts == right_ts:
+        # The post-join range predicate references both timestamp columns
+        # by name; identical names would resolve ambiguously after the join
+        # (the streaming twin documents the same requirement).
+        raise ValueError(
+            "interval_join requires distinct timestamp column names; "
+            f"rename one side (both are {left_ts!r})"
+        )
     keys = list(keys)
     lower_us = int(lower_seconds * 1_000_000)
     upper_us = int(upper_seconds * 1_000_000)

@@ -178,9 +178,7 @@ def q_ext_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_ext_ngram_jaccard",
-    oracle=f"""
+_NGRAM_ORACLE = f"""
     WITH {_O_SHINGLES},
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -193,19 +191,36 @@ def q_ext_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_dround('CAST(common AS DOUBLE) / (n_a + n_b - common)', 6)} AS jaccard
     FROM pairs
     WHERE {oracle_dround('CAST(common AS DOUBLE) / (n_a + n_b - common)', 6)} >= 0.8
-    """,
-)
+    """
+
+
+@register("q_ext_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def q_ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via the shingle inverted index
     (no all-pairs scan on the Spark side; the oracle may brute-force).
 
-    Runs with the stop-shingle cutoff enabled (the 100 TB-safe
-    configuration) and is differentially checked against the exact oracle:
-    at 1000 the cutoff is far above this corpus's hottest shingle (df≈23 at
-    sf0.1), so the candidate index is provably unchanged while the code
-    path is exercised."""
+    ``max_shingle_df=None``: the gated query is provably exact at ANY
+    scale factor — its equivalence to the brute-force oracle doesn't
+    depend on corpus statistics. The stop-shingle cutoff path (the
+    100 TB-safe configuration) is exercised and differentially checked by
+    the separate ``q_ext_ngram_jaccard_cutoff``."""
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), k=3, threshold=0.8, max_shingle_df=1000
+        load(spark, sf_dir, "documents"), k=3, threshold=0.8, max_shingle_df=None
+    )
+
+
+@register("q_ext_ngram_jaccard_cutoff", oracle=_NGRAM_ORACLE)
+def q_ext_ngram_jaccard_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-shingle-cutoff configuration of ``ngram_jaccard_pairs``,
+    with the cutoff DERIVED from corpus statistics (``max(50, 2·⌈√n⌉)``)
+    rather than a fixed constant, so the hot-bucket bound scales with the
+    corpus. Differentially checked against the same exact brute-force
+    oracle as ``q_ext_ngram_jaccard`` — on corpora where the hottest
+    shingle's prefix-frequency stays under the derived cutoff the result
+    is identical; a divergence here flags boilerplate-heavy data, not a
+    bug in the exact gated query."""
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.8, max_shingle_df="auto"
     )
 
 

@@ -33,6 +33,38 @@ def _check_ident(name: str) -> str:
         raise ValueError(f"invalid catalog identifier: {name!r}")
     return name
 
+
+def _check_path(path: str) -> str:
+    """DDL-literal guard: paths are interpolated into single-quoted SQL
+    literals, so quotes and backslashes are rejected rather than escaped
+    (no legitimate layer root contains them)."""
+    if "'" in path or "\\" in path:
+        raise ValueError(f"catalog path may not contain quotes or backslashes: {path!r}")
+    return path
+
+
+def _norm_location(loc: str) -> str:
+    """Normalize a storage location for comparison (scheme-stripped local
+    paths; trailing-slash-insensitive)."""
+    for prefix in ("file://", "file:"):
+        if loc.startswith(prefix):
+            loc = loc[len(prefix):]
+            break
+    return os.path.abspath(loc.rstrip("/"))
+
+
+def table_location(spark: SparkSession, qualified: str) -> str | None:
+    """The registered location of a catalog table, or ``None`` for
+    location-less relations (temp views)."""
+    try:
+        rows = spark.sql(f"DESCRIBE FORMATTED {qualified}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if (r.col_name or "").strip() == "Location":
+            return (r.data_type or "").strip() or None
+    return None
+
 try:  # Delta is optional — not present in the v1 image.
     from delta.tables import DeltaTable  # noqa: F401
 
@@ -85,7 +117,7 @@ class Catalog:
         if self.database is None:
             raise ValueError("Catalog has no database configured")
         db = _check_ident(self.database)
-        loc = os.path.join(self.root, f"_{db}.db")
+        loc = _check_path(os.path.join(self.root, f"_{db}.db"))
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
 
     def register_table(
@@ -100,7 +132,13 @@ class Catalog:
         (reference ``CREATE TABLE ... USING DELTA LOCATION`` at
         ``notebooks/utils.py:1906-1911``) and return the qualified name.
 
-        Idempotent. ``partitioned=True`` recovers partition metadata after
+        Idempotent per (name, layer): re-registering the same binding is a
+        no-op, but if the name is already bound to a DIFFERENT location
+        (e.g. the same dataset registered earlier from another layer) the
+        stale entry is dropped and re-created — a catalog hit never
+        silently serves another layer's data.
+
+        ``partitioned=True`` recovers partition metadata after
         (re-)registration — metastore-backed datasource tables track
         partitions in the catalog, so partitions written directly to the
         path after registration need ``MSCK REPAIR`` to become visible.
@@ -109,9 +147,14 @@ class Catalog:
             self.ensure_database(spark)
         q = self.qualified(name)
         fmt = fmt or DEFAULT_FORMAT
+        want = _check_path(self.path(name, layer))
+        if spark.catalog.tableExists(q):
+            have = table_location(spark, q)
+            if have is not None and _norm_location(have) != _norm_location(want):
+                spark.sql(f"DROP TABLE IF EXISTS {q}")
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {q} USING {_check_ident(fmt)} "
-            f"LOCATION '{self.path(name, layer)}'"
+            f"LOCATION '{want}'"
         )
         if partitioned:
             spark.sql(f"MSCK REPAIR TABLE {q}")
@@ -138,12 +181,18 @@ class Catalog:
 
         Catalog tables are tried first — the qualified ``db.name`` when a
         database is configured, then the bare session-catalog name — and
-        the layer path with the given format is the fallback.
+        the layer path with the given format is the fallback. A catalog hit
+        whose registered location points at a DIFFERENT layer's path than
+        the one requested is skipped (the path read wins), so a stale
+        registration can't silently serve another layer's data;
+        location-less relations (temp views) always win.
         """
-        if self.database is not None and spark.catalog.tableExists(self.qualified(name)):
-            return spark.read.table(self.qualified(name))
-        if spark.catalog.tableExists(name):
-            return spark.read.table(name)
+        want = _norm_location(self.path(name, layer))
+        for candidate in ([self.qualified(name)] if self.database is not None else []) + [name]:
+            if spark.catalog.tableExists(candidate):
+                have = table_location(spark, candidate)
+                if have is None or _norm_location(have) == want:
+                    return spark.read.table(candidate)
         fmt = fmt or DEFAULT_FORMAT
         return spark.read.format(fmt).load(self.path(name, layer))
 

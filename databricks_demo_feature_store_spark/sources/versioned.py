@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_versions.json"
 
 
+def _parse_utc(ts: str) -> _dt.datetime:
+    """ISO-8601 → aware UTC datetime; naive inputs are assumed UTC."""
+    parsed = _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    if parsed.tzinfo is None:
+        return parsed.replace(tzinfo=_dt.timezone.utc)
+    return parsed.astimezone(_dt.timezone.utc)
+
+
 @dataclass(frozen=True)
 class VersionInfo:
     version: int
@@ -110,8 +118,13 @@ class VersionedTable:
     def read_before(self, timestamp: str) -> DataFrame:
         """Latest version strictly before an ISO timestamp — the
         reference's pick of 'the version before the current month'
-        (``monitor.py:61-64``)."""
-        older = [v for v in self.history() if v.timestamp < timestamp]
+        (``monitor.py:61-64``).
+
+        Timestamps are parsed (not string-compared) and normalized to UTC;
+        a naive argument is taken as UTC, matching the manifest's stamps.
+        """
+        cutoff = _parse_utc(timestamp)
+        older = [v for v in self.history() if _parse_utc(v.timestamp) < cutoff]
         if not older:
             raise ValueError(f"No version before {timestamp} at {self.path}")
         return self.read(older[0].version)

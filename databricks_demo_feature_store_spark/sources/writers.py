@@ -33,6 +33,29 @@ def _write(df: DataFrame, path: str, fmt: str, mode: str, partition_by: Sequence
     writer.save(path)
 
 
+def _swap_dirs(live: str, staging: str) -> None:
+    """Promote ``staging`` to ``live`` via directory renames, never a
+    delete-then-rewrite of the live table.
+
+    A crash between the two renames leaves EITHER the old table (rename #1
+    done, #2 pending — recoverable from ``__old``) or the new table, never a
+    partially-deleted live directory. On POSIX/HDFS a directory rename is a
+    single metadata op; on object stores the real fix is the Delta path
+    (atomic log commit), which this fallback stands in for.
+    """
+    import os
+    import shutil
+
+    live = live.removeprefix("file:")
+    staging = staging.removeprefix("file:")
+    old = live.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(staging, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def save_table(
     df: DataFrame,
     path: str,
@@ -141,15 +164,10 @@ def merge_upsert(
         out = kept.unionByName(incoming, allowMissingColumns=True)
 
     # Self-overwrite safety: materialize to a temp location first, then
-    # atomically swing. (Delta does this natively; for parquet we stage.)
+    # promote via rename (never delete-then-rewrite the live table).
     staging = path.rstrip("/") + "__staging"
     _write(out, staging, fmt, "overwrite", partition_by)
-    refreshed = spark.read.format(fmt).load(staging)
-    _write(refreshed, path, fmt, "overwrite", partition_by)
-    # best-effort cleanup of the staging dir
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    _swap_dirs(path, staging)
 
 
 def compact(spark: SparkSession, path: str, fmt: str = "parquet", target_partitions: int | None = None) -> None:
@@ -165,8 +183,4 @@ def compact(spark: SparkSession, path: str, fmt: str = "parquet", target_partiti
     n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
     staging = path.rstrip("/") + "__compact"
     df.coalesce(n).write.format(fmt).mode("overwrite").save(staging)
-    refreshed = spark.read.format(fmt).load(staging)
-    refreshed.write.format(fmt).mode("overwrite").save(path)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    _swap_dirs(path, staging)

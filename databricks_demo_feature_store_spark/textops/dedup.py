@@ -18,6 +18,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from databricks_demo_feature_store_spark.functions.rounding import dround
@@ -140,13 +142,16 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
+_NGRAM_PERSIST_SLOT: list = []
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = None,
     persist_normalized: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index.
@@ -156,22 +161,30 @@ def ngram_jaccard_pairs(
     ``J = common / (|A| + |B| - common)`` → filter ≥ threshold.
 
     ``max_shingle_df`` is the stop-shingle cutoff for 100 TB corpora: a
-    boilerplate shingle appearing in d prefixes makes a d² candidate bucket
-    in the self-join, and no positional filter saves you from quadratic
-    fan-out on d in the millions. When set, prefix entries whose shingle
-    document-frequency exceeds the cutoff are dropped from the *candidate
-    index only* (verification still uses full shingle sets, so reported
-    Jaccard values stay exact). Recall contract: a true pair is lost only
-    if EVERY prefix element it shares is hot — at J ≥ 0.8 a pair shares
-    ≥ ~80% of its shingles, so unless a document is mostly boilerplate the
-    pair still meets on a rare shingle. ``None`` (default) keeps the result
-    provably exact; the bundled coverage query runs with the cutoff enabled
-    and is differentially checked against the exact oracle.
+    boilerplate shingle appearing in d prefix entries makes a d² candidate
+    bucket in the self-join, and no positional filter saves you from
+    quadratic fan-out on d in the millions. When set, prefix entries whose
+    shingle *prefix-frequency* (occurrences in the prefix index — an
+    underestimate of raw document-frequency, so pruning is conservative and
+    recall-safer) exceeds the cutoff are dropped from the *candidate index
+    only* (verification still uses full shingle sets, so reported Jaccard
+    values stay exact). Recall contract: a true pair is lost only if EVERY
+    prefix element it shares is hot — at J ≥ 0.8 a pair shares ≥ ~80% of
+    its shingles, so unless a document is mostly boilerplate the pair still
+    meets on a rare shingle. ``"auto"`` derives the cutoff from corpus
+    statistics as ``max(50, 2·⌈√n_docs⌉)`` — bucket work is d² and the
+    √n bound keeps any single hot bucket's candidate count O(n), so the
+    index stays near-linear at any corpus size instead of trusting a fixed
+    constant. ``None`` (default) keeps the result provably exact; the
+    bundled ``q_ext_ngram_jaccard_cutoff`` coverage query runs the auto
+    path and is differentially checked against the exact oracle.
 
     ``persist_normalized`` caches the (id, sorted-hashes, n) normalization:
     the plan consumes it three times (prefix index + both verification
     sides) and the md5 shingle hashing dominates cost — at cluster scale
-    write it to a table once instead.
+    write it to a table once instead. Repeated invocations in one session
+    (bench loops) don't leak: the previous call's cache is unpersisted
+    before a new one is pinned.
     """
     # Work on sorted 60-bit shingle hashes: one md5 pass per doc, and all
     # downstream set algebra (prefix, intersect) runs on longs, not strings.
@@ -182,7 +195,15 @@ def ngram_jaccard_pairs(
         .withColumn("n", F.size("hs"))
     )
     if persist_normalized:
+        while _NGRAM_PERSIST_SLOT:
+            _NGRAM_PERSIST_SLOT.pop().unpersist()
         hashed = hashed.persist()
+        _NGRAM_PERSIST_SLOT.append(hashed)
+    if max_shingle_df == "auto":
+        # One scalar action over the (persisted) normalization; at cluster
+        # scale read n_docs from table stats instead.
+        n_docs = hashed.count()
+        max_shingle_df = max(50, 2 * math.isqrt(max(n_docs, 1)))
 
     # PPJoin candidate generation (exact — no false negatives):
     # 1. prefix filter: a pair with J >= t must share an element within the

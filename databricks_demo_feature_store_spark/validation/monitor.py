@@ -225,8 +225,8 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
             (
                 F.sum(col.cast("decimal(25,6)")).cast("double") / F.count(col)
             ).alias(f"{c}__mean"),
-            F.expr(f"percentile({c}, 0.5)").alias(f"{c}__p50"),
-            F.expr(f"percentile({c}, 0.95)").alias(f"{c}__p95"),
+            F.expr(f"percentile(`{c.replace('`', '``')}`, 0.5)").alias(f"{c}__p50"),
+            F.expr(f"percentile(`{c.replace('`', '``')}`, 0.95)").alias(f"{c}__p95"),
         ]
     wide = df.agg(*aggs)
     per_col = F.array(

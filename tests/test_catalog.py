@@ -70,3 +70,27 @@ def test_pathless_catalog_unqualified(spark, tmp_path):
     assert c.qualified("t") == "t"
     with pytest.raises(ValueError):
         c.ensure_database(spark)
+
+
+def test_register_rebind_on_layer_change(spark, cat):
+    """A name bound to layer A must not silently serve layer B's data
+    (ADVICE r2): re-registering from another layer drops and re-creates."""
+    a = spark.createDataFrame([(1,), (2,)], "id int")
+    b = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    a.write.parquet(cat.path("t5", "ingestion"))
+    b.write.parquet(cat.path("t5", "preprocessing"))
+
+    cat.register_table(spark, "t5", "ingestion", fmt="parquet")
+    assert cat.get_table(spark, "t5", "ingestion").count() == 2
+    # stale-binding guard inside get_table: requesting the OTHER layer
+    # skips the catalog hit and reads the path
+    assert cat.get_table(spark, "t5", "preprocessing", fmt="parquet").count() == 3
+    # re-registration re-binds to the new location
+    cat.register_table(spark, "t5", "preprocessing", fmt="parquet")
+    assert spark.read.table("testdb_cat.t5").count() == 3
+
+
+def test_path_quote_guard(spark, tmp_path):
+    c = Catalog(root=str(tmp_path) + "/it's", database="testdb_quote")
+    with pytest.raises(ValueError, match="quote"):
+        c.register_table(spark, "t", "source", fmt="parquet")

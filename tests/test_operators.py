@@ -363,3 +363,19 @@ def test_point_in_time_join_property_vs_naive(spark):
             cands = [(ft, v) for fk, ft, v in feats if fk == k and ft <= asof]
             expect = max(cands)[1] if cands else None
             assert got[sid] == expect, (trial, sid, got[sid], expect)
+
+
+def test_salted_join_rejects_outer(spark):
+    from databricks_demo_feature_store_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, keys=["k"], how="full_outer")
+
+
+def test_interval_join_rejects_same_ts_name(spark):
+    from databricks_demo_feature_store_spark.operators.joins import interval_join
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], ["k", "ts"])
+    with pytest.raises(ValueError, match="distinct timestamp"):
+        interval_join(df, df, keys=["k"], left_ts="ts", right_ts="ts")

@@ -53,3 +53,17 @@ def test_cross_check_previous_version(spark, tmp_path):
     assert out[dt.date(2024, 1, 1)]["passed"]          # unchanged month
     assert not out[dt.date(2024, 2, 1)]["passed"]      # brand-new month: 100% diff
     assert out[dt.date(2024, 2, 1)]["target_count"] == 0
+
+
+def test_read_before_parses_timestamps(spark, tmp_path):
+    """Timestamps are parsed and UTC-normalized, not string-compared:
+    an equivalent cutoff in another offset picks the same version."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.save(spark.range(5))
+    cut = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=1)
+    t2 = cut.astimezone(dt.timezone(dt.timedelta(hours=5)))
+    assert t.read_before(cut.isoformat()).count() == 5
+    assert t.read_before(t2.isoformat()).count() == 5  # same instant, +05:00
+    with pytest.raises(ValueError, match="No version"):
+        # same instant expressed in a NEGATIVE offset still compares equal
+        t.read_before((cut - dt.timedelta(hours=12)).isoformat())
