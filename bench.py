@@ -33,6 +33,7 @@ HEADLINE = [
     "q_ratios_pct",
     "q_pipeline_customer_tx",
     "q_pipeline_demographic",
+    "q_pipeline_payment_behavior",
     "q_training_set",
     "q_stream_hourly",
     "q_stream_sessionize",

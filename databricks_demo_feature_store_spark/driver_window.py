@@ -22,7 +22,10 @@ module import order. Selection policy:
   q_string_normalize, q_ratios_pct, q_categorize_binarize (all inside
   q_feature_chain / q_pipeline_*), q_monthly_lags, q_lag_diff_roc,
   q_rolling_stats (inside q_window_dispatch / q_rsi / q_pipeline_*),
-  q_top1_latest (trivial TakeOrdered).
+  q_top1_latest (trivial TakeOrdered), and (round 3) q_ext_frame_sample —
+  the multimodal mapInPandas surface stays anchored by
+  q_ext_multimodal_decode; its slot went to the fifth end-to-end pipeline
+  composite q_pipeline_payment_behavior.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_pipeline_demographic",
     "q_pipeline_supplier_risk",
     "q_pipeline_product_holdings",
+    "q_pipeline_payment_behavior",
     "q_training_set",
     "q_val_schema_cast",
     "q_val_crosscheck",
@@ -81,7 +85,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_ann_ivf",
     "q_ext_embedding_near_dup",
     "q_ext_multimodal_decode",
-    "q_ext_frame_sample",
+    # q_ext_frame_sample demoted round 3 (multimodal family anchored by
+    # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
     "q_ext_sessionize",
     "q_ext_stratified_sample",
 )

@@ -25,6 +25,11 @@ from databricks_demo_feature_store_spark.pipelines.demographic_features import (
     DEMOGRAPHIC_STEPS,
     customer_demographic_features,
 )
+from databricks_demo_feature_store_spark.pipelines.payment_behavior_features import (
+    PAYMENT_BEHAVIOR_PIPELINE,
+    PAYMENT_BEHAVIOR_STEPS,
+    payment_behavior_features,
+)
 
 __all__ = [
     "OPS", "Pipeline", "Step",
@@ -33,4 +38,5 @@ __all__ = [
     "DEMOGRAPHIC_PIPELINE", "DEMOGRAPHIC_STEPS", "customer_demographic_features",
     "SUPPLIER_RISK_PIPELINE", "SUPPLIER_RISK_STEPS", "supplier_risk_features",
     "PRODUCT_HOLDINGS_PIPELINE", "PRODUCT_HOLDINGS_STEPS", "product_holdings_features",
+    "PAYMENT_BEHAVIOR_PIPELINE", "PAYMENT_BEHAVIOR_STEPS", "payment_behavior_features",
 ]

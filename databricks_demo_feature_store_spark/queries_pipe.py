@@ -453,6 +453,126 @@ def q_pipeline_product_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return product_holdings_features(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Payment-behavior pipeline (time features + rolling stats + percentages)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.pipelines.payment_behavior_features import (  # noqa: E402
+    payment_behavior_features,
+)
+
+
+@register(
+    "q_pipeline_payment_behavior",
+    oracle=f"""
+    WITH base AS (
+      SELECT o.o_custkey AS id_customer,
+             CAST(date_trunc('month', l.l_shipdate) AS DATE) AS event_dt,
+             CAST(CAST(date_trunc('month', l.l_shipdate) AS DATE) + INTERVAL 1 MONTH AS DATE) AS release_dt,
+             CAST(o.o_orderdate AS DATE) AS openning_date,
+             CAST(CAST(date_trunc('month', o.o_orderdate) AS DATE)
+                  + to_months(CAST(l.l_quantity AS INT)) AS DATE) AS closing_date,
+             CAST(l.l_extendedprice AS DECIMAL(25,4)) AS bal_dec,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4)) AS paid_dec,
+             CAST(l.l_extendedprice * (1 + l.l_tax) AS DECIMAL(25,4)) AS credit_dec,
+             CAST(l.l_extendedprice * l.l_tax AS DECIMAL(25,4)) AS inst_dec,
+             CAST(l.l_returnflag = 'N' AS INT) AS ind_paid,
+             CAST(l.l_discount > 0 AS INT) AS ind_min,
+             CASE o.o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                  WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                  WHEN '5-LOW' THEN 5 ELSE 0 END AS rating_num
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey IS NOT NULL AND o.o_custkey <> 999999999
+        AND o.o_orderpriority IS NOT NULL
+    ),
+    tf AS (
+      -- months_between(...).cast(int): closing_date is always day 1, so
+      -- Spark's both-last-day special case can't fire and the day-part
+      -- formula is exact; TRUNC (toward zero) mirrors Spark's int cast
+      SELECT *,
+             CAST(TRUNC(datediff('month', openning_date, closing_date)
+                  + (date_part('day', closing_date) - date_part('day', openning_date)) / 31.0)
+                  AS INT) AS dur_m,
+             CAST(datediff('month', event_dt, closing_date) AS INT) AS ttc_m
+      FROM base
+    ),
+    agg AS (
+      SELECT id_customer, release_dt,
+             COUNT(*) AS credits_cnt,
+             SUM(bal_dec) AS bal_s, SUM(paid_dec) AS paid_s,
+             SUM(credit_dec) AS credit_s, SUM(inst_dec) AS inst_s,
+             CAST(SUM(dur_m) AS BIGINT) AS dur, CAST(SUM(ttc_m) AS BIGINT) AS ttc,
+             MAX(ind_paid) AS ind_paid, MAX(ind_min) AS ind_min,
+             MAX(rating_num) AS rating_num
+      FROM tf GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT id_customer, release_dt, credits_cnt,
+             CAST(bal_s AS DOUBLE) AS bal, CAST(paid_s AS DOUBLE) AS paid,
+             CAST(credit_s AS DOUBLE) AS credit, CAST(inst_s AS DOUBLE) AS inst,
+             dur, ttc, ind_paid, ind_min, rating_num
+      FROM agg
+    )
+    SELECT CAST(id_customer AS INT) AS pk_customer,
+           release_dt AS tpk_release_dt,
+           CAST(credits_cnt AS INT) AS cpym_credits_cnt,
+           bal AS cpym_amt_total_balance_sum,
+           paid AS cpym_amt_paid_sum,
+           credit AS cpym_amt_total_credit_sum,
+           inst AS cpym_amt_installment_sum,
+           CAST(dur AS INT) AS cpym_credit_duration_in_months,
+           CAST(ttc AS INT) AS cpym_time_to_close_in_months,
+           ind_paid AS cpym_ind_installment_paid,
+           ind_min AS cpym_ind_did_min_payment,
+           rating_num AS cpym_rating_num,
+           {oracle_dround('AVG(bal) OVER f3')} AS cpym_amt_total_balance_sum_ravg_3m,
+           {oracle_dround('STDDEV_SAMP(bal) OVER f3')} AS cpym_amt_total_balance_sum_rstd_3m,
+           {oracle_dround('AVG(bal) OVER f6')} AS cpym_amt_total_balance_sum_ravg_6m,
+           {oracle_dround('STDDEV_SAMP(bal) OVER f6')} AS cpym_amt_total_balance_sum_rstd_6m,
+           {oracle_dround('AVG(paid) OVER f3')} AS cpym_amt_paid_sum_ravg_3m,
+           {oracle_dround('STDDEV_SAMP(paid) OVER f3')} AS cpym_amt_paid_sum_rstd_3m,
+           {oracle_dround('AVG(paid) OVER f6')} AS cpym_amt_paid_sum_ravg_6m,
+           {oracle_dround('STDDEV_SAMP(paid) OVER f6')} AS cpym_amt_paid_sum_rstd_6m,
+           {oracle_dround('AVG(inst) OVER f3')} AS cpym_amt_installment_sum_ravg_3m,
+           {oracle_dround('STDDEV_SAMP(inst) OVER f3')} AS cpym_amt_installment_sum_rstd_3m,
+           {oracle_dround('AVG(inst) OVER f6')} AS cpym_amt_installment_sum_ravg_6m,
+           {oracle_dround('STDDEV_SAMP(inst) OVER f6')} AS cpym_amt_installment_sum_rstd_6m,
+           MIN(ind_paid) OVER f3 AS cpym_ind_installment_paid_rmin_3m,
+           MAX(ind_paid) OVER f3 AS cpym_ind_installment_paid_rmax_3m,
+           MIN(ind_paid) OVER f6 AS cpym_ind_installment_paid_rmin_6m,
+           MAX(ind_paid) OVER f6 AS cpym_ind_installment_paid_rmax_6m,
+           MIN(ind_min) OVER f3 AS cpym_ind_did_min_payment_rmin_3m,
+           MAX(ind_min) OVER f3 AS cpym_ind_did_min_payment_rmax_3m,
+           MIN(ind_min) OVER f6 AS cpym_ind_did_min_payment_rmin_6m,
+           MAX(ind_min) OVER f6 AS cpym_ind_did_min_payment_rmax_6m,
+           MIN(rating_num) OVER f3 AS cpym_rating_num_rmin_3m,
+           MAX(rating_num) OVER f3 AS cpym_rating_num_rmax_3m,
+           MIN(rating_num) OVER f6 AS cpym_rating_num_rmin_6m,
+           MAX(rating_num) OVER f6 AS cpym_rating_num_rmax_6m,
+           CASE WHEN credit <> 0 THEN {oracle_dround('paid * 100.0 / credit')} END
+               AS cpym_amt_paid_sum_pct,
+           CASE WHEN credit <> 0 THEN {oracle_dround('bal * 100.0 / credit')} END
+               AS cpym_amt_total_balance_sum_pct,
+           CASE WHEN dur <> 0 THEN {oracle_dround('ttc * 100.0 / dur')} END
+               AS cpym_time_to_close_in_months_pct
+    FROM m
+    WINDOW f3 AS (PARTITION BY id_customer ORDER BY release_dt ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           f6 AS (PARTITION BY id_customer ORDER BY release_dt ASC
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_pipeline_payment_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth reference notebook twin (fs_cus_payment_behavior):
+    ingestion join + rating CASE → availability shift → time_features
+    (months_between cast int) → SUM/MAX monthly aggregation →
+    rolling avg/std + min/max over 3- and 6-month frames →
+    calculate_percentages → cpym_ standardized 38-column output. All
+    twenty-four rolling columns share one (id_customer, release_dt)
+    sort."""
+    return payment_behavior_features(spark, sf_dir)
+
+
 @register(
     "q_stream_feature_store",
     oracle="""

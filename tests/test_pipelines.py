@@ -138,3 +138,41 @@ def test_supplier_risk_pipeline(spark):
     assert {"chr_rating_rmin_3m", "chr_rating_rmax_3m", "chr_revenue_roc_1m"} <= set(out.columns)
     row = out.filter("chr_revenue_rsi_6 IS NOT NULL").limit(1).collect()
     assert row and 0.0 <= row[0]["chr_revenue_rsi_6"] <= 100.0
+
+
+def test_payment_behavior_pipeline_schema_and_values(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.pipelines import payment_behavior_features
+    from databricks_demo_feature_store_spark.pipelines.payment_behavior_features import (
+        KEYS,
+        OUTPUT_COLUMNS,
+        PREFIX,
+    )
+
+    out = payment_behavior_features(spark, "/root/testdata/sf0.001")
+    # the full 38-feature reference surface, renamed + prefixed
+    expected = [
+        KEYS.get(c, f"{PREFIX}{c}") if c in KEYS else f"{PREFIX}{c}"
+        for c in OUTPUT_COLUMNS
+    ]
+    assert out.columns == expected
+    types = dict(out.dtypes)
+    assert types["pk_customer"] == "int"
+    assert types["cpym_credits_cnt"] == "int"
+    assert types["cpym_credit_duration_in_months"] == "int"
+    assert types["cpym_amt_paid_sum"] == "double"
+
+    row = (
+        out.where(F.col("cpym_credits_cnt") >= 2)
+        .orderBy("pk_customer", "tpk_release_dt")
+        .first()
+    )
+    # invariants: paid <= balance <= credit (discount >= 0, tax >= 0),
+    # pct consistent with its inputs, rolling min <= max
+    assert row["cpym_amt_paid_sum"] <= row["cpym_amt_total_balance_sum"] + 1e-6
+    assert row["cpym_amt_total_balance_sum"] <= row["cpym_amt_total_credit_sum"] + 1e-6
+    if row["cpym_amt_paid_sum_pct"] is not None:
+        expect = row["cpym_amt_paid_sum"] * 100.0 / row["cpym_amt_total_credit_sum"]
+        assert abs(row["cpym_amt_paid_sum_pct"] - expect) < 1e-3
+    assert row["cpym_rating_num_rmin_6m"] <= row["cpym_rating_num_rmax_6m"]
