@@ -66,11 +66,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Per-query time = best of N timed runs. The single-JVM environment
+    # shows heavy run-to-run drift (GC, page cache, host noise — BASELINE.md
+    # documents 2x swings on identical code); min-of-N measures the query,
+    # not the noise. Override with SPARK_GRAFT_BENCH_RUNS=1 for the old
+    # single-shot behavior.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
             }
         )
     )

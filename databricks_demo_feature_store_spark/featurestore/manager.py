@@ -75,7 +75,18 @@ class FeatureStoreManager:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(self.path(name))
+        """True only when the table has READABLE data. A bare directory —
+        registry metadata written before first data, or debris from a
+        crashed/raced writer — is treated as absent, so a subsequent save
+        recreates it instead of failing schema validation on an empty
+        parquet footerless dir."""
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        return any(
+            f.endswith((".parquet", ".orc")) or f == "_delta_log" or f.startswith("part-")
+            for f in os.listdir(p)
+        )
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(name))

@@ -720,3 +720,29 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Seeded synthetic data generator (dummy_data_generation.py twin)
+# ---------------------------------------------------------------------------
+
+
+@register("q_gen_payment_golden")  # no SQL oracle: the generator's hash
+# randomness (xxhash64) has no DuckDB twin; correctness is pinned instead
+# by the exact-value golden test (tests/test_datagen.py) over the same
+# deterministic fixture — the driver records the rows-only check
+def q_gen_payment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded fixture factory → reference ingestion mapping → the real
+    payment-behavior pipeline. Exercises the generator's distributed path
+    (spark.range + hash noise + array-fold state machine, zero shuffles,
+    zero Python) end-to-end through a production pipeline."""
+    from databricks_demo_feature_store_spark.pipelines.payment_behavior_features import (
+        PAYMENT_BEHAVIOR_PIPELINE,
+    )
+    from databricks_demo_feature_store_spark.sources.datagen import (
+        gen_pagos,
+        pagos_to_payment_events,
+    )
+
+    events = pagos_to_payment_events(gen_pagos(spark, n=120, months=18))
+    return PAYMENT_BEHAVIOR_PIPELINE.run(events)

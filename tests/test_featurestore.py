@@ -138,3 +138,23 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_manager_recovers_from_empty_table_dir(spark, tmp_path):
+    """A bare table directory (crashed writer debris / metadata-before-data)
+    must read as absent so the next save recreates it instead of dying in
+    schema validation on an unreadable empty dir."""
+    import os
+
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+
+    mgr = FeatureStoreManager(spark, str(tmp_path))
+    os.makedirs(mgr.path("t"), exist_ok=True)
+    assert not mgr.exists("t")
+    spec = FeatureTableSpec(name="t", primary_keys=("id",))
+    mgr.save(spark.range(3).select("id"), spec, mode="merge")
+    assert mgr.exists("t")
+    assert mgr.read("t").count() == 3
