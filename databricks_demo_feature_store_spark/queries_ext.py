@@ -43,6 +43,7 @@ from databricks_demo_feature_store_spark.textops.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     lsh_topk,
+    random_planes,
 )
 
 # ---------------------------------------------------------------------------
@@ -374,11 +375,28 @@ _O_BUCKET = (
 )
 
 
+def _o_plane_bucket(v: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of sign_bucket_col(planes=...): the identical md5-seeded
+    plane constants are inlined as list literals, so both engines compute
+    sign(v · p_j) over the same numbers."""
+    bits = " || ".join(
+        f"(CASE WHEN list_inner_product({v}, [{', '.join(repr(c) for c in p)}]) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"({bits})"
+
+
+_EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+_LSH_PLANES_8 = random_planes(_EMB_DIM, 8)
+_LSH_PLANES_6 = random_planes(_EMB_DIM, 6)
+
+
 @register(
     "q_ext_ann_lsh",
     oracle=f"""
     WITH {_O_EMB},
-    eb AS (SELECT vec_id, v, {_O_BUCKET.format(v="v")} AS bucket FROM e),
+    eb AS (SELECT vec_id, v, {_o_plane_bucket("v", _LSH_PLANES_8)} AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 3),
     scored AS (
       SELECT q.query_id, e.vec_id, {oracle_dround(_O_COS, 6)} AS cosine
@@ -392,17 +410,22 @@ _O_BUCKET = (
     """,
 )
 def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed approximate top-5: candidates restricted to the
-    query's 8-bit sign bucket (≈1/256 of the corpus at scale)."""
+    """Random-hyperplane sign-LSH approximate top-5: candidates restricted
+    to the query's 8-bit bucket (≈1/256 of the corpus at scale). Buckets
+    come from md5-seeded hyperplanes (Charikar SimHash family — robust to
+    correlated coordinates), with the identical plane constants inlined
+    into the DuckDB oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, nbits=8)
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, nbits=8, planes=_LSH_PLANES_8
+    )
 
 
 @register(
     "q_ext_embedding_near_dup",
     oracle=f"""
     WITH {_O_EMB},
-    eb AS (SELECT vec_id, v, {_O_BUCKET.format(v="v")}[1:6] AS bucket FROM e),
+    eb AS (SELECT vec_id, v, {_o_plane_bucket("v", _LSH_PLANES_6)} AS bucket FROM e),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {oracle_dround("list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))", 6)} AS cosine
@@ -412,9 +435,10 @@ def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs inside 6-bit sign-LSH blocks."""
+    """Embedding-cosine near-dup pairs inside 6-bit random-hyperplane
+    LSH blocks (same inlined-plane oracle scheme as q_ext_ann_lsh)."""
     return embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), nbits=6, threshold=0.4
+        load(spark, sf_dir, "embeddings"), nbits=6, threshold=0.4, planes=_LSH_PLANES_6
     )
 
 

@@ -6,13 +6,16 @@ Two tiers, as a 100 TB pipeline needs:
   per query batch; the dot product is a JVM-side ``aggregate``/``zip_with``
   over the arrays (no Python). For a single query vector the query side is
   a broadcast 1-row dim.
-- **Sign-LSH bucketed ANN** — random-hyperplane LSH (Charikar 2002)
-  degenerate form using coordinate signs (deterministic, engine-portable):
-  bucket = sign-bit string of the first ``nbits`` coordinates; search only
-  inside the query's bucket (optionally ± multiprobe neighbors). At scale
-  buckets shard the corpus so a query touches 1/2^nbits of it; swap the
-  sign pattern for true random hyperplanes (dot with broadcast gaussian
-  vectors) when recall matters more than parity-testability.
+- **Sign-LSH bucketed ANN** — random-hyperplane LSH (Charikar 2002).
+  ``planes=random_planes(dim, nbits)`` buckets by the sign of the dot
+  product with ``nbits`` deterministic pseudo-random hyperplanes — the
+  real SimHash family, robust to correlated coordinates; the plane
+  constants are md5-seeded driver-side so the DuckDB oracle can inline
+  the exact same planes (engine-portable, no rand()). ``planes=None``
+  falls back to the coordinate-sign degenerate form (first ``nbits``
+  coordinate signs — cheapest, adequate only for near-isotropic
+  embeddings). At scale buckets shard the corpus so a query touches
+  1/2^nbits of it.
 - **Embedding-cosine near-dup** — all candidate pairs inside a bucket with
   cosine ≥ threshold; the embedding-space twin of MinHash dedup.
 """
@@ -80,9 +83,42 @@ def brute_force_topk(
     )
 
 
-def sign_bucket_col(vec: Column, nbits: int = 8) -> Column:
-    """Deterministic LSH bucket: concatenated sign bits of the first
-    ``nbits`` coordinates."""
+def random_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """``nbits`` deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    md5-derived (not ``rand()``) so the same (seed, dim, nbits) yields the
+    same planes on any engine/partitioning — the constants are inlined
+    into both the Spark plan and the DuckDB oracle SQL. Components are
+    rounded to 6 decimals so the SQL literals round-trip exactly."""
+    import hashlib
+
+    planes = []
+    for j in range(nbits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}/{j}/{i}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2.0**64
+            row.append(round(2.0 * u - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def sign_bucket_col(
+    vec: Column, nbits: int = 8, planes: list[list[float]] | None = None
+) -> Column:
+    """Deterministic LSH bucket string.
+
+    With ``planes`` (see :func:`random_planes`): bit j = sign of
+    ``vec · planes[j]`` — true random-hyperplane LSH. Without: the sign
+    bits of the first ``nbits`` coordinates (degenerate fallback)."""
+    if planes is not None:
+        bits = [
+            F.when(
+                dot_col(vec, F.array(*[F.lit(float(c)) for c in p])) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for p in planes[:nbits]
+        ]
+        return F.concat(*bits)
     return F.concat(
         *[
             F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -99,18 +135,23 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's sign
     bucket. Equi-join on the bucket key replaces the cross join — the scan
-    per query drops by ~2^nbits."""
+    per query drops by ~2^nbits. Pass ``planes=random_planes(dim, nbits)``
+    for true hyperplane buckets (better recall on correlated-coordinate
+    embeddings)."""
     qid = query_id_col or id_col
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), sign_bucket_col(F.col(vec_col), nbits).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket_col(F.col(vec_col), nbits, planes).alias("bucket"),
     )
     q = query.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        sign_bucket_col(F.col(vec_col), nbits).alias("bucket"),
+        sign_bucket_col(F.col(vec_col), nbits, planes).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), on="bucket").select(
         "query_id",
@@ -133,13 +174,15 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     nbits: int = 6,
     threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH blocking: pairs
-    sharing a bucket with cosine ≥ threshold."""
+    sharing a bucket with cosine ≥ threshold. ``planes`` switches the
+    blocks to true random-hyperplane buckets."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        sign_bucket_col(F.col(vec_col), nbits).alias("bucket"),
+        sign_bucket_col(F.col(vec_col), nbits, planes).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -164,19 +207,60 @@ def ivf_centroids(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
-    """Deterministic coarse quantizer: the ``nlist`` corpus vectors with
-    the smallest md5(id) become centroids — a reproducible pseudo-random
-    sample (TakeOrdered, no global sort). Swap for k-means|| (MLlib) when
-    recall matters more than cross-engine reproducibility; the index
-    structure below is identical either way."""
-    return (
+    """Coarse quantizer for the IVF index.
+
+    Base: the ``nlist`` corpus vectors with the smallest md5(id) — a
+    reproducible pseudo-random sample (TakeOrdered, no global sort),
+    cross-engine checkable. ``kmeans_iterations > 0`` runs that sample
+    through Lloyd refinement (:func:`kmeans_refine`) for real k-means
+    centroids — better-balanced clusters and recall on clustered
+    embeddings, at 2 shuffles per iteration; double-mean results are
+    engine-specific, so refined centroids are exercised by tests rather
+    than the SQL oracle."""
+    sample = (
         corpus.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid")
         )
         .orderBy(F.md5(F.col("centroid_id").cast("string")).asc(), F.col("centroid_id").asc())
         .limit(nlist)
     )
+    if kmeans_iterations > 0:
+        return kmeans_refine(corpus, sample, kmeans_iterations, id_col, vec_col)
+    return sample
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations over DataFrame ops: assign (corpus × broadcast
+    centroids, max cosine) → new centroid = element-wise mean of the
+    cluster (posexplode → per-(cluster, pos) avg → re-assemble). Each
+    iteration is one broadcast join + two hash aggregations; clusters that
+    lose all members drop out (standard Lloyd behavior). The driver loop
+    only stitches plans — no data ever reaches the driver."""
+    cents = centroids
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cluster").alias("centroid_id"),
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("centroid"),
+            )
+        )
+    return cents
 
 
 def ivf_assign(
@@ -212,16 +296,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` clusters whose
     centroids are nearest each query — per query ~nprobe/nlist of the
     corpus is scored. At 100 TB the assignment is computed once and
     persisted partitioned BY cluster, so a probe is a partition-pruned
-    scan, not a shuffle."""
+    scan, not a shuffle. ``kmeans_iterations`` upgrades the sampled
+    centroids to Lloyd-refined ones."""
     from pyspark.sql import Window as W
 
     qid = query_id_col or id_col
-    cents = ivf_centroids(corpus, nlist, id_col, vec_col)
+    cents = ivf_centroids(corpus, nlist, id_col, vec_col, kmeans_iterations)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     q = query.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"))

@@ -331,3 +331,61 @@ def test_dedup_clusters_connected_components(spark):
     )
     out = {r["doc_id"]: r["component_id"] for r in dedup_clusters(docs, pairs).collect()}
     assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_random_planes_deterministic_and_bounded():
+    from databricks_demo_feature_store_spark.textops.similarity import random_planes
+
+    a = random_planes(8, 4)
+    assert a == random_planes(8, 4)
+    assert a != random_planes(8, 4, seed=7)
+    assert len(a) == 4 and all(len(p) == 8 for p in a)
+    assert all(-1.0 <= c <= 1.0 for p in a for c in p)
+
+
+def test_hyperplane_buckets_ignore_coordinate_order(spark):
+    """The degenerate coordinate-sign bucket collapses when every vector's
+    first coordinates share a sign; hyperplane buckets still split."""
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        random_planes,
+        sign_bucket_col,
+    )
+
+    # all-positive leading coordinates -> one coordinate-sign bucket
+    rows = [(i, [1.0, 1.0, float(i % 5) - 2.0, float((i * 7) % 11) - 5.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    coord = df.select(sign_bucket_col(F.col("embedding"), 2).alias("b")).distinct().count()
+    planes = random_planes(4, 4)
+    hyper = df.select(
+        sign_bucket_col(F.col("embedding"), 4, planes).alias("b")
+    ).distinct().count()
+    assert coord == 1
+    assert hyper > 1
+
+
+def test_kmeans_refine_converges_and_ivf_works(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    refined = ivf_centroids(emb, nlist=8, kmeans_iterations=2)
+    rows = refined.collect()
+    assert 1 <= len(rows) <= 8
+    assert all(len(r["centroid"]) == 64 for r in rows)
+
+    # refined centroids must partition the corpus completely
+    assigned = ivf_assign(emb, refined)
+    assert assigned.count() == emb.count()
+
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 2), k=3, nlist=8, nprobe=8,
+                   kmeans_iterations=1)
+    per_q = {r["query_id"]: r for r in out.where(F.col("rank") == 1).collect()}
+    # with all clusters probed, each query's own vector ranks first
+    assert all(qid == r["vec_id"] for qid, r in per_q.items())
