@@ -807,3 +807,90 @@ def q_ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(d, num_hashes=16, bands=4, threshold=0.7)
     return dedup_clusters(d, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval: BM25 / TF-IDF (textops/search.py)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.textops.search import (  # noqa: E402
+    bm25_topk,
+    tfidf_top_terms,
+)
+
+_BM25_TERMS = ["join", "vector", "streaming"]
+
+
+@register(
+    "q_ext_bm25_topk",
+    oracle=f"""
+    WITH {_O_TOKS},
+    lens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM lens),
+    postings AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (
+        SELECT t.doc_id, l.dl, unnest(t.toks) AS term
+        FROM toks t JOIN lens l ON l.doc_id = t.doc_id
+      )
+      WHERE term IN ('join', 'vector', 'streaming')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+    parts AS (
+      SELECT p.doc_id,
+             CAST(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+             AS DECIMAL(25,10)) AS part
+      FROM postings p JOIN dfreq d ON p.term = d.term CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, {oracle_dround('CAST(SUM(part) AS DOUBLE)', 6)} AS score
+      FROM parts GROUP BY 1
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM agg
+    ) WHERE rank <= 10
+    """,
+)
+def q_ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term query over the documents corpus: inverted
+    index pruned to the query terms BEFORE the shuffle, corpus stats and
+    idf broadcast, DECIMAL-routed per-doc score sum (order-independent
+    hash parity with the oracle)."""
+    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register(
+    "q_ext_tfidf_terms",
+    oracle=f"""
+    WITH {_O_TOKS},
+    lens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (
+        SELECT t.doc_id, l.dl, unnest(t.toks) AS term
+        FROM toks t JOIN lens l ON l.doc_id = t.doc_id
+      )
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             {oracle_dround('(CAST(tf.tf AS DOUBLE) / tf.dl) * ln(CAST(n.n_docs AS DOUBLE) / d.df)', 6)} AS tfidf
+      FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, term_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+      FROM scored
+    ) WHERE term_rank <= 3
+    """,
+)
+def q_ext_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (document topic fingerprints):
+    one inverted-index shuffle, broadcast idf, per-doc window."""
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), top_n=3)

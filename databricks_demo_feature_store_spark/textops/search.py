@@ -1,0 +1,156 @@
+"""Ranked keyword retrieval over the document corpus: TF-IDF term
+weights and BM25 top-k — the lexical-search tier a training-data pipeline
+uses for targeted corpus slicing (topic mining, contamination checks,
+eval-set retrieval) next to the embedding ANN tier in
+:mod:`~databricks_demo_feature_store_spark.textops.similarity`.
+
+Net-new vs the reference (no text-search surface there). Spark-first
+shape, built for inverted-index scale:
+
+- tokenize → explode → per-(doc, term) counts is the standard inverted
+  index build: ONE shuffle on the term key.
+- the query-term filter lands BEFORE the aggregation, so scoring a
+  handful of terms only ever shuffles postings for those terms — at
+  100 TB the exploded token stream is pruned at the map side, not
+  after the index materializes.
+- corpus stats (N, avgdl) are a 1-row aggregate broadcast into the
+  scoring join; document lengths ride along the postings, so scoring is
+  postings ⋈ broadcast(idf) ⋈ broadcast(stats) — no shuffle wider than
+  the per-term posting lists, then a per-doc SUM on the doc key.
+
+Determinism (oracle hash-parity): every per-(doc, term) BM25 component
+is computed in IEEE double (identical in both engines for identical
+inputs), but the SUM across a document's matched terms is routed through
+DECIMAL(25, 10) so accumulation order can't change the hash; the final
+score is ``dround(…, 6)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from databricks_demo_feature_store_spark.functions.rounding import dround
+from databricks_demo_feature_store_spark.textops.analysis import tokens_col
+
+
+def term_postings(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, term) → tf postings for the given terms, plus the document
+    length. The ``isin(terms)`` filter sits under the aggregation, so only
+    matching tokens shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+    ).select("doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    return (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _doc_lengths(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens_col(F.col(text_col))).alias("dl")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25
+    (Robertson/Spärck Jones; the ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    idf variant that stays positive for common terms).
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))
+
+    Ties break on ascending doc id. Returns (doc_id, score, rank).
+    """
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    lengths = _doc_lengths(df, text_col, id_col)
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = term_postings(df, terms, text_col, id_col)
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        postings.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(25,10)").alias("__part"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        dround(F.sum("__part").cast("double"), 6).alias("score")
+    )
+    # TakeOrdered first (distributed per-partition top-k + merge), THEN the
+    # rank window over the k survivors — never a single-partition sort of
+    # every matched document
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-N characteristic terms by smoothed TF-IDF
+    (``tf/dl · ln(N/df)``) — document keywording / topic fingerprints for
+    corpus slicing. One inverted-index shuffle + one per-doc window; the
+    idf table is a broadcast."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+    ).select("doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= min_df)
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            dround(
+                (F.col("tf").cast("double") / F.col("dl"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select("doc_id", "term", "tfidf", "term_rank")
+    )

@@ -389,3 +389,45 @@ def test_kmeans_refine_converges_and_ivf_works(spark):
     per_q = {r["query_id"]: r for r in out.where(F.col("rank") == 1).collect()}
     # with all clusters probed, each query's own vector ranks first
     assert all(qid == r["vec_id"] for qid, r in per_q.items())
+
+
+def test_bm25_semantics_small(spark):
+    import math
+
+    from databricks_demo_feature_store_spark.textops.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark flink"),
+            (2, "spark flink flink flink"),
+            (3, "duck duck duck goose"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["score"], r["rank"]) for r in bm25_topk(docs, ["spark"], k=3).collect()}
+    # only docs containing the term appear; higher tf ranks first
+    assert set(out) == {1, 2}
+    assert out[1][1] == 1 and out[2][1] == 2
+    # closed-form check: N=3, df=2, dl=4, avgdl=4
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    s1 = idf * 3 / (3 + 1.2 * (0.25 + 0.75 * 1.0))
+    assert abs(out[1][0] - round(s1, 6)) < 1e-6
+
+
+def test_tfidf_top_terms_pick_distinctive_word(spark):
+    from databricks_demo_feature_store_spark.textops.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common unicorn"),
+            (2, "common common dragon"),
+            (3, "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(docs, top_n=1).collect()
+    }
+    assert top[1] == "unicorn" and top[2] == "dragon"
+    assert top[3] == "common"  # only word present, idf 0 but still ranked
