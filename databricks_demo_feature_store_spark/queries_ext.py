@@ -894,3 +894,103 @@ def q_ext_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords (document topic fingerprints):
     one inverted-index shuffle, broadcast idf, per-doc window."""
     return tfidf_top_terms(load(spark, sf_dir, "documents"), top_n=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination + composed keep/drop (textops/curation.py)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.textops.curation import (  # noqa: E402
+    curate_corpus,
+    ngram_contamination,
+)
+
+#: deterministic stand-in benchmark: every 25th document is "eval"
+_EVAL_PRED = "doc_id % 25 = 0"
+
+
+@register(
+    "q_ext_contamination",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE {_EVAL_PRED}),
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    shared AS (SELECT DISTINCT c.doc_id, c.s FROM corpus c JOIN ev ON c.s = ev.s)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM shared GROUP BY 1
+    """,
+)
+def q_ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    3-grams shared with the eval subset. The eval shingle set broadcasts,
+    so the corpus is never shuffled; the oracle joins shingle STRINGS
+    while Spark joins their 60-bit hashes (collision odds 2^-60)."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_contamination(d, d.where(F.expr(_EVAL_PRED)), k=3)
+
+
+def _curation_oracle() -> str:
+    markers = ", ".join(repr(m) for m in LANG_MARKERS["en"])
+    punct = oracle_dround(
+        "CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)"
+        " / length(regexp_replace(text, '\\s+', '', 'g'))", 6)
+    stop = oracle_dround(
+        f"CAST(len(list_filter(toks, t -> t IN ({markers}))) AS DOUBLE) / len(toks)", 6)
+    score = {
+        lang: f"len(list_intersect(toks, [{', '.join(repr(m) for m in ms)}]))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    case_langs = " ".join(
+        f"WHEN {score[lang]} = best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    quality = oracle_dround(
+        "0.4 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0)"
+        " + 0.3 * greatest(0.0, 1.0 - COALESCE(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0"
+        f" THEN {punct} END, 0.0) * 4.0)"
+        f" + 0.3 * least(COALESCE(CASE WHEN len(toks) > 0 THEN {stop} END, 0.0) * 5.0, 1.0)", 6)
+    return f"""
+    WITH {_O_TOKS},
+    {_O_SHINGLES.strip().lstrip()},
+    sig AS (
+      SELECT doc_id, toks, text, {best} AS best,
+             {quality} AS q,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM toks
+    ),
+    langed AS (
+      SELECT doc_id, q, fp,
+             CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                  WHEN best <= 0 THEN 'und'
+                  {case_langs}
+             END AS lang_pred
+      FROM sig
+    ),
+    reps AS (SELECT fp, MIN(doc_id) AS rep FROM sig GROUP BY 1),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE {_EVAL_PRED}),
+    cont AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh) c JOIN ev ON c.s = ev.s
+    )
+    SELECT l.doc_id,
+           l.lang_pred IN ('en') AS lang_ok,
+           l.q >= 0.5 AS quality_ok,
+           l.doc_id = r.rep AS dedup_keep,
+           c.doc_id IS NULL AS not_contaminated,
+           (l.lang_pred IN ('en') AND l.q >= 0.5 AND l.doc_id = r.rep
+            AND c.doc_id IS NULL) AS kept
+    FROM langed l
+    JOIN reps r ON l.fp = r.fp
+    LEFT JOIN cont c ON l.doc_id = c.doc_id
+    """
+
+
+@register("q_ext_curate_corpus", oracle=_curation_oracle())
+def q_ext_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation verdict — language + quality + exact-dup
+    representative + decontamination flags ANDed into ``kept``, one
+    auditable row per document. Two shuffles (fingerprint agg +
+    contamination count); everything else is codegen'd column algebra
+    with broadcast joins."""
+    d = load(spark, sf_dir, "documents")
+    return curate_corpus(d, d.where(F.expr(_EVAL_PRED)), quality_threshold=0.5)

@@ -1,0 +1,130 @@
+"""Corpus curation: benchmark decontamination + the composed
+keep/drop decision — the last mile of a training-data pipeline, stacking
+the per-document signals (language, quality, exact-dup role,
+contamination) into one audited verdict per document.
+
+Net-new vs the reference (its domain is feature engineering; these are
+the corpus-cleaning twins of its validation gates). Both operators are
+pure column algebra + equi-joins:
+
+- :func:`ngram_contamination` — documents sharing ≥ ``min_overlap``
+  word-k-gram(s) with a benchmark/eval set (the standard train-set
+  decontamination test). Candidate generation is a semi-join on the
+  60-bit shingle hash: the eval side is tiny relative to the corpus, so
+  Spark broadcasts it and no corpus shuffle happens at all. At 100 TB
+  with a large eval suite the same shape holds with the eval shingle set
+  pre-aggregated; a broadcast Bloom filter over eval hashes is the
+  constant-memory variant (same contract, probabilistic "maybe
+  contaminated" needing the exact join only for hits).
+- :func:`curate_corpus` — one row per document with every filter flag
+  and the final ``kept`` verdict. Flags instead of silent dropping:
+  curation decisions must be auditable (why did this doc fall out?) and
+  re-weightable without recomputing the signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from databricks_demo_feature_store_spark.textops.analysis import (
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+)
+from databricks_demo_feature_store_spark.textops.dedup import with_shingle_hashes
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document count of distinct word-``k``-grams shared with the
+    eval set, for documents sharing at least ``min_overlap``.
+
+    Returns (doc_id, n_shared_ngrams). Documents with zero overlap are
+    absent (semi-join semantics); callers wanting flags left-join this
+    back (see :func:`curate_corpus`).
+    """
+    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate adds a
+    # size(arr) > 0 filter under a plain explode and pushes it below the
+    # staged projections, re-inlining the whole shingle+md5 pipeline into a
+    # second per-row evaluation (measured 4x). The outer variant infers no
+    # filter; the null rows from empty docs drop in a cheap post-filter on
+    # the generated attribute.
+    corpus = (
+        with_shingle_hashes(docs, text_col, k, "__hs")
+        .select(F.col(id_col).alias("doc_id"), F.explode_outer("__hs").alias("h"))
+        .where(F.col("h").isNotNull())
+    )
+    eval_hashes = (
+        with_shingle_hashes(eval_docs, text_col, k, "__hs")
+        .select(F.explode_outer("__hs").alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    shared = corpus.join(F.broadcast(eval_hashes), on="h").select("doc_id", "h").distinct()
+    return (
+        shared.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") >= min_overlap)
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    languages: tuple[str, ...] = ("en",),
+    quality_threshold: float = 0.5,
+    contamination_k: int = 3,
+    contamination_min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed curation verdict: one row per document with
+
+    - ``lang_ok`` — marker language ID lands in ``languages``
+    - ``quality_ok`` — composite quality score ≥ threshold
+    - ``dedup_keep`` — document is its exact-dup group's representative
+      (min doc id per fingerprint); duplicates lose
+    - ``not_contaminated`` — no ``contamination_k``-gram overlap with the
+      eval set (vacuously true when ``eval_docs`` is None)
+    - ``kept`` — AND of the four
+
+    Two shuffles total (fingerprint groupBy + the contamination count);
+    language/quality are codegen'd column algebra, the dedup winner rides
+    a single aggregation joined back on the fingerprint, and the eval
+    side broadcasts.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lang_id_col(t).alias("__lang"),
+        quality_score_col(t).alias("__q"),
+        fingerprint_col(t).alias("__fp"),
+    )
+    reps = base.groupBy("__fp").agg(F.min("doc_id").alias("__rep"))
+    flagged = base.join(reps, on="__fp")
+
+    if eval_docs is not None:
+        contaminated = ngram_contamination(
+            docs, eval_docs, contamination_k, contamination_min_overlap, text_col, id_col
+        ).withColumn("__dirty", F.lit(True))
+        flagged = flagged.join(contaminated.select("doc_id", "__dirty"), on="doc_id", how="left")
+    else:
+        flagged = flagged.withColumn("__dirty", F.lit(None).cast("boolean"))
+
+    out = flagged.select(
+        "doc_id",
+        F.col("__lang").isin(list(languages)).alias("lang_ok"),
+        (F.col("__q") >= quality_threshold).alias("quality_ok"),
+        (F.col("doc_id") == F.col("__rep")).alias("dedup_keep"),
+        F.coalesce(~F.col("__dirty"), F.lit(True)).alias("not_contaminated"),
+    )
+    return out.withColumn(
+        "kept",
+        F.col("lang_ok") & F.col("quality_ok") & F.col("dedup_keep") & F.col("not_contaminated"),
+    )

@@ -44,9 +44,13 @@ def term_postings(
     """(doc, term) → tf postings for the given terms, plus the document
     length. The ``isin(terms)`` filter sits under the aggregation, so only
     matching tokens shuffle."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
-    ).select("doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    # explode_outer + null-filter instead of explode: avoids the inferred
+    # size(arr) > 0 filter that re-tokenizes every row (see curation.py)
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.size("__toks").alias("dl"), F.explode_outer("__toks").alias("term"))
+        .where(F.col("term").isNotNull())
+    )
     return (
         toks.where(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "dl", "term")
@@ -129,9 +133,11 @@ def tfidf_top_terms(
     (``tf/dl · ln(N/df)``) — document keywording / topic fingerprints for
     corpus slicing. One inverted-index shuffle + one per-doc window; the
     idf table is a broadcast."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
-    ).select("doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.size("__toks").alias("dl"), F.explode_outer("__toks").alias("term"))
+        .where(F.col("term").isNotNull())
+    )
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= min_df)
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))

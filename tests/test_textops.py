@@ -431,3 +431,36 @@ def test_tfidf_top_terms_pick_distinctive_word(spark):
     }
     assert top[1] == "unicorn" and top[2] == "dragon"
     assert top[3] == "common"  # only word present, idf 0 but still ranked
+
+
+def test_curation_flags_and_contamination(spark):
+    from databricks_demo_feature_store_spark.textops.curation import (
+        curate_corpus,
+        ngram_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and keeps running far away " * 10),
+            (2, "the quick brown fox jumps over the lazy dog and keeps running far away " * 10),
+            (3, "zz xq jj"),  # und language, low quality
+            (4, "the benchmark answer is forty two exactly as the test and the evaluation expect it to be " * 8),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_docs = spark.createDataFrame(
+        [(99, "the benchmark answer is forty two")], ["doc_id", "text"]
+    )
+    cont = {r["doc_id"]: r["n_shared_ngrams"] for r in ngram_contamination(docs, eval_docs).collect()}
+    assert 4 in cont and cont[4] >= 3
+    assert 3 not in cont
+
+    out = {r["doc_id"]: r.asDict() for r in curate_corpus(docs, eval_docs).collect()}
+    assert len(out) == 4
+    assert out[1]["kept"] and out[1]["dedup_keep"]
+    assert not out[2]["kept"] and not out[2]["dedup_keep"]  # exact dup of 1
+    assert not out[3]["lang_ok"] or not out[3]["quality_ok"]
+    assert not out[4]["not_contaminated"] and not out[4]["kept"]
+    # no eval set: contamination flag vacuously true
+    out2 = {r["doc_id"]: r.asDict() for r in curate_corpus(docs, None).collect()}
+    assert out2[4]["not_contaminated"]
