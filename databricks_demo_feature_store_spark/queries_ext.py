@@ -994,3 +994,50 @@ def q_ext_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     with broadcast joins."""
     d = load(spark, sf_dir, "documents")
     return curate_corpus(d, d.where(F.expr(_EVAL_PRED)), quality_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash local sketches, textops/dedup.py)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.textops.dedup import (  # noqa: E402
+    winnowing_fingerprints,
+)
+
+
+def _winnow_oracle(k: int = 8, w: int = 4) -> str:
+    gram_hash = _o_hash(f"substr(norm, CAST(i AS INT), {k})", 0)
+    return f"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) >= {k}
+                  THEN list_transform(range(1, length(norm) - {k} + 2),
+                                      i -> {gram_hash})
+                  ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM n
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {w}
+                  THEN list_distinct(list_transform(range(1, len(hs) - {w} + 2),
+                                                    i -> list_min(hs[CAST(i AS INT):CAST(i + {w} - 1 AS INT)])))
+                  WHEN len(hs) > 0 THEN [list_min(hs)]
+                  ELSE CAST([] AS BIGINT[]) END AS sk
+      FROM h
+    )
+    SELECT doc_id, unnest(sk) AS fingerprint FROM m
+    """
+
+
+@register("q_ext_winnowing", oracle=_winnow_oracle())
+def q_ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash sketches: char-8-gram hashes →
+    sliding-window-of-4 minima → distinct survivors, one (doc_id,
+    fingerprint) row each. Detects partial overlap (any shared substring
+    of length ≥ 11 yields an identical fingerprint in both docs) that
+    whole-document fingerprints miss."""
+    return winnowing_fingerprints(load(spark, sf_dir, "documents"), k=8, window=4)

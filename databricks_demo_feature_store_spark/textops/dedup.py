@@ -137,6 +137,68 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document sketches (Schleimer/Wilkerson/Aiken, MOSS): the
+    rolling-hash local fingerprinting scheme — hash every character
+    k-gram, keep the minimum of each sliding window of ``window`` hashes,
+    distinct the survivors.
+
+    Guarantee: any shared substring of length ≥ ``k + window − 1``
+    contributes at least one IDENTICAL fingerprint to both documents, so
+    sketch intersection detects partial overlap (plagiarism / quote /
+    boilerplate reuse) that whole-document fingerprints miss, with sketch
+    size ~2/(window+1) of the k-gram count.
+
+    Pure column algebra: normalized text → k-gram hash array → window
+    minima → distinct, all staged (each array materializes once per row),
+    then ONE explode (outer + null-filter — a plain explode would let
+    Catalyst re-inline the hash pipeline into an inferred size() filter).
+    Output: one (doc_id, fingerprint) row per distinct surviving hash.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    hashed = (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("__norm"))
+        .select("doc_id", "__norm", F.length("__norm").alias("__len"))
+        .select(
+            "doc_id",
+            "__len",
+            F.when(
+                F.col("__len") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__len") - k + 1),
+                    lambda i: portable_hash_col(F.col("__norm").substr(i, F.lit(k)), 0),
+                ),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("__hs"),
+        )
+    )
+    mins = hashed.select(
+        "doc_id",
+        F.when(
+            F.size("__hs") >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__hs") - window + 1),
+                    lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
+                )
+            ),
+        )
+        .otherwise(F.array_distinct(F.when(F.size("__hs") > 0, F.array(F.array_min("__hs"))).otherwise(F.array().cast("array<bigint>"))))
+        .alias("__sketch"),
+    )
+    return (
+        mins.select("doc_id", F.explode_outer("__sketch").alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (inverted-index join, exact similarity)
 # ---------------------------------------------------------------------------

@@ -464,3 +464,29 @@ def test_curation_flags_and_contamination(spark):
     # no eval set: contamination flag vacuously true
     out2 = {r["doc_id"]: r.asDict() for r in curate_corpus(docs, None).collect()}
     assert out2[4]["not_contaminated"]
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    from databricks_demo_feature_store_spark.textops.dedup import winnowing_fingerprints
+
+    shared = "the stolen paragraph appears verbatim in both documents"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text alpha beta. {shared}. closing remarks one."),
+            (2, f"completely different opening here. {shared}. and another ending."),
+            (3, "no overlap with anything else at all in this one honestly."),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(docs, k=8, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # winnowing guarantee: a shared substring of length >= k + window - 1
+    # yields at least one identical fingerprint in both docs
+    assert by_doc[1] & by_doc[2]
+    # and the unrelated doc shares (essentially) nothing
+    assert len(by_doc[1] & by_doc[3]) == 0
+    # sketches are much smaller than the k-gram count
+    n_grams = len(f"intro text alpha beta. {shared}. closing remarks one.") - 8 + 1
+    assert len(by_doc[1]) < n_grams
