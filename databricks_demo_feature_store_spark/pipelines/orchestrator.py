@@ -107,6 +107,9 @@ def default_orchestrator() -> Orchestrator:
     from databricks_demo_feature_store_spark.pipelines.demographic_features import (
         customer_demographic_features,
     )
+    from databricks_demo_feature_store_spark.pipelines.payment_behavior_features import (
+        payment_behavior_features,
+    )
     from databricks_demo_feature_store_spark.pipelines.product_holdings_features import (
         product_holdings_features,
     )
@@ -128,6 +131,12 @@ def default_orchestrator() -> Orchestrator:
             PipelineJob(
                 "fs_cus_transactions",
                 customer_transaction_features,
+                depends_on=("fs_cus_holding_products",),
+            ),
+            # reference DAG: holding_products -> {payment, transactions}
+            PipelineJob(
+                "fs_cus_payment_behavior",
+                payment_behavior_features,
                 depends_on=("fs_cus_holding_products",),
             ),
         ]

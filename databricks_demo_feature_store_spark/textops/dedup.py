@@ -570,21 +570,35 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    algorithm: str = "label-prop",
 ) -> DataFrame:
     """Connected components over near-dup pairs: every doc gets a
     ``component_id`` = the MIN doc id reachable through the pair graph
     (docs with no pairs are their own component) — the keep-one-per-
     cluster step that turns pairwise near-dup output into dedup groups.
 
-    Iterative min-label propagation (the standard large-graph CC
-    algorithm, cf. GraphFrames/Pregel): each round every node takes the
-    min of its label and its neighbors' labels, converging in
-    O(component diameter) rounds — near-dup clusters are shallow, so a
-    handful of rounds closes 100 TB-scale graphs. Each round is one
-    join + one groupBy (both hash-partitioned on the node id); the
-    driver only checks a one-row convergence flag per round, and
-    ``localCheckpoint`` truncates lineage so plans stay constant-size.
+    ``algorithm="label-prop"`` (default): iterative min-label propagation
+    (the standard large-graph CC algorithm, cf. GraphFrames/Pregel): each
+    round every node takes the min of its label and its neighbors'
+    labels, converging in O(component diameter) rounds — near-dup
+    clusters are shallow, so a handful of rounds closes 100 TB-scale
+    graphs. Each round is one join + one groupBy (both hash-partitioned
+    on the node id); the driver only checks a one-row convergence flag
+    per round, and ``localCheckpoint`` truncates lineage so plans stay
+    constant-size. Raises if the round budget is exhausted while labels
+    are still changing (silent unconverged output would be wrong data).
+
+    ``algorithm="two-phase"``: alternating large-star/small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14), converging in O(log n) rounds regardless of component
+    diameter — the variant for graphs with long chains (e.g. temporal
+    drift chains of near-identical documents) where label-prop's
+    diameter bound bites.
     """
+    if algorithm == "two-phase":
+        return _two_phase_cc(df, pairs, id_col, max_iterations)
+    if algorithm != "label-prop":
+        raise ValueError(f"unknown CC algorithm {algorithm!r}")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -592,6 +606,7 @@ def dedup_clusters(
 
     labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         msgs = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -609,7 +624,91 @@ def dedup_clusters(
         changed = new_labels.where("__changed").limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters(label-prop) did not converge in {max_iterations} "
+            "rounds — the pair graph has components deeper than the budget; "
+            "raise max_iterations or use algorithm='two-phase' (O(log n) rounds)"
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component_id")
+    )
+
+
+def _two_phase_cc(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al. SoCC'14).
+
+    Edges are kept canonical (``src > dst``). Per round:
+
+    - **large-star**: every node connects its strictly-larger neighbors
+      to the minimum of its closed neighborhood — long chains contract
+      toward small ids from every node at once;
+    - **small-star**: every node connects its smaller-or-equal neighbors
+      (and itself) to their minimum — flattens the partial trees into
+      stars.
+
+    Fixed point: a star forest whose roots are the component minima
+    (edges = (member, min_id)); reached in O(log n) rounds. Each half-
+    round is one groupBy + one join on the node id; the convergence probe
+    is an exceptAll-limit-1 (first differing edge short-circuits).
+    """
+    E = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("src"), F.least("id_a", "id_b").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = E.isEmpty()
+    for _ in range(max_iterations):
+        if converged:
+            break
+        sym = E.unionAll(E.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        neigh_min = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = neigh_min.select("src", F.least("mn", F.col("src")).alias("m"))
+        large = (
+            sym.join(m, on="src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the (already src > dst) large-star output
+        ms = large.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            large.join(ms, on="src")
+            .select(
+                F.when(F.col("dst") == F.col("m"), F.col("src"))
+                .otherwise(F.col("dst"))
+                .alias("src"),
+                F.col("m").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            small.exceptAll(E).limit(1).isEmpty() and E.exceptAll(small).limit(1).isEmpty()
+        )
+        E = small
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters(two-phase) did not converge in {max_iterations} rounds"
+        )
+    roots = E.select(F.col("src").alias("node"), F.col("dst").alias("component_id"))
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(roots, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component_id", "node").alias("component_id"),
+        )
     )

@@ -125,7 +125,8 @@ def test_orchestrator_dag(spark):
     order = default_orchestrator().order()
     assert order.index("fs_cus_demographic") < order.index("fs_supplier_risk")
     assert order.index("fs_cus_holding_products") < order.index("fs_cus_transactions")
-    assert len(order) == 4
+    assert order.index("fs_cus_holding_products") < order.index("fs_cus_payment_behavior")
+    assert len(order) == 5
 
 
 def test_supplier_risk_pipeline(spark):

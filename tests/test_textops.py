@@ -490,3 +490,35 @@ def test_winnowing_detects_partial_overlap(spark):
     # sketches are much smaller than the k-gram count
     n_grams = len(f"intro text alpha beta. {shared}. closing remarks one.") - 8 + 1
     assert len(by_doc[1]) < n_grams
+
+
+def test_two_phase_cc_matches_label_prop(spark):
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_dedup_pairs(d, num_hashes=16, bands=4, threshold=0.7)
+    a = sorted(dedup_clusters(d, pairs).collect())
+    b = sorted(dedup_clusters(d, pairs, algorithm="two-phase").collect())
+    assert a == b
+
+
+def test_two_phase_cc_closes_deep_chains(spark):
+    import pytest
+
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    n = 200  # path graph: diameter 199
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    # label-prop's diameter bound bites: budget exhausted -> loud failure
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, max_iterations=10)
+    # two-phase closes the same chain in O(log n) rounds
+    out = dedup_clusters(docs, pairs, max_iterations=10, algorithm="two-phase")
+    labels = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert set(labels.values()) == {0} and len(labels) == n
