@@ -1041,3 +1041,47 @@ def q_ext_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     of length ≥ 11 yields an identical fingerprint in both docs) that
     whole-document fingerprints miss."""
     return winnowing_fingerprints(load(spark, sf_dir, "documents"), k=8, window=4)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling (textops/sampling.py)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.textops.sampling import (  # noqa: E402
+    token_budget_mixture,
+)
+
+_MIX_BUDGETS = {"src1": 4000, "src3": 2500, "src5": 1000}
+
+
+@register(
+    "q_ext_token_mixture",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS bucket,
+             CASE source WHEN 'src1' THEN 4000 WHEN 'src3' THEN 2500
+                         WHEN 'src5' THEN 1000 END AS budget
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_chars, budget,
+             CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY bucket ASC, doc_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_chars AS BIGINT) AS cum_before
+      FROM b WHERE budget IS NOT NULL
+    )
+    SELECT doc_id, source, n_chars FROM c WHERE cum_before < budget
+    """,
+)
+def q_ext_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: per-source char budgets filled in
+    deterministic hash order (the "mix N tokens of source A with M of
+    source B" recipe). One sort exchange on the stratum key; overshoot
+    bounded by one document per stratum; unlisted sources dropped."""
+    d = load(spark, sf_dir, "documents")
+    return token_budget_mixture(
+        d, strata_col="source", token_col="n_chars", key_col="doc_id",
+        budgets=_MIX_BUDGETS,
+    ).select("doc_id", "source", "n_chars")

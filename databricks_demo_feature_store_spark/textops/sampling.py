@@ -84,3 +84,46 @@ def token_budget_shards(
         shard_col,
         F.floor((F.col("cum_tokens") - F.col(token_col)) / F.lit(budget)).cast("int"),
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    key_col: str,
+    budgets: Mapping[str, int],
+    seed: int | str = 0,
+) -> DataFrame:
+    """Data-mixture sampling: keep documents per stratum (source, domain,
+    language, …) until that stratum's TOKEN budget is filled — the
+    standard "mix N billion tokens of web with M billion of code" recipe,
+    as a deterministic operator.
+
+    Docs are ordered inside each stratum by their sample-bucket hash (a
+    deterministic shuffle — no rand(), so reruns and other engines pick
+    the same docs) and kept while the running token total BEFORE the doc
+    is under the stratum's budget — so budgets can overshoot by at most
+    one document, never undershoot while eligible docs remain (same
+    boundary rule as :func:`token_budget_shards`). Unlisted strata are
+    dropped.
+
+    One window (single sort exchange on the stratum key); strata are the
+    window partitions, so the 100 TB failure mode is a single giant
+    stratum — pre-split such strata on a salted sub-key and give each
+    split ``budget / n_splits``.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(sample_bucket_col(F.col(key_col).cast("string"), seed), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(None).cast("long")
+    for stratum, b in budgets.items():
+        budget = F.when(F.col(strata_col) == stratum, F.lit(int(b))).otherwise(budget)
+    cum_before = F.sum(token_col).over(w) - F.col(token_col)
+    return (
+        df.withColumn("__budget", budget)
+        .withColumn("__cum_before", cum_before)
+        .where(F.col("__budget").isNotNull() & (F.col("__cum_before") < F.col("__budget")))
+        .drop("__budget", "__cum_before")
+    )

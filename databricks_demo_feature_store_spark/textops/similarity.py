@@ -127,6 +127,28 @@ def sign_bucket_col(
     )
 
 
+def multiprobe_buckets(bucket: Column, nbits: int, probes: int) -> Column:
+    """The query's bucket plus every bucket within Hamming distance
+    ``probes`` of it (probes ∈ {0, 1} supported — distance-1 already
+    multiplies candidate buckets by nbits+1, the standard recall knob).
+
+    Multi-probe LSH (Lv et al., VLDB'07): instead of adding independent
+    hash tables to recover near-misses, probe the neighboring buckets of
+    the one table — same recall lift, none of the index duplication."""
+    if probes not in (0, 1):
+        raise ValueError("multiprobe_buckets supports probes in {0, 1}")
+    variants = [bucket]
+    if probes == 1:
+        for i in range(nbits):
+            flipped = F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            )
+            variants.append(
+                F.concat(F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, nbits - i - 1))
+            )
+    return F.array(*variants)
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -136,12 +158,16 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     planes: list[list[float]] | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's sign
     bucket. Equi-join on the bucket key replaces the cross join — the scan
     per query drops by ~2^nbits. Pass ``planes=random_planes(dim, nbits)``
     for true hyperplane buckets (better recall on correlated-coordinate
-    embeddings)."""
+    embeddings); ``probes=1`` additionally searches every bucket one bit
+    flip away (multi-probe: ~(nbits+1)× candidates for the recall of
+    nbits+1 independent tables, still a pure equi-join — the query side
+    explodes, the corpus never does)."""
     qid = query_id_col or id_col
     c = corpus.select(
         F.col(id_col),
@@ -151,8 +177,15 @@ def lsh_topk(
     q = query.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        sign_bucket_col(F.col(vec_col), nbits, planes).alias("bucket"),
+        sign_bucket_col(F.col(vec_col), nbits, planes).alias("__qbucket"),
+    ).select(
+        "query_id",
+        "__qvec",
+        F.explode(multiprobe_buckets(F.col("__qbucket"), nbits, probes)).alias("bucket"),
     )
+    # no dedup needed: each corpus vector lives in exactly one bucket and
+    # the probe buckets are pairwise-distinct strings, so a (query, corpus)
+    # pair can meet at most once
     scored = c.join(F.broadcast(q), on="bucket").select(
         "query_id",
         id_col,

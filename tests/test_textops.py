@@ -522,3 +522,57 @@ def test_two_phase_cc_closes_deep_chains(spark):
     out = dedup_clusters(docs, pairs, max_iterations=10, algorithm="two-phase")
     labels = {r["doc_id"]: r["component_id"] for r in out.collect()}
     assert set(labels.values()) == {0} and len(labels) == n
+
+
+def test_multiprobe_lsh_recall_not_worse(spark):
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        random_planes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    planes = random_planes(64, 8)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_topk(emb, q, k=5, nbits=8, planes=planes, probes=probes).collect()
+        }
+        return len(got & exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0  # probing neighbor buckets can only add candidates
+    # every query finds at least itself under multiprobe
+    got1 = lsh_topk(emb, q, k=5, nbits=8, planes=planes, probes=1)
+    firsts = {r["query_id"]: r["vec_id"] for r in got1.where(F.col("rank") == 1).collect()}
+    assert all(qid == v for qid, v in firsts.items())
+
+
+def test_token_budget_mixture_semantics(spark):
+    from databricks_demo_feature_store_spark.textops.sampling import token_budget_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "code", 100) for i in range(40)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    out = token_budget_mixture(
+        docs, "source", "n_tokens", "doc_id", {"web": 500, "code": 250}
+    )
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # 100-token docs: web budget 500 -> 5 docs; code 250 -> overshoot rule
+    # keeps docs while cum_before < 250 -> 3 docs (0, 100, 200 before)
+    assert per == {"web": 5, "code": 3}
+    # deterministic: same selection on rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in token_budget_mixture(
+            docs.repartition(5), "source", "n_tokens", "doc_id", {"web": 500, "code": 250}
+        ).collect()
+    )
+    assert a == b
