@@ -177,3 +177,44 @@ def test_payment_behavior_pipeline_schema_and_values(spark):
         expect = row["cpym_amt_paid_sum"] * 100.0 / row["cpym_amt_total_credit_sum"]
         assert abs(row["cpym_amt_paid_sum_pct"] - expect) < 1e-3
     assert row["cpym_rating_num_rmin_6m"] <= row["cpym_rating_num_rmax_6m"]
+
+
+def test_reference_native_stack(spark):
+    """The switch-over surface: generator-produced reference-native tables
+    (clientes/pagos/transacciones) through all three adapters."""
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.pipelines.reference_sources import (
+        run_reference_stack,
+    )
+    from databricks_demo_feature_store_spark.sources.datagen import (
+        gen_clientes,
+        gen_pagos,
+        gen_transacciones,
+    )
+
+    tables = {
+        "clientes": gen_clientes(spark, n=80),
+        "pagos": gen_pagos(spark, n=80, months=12),
+        "transacciones": gen_transacciones(spark, n=80, months=12),
+    }
+    out = run_reference_stack(spark, tables, "2023-02-01", "2024-01-01")
+
+    demo = out["fs_cus_demographic"]
+    assert demo.columns[:2] == ["pk_customer", "tpk_release_dt"]
+    assert "cdmg_segment_group" in demo.columns and demo.count() > 0
+    groups = {r[0] for r in demo.select("cdmg_segment_group").distinct().collect()}
+    assert groups <= {"affluent", "mass", "other"}
+
+    pay = out["fs_cus_payment_behavior"]
+    assert pay.count() == gen_pagos(spark, n=80, months=12).count()
+    assert "cpym_amt_paid_sum" in pay.columns
+
+    tx = out["fs_cus_transactions"]
+    assert tx.count() == 80 * 12
+    types = dict(tx.dtypes)
+    assert types["ctrx_monto_total_transacciones_ravg_3m"] == "double"
+    assert "ctrx_monto_total_transacciones_to_numero_transacciones_ratio" in tx.columns
+    # lag semantics survive the adapter: first month per customer has no lag
+    first = tx.orderBy("pk_customer", "tpk_release_dt").first()
+    assert first["ctrx_monto_total_transacciones_lag_1m"] is None
