@@ -513,3 +513,108 @@ def q_filter_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Left-semi join (EXISTS) — TPC-H Q4 shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_semi_join_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style left-semi join: orders (in a 3-month window) with at
+    least one lineitem shipped >90 days after the order date, counted per
+    priority. TPC-H Q4 shape adapted to this schema's columns.
+
+    left_semi hash join on the order key (the date predicate rides along
+    as a join filter) — never materializes the match side, broadcast-able
+    when the filtered lineitem side is small, AQE-skew-safe otherwise.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling (z-score + min-max per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_feature_scaling",
+    oracle=f"""
+    WITH m AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             -- DECIMAL(19,6) forces DuckDB onto HUGEINT storage (int64
+             -- multiply overflows); still exact, so the DOUBLE round-trip
+             -- matches Spark's DECIMAL(18,6)*DECIMAL(18,6) product.
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(19,6)) * CAST(c_acctbal AS DECIMAL(19,6))) OVER w AS DOUBLE) AS s2,
+             COUNT(c_acctbal) OVER w AS n,
+             MIN(c_acctbal) OVER w AS mn,
+             MAX(c_acctbal) OVER w AS mx
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment)
+    ),
+    v AS (
+      SELECT *, (s2 - s1 * s1 / n) / (n - 1) AS var FROM m
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CASE WHEN n > 1 AND var > 0
+                THEN {oracle_dround('(c_acctbal - s1 / n) / sqrt(var)', 6)}
+           END AS c_acctbal_zscore,
+           CASE WHEN mx > mn
+                THEN {oracle_dround('(c_acctbal - mn) / (mx - mn)', 6)}
+           END AS c_acctbal_minmax
+    FROM v
+    """,
+)
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score and min-max scaling of customer account balance.
+
+    Exact-decimal moment sums (order-independent) combined in double
+    arithmetic — bit-identical across engines and partitionings, unlike
+    streaming ``stddev_samp``. One window shuffle on the group key.
+    """
+    from databricks_demo_feature_store_spark.functions.scaling import scale_features
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    out = scale_features(
+        cust, ["c_acctbal"], method="zscore", group_by=["c_mktsegment"]
+    )
+    out = scale_features(
+        out, ["c_acctbal"], method="minmax", group_by=["c_mktsegment"]
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "c_acctbal_zscore",
+        "c_acctbal_minmax",
+    )

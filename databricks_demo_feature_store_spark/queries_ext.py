@@ -1085,3 +1085,81 @@ def q_ext_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, strata_col="source", token_col="n_chars", key_col="doc_id",
         budgets=_MIX_BUDGETS,
     ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary heavy hitters (exact, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_frequent_items",
+    oracle=f"""
+    WITH {_O_TOKS},
+    flat AS (SELECT unnest(toks) AS value FROM toks),
+    counts AS (SELECT value, COUNT(*) AS cnt FROM flat GROUP BY value),
+    tot AS (SELECT COUNT(*) AS total FROM flat)
+    SELECT value, cnt, {oracle_dround('cnt / total', 6)} AS share
+    FROM counts, tot
+    WHERE cnt >= total * 0.01
+    ORDER BY cnt DESC, value
+    LIMIT 20
+    """,
+)
+def q_ext_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the corpus vocabulary: tokens with ≥1%
+    share of all token occurrences, top 20 by count.
+
+    groupBy(token) with map-side partial agg + a broadcast one-row total —
+    the output is bounded by construction, so the exact form scales; the
+    orderBy+limit is a TakeOrdered (no global sort materialization).
+    """
+    from databricks_demo_feature_store_spark.operators.sketches import frequent_items
+    from databricks_demo_feature_store_spark.textops.analysis import tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    flat = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    return frequent_items(flat, "token", min_share=0.01, max_items=20)
+
+
+# ---------------------------------------------------------------------------
+# Sketch profile (approximate NDV + quantiles; rows-only gate by design)
+# ---------------------------------------------------------------------------
+
+
+@register("q_ext_sketch_profile", oracle=None)
+def q_ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts + KLL-style approximate quantiles
+    for three lineitem measures — one single-pass aggregate, fixed memory.
+
+    Approximate results are engine-specific by definition, so this is a
+    rows-only gate entry; the error bounds vs exact answers are asserted
+    in ``tests/test_sketches.py``.
+    """
+    from databricks_demo_feature_store_spark.operators.sketches import sketch_profile
+
+    li = load(spark, sf_dir, "lineitem")
+    return sketch_profile(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup; rows-only — k-means centroids aren't SQL)
+# ---------------------------------------------------------------------------
+
+
+@register("q_ext_semantic_dedup", oracle=None)
+def q_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: Lloyd-refined IVF clusters,
+    then drop within-cluster cosine near-duplicates (≥0.9), keeping the
+    lowest-id representative per duplicate set.
+
+    Lloyd double-means aren't SQL-reproducible, so the gate checks rows
+    only; semantics are pinned by ``tests/test_sketches.py`` against a
+    brute-force reference on a fixture corpus.
+    """
+    from databricks_demo_feature_store_spark.textops.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, nlist=8, threshold=0.9, kmeans_iterations=2
+    ).select("vec_id", "cluster")

@@ -368,3 +368,51 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    threshold: float = 0.95,
+    kmeans_iterations: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the IVF coarse
+    quantizer, then within each cluster drop every vector whose cosine to a
+    LOWER-id cluster member is ≥ ``threshold`` — keeping one representative
+    (the lowest id) per semantic near-duplicate set.
+
+    Returns the input rows that SURVIVE, plus their ``cluster`` id.
+
+    Scale shape: candidate pairs exist only WITHIN a cluster — the
+    all-pairs comparison is bounded per-cluster, an equi-join on the
+    cluster key, never a global cross join. At 100 TB raise ``nlist``
+    so clusters stay bounded (SemDeDup uses 50k clusters for LAION-scale
+    corpora) and persist ``ivf_assign`` partitioned by cluster; the
+    pair join is then partition-local.
+    """
+    cents = ivf_centroids(df, nlist, id_col, vec_col, kmeans_iterations)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    # ids with a lower-id near-duplicate in their cluster → dropped
+    dropped = (
+        a.join(b, on="cluster")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(cosine_col(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti").select(
+        id_col, vec_col, "cluster"
+    )

@@ -1,0 +1,158 @@
+"""Tests for sketch aggregates, feature scaling, and semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from databricks_demo_feature_store_spark.functions.scaling import scale_features
+from databricks_demo_feature_store_spark.operators.sketches import (
+    frequent_items,
+    hll_merge,
+    hll_sketch,
+    sketch_profile,
+)
+from databricks_demo_feature_store_spark.textops.similarity import (
+    cosine_col,
+    semantic_dedup,
+)
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_profile_error_bounds(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    rows = {r["column"]: r for r in sketch_profile(df, ["k", "v"]).collect()}
+    assert rows["k"]["n_rows"] == 10_000
+    # HLL++ at rsd=0.02: allow 5x the nominal relative error
+    assert abs(rows["k"]["approx_ndv"] - 1000) / 1000 < 0.10
+    assert abs(rows["v"]["approx_ndv"] - 10_000) / 10_000 < 0.10
+    # quantiles of v = 2*id over 0..9999: q50 ≈ 9999, within 1%
+    assert abs(rows["v"]["q50"] - 9999.0) / 9999.0 < 0.01
+    assert abs(rows["v"]["q25"] - 4999.5) / 4999.5 < 0.01
+
+
+def test_hll_sketch_merge_matches_union(spark):
+    a = spark.range(0, 5000).select(F.lit("d1").alias("day"), F.col("id").alias("u"))
+    b = spark.range(2500, 7500).select(F.lit("d2").alias("day"), F.col("id").alias("u"))
+    sk = hll_sketch(a.union(b), ["day"], "u")
+    merged = hll_merge(sk.select(F.lit("all").alias("g"), "hll"), ["g"]).collect()[0]
+    # true distinct union = 7500
+    assert abs(merged["approx_ndv"] - 7500) / 7500 < 0.05
+
+
+def test_frequent_items_exact(spark):
+    rows = [Row(w="a")] * 50 + [Row(w="b")] * 30 + [Row(w="c")] * 2
+    df = spark.createDataFrame(rows)
+    out = frequent_items(df, "w", min_share=0.1, max_items=10).collect()
+    assert [(r["value"], r["cnt"]) for r in out] == [("a", 50), ("b", 30)]
+    assert out[0]["share"] == pytest.approx(50 / 82, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# scaling
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_known_values(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", v=float(v)) for v in (1, 2, 3, 4, 5)]
+        + [Row(g="y", v=7.0), Row(g="y", v=7.0)]
+    )
+    out = {
+        (r["g"], r["v"]): r["v_zscore"]
+        for r in scale_features(df, ["v"], "zscore", ["g"]).collect()
+    }
+    std = math.sqrt(2.5)  # sample stddev of 1..5
+    assert out[("x", 1.0)] == pytest.approx(-2 / std, abs=1e-6)
+    assert out[("x", 3.0)] == pytest.approx(0.0, abs=1e-9)
+    assert out[("x", 5.0)] == pytest.approx(2 / std, abs=1e-6)
+    assert out[("y", 7.0)] is None  # zero variance → NULL
+
+
+def test_minmax_and_global_scaling(spark):
+    df = spark.createDataFrame([Row(v=0.0), Row(v=5.0), Row(v=10.0)])
+    grouped_free = scale_features(df, ["v"], "minmax")  # global path
+    vals = sorted(r["v_minmax"] for r in grouped_free.collect())
+    assert vals == [0.0, 0.5, 1.0]
+
+
+def test_scaling_rejects_unknown_method(spark):
+    df = spark.createDataFrame([Row(v=1.0)])
+    with pytest.raises(ValueError):
+        scale_features(df, ["v"], "robust").collect()
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    # three tight groups of near-identical vectors + one outlier
+    import random
+
+    rng = random.Random(7)
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    vid = 0
+    for g, vec in base.items():
+        for _ in range(5):
+            rows.append(
+                Row(
+                    vec_id=vid,
+                    embedding=[float(x + rng.uniform(-0.01, 0.01)) for x in vec],
+                )
+            )
+            vid += 1
+    rows.append(Row(vec_id=vid, embedding=[0.5, 0.5, 0.5, 0.5]))
+    df = spark.createDataFrame(rows)
+
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, nlist=3, threshold=0.999, kmeans_iterations=4).collect()
+    )
+
+    # brute force: drop any id with a lower-id neighbor at cosine >= 0.999
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .where(cosine_col(F.col("va"), F.col("vb")) >= 0.999)
+        .select("ib")
+        .distinct()
+        .collect()
+    )
+    dropped_bf = {r["ib"] for r in pairs}
+    expected = sorted(set(range(vid + 1)) - dropped_bf)
+
+    # SOUNDNESS (unconditional): within-cluster pruning can never drop an
+    # id brute force wouldn't — kept is always a superset of expected.
+    assert set(kept) >= set(expected)
+    # COMPLETENESS (holds when clusters == the 3 well-separated groups,
+    # which 4 Lloyd iterations at nlist=3 recover on this fixture): each
+    # 5-member group collapses to its lowest id.
+    assert kept == expected
+
+
+def test_semantic_dedup_keeps_all_when_threshold_high(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0]),
+        ]
+    )
+    out = semantic_dedup(df, nlist=2, threshold=0.5, kmeans_iterations=0)
+    assert out.count() == 2
