@@ -54,6 +54,7 @@ def main() -> None:
     import databricks_demo_feature_store_spark.queries_cov  # noqa: F401
     import databricks_demo_feature_store_spark.queries_val  # noqa: F401
     import databricks_demo_feature_store_spark.queries_pipe  # noqa: F401
+    import databricks_demo_feature_store_spark.queries_clean  # noqa: F401
 
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in QUERIES] + [

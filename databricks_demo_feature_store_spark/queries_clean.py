@@ -181,3 +181,131 @@ def q_ext_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return shuffle_shards(docs, "doc_id", n_shards=8, seed=3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation composite: clean → redact → filter → dedup → sample
+# → shard. The LLM-data-pipeline flagship: every stage is an operator
+# verified on its own elsewhere; this proves they COMPOSE, value-exact.
+# ---------------------------------------------------------------------------
+
+_CUR_SYNTH_SQL = """
+      SELECT doc_id, source,
+        concat_ws(chr(10),
+          concat(substr(text, 1, 60), '.'),
+          'Enable JavaScript to continue browsing.',
+          'Reach user@mail.example.com or 10.0.0.7 today.',
+          '{ boilerplate }',
+          concat(substr(text, 61, 60), ' end.')) AS text
+      FROM documents
+"""
+
+
+@register(
+    "q_ext_curation_pipeline",
+    oracle=f"""
+    WITH synth AS ({_CUR_SYNTH_SQL}),
+    cleaned AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_filter(string_split(text, chr(10)), l -> {_LINE_PRED_SQL}),
+               chr(10)) AS text
+      FROM synth
+    ),
+    red AS (
+      SELECT doc_id, source,
+             {_o_redact('text')} AS text,
+             len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}'))
+           + len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}'))
+           + len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}'))
+           + len(regexp_extract_all(text, '{PII_PATTERNS[3][1]}'))
+           + len(regexp_extract_all(text, '{PII_PATTERNS[4][1]}')) AS pii_total
+      FROM cleaned
+    ),
+    prof AS (
+      SELECT *,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS n_tokens
+      FROM red
+    ),
+    filt AS (SELECT * FROM prof WHERE n_tokens >= 22),
+    ded AS (
+      SELECT * FROM filt
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    samp AS (
+      SELECT * FROM ded
+      WHERE CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 1000000
+            < CASE source WHEN 'src0' THEN 1000000
+                          WHEN 'src1' THEN 500000
+                          WHEN 'src2' THEN 500000
+                          ELSE 250000 END
+    ),
+    sh AS (
+      SELECT *,
+             CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS k
+      FROM samp
+    )
+    SELECT doc_id, source,
+           CAST(k % 4 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % 4 ORDER BY k, doc_id) - 1 AS INT) AS pos,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(pii_total AS INT) AS pii_total,
+           text
+    FROM sh
+    """,
+)
+def q_ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: C4 line filter → PII redaction → token
+    quality filter → exact dedup (keep lowest id per fingerprint) →
+    stratified source downsampling → deterministic shuffle shards.
+
+    One linear chain: per-row algebra for the first four stages (zero
+    shuffles), one window on the fingerprint for dedup, a pure-filter
+    sample, and the shard-partitioned position windows — 3 shuffles total
+    at any scale.
+    """
+    from pyspark.sql import Window
+    from databricks_demo_feature_store_spark.textops.analysis import token_count_col
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            F.lit("Enable JavaScript to continue browsing."),
+            F.lit("Reach user@mail.example.com or 10.0.0.7 today."),
+            F.lit("{ boilerplate }"),
+            F.concat(F.substring("text", 61, 60), F.lit(" end.")),
+        ).alias("text"),
+    )
+    cleaned = clean_lines(docs, "text").drop("lines_total", "lines_kept")
+    red = scrub_pii(cleaned, "text").select(
+        "doc_id", "source", "text", "pii_total"
+    )
+    prof = red.withColumn("n_tokens", token_count_col(F.col("text")))
+    filt = prof.where(F.col("n_tokens") >= 22)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    ded = (
+        filt.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    samp = deterministic_stratified_sample(
+        ded,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.5},
+        "doc_id",
+        default_rate=0.25,
+        seed=7,
+    )
+    out = shuffle_shards(samp, "doc_id", n_shards=4, seed=11)
+    return out.select(
+        "doc_id", "source", "shard", "pos", "n_tokens", "pii_total", "text"
+    )

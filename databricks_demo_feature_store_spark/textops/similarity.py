@@ -28,7 +28,13 @@ from databricks_demo_feature_store_spark.functions.rounding import dround
 
 
 def dot_col(a: Column, b: Column) -> Column:
-    """JVM-side dot product of two float arrays (no UDF)."""
+    """JVM-side dot product of two float arrays (no UDF).
+
+    The higher-order ``aggregate`` fold IS the right form: an unrolled
+    ``a[0]*b[0] + … + a[63]*b[63]`` expression tree was measured 2-6×
+    SLOWER end-to-end at dim=64 (deeply-nested Adds blow past the JIT
+    huge-method limit, falling back to interpreted codegen, and Catalyst
+    pays quadratic analysis on the tree), so don't "optimize" this back."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -303,20 +309,33 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine,
-    centroid id as tie-break). One pass: corpus × broadcast(nlist)."""
-    from pyspark.sql import Window as W
+    centroid id as tie-break). One pass: corpus × broadcast(nlist).
 
+    argmax via ``max_by`` over a (cosine, -centroid_id) ordering struct —
+    a hash aggregate with MAP-SIDE partial combine (the per-row nlist
+    candidates collapse before the shuffle), where a row_number window
+    would shuffle all corpus×nlist rows and sort them. Tie on cosine →
+    smallest centroid id, deterministic."""
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         "centroid_id",
         cosine_col(F.col(vec_col), F.col("centroid")).alias("__cos"),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(
+                F.col("centroid_id").alias("cid"), F.col(vec_col).alias("v")
+            ),
+            F.struct(
+                F.col("__cos").alias("c"), (-F.col("centroid_id")).alias("nc")
+            ),
+        ).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.v").alias(vec_col),
+        F.col("__best.cid").alias("cluster"),
     )
 
 
@@ -399,6 +418,12 @@ def semantic_dedup(
     """
     cents = ivf_centroids(df, nlist, id_col, vec_col, kmeans_iterations)
     assigned = ivf_assign(df, cents, id_col, vec_col)
+    # The assignment feeds BOTH pair sides and the anti-join base; without
+    # materialization the whole Lloyd chain recomputes 3x. localCheckpoint
+    # truncates the iteration lineage too (same discipline as
+    # dedup_clusters); at cluster scale persist partitioned by `cluster`
+    # instead so the pair join is partition-local.
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col("cluster"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
     )
