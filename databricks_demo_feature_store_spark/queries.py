@@ -58,6 +58,45 @@ TABLES = (
 ).split()
 
 
+# Scan-split cache: (sf_dir, name) -> whether the scan needs a fan-out
+# repartition. Probing split count costs one catalog round-trip, so do it
+# once per table per process.
+_SCAN_FANOUT: dict[tuple[str, str], bool] = {}
+
+
+def _parallelize_scan(spark: SparkSession, df: DataFrame, key: tuple[str, str]) -> DataFrame:
+    """Fan a narrow scan out to the cluster's parallelism.
+
+    Parquet splits by row group; a table written as one file with one row
+    group yields ONE input partition no matter how many cores exist, and
+    every downstream narrow op (shingle hashing, embedding math) runs
+    single-threaded. When the scan has fewer splits than
+    ``defaultParallelism``, insert a round-robin repartition: the exchange
+    moves at most (cores × maxPartitionBytes) — by definition small — and
+    buys full-width execution. At real scale (many files / row groups) the
+    probe sees splits ≥ cores and this is a no-op, so the 100 TB plan keeps
+    its shuffle-free scan. Catalyst still prunes columns and pushes filters
+    below the repartition, so the exchange carries only what the query
+    reads.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    fanout = _SCAN_FANOUT.get(key)
+    if fanout is None:
+        sf_dir, name = key
+        try:
+            import os
+
+            nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        except OSError:
+            nbytes = 0
+        # Tiny dimension tables (region/nation/…) skip the fan-out: their
+        # scans cost nothing and the extra exchange would only delay the
+        # broadcast-join path they invariably feed.
+        fanout = nbytes > 256 * 1024 and df.rdd.getNumPartitions() < cores
+        _SCAN_FANOUT[key] = fanout
+    return df.repartition(cores) if fanout else df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table; normalizes the events table's TIMESTAMP(NANOS).
 
@@ -73,13 +112,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_field = df.schema["ts"]
-        if not isinstance(ts_field.dataType, __import__("pyspark.sql.types", fromlist=["TimestampType"]).TimestampType):
-            # integer division — a double round-trip would lose precision
-            # (epoch-nanos exceed 2^53)
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) read as epoch-nanos long: integer division —
+            # a double round-trip would lose precision (nanos exceed 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        elif isinstance(ts_type, TimestampNTZType):
+            # TIMESTAMP(MICROS, no-UTC-adjust) arrives as NTZ; the session
+            # runs in UTC, so the cast is a pure type relabel (no shift) —
+            # exactly how a naive-timestamp engine (DuckDB) treats it
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _parallelize_scan(spark, df, (sf_dir, name))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _parallelize_scan(spark, df, (sf_dir, name))
 
 
 @dataclass(frozen=True)

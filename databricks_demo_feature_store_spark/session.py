@@ -35,6 +35,25 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    # Single-JVM (local[*]) runs: cap HotSpot at the C1 compiler.
+    # Every unique query plan emits fresh codegen classes, and C2's
+    # background compilation of those large generated methods burns
+    # whole cores for seconds — measured 7× CPU swings on identical
+    # sub-second queries, which is pure noise at bench scale. C1 compiles
+    # instantly and its steady state matched C2's best on every query
+    # measured. On a real cluster (non-local master) executors are
+    # long-lived and rerun the same plans, so C2's peak wins — leave it.
+    # A long session compiles thousands of generated classes; the JVM
+    # default 240 MB code cache fills mid-run, after which compilation is
+    # DISABLED and everything drops to the bytecode interpreter (~10×).
+    # Reserve enough for the full query catalog and let the sweeper evict.
+    driver_java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if driver_java_opts is None and master.startswith("local"):
+        driver_java_opts = (
+            "-XX:TieredStopAtLevel=1 "
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -61,6 +80,8 @@ def get_spark(
         # Spark has no native type for; read as long and convert in load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if driver_java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", driver_java_opts)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 _MEMORY_QUERY_IDS = itertools.count()
 
@@ -50,8 +50,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source requires a directory basePath; a glob that
     # matches exactly the one file keeps basePath = sf_dir.
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque[t]")
-    if not isinstance(schema["ts"].dataType, TimestampType):
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # TIMESTAMP(NANOS) as epoch-nanos long → floor-divide to micros
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # TIMESTAMP(MICROS, no-UTC-adjust) → pure relabel under UTC session
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
