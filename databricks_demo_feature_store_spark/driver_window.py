@@ -26,6 +26,19 @@ module import order. Selection policy:
   the multimodal mapInPandas surface stays anchored by
   q_ext_multimodal_decode; its slot went to the fifth end-to-end pipeline
   composite q_pipeline_payment_behavior.
+* Round-4 rotation: the round-3 operator families (lexical search,
+  winnowing fingerprints, decontamination, corpus cleaning, mixture
+  sampling, heavy hitters, and the cleaning→quality→dedup curation
+  composite) had NO in-window anchor. Seven micro-anchors rotate out to
+  make room, each with documented transitive cover: q_month_spine (inside
+  q_pipeline_demographic), q_filter_dict / q_filter_max_value (family
+  anchored by q_filter_fold + every pipeline's ingestion predicates),
+  q_native_pivot (pivot family: q_conditional_pivot +
+  q_pipeline_product_holdings), q_union_by_name (thin unionByName
+  wrapper), q_lags_ind (window family: q_window_dispatch, q_rsi, rolling
+  stats in three in-window pipelines; lag op itself inside
+  q_pipeline_customer_tx), q_ext_sessionize (session semantics anchored
+  by in-window q_stream_sessionize).
 """
 
 from __future__ import annotations
@@ -52,20 +65,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_dedup",
     # operator-family anchors
     "q_filter_fold",
-    "q_filter_dict",
-    "q_filter_max_value",
     "q_equi_join_left_wins",
     "q_anti_join",
     "q_pit_join",
     "q_interval_join",
-    "q_month_spine",
-    "q_union_by_name",
     "q_agg_dispatch",
     "q_conditional_pivot",
-    "q_native_pivot",
     "q_window_dispatch",
     "q_rsi",
-    "q_lags_ind",
     "q_feature_chain",
     "q_layer_roundtrip",
     # text / dedup / similarity / multimodal
@@ -87,8 +94,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_multimodal_decode",
     # q_ext_frame_sample demoted round 3 (multimodal family anchored by
     # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
-    "q_ext_sessionize",
     "q_ext_stratified_sample",
+    # round-4 family anchors (see module docstring rotation note)
+    "q_ext_curation_pipeline",
+    "q_ext_winnowing",
+    "q_ext_bm25_topk",
+    "q_ext_contamination",
+    "q_ext_pii_scrub",
+    "q_ext_token_mixture",
+    "q_ext_frequent_items",
 )
 
 WINDOW_SIZE = 50

@@ -27,6 +27,7 @@ def sketch_profile(
     columns: Sequence[str],
     quantiles: Sequence[float] = (0.25, 0.5, 0.75),
     rsd: float = 0.02,
+    accuracy: int = 2_000,
 ) -> DataFrame:
     """One row per column: approximate NDV + approximate quantiles.
 
@@ -34,13 +35,19 @@ def sketch_profile(
     ``percentile_approx`` — both single-pass, fixed-memory, partial-agg
     friendly. One global aggregate (a few KB of state per column), then
     an explode to rows — no second scan.
+
+    ``accuracy`` is the percentile sketch's rank-error knob (error ≈
+    1/accuracy): 2 000 → 0.05 % rank error, far inside this profile's
+    advertised bounds, at ~5× less per-partition summary state to build
+    and merge than Spark's 10 000 default — the merge step is what shows
+    up at wide parallelism.
     """
     aggs = []
     for c in columns:
         aggs.append(F.approx_count_distinct(c, rsd).alias(f"__ndv_{c}"))
         aggs.append(
             F.percentile_approx(
-                F.col(c).cast("double"), list(quantiles), 10_000
+                F.col(c).cast("double"), list(quantiles), accuracy
             ).alias(f"__q_{c}")
         )
         aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))

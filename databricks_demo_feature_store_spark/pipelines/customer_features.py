@@ -68,5 +68,7 @@ CUSTOMER_TX_PIPELINE = Pipeline(CUSTOMER_TX_STEPS, name="fs_cus_transactions")
 
 def customer_transaction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the pipeline over the orders fact table."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from databricks_demo_feature_store_spark.queries import load
+
+    orders = load(spark, sf_dir, "orders")
     return CUSTOMER_TX_PIPELINE.run(orders)

@@ -53,8 +53,10 @@ def customer_demographic_features(
     end_date: str = "1995-12-01",
 ) -> DataFrame:
     """Monthly demographic snapshots for every customer active in range."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from databricks_demo_feature_store_spark.queries import load
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
     first = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.min(F.trunc(F.col("o_orderdate").cast("date"), "month")).alias("first_month")
     )

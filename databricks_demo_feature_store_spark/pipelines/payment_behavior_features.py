@@ -159,8 +159,10 @@ def ingest_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     project + rename + row filters + rating CASE, all at the source so
     Catalyst pushes the predicates into both parquet scans before the
     order-key equi-join."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    from databricks_demo_feature_store_spark.queries import load
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).where(

@@ -68,5 +68,7 @@ PRODUCT_HOLDINGS_PIPELINE = Pipeline(PRODUCT_HOLDINGS_STEPS, name="fs_cus_holdin
 
 def product_holdings_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the pipeline over the orders fact table."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from databricks_demo_feature_store_spark.queries import load
+
+    orders = load(spark, sf_dir, "orders")
     return PRODUCT_HOLDINGS_PIPELINE.run(orders)

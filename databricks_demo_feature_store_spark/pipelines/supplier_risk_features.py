@@ -59,5 +59,7 @@ SUPPLIER_RISK_PIPELINE = Pipeline(SUPPLIER_RISK_STEPS, name="fs_supplier_risk")
 
 def supplier_risk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the pipeline over the lineitem fact table."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from databricks_demo_feature_store_spark.queries import load
+
+    lineitem = load(spark, sf_dir, "lineitem")
     return SUPPLIER_RISK_PIPELINE.run(lineitem)

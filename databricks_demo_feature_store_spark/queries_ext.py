@@ -422,6 +422,56 @@ def q_ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ext_ann_recall",
+    oracle=f"""
+    WITH {_O_EMB},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {oracle_dround(_O_COS, 6)} DESC, e.vec_id ASC
+               ) AS rank
+        FROM e CROSS JOIN q
+      ) WHERE rank <= 5
+    ),
+    eb AS (SELECT vec_id, v, {_o_plane_bucket("v", _LSH_PLANES_8)} AS bucket FROM e),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 8),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qb.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qb.query_id
+                 ORDER BY {oracle_dround("list_inner_product(e.v, qb.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(qb.qv, qb.qv)))", 6)} DESC, e.vec_id ASC
+               ) AS rank
+        FROM eb e JOIN qb ON e.bucket = qb.bucket
+      ) WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           {oracle_dround('CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*)', 6)} AS recall
+    FROM exact x
+    LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """,
+)
+def q_ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 8-bit random-hyperplane LSH index vs the exact
+    brute-force ranking, for 8 sample queries — the measured-recall loop
+    an ANN deployment tunes ``nbits``/``probes`` with. Both sides are
+    deterministic (md5-seeded planes, tie-broken rankings), so even this
+    evaluation is exact-checked against DuckDB."""
+    from databricks_demo_feature_store_spark.textops.similarity import ann_recall_at_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_recall_at_k(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, nbits=8, planes=_LSH_PLANES_8
+    )
+
+
+@register(
     "q_ext_embedding_near_dup",
     oracle=f"""
     WITH {_O_EMB},
@@ -1163,3 +1213,58 @@ def q_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, nlist=8, threshold=0.9, kmeans_iterations=2
     ).select("vec_id", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram-LM cross-entropy (textops/analysis.bigram_lm_scores)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_lm_score",
+    oracle=f"""
+    WITH {_O_TOKS},
+    bigrams AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+      WHERE len(toks) >= 2
+    ),
+    unigrams AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM toks)
+      GROUP BY w
+    ),
+    vocab AS (SELECT COUNT(*) AS V FROM unigrams),
+    bigram_counts AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2
+    ),
+    model AS (
+      SELECT bc.w1, bc.w2,
+             {oracle_dround('log2((bc.c2 + 1.0) / (u.c1 + 1.0 * v.V))', 6)} AS logp
+      FROM bigram_counts bc
+      JOIN unigrams u ON u.w = bc.w1
+      CROSS JOIN vocab v
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             -(CAST(SUM(CAST(m.logp AS DECIMAL(25,6))) AS DOUBLE)) / COUNT(*) AS ce_raw
+      FROM bigrams b
+      JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           {oracle_dround('p.ce_raw', 6)} AS cross_entropy_bits
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits/transition) under a
+    Laplace-smoothed corpus bigram LM — the CCNet-style perplexity
+    quality signal, exact-checked against DuckDB replaying the identical
+    model."""
+    from databricks_demo_feature_store_spark.textops.analysis import bigram_lm_scores
+
+    return bigram_lm_scores(load(spark, sf_dir, "documents"))

@@ -225,3 +225,101 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         | (F.coalesce(F.col("dup_bigram_fraction"), F.lit(0.0)) > 0.30)
         | (F.coalesce(F.col("dup_trigram_fraction"), F.lit(0.0)) > 0.30),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM cross-entropy scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus bigram language model —
+    the CCNet/KenLM-style quality signal: documents whose token
+    transitions are improbable under the corpus LM (gibberish, wrong
+    language, boilerplate soup) score high and get filtered or
+    down-weighted.
+
+    Model: Laplace-smoothed bigram MLE over the WHOLE input corpus,
+    ``P(w2|w1) = (C(w1 w2) + α) / (C(w1) + α·V)`` with ``C(w1)`` the
+    corpus unigram count and ``V`` the unigram vocabulary size. Score =
+    ``-mean log2 P`` over the document's bigrams (bits per token
+    transition); docs with < 2 tokens have no bigrams → NULL score.
+
+    Scale shape: two hash aggregations build the model (bigram counts,
+    unigram counts — both map-side-combinable), one equi-join on the
+    bigram key scores every occurrence, one final per-doc aggregation.
+    The vocabulary scalar V and the per-w1 counts travel with the bigram
+    table — nothing collects to the driver. At 100 TB the model tables
+    are themselves data-scale (that IS the point: the model improves with
+    corpus size); prune with a min-count threshold before the scoring
+    join if the long tail dominates.
+
+    Determinism: per-bigram log2 is rounded (6 dp) before the exact
+    DECIMAL mean, the same discipline the BM25 scorer uses for its log
+    IDF terms.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("w1"),
+                        F.element_at("__toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")).alias("__bg"),
+        )
+        .select("doc_id", F.explode_outer("__bg").alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    unigrams = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigrams.select(F.count(F.lit(1)).alias("V"))
+    bigram_counts = (
+        bigrams.where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    model = (
+        bigram_counts.join(unigrams.withColumnRenamed("w", "w1"), on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            dround(
+                F.log2(
+                    (F.col("c2") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha) * F.col("V"))
+                ),
+                6,
+            ).alias("__logp"),
+        )
+    )
+    scored = bigrams.where(F.col("w1").isNotNull()).join(model, on=["w1", "w2"])
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            -(F.sum(F.col("__logp").cast("decimal(25,6)")).cast("double"))
+            / F.count(F.lit(1))
+        ).alias("__ce_raw"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        dround(F.col("__ce_raw"), 6).alias("cross_entropy_bits"),
+    )

@@ -207,6 +207,57 @@ def lsh_topk(
     )
 
 
+def ann_recall_at_k(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    planes: list[list[float]] | None = None,
+    probes: int = 0,
+) -> DataFrame:
+    """Measured recall@k of the sign-LSH index against the exact ranking.
+
+    Runs :func:`brute_force_topk` (ground truth) and :func:`lsh_topk`
+    (same k / planes / probes a production query would use) and reports,
+    per query, how many of the true top-k the index returned:
+    ``recall = |approx ∩ exact| / |exact|``. This is the "measure, don't
+    guess" knob-tuning loop for ``nbits``/``probes`` — run it on a sampled
+    query set before fixing index parameters, exactly how ANN benchmarks
+    (ann-benchmarks.com) define recall. Denominator is the *achieved*
+    exact top-k size (= k unless the corpus is smaller than k), so tiny
+    fixtures don't understate recall.
+
+    Scale shape: ground truth runs on a SAMPLE of queries (pass a small
+    ``query`` frame) — the brute-force side is one broadcast-query corpus
+    pass; the comparison itself is a broadcast-size join.
+    """
+    exact = brute_force_topk(corpus, query, k, id_col, vec_col, query_id_col)
+    approx = lsh_topk(
+        corpus, query, k, nbits, id_col, vec_col, query_id_col, planes, probes
+    )
+    hits = exact.join(
+        approx.select("query_id", id_col), on=["query_id", id_col], how="left_semi"
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.join(n_hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_exact",
+            dround(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -576,3 +576,67 @@ def test_token_budget_mixture_semantics(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_ann_recall_matches_manual_computation(spark):
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        lsh_topk,
+        random_planes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    planes = random_planes(64, 8)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, nbits=8, planes=planes).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    out = ann_recall_at_k(emb, q, k=5, nbits=8, planes=planes).collect()
+    assert {r["query_id"] for r in out} == set(exact_sets)
+    for r in out:
+        want_hits = len(exact_sets[r["query_id"]] & approx_sets.get(r["query_id"], set()))
+        assert r["n_hits"] == want_hits
+        assert r["n_exact"] == len(exact_sets[r["query_id"]])
+        assert r["recall"] == pytest.approx(want_hits / r["n_exact"], abs=1e-6)
+    # recall is a fraction; a query always finds itself via its own bucket,
+    # so recall > 0 everywhere
+    assert all(0 < r["recall"] <= 1 for r in out)
+
+
+def test_bigram_lm_scores_manual_corpus(spark):
+    import math
+
+    from databricks_demo_feature_store_spark.textops.analysis import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "z q"), (3, "single"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus unigrams: a:3 b:3 z:1 q:1 single:1 → V=5
+    # bigram counts: (a,b):2 ×2docs? doc0 has a b, b a, a b → (a,b):2, (b,a):1; doc1: (a,b):1 → C(a,b)=3, C(b,a)=1; (z,q):1
+    V = 5
+    p_ab = (3 + 1) / (3 + V)   # C(a,b)=3, C(a)=3
+    p_ba = (1 + 1) / (3 + V)
+    p_zq = (1 + 1) / (1 + V)
+    r6 = lambda x: round(x, 6)
+    lg = lambda p: r6(math.log2(p))
+    # doc0: bigrams (a,b),(b,a),(a,b) → ce = -(2*lg(p_ab)+lg(p_ba))/3
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["cross_entropy_bits"] == pytest.approx(
+        r6(-(2 * lg(p_ab) + lg(p_ba)) / 3), abs=2e-6
+    )
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["cross_entropy_bits"] == pytest.approx(r6(-lg(p_ab)), abs=2e-6)
+    assert out[2]["cross_entropy_bits"] == pytest.approx(r6(-lg(p_zq)), abs=2e-6)
+    # docs without bigrams: present, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["cross_entropy_bits"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["cross_entropy_bits"] is None
+    # improbable transitions score strictly higher than common ones
+    assert out[2]["cross_entropy_bits"] > out[1]["cross_entropy_bits"]
