@@ -1268,3 +1268,79 @@ def q_ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databricks_demo_feature_store_spark.textops.analysis import bigram_lm_scores
 
     return bigram_lm_scores(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (textops/sampling.dsir_importance_weights)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096
+
+
+def _o_dsir_feats(table_filter: str) -> str:
+    """DuckDB twin of hashed_ngram_features_col over `documents`
+    (normalized tokens → tag-prefixed unigrams+bigrams → portable hash
+    mod B), one row per feature occurrence."""
+    return f"""
+      SELECT doc_id, {_o_hash("f", 0)} % {_DSIR_B} AS bucket
+      FROM (
+        SELECT doc_id, unnest(
+          list_concat(
+            list_transform(t, w -> concat('u:', w)),
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> concat('b:', t[i], ' ', t[i + 1]))
+                 ELSE CAST([] AS VARCHAR[]) END
+          )
+        ) AS f
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+                 END AS t
+          FROM documents {table_filter}
+        )
+      )
+    """
+
+
+@register(
+    "q_ext_dsir_weights",
+    oracle=f"""
+    WITH sf AS ({_o_dsir_feats("")}),
+    tf AS ({_o_dsir_feats("WHERE lang = 'en'")}),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tf GROUP BY bucket),
+    sc AS (SELECT bucket, COUNT(*) AS cs FROM sf GROUP BY bucket),
+    nt AS (SELECT SUM(ct) AS nt FROM tc),
+    ns AS (SELECT SUM(cs) AS ns FROM sc),
+    ratios AS (
+      SELECT COALESCE(tc.bucket, sc.bucket) AS bucket,
+             {oracle_dround(f"ln(((COALESCE(tc.ct, 0) + 1.0) / (nt.nt + 1.0 * {_DSIR_B})) / ((COALESCE(sc.cs, 0) + 1.0) / (ns.ns + 1.0 * {_DSIR_B})))", 6)} AS lr
+      FROM tc FULL OUTER JOIN sc ON tc.bucket = sc.bucket
+      CROSS JOIN nt CROSS JOIN ns
+    ),
+    per_doc AS (
+      SELECT sf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             {oracle_dround('CAST(SUM(CAST(r.lr AS DECIMAL(25,6))) AS DOUBLE)', 6)} AS log_weight
+      FROM sf JOIN ratios r ON r.bucket = sf.bucket
+      GROUP BY sf.doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.n_feats, 0) AS n_feats, p.log_weight
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of every document toward the English
+    subcorpus (hashed uni+bigram bag models, Laplace-smoothed log ratio
+    sum) — the data-selection scorer that shifts a raw crawl toward a
+    target domain. Exact-checked: DuckDB replays the identical hashed
+    featurization and smoothing."""
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )

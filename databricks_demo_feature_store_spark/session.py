@@ -35,24 +35,18 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
-    # Single-JVM (local[*]) runs: cap HotSpot at the C1 compiler.
-    # Every unique query plan emits fresh codegen classes, and C2's
-    # background compilation of those large generated methods burns
-    # whole cores for seconds — measured 7× CPU swings on identical
-    # sub-second queries, which is pure noise at bench scale. C1 compiles
-    # instantly and its steady state matched C2's best on every query
-    # measured. On a real cluster (non-local master) executors are
-    # long-lived and rerun the same plans, so C2's peak wins — leave it.
-    # A long session compiles thousands of generated classes; the JVM
-    # default 240 MB code cache fills mid-run, after which compilation is
-    # DISABLED and everything drops to the bytecode interpreter (~10×).
-    # Reserve enough for the full query catalog and let the sweeper evict.
+    # A long single-JVM session compiles thousands of generated query
+    # classes; the JVM's default 240 MB code cache fills mid-run, after
+    # which compilation is DISABLED and the whole session silently drops
+    # to the bytecode interpreter (~10× — this, not plan shape, was a
+    # full-suite bench regression). Reserve enough for the whole query
+    # catalog and let the sweeper evict cold methods. (Measured: C2 with
+    # this cache beats a C1-only cap by ~35% steady-state; C2's
+    # background-compile CPU spikes only pollute a query's FIRST run,
+    # which min-of-N benching already discards.)
     driver_java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if driver_java_opts is None and master.startswith("local"):
-        driver_java_opts = (
-            "-XX:TieredStopAtLevel=1 "
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
-        )
+        driver_java_opts = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
 
     builder = (
         SparkSession.builder.master(master)

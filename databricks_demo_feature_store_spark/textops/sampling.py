@@ -21,6 +21,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from databricks_demo_feature_store_spark.functions.rounding import dround
 from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
 
 # Hash-bucket resolution for sampling rates: rates are quantized to
@@ -126,4 +127,124 @@ def token_budget_mixture(
         .withColumn("__cum_before", cum_before)
         .where(F.col("__budget").isNotNull() & (F.col("__cum_before") < F.col("__budget")))
         .drop("__budget", "__cum_before")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_features_col(text: Column, n_buckets: int = 8192) -> Column:
+    """DSIR's featurization: word unigrams + bigrams of normalized text,
+    hashed into ``n_buckets`` integer buckets (one array per doc, with
+    multiplicity — repeated features count repeatedly, matching the
+    bag-of-hashed-ngrams model). Unigrams and bigrams are tag-prefixed
+    (``u:`` / ``b:``) before hashing so the two feature types cannot
+    collide by string equality."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    unis = F.transform(toks, lambda w: F.concat(F.lit("u:"), w))
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.lit("b:"),
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(unis, bis),
+        lambda s: F.pmod(portable_hash_col(s), F.lit(n_buckets)),
+    )
+
+
+def dsir_importance_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document log importance weight of raw-pool docs toward a target
+    domain — Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): fit hashed-n-gram bag models of the target sample and the raw
+    source pool, then score every source doc by
+    ``log w(x) = Σ_features ln(p_target(b) / q_source(b))`` with
+    Laplace-smoothed bucket probabilities. Select by taking the top
+    weights (or Gumbel-resampling on them) to shift a 100 TB crawl
+    toward the target domain (e.g. score CommonCrawl against a
+    Wikipedia+books sample).
+
+    Scale shape: both distributions are ``n_buckets``-row aggregates
+    (map-side combinable, then a broadcast-size table — 8k rows no
+    matter the corpus size); scoring is one explode + one broadcast join
+    + one per-doc sum. Nothing shuffles except the per-doc aggregation,
+    keyed on the doc id.
+
+    Output: (doc_id, n_feats, log_weight); docs with no features (empty
+    text) get NULL weight. Determinism: per-bucket log ratios are
+    rounded (6 dp) before the exact DECIMAL per-doc sum.
+    """
+    def feats(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                hashed_ngram_features_col(F.col(text_col), n_buckets).alias("__f"),
+            )
+            .select("doc_id", F.explode_outer("__f").alias("bucket"))
+        )
+
+    src_feats = feats(source)
+    tgt_counts = (
+        feats(target)
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    src_counts = (
+        src_feats.where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    tgt_total = tgt_counts.agg(F.sum("ct").alias("nt"))
+    src_total = src_counts.agg(F.sum("cs").alias("ns"))
+    ratios = (
+        tgt_counts.join(src_counts, on="bucket", how="full_outer")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(src_total))
+        .select(
+            "bucket",
+            dround(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                     / (F.col("nt") + F.lit(alpha) * F.lit(n_buckets)))
+                    / ((F.coalesce(F.col("cs"), F.lit(0)) + F.lit(alpha))
+                       / (F.col("ns") + F.lit(alpha) * F.lit(n_buckets)))
+                ),
+                6,
+            ).alias("__lr"),
+        )
+    )
+    scored = src_feats.where(F.col("bucket").isNotNull()).join(
+        F.broadcast(ratios), on="bucket"
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        dround(
+            F.sum(F.col("__lr").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("log_weight"),
+    )
+    base = source.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        "log_weight",
     )

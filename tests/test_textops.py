@@ -640,3 +640,36 @@ def test_bigram_lm_scores_manual_corpus(spark):
     assert out[4]["n_bigrams"] == 0 and out[4]["cross_entropy_bits"] is None
     # improbable transitions score strictly higher than common ones
     assert out[2]["cross_entropy_bits"] > out[1]["cross_entropy_bits"]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    import math
+
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        dsir_importance_weights,
+    )
+
+    # source pool: two "code-like" docs, two "prose-like" docs; target
+    # sample is prose — prose docs must out-weigh code docs
+    source = spark.createDataFrame(
+        [
+            (0, "def foo bar return foo bar"),
+            (1, "def baz qux return baz qux"),
+            (2, "the cat sat on the mat"),
+            (3, "the dog sat on the rug"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100, "the bird sat on the branch"), (101, "the fish swam in the pond")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dsir_importance_weights(source, target, n_buckets=512).collect()}
+    assert out[4]["n_feats"] == 0 and out[4]["log_weight"] is None
+    prose = min(out[2]["log_weight"], out[3]["log_weight"])
+    code = max(out[0]["log_weight"], out[1]["log_weight"])
+    assert prose > code
+    # every non-empty doc got uni+bigram features: 2n-1 for n tokens
+    assert out[0]["n_feats"] == 2 * 6 - 1
+    assert all(math.isfinite(out[i]["log_weight"]) for i in range(4))
