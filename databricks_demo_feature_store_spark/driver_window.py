@@ -38,7 +38,16 @@ module import order. Selection policy:
   wrapper), q_lags_ind (window family: q_window_dispatch, q_rsi, rolling
   stats in three in-window pipelines; lag op itself inside
   q_pipeline_customer_tx), q_ext_sessionize (session semantics anchored
-  by in-window q_stream_sessionize).
+  by in-window q_stream_sessionize). Late-round swaps: q_ext_quality_score
+  → q_ext_lm_score (quality_score_col runs inside in-window
+  q_ext_curation_pipeline; the LM scorer is new machinery), and
+  q_ext_cosine_topk → q_ext_ann_recall (the recall query recomputes the
+  exact brute-force top-k as its ground-truth side, so the baseline stays
+  hash-checked while the index and the comparison gain coverage);
+  q_ext_frequent_items → q_pipeline_incremental (heavy hitters is one
+  plain agg+filter, its machinery anchored everywhere; the incremental
+  entity-refresh composite proves pipeline decomposability + the
+  entity-scoped replace writer against the full-recompute oracle).
 """
 
 from __future__ import annotations
@@ -52,6 +61,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_pipeline_product_holdings",
     "q_pipeline_payment_behavior",
     "q_training_set",
+    "q_pipeline_incremental",
     "q_val_schema_cast",
     "q_val_crosscheck",
     "q_val_dimension_drift",
@@ -78,7 +88,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text / dedup / similarity / multimodal
     "q_ext_text_stats",
     "q_ext_lang_id",
-    "q_ext_quality_score",
     "q_ext_repetition",
     "q_ext_fingerprint_dedup",
     "q_ext_ngram_jaccard",
@@ -87,7 +96,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_minhash_dedup",
     "q_ext_simhash",
     "q_ext_dedup_clusters",
-    "q_ext_cosine_topk",
     "q_ext_ann_lsh",
     "q_ext_ann_ivf",
     "q_ext_embedding_near_dup",
@@ -96,13 +104,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
     "q_ext_stratified_sample",
     # round-4 family anchors (see module docstring rotation note)
+    "q_ext_ann_recall",
+    "q_ext_lm_score",
     "q_ext_curation_pipeline",
     "q_ext_winnowing",
     "q_ext_bm25_topk",
     "q_ext_contamination",
     "q_ext_pii_scrub",
     "q_ext_token_mixture",
-    "q_ext_frequent_items",
 )
 
 WINDOW_SIZE = 50

@@ -1344,3 +1344,64 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, docs.where(F.col("lang") == "en"), n_buckets=_DSIR_B
     )
+
+
+@register("q_ext_dedup_clusters_twophase", oracle=_dedup_clusters_oracle())
+def q_ext_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME near-dup closure as q_ext_dedup_clusters, computed by the
+    alternating large-star/small-star algorithm (Kiveris et al. SoCC'14,
+    O(log n) rounds regardless of component diameter) instead of
+    min-label propagation — both checked against one recursive-CTE
+    oracle, so the two distributed CC implementations are proven
+    equivalent on real pair graphs, not just unit fixtures."""
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, num_hashes=16, bands=4, threshold=0.7)
+    return dedup_clusters(d, pairs, algorithm="two-phase")
+
+
+@register(
+    "q_ext_ann_multiprobe",
+    oracle=f"""
+    WITH {_O_EMB},
+    eb AS (SELECT vec_id, v, {_o_plane_bucket("v", _LSH_PLANES_8)} AS bucket FROM e),
+    qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 3),
+    qp AS (
+      SELECT query_id, qv,
+             unnest(list_concat(
+               [bucket],
+               list_transform(range(1, 9), i ->
+                 substr(bucket, 1, i - 1)
+                 || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+                 || substr(bucket, i + 1, 8 - i))
+             )) AS probe
+      FROM qb
+    ),
+    scored AS (
+      SELECT qp.query_id, e.vec_id,
+             {oracle_dround("list_inner_product(e.v, qp.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(qp.qv, qp.qv)))", 6)} AS cosine
+      FROM eb e JOIN qp ON e.bucket = qp.probe
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ext_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-5: each query additionally searches every
+    bucket one bit-flip away (~(nbits+1)× candidates for the recall of
+    nbits+1 independent tables, still a pure equi-join — only the query
+    side explodes). The oracle regenerates the identical probe strings by
+    bit-flipping in SQL, so the probing logic itself is exact-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        k=5,
+        nbits=8,
+        planes=_LSH_PLANES_8,
+        probes=1,
+    )

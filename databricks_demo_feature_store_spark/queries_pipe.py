@@ -746,3 +746,52 @@ def q_gen_payment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = pagos_to_payment_events(gen_pagos(spark, n=120, months=18))
     return PAYMENT_BEHAVIOR_PIPELINE.run(events)
+
+
+# ---------------------------------------------------------------------------
+# Incremental feature materialization (pipelines/incremental.py)
+# ---------------------------------------------------------------------------
+
+from databricks_demo_feature_store_spark.queries import QUERIES as _Q  # noqa: E402
+
+
+@register("q_pipeline_incremental", oracle=_Q["q_pipeline_customer_tx"].oracle)
+def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh end-to-end, checked against the FULL-recompute
+    oracle: materialize the customer-transaction features from a stale
+    source that is missing every 7th customer's orders, then
+    ``incremental_entity_refresh`` exactly those customers from the full
+    source, and return the table read back from disk. Equality with the
+    full-pipeline SQL proves (a) per-entity decomposability of the
+    pipeline, (b) the broadcast semi-join source pruning loses nothing,
+    and (c) the entity-scoped replace writes exactly the affected rows.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from databricks_demo_feature_store_spark.pipelines.customer_features import (
+        CUSTOMER_TX_PIPELINE,
+    )
+    from databricks_demo_feature_store_spark.pipelines.incremental import (
+        incremental_entity_refresh,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import save_table
+
+    orders = load(spark, sf_dir, "orders")
+    stale = orders.where(F.col("o_custkey") % 7 != 0)
+    changed = orders.where(F.col("o_custkey") % 7 == 0).select("o_custkey")
+
+    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_incremental")
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "customer_tx")
+    save_table(CUSTOMER_TX_PIPELINE.run(stale), path)
+    incremental_entity_refresh(
+        source=orders,
+        changed_entities=changed,
+        compute=CUSTOMER_TX_PIPELINE.run,
+        entity_in="o_custkey",
+        entity_out="pk_customer",
+        table_path=path,
+    )
+    return spark.read.parquet(path)

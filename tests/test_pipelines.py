@@ -218,3 +218,45 @@ def test_reference_native_stack(spark):
     # lag semantics survive the adapter: first month per customer has no lag
     first = tx.orderBy("pk_customer", "tpk_release_dt").first()
     assert first["ctrx_monto_total_transacciones_lag_1m"] is None
+
+
+def test_incremental_entity_refresh_equals_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.pipelines.customer_features import (
+        CUSTOMER_TX_PIPELINE,
+    )
+    from databricks_demo_feature_store_spark.pipelines.incremental import (
+        incremental_entity_refresh,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import save_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "tx")
+
+    # Stale world: customer 7k's orders arrive late AND one customer had a
+    # spurious extra order that the corrected feed retracts — the refresh
+    # must both insert and delete.
+    some_key = orders.select("o_custkey").limit(1).collect()[0][0]
+    spurious = orders.limit(1).withColumn("o_custkey", F.lit(some_key)).withColumn(
+        "o_orderdate", F.lit("2099-01-01").cast(orders.schema["o_orderdate"].dataType)
+    )
+    stale = orders.where(F.col("o_custkey") % 7 != 0).unionByName(spurious)
+    save_table(CUSTOMER_TX_PIPELINE.run(stale), path)
+
+    changed = (
+        orders.where((F.col("o_custkey") % 7 == 0) | (F.col("o_custkey") == some_key))
+        .select("o_custkey")
+    )
+    incremental_entity_refresh(
+        source=orders,
+        changed_entities=changed,
+        compute=CUSTOMER_TX_PIPELINE.run,
+        entity_in="o_custkey",
+        entity_out="pk_customer",
+        table_path=path,
+    )
+    got = spark.read.parquet(path)
+    want = CUSTOMER_TX_PIPELINE.run(orders)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
