@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from databricks_demo_feature_store_spark.functions.rounding import dround
 
@@ -113,3 +113,84 @@ def frequent_items(
             "value", "cnt", dround(F.col("cnt") / F.col("__total"), 6).alias("share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-DataFrame Bloom filter (Spark's bloom_filter_agg is internal-only)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(value: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """``n_hashes`` deterministic bit positions for a long ``value`` —
+    the MinHash affine family re-used as the Bloom hash family (engine-
+    portable, no JVM-internal hashing)."""
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    return [
+        ((F.lit(a) * (value % MINHASH_P) + F.lit(b)) % MINHASH_P % F.lit(n_bits))
+        for a, b in minhash_params(n_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> DataFrame:
+    """Aggregate a column of longs into a ONE-ROW Bloom filter: a
+    ``map<int, bigint>`` of 64-bit words (absent word = all zeros).
+
+    Shape: explode each value to its ``n_hashes`` bit positions, groupBy
+    word index with a ``bit_or`` of the shifted bits (map-side
+    combinable), collapse to one map row. The filter is a few MB no
+    matter how many values went in — THE broadcast-friendly membership
+    sketch for 100 TB pre-filters. Standard sizing: fpp ≈
+    ``(1 - e^(-k·n/m))^k``; pick ``n_bits ≈ -n·ln(p)/(ln 2)²``.
+    """
+    vals = df.select(F.col(value_col).alias("__v")).where(F.col("__v").isNotNull())
+    pos = vals.select(
+        F.explode(F.array(*_bloom_positions(F.col("__v"), n_bits, n_hashes))).alias(
+            "__pos"
+        )
+    )
+    words = pos.select(
+        (F.col("__pos") / 64).cast("int").alias("__w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+        ).alias("__bit"),
+    ).groupBy("__w").agg(F.bit_or("__bit").alias("__word"))
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__w", "__word")))
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain_col(
+    bloom_map: Column, value: Column, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> Column:
+    """Membership test against a :func:`bloom_build` map — true iff ALL
+    ``n_hashes`` bits are set. No false negatives; false-positive rate
+    set by the build sizing. Pure column algebra (codegen'd), so it runs
+    at scan speed under a one-row broadcast cross join."""
+    # bitwiseAND, not (word >> j) % 2: shiftright is ARITHMETIC, so any
+    # word with bit 63 set stays negative after the shift and `% 2`
+    # returns -1 — a false negative on every member of that word.
+    checks = [
+        (
+            F.coalesce(
+                F.element_at(bloom_map, (p / 64).cast("int")), F.lit(0).cast("long")
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        )
+        for p in _bloom_positions(value, n_bits, n_hashes)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

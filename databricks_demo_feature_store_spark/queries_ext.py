@@ -1405,3 +1405,69 @@ def q_ext_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=_LSH_PLANES_8,
         probes=1,
     )
+
+
+@register(
+    "q_ext_chunk_documents",
+    oracle=r"""
+    WITH normed AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(norm, ' ') END AS toks
+      FROM normed
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT)
+             END AS n_chunks
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, toks, unnest(range(0, n_chunks)) AS ci FROM c WHERE n_chunks > 0
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(len(toks[ci * 24 + 1 : ci * 24 + 32]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def q_ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded document chunking (32-token chunks, 8-token overlap
+    → stride 24) — the pre-tokenization splitting step, shuffle-free
+    column algebra, exact-checked against DuckDB recomputing the same
+    chunk geometry and text."""
+    from databricks_demo_feature_store_spark.textops.sampling import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
+    "q_ext_contamination_bloom",
+    oracle=f"""
+    WITH {_O_SHINGLES},
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE {_EVAL_PRED}),
+    corpus AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    shared AS (SELECT DISTINCT c.doc_id, c.s FROM corpus c JOIN ev ON c.s = ev.s)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM shared GROUP BY 1
+    """,
+)
+def q_ext_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constant-memory decontamination path: a Bloom filter over the
+    eval shingle hashes pre-filters the corpus before the exact join.
+    Checked against the SAME oracle as q_ext_contamination — Bloom
+    filters have no false negatives and the exact join verifies every
+    survivor, so the scale path provably returns identical results."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_contamination(
+        d, d.where(F.expr(_EVAL_PRED)), k=3, bloom_fpp=0.01,
+        bloom_expected_items=100_000,
+    )

@@ -34,6 +34,14 @@ from databricks_demo_feature_store_spark.textops.analysis import (
 from databricks_demo_feature_store_spark.textops.dedup import with_shingle_hashes
 
 
+def _bloom_bits(n_items: int, fpp: float) -> int:
+    """Optimal Bloom bit count for ``n_items`` at false-positive rate
+    ``fpp``: ``-n·ln(p) / (ln 2)²`` (standard sizing formula)."""
+    import math
+
+    return max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+
+
 def ngram_contamination(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -41,6 +49,8 @@ def ngram_contamination(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom_fpp: float | None = None,
+    bloom_expected_items: int = 1_000_000,
 ) -> DataFrame:
     """Per-document count of distinct word-``k``-grams shared with the
     eval set, for documents sharing at least ``min_overlap``.
@@ -48,6 +58,17 @@ def ngram_contamination(
     Returns (doc_id, n_shared_ngrams). Documents with zero overlap are
     absent (semi-join semantics); callers wanting flags left-join this
     back (see :func:`curate_corpus`).
+
+    ``bloom_fpp`` enables the constant-memory scale path: the eval
+    shingle hashes aggregate into ONE Bloom filter (`bloom_filter_agg`,
+    a few MB regardless of eval-set size) that pre-filters the exploded
+    corpus BEFORE the exact join — at 100 TB the overwhelmingly-clean
+    corpus drops ~(1 − fpp) of its shingle rows at scan speed, and only
+    the survivors reach the join/distinct machinery. The result is still
+    EXACT: Bloom filters have no false negatives and the exact broadcast
+    join verifies every survivor, so false positives cost work, never
+    correctness (the gate checks this path against the same oracle as
+    the plain one).
     """
     # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate adds a
     # size(arr) > 0 filter under a plain explode and pushes it below the
@@ -66,6 +87,19 @@ def ngram_contamination(
         .where(F.col("h").isNotNull())
         .distinct()
     )
+    if bloom_fpp is not None:
+        from databricks_demo_feature_store_spark.operators.sketches import (
+            bloom_build,
+            bloom_might_contain_col,
+        )
+
+        n_bits = _bloom_bits(bloom_expected_items, bloom_fpp)
+        bloom = bloom_build(eval_hashes, "h", n_bits=n_bits)
+        corpus = (
+            corpus.crossJoin(F.broadcast(bloom))
+            .where(bloom_might_contain_col(F.col("bloom"), F.col("h"), n_bits=n_bits))
+            .drop("bloom")
+        )
     shared = corpus.join(F.broadcast(eval_hashes), on="h").select("doc_id", "h").distinct()
     return (
         shared.groupBy("doc_id")

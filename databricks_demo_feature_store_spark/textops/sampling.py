@@ -248,3 +248,65 @@ def dsir_importance_weights(
         F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
         "log_weight",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the
+    standard pre-tokenization step that turns variable-length documents
+    into training-window-sized pieces while preserving context across
+    chunk boundaries (stride = ``chunk_tokens − overlap``).
+
+    Chunk i covers token positions ``[i·stride, i·stride + chunk_tokens)``;
+    the last chunk may be short; a document shorter than one chunk yields
+    exactly one chunk; empty docs yield none. Output: one row per chunk
+    with (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Pure column algebra: tokenize once, build the chunk-index sequence,
+    ONE explode, then `slice` + `concat_ws` re-materializes each chunk's
+    text — no shuffle at all (narrow op), so at 100 TB this runs at scan
+    speed and the output partitioning inherits the input's. No Python,
+    no UDFs.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).select(
+        "doc_id", "__toks", F.size("__toks").alias("__n")
+    )
+    # number of chunks = 1 + ceil(max(n - chunk, 0) / stride) for n > 0
+    n_chunks = F.when(F.col("__n") <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("__n") - chunk_tokens, F.lit(0)) / F.lit(stride)
+        ).cast("int")
+    )
+    chunked = staged.select(
+        "doc_id",
+        "__toks",
+        F.explode_outer(
+            F.when(
+                n_chunks > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_idx"),
+    ).where(F.col("chunk_idx").isNotNull())
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

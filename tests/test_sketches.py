@@ -156,3 +156,30 @@ def test_semantic_dedup_keeps_all_when_threshold_high(spark):
     )
     out = semantic_dedup(df, nlist=2, threshold=0.5, kmeans_iterations=0)
     assert out.count() == 2
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain_col,
+    )
+
+    members = spark.range(0, 2000).select((F.col("id") * 2_654_435_761 % (1 << 40)).alias("v"))
+    n_bits = 1 << 16
+    bloom = bloom_build(members, "v", n_bits=n_bits)
+    # every member must test positive (no false negatives — the exactness
+    # guarantee the decontamination pre-filter relies on)
+    hits = (
+        members.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain_col(F.col("bloom"), F.col("v"), n_bits=n_bits))
+        .count()
+    )
+    assert hits == 2000
+    # non-members: fpp well under 10x the nominal ~3% at this sizing
+    others = spark.range(0, 2000).select((F.col("id") * 2_654_435_761 % (1 << 40) + 1).alias("v"))
+    fp = (
+        others.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain_col(F.col("bloom"), F.col("v"), n_bits=n_bits))
+        .count()
+    )
+    assert fp / 2000 < 0.3
