@@ -1471,3 +1471,42 @@ def q_ext_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, d.where(F.expr(_EVAL_PRED)), k=3, bloom_fpp=0.01,
         bloom_expected_items=100_000,
     )
+
+
+@register(
+    "q_ext_quantization_error",
+    oracle=f"""
+    WITH {_O_EMB},
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS raw_scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v,
+             CASE WHEN raw_scale > 0 THEN raw_scale END AS scale
+      FROM s
+    ),
+    r AS (
+      SELECT vec_id, scale, v,
+             CASE WHEN scale IS NOT NULL
+                  THEN list_transform(v, x -> round(x / scale) * scale)
+             END AS recon
+      FROM q
+    )
+    SELECT vec_id,
+           {oracle_dround('scale', 6)} AS scale,
+           {oracle_dround("list_inner_product(v, recon) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(recon, recon)))", 6)} AS recon_cosine
+    FROM r
+    """,
+)
+def q_ext_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization reconstruction quality for every
+    corpus vector (symmetric per-vector scale, round-half-away codes) —
+    the measured cost of 4× smaller embedding storage. DuckDB replays
+    the identical quantize→dequantize→cosine chain."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        quantization_error,
+    )
+
+    return quantization_error(load(spark, sf_dir, "embeddings"))

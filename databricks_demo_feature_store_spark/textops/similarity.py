@@ -556,3 +556,59 @@ def semantic_dedup(
     return assigned.join(dropped, on=id_col, how="left_anti").select(
         id_col, vec_col, "cluster"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage quantization (int8)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` ∈ [−127, 127] — 4× smaller embedding
+    storage (the difference between keeping a 100 TB embedding store hot
+    or cold) at ~0.5% cosine error on typical corpora. Zero vectors get
+    NULL scale and NULL codes (nothing to preserve).
+
+    Pure column algebra; pairs with :func:`dequantize_col` for rescoring
+    and with :func:`quantization_error` to MEASURE the recall cost before
+    committing the storage format (same discipline as ann_recall_at_k).
+    """
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.when(amax > 0, amax / F.lit(127.0))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") / scale).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(scale.isNotNull(), q).alias("qembedding"),
+    )
+
+
+def dequantize_col(q: Column, scale: Column) -> Column:
+    """Reconstruct the float vector from int8 codes: ``x̂_i = q_i·scale``."""
+    return F.transform(q, lambda v: v.cast("double") * scale)
+
+
+def quantization_error(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector reconstruction quality of the int8 format:
+    ``recon_cosine`` = cosine(original, dequantized). Run this on a
+    sample before flipping a corpus to quantized storage — "measure,
+    don't guess" for the storage knob, exactly as ann_recall_at_k is for
+    the index knobs."""
+    qd = quantize_embeddings_int8(df, vec_col, id_col)
+    joined = df.select(F.col(id_col), F.col(vec_col)).join(qd, on=id_col)
+    recon = dequantize_col(F.col("qembedding"), F.col("scale"))
+    return joined.select(
+        id_col,
+        dround(F.col("scale"), 6).alias("scale"),
+        dround(cosine_col(F.col(vec_col), recon), 6).alias("recon_cosine"),
+    )

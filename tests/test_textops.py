@@ -673,3 +673,21 @@ def test_dsir_weights_favor_target_like_docs(spark):
     # every non-empty doc got uni+bigram features: 2n-1 for n tokens
     assert out[0]["n_feats"] == 2 * 6 - 1
     assert all(math.isfinite(out[i]["log_weight"]) for i in range(4))
+
+
+def test_int8_quantization_roundtrip_quality(spark):
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        quantization_error,
+        quantize_embeddings_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings_int8(emb).collect()
+    for r in q:
+        if r["scale"] is None:
+            assert r["qembedding"] is None
+            continue
+        assert all(-127 <= v <= 127 for v in r["qembedding"])
+    err = quantization_error(emb).collect()
+    finite = [r["recon_cosine"] for r in err if r["recon_cosine"] is not None]
+    assert finite and min(finite) > 0.995  # int8 loses <0.5% cosine
