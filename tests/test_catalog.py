@@ -94,3 +94,41 @@ def test_path_quote_guard(spark, tmp_path):
     c = Catalog(root=str(tmp_path) + "/it's", database="testdb_quote")
     with pytest.raises(ValueError, match="quote"):
         c.register_table(spark, "t", "source", fmt="parquet")
+
+
+def test_read_corpus_jsonl_csv_text(spark, tmp_path):
+    import gzip
+    import json
+
+    from databricks_demo_feature_store_spark.sources.corpus import read_corpus
+
+    # jsonl.gz with metadata
+    jl = tmp_path / "docs.jsonl.gz"
+    with gzip.open(jl, "wt") as f:
+        for i, t in enumerate(["hello world", "guten tag welt", ""]):
+            f.write(json.dumps({"body": t, "url": f"https://x/{i}", "crawl_id": i}) + "\n")
+    out = read_corpus(spark, str(jl), fmt="jsonl", text_field="body", id_field="crawl_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text", "url"}
+    assert rows[0]["text"] == "hello world" and rows[1]["url"] == "https://x/1"
+
+    # csv, hash-derived ids: deterministic across two reads
+    cv = tmp_path / "docs.csv"
+    cv.write_text("text,source\nfoo bar,web\nbaz qux,code\n")
+    a = read_corpus(spark, str(cv), fmt="csv")
+    b = read_corpus(spark, str(cv), fmt="csv")
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    assert {r["source"] for r in a.collect()} == {"web", "code"}
+
+    # raw text: one doc per line
+    tx = tmp_path / "docs.txt"
+    tx.write_text("line one\nline two\n")
+    t = read_corpus(spark, str(tx), fmt="text")
+    assert {r["text"] for r in t.collect()} == {"line one", "line two"}
+
+    # downstream operators run unchanged on the normalized schema
+    from databricks_demo_feature_store_spark.textops.analysis import bigram_lm_scores
+
+    assert bigram_lm_scores(t).count() == 2
