@@ -202,7 +202,10 @@ def dsir_importance_weights(
             .select("doc_id", F.explode_outer("__f").alias("bucket"))
         )
 
-    src_feats = feats(source)
+    # The source-side hashed features feed the source distribution, the
+    # ratio table's broadcast subjob AND the scoring join — materialize
+    # once (lineage-truncated) or the md5-per-feature pass runs 3×.
+    src_feats = feats(source).localCheckpoint(eager=False)
     tgt_counts = (
         feats(target)
         .where(F.col("bucket").isNotNull())
