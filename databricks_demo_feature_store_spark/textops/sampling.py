@@ -295,21 +295,25 @@ def chunk_documents(
             F.greatest(F.col("__n") - chunk_tokens, F.lit(0)) / F.lit(stride)
         ).cast("int")
     )
+    # Pre-slice every chunk BEFORE the explode: exploding chunk indices
+    # and slicing afterwards would carry the document's FULL token array
+    # on every chunk row (a 10k-token doc × 20 chunks = 20× width
+    # amplification through the generate); pre-sliced, each output row
+    # holds only its own ≤chunk_tokens piece and the full array
+    # materializes once per document.
+    pieces = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.slice(F.col("__toks"), i * stride + 1, chunk_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
     chunked = staged.select(
-        "doc_id",
-        "__toks",
-        F.explode_outer(
-            F.when(
-                n_chunks > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1)
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("chunk_idx"),
-    ).where(F.col("chunk_idx").isNotNull())
-    piece = F.slice(
-        F.col("__toks"), F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
-    )
+        "doc_id", F.posexplode_outer(pieces).alias("chunk_idx", "__piece")
+    ).where(F.col("__piece").isNotNull())
     return chunked.select(
         "doc_id",
-        "chunk_idx",
-        F.size(piece).alias("n_chunk_tokens"),
-        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("__piece").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__piece")).alias("chunk_text"),
     )
