@@ -1510,3 +1510,27 @@ def q_ext_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return quantization_error(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_ext_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_o_hash("CAST(doc_id AS VARCHAR)", 0)} % 1000000 ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 15
+    """,
+)
+def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (≤15 per source, deterministic hash
+    ranking) — the RefinedWeb-style guard against one origin dominating
+    the corpus. The oracle replays the identical hash ordering."""
+    from databricks_demo_feature_store_spark.textops.sampling import cap_per_key
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_key(d, "source", cap=15)

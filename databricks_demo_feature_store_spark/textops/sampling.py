@@ -317,3 +317,32 @@ def chunk_documents(
         F.size("__piece").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("__piece")).alias("chunk_text"),
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per key (domain, source, site …) —
+    the RefinedWeb/C4-style anti-boilerplate guard against any single
+    origin dominating the corpus.
+
+    Selection is a deterministic per-key hash ranking (the same docs
+    survive on any rerun, any partitioning, any engine — no rand()),
+    tie-broken by id: one window, one sort exchange on the key. At
+    100 TB the giant-key failure mode is the window partition for a
+    mega-domain; since only the TOP ``cap`` rows per key matter, a
+    pre-filter on rank-eligible buckets (or the salted-split trick in
+    :func:`token_budget_mixture`) bounds it.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        sample_bucket_col(F.col(id_col).cast("string"), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= cap)
+        .drop("__rank")
+    )

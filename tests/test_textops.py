@@ -691,3 +691,17 @@ def test_int8_quantization_roundtrip_quality(spark):
     err = quantization_error(emb).collect()
     finite = [r["recon_cosine"] for r in err if r["recon_cosine"] is not None]
     assert finite and min(finite) > 0.995  # int8 loses <0.5% cosine
+
+
+def test_cap_per_key_deterministic_and_bounded(spark):
+    from databricks_demo_feature_store_spark.textops.sampling import cap_per_key
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = cap_per_key(docs, "source", cap=3)
+    counts = {r["source"]: r["n"] for r in a.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts and all(n <= 3 for n in counts.values())
+    # rerun picks the identical survivors
+    b = cap_per_key(docs, "source", cap=3)
+    assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in b.select("doc_id").collect()
+    )
