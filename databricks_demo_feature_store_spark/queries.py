@@ -86,7 +86,14 @@ def _parallelize_scan(spark: SparkSession, df: DataFrame, key: tuple[str, str]) 
         try:
             import os
 
-            nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+            p = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.isdir(p):
+                # directory-style table: size = sum of its data files
+                nbytes = sum(
+                    e.stat().st_size for e in os.scandir(p) if e.is_file()
+                )
+            else:
+                nbytes = os.path.getsize(p)
         except OSError:
             nbytes = 0
         # Tiny dimension tables (region/nation/…) skip the fan-out: their

@@ -1534,3 +1534,58 @@ def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_key(d, "source", cap=15)
+
+
+@register(
+    "q_ext_paragraph_dedup",
+    oracle=r"""
+    WITH paras AS (
+      SELECT doc_id, trim(p) AS para
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS p FROM documents)
+      WHERE trim(p) <> ''
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g')) AS fingerprint
+      FROM paras
+    ),
+    grp AS (
+      SELECT fingerprint,
+             COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(doc_id) AS representative_id
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT fingerprint, n_occurrences, n_docs, representative_id
+    FROM grp WHERE n_occurrences > 1
+    """,
+)
+def q_ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (sentence/paragraph-level) exact dedup: split each
+    document on sentence boundaries, fingerprint each span, and report
+    every span occurring more than once (boilerplate sentences repeated
+    across the corpus — the C4/RefinedWeb intra-document dedup shape).
+    Composition of existing primitives: split+explode → fingerprint_col
+    → hash groupBy; the shuffle carries (hash, doc_id) only, never span
+    text."""
+    from databricks_demo_feature_store_spark.textops.analysis import fingerprint_col
+
+    d = load(spark, sf_dir, "documents")
+    paras = (
+        d.select(
+            "doc_id",
+            F.explode_outer(F.split(F.col("text"), r"\.\s+")).alias("para"),
+        )
+        .select("doc_id", F.trim(F.col("para")).alias("para"))
+        .where(F.col("para") != "")
+    )
+    fp = paras.select("doc_id", fingerprint_col(F.col("para")).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("representative_id"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )

@@ -379,3 +379,29 @@ def test_interval_join_rejects_same_ts_name(spark):
     df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], ["k", "ts"])
     with pytest.raises(ValueError, match="distinct timestamp"):
         interval_join(df, df, keys=["k"], left_ts="ts", right_ts="ts")
+
+
+def test_scan_fanout_noop_when_already_parallel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.queries import _SCAN_FANOUT, load
+
+    # many-split table (the 100 TB shape): fan-out must NOT kick in
+    wide_dir = tmp_path / "sfwide"
+    wide_dir.mkdir()
+    spark.range(0, 200_000).select(
+        F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("text")
+    ).repartition(64).write.parquet(str(wide_dir / "documents.parquet"))
+    df = load(spark, str(wide_dir), "documents")
+    assert _SCAN_FANOUT[(str(wide_dir), "documents")] is False
+    assert df.rdd.getNumPartitions() >= 32  # kept its native splits
+
+    # single-file single-row-group table: fan-out kicks in
+    narrow_dir = tmp_path / "sfnarrow"
+    narrow_dir.mkdir()
+    spark.range(0, 50_000).select(
+        F.col("id"), F.concat(F.lit("y"), F.col("id")).alias("text")
+    ).coalesce(1).write.parquet(str(narrow_dir / "documents.parquet"))
+    df2 = load(spark, str(narrow_dir), "documents")
+    assert _SCAN_FANOUT[(str(narrow_dir), "documents")] is True
+    assert df2.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
