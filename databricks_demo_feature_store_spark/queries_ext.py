@@ -1589,3 +1589,71 @@ def q_ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occurrences") > 1)
     )
+
+
+def _keep_best_oracle(threshold: float = 0.7) -> str:
+    """Clusters (recursive CTE) × per-doc quality → per-cluster argmax."""
+    quality_body = _quality_oracle().split("WITH", 1)[1].lstrip()
+    # _quality_oracle is "WITH <ctes> SELECT ..." — keep its CTE chain and
+    # its final SELECT as a named CTE
+    ctes, final_select = quality_body.rsplit("SELECT doc_id,", 1)
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    {ctes.rstrip().rstrip(",")},
+    quality AS (SELECT doc_id,{final_select}),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component_id
+               ORDER BY q.quality_score DESC, c.doc_id ASC
+             ) AS rn
+      FROM comp c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT component_id, doc_id AS kept_doc_id, quality_score
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("q_ext_dedup_keep_best", oracle=_keep_best_oracle())
+def q_ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup resolution loop: MinHash-LSH pairs → connected
+    components → keep the HIGHEST-QUALITY document per cluster (C4-style
+    composite score, doc-id tiebreak) instead of the naive min-id pick —
+    what a production corpus pipeline actually ships. One window over
+    the (small) cluster assignment; quality is codegen'd column algebra;
+    the oracle replays pairs, closure and the argmax."""
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, num_hashes=16, bands=4, threshold=0.7)
+    clusters = dedup_clusters(d, pairs)
+    quality = d.select("doc_id", quality_score_col(F.col("text")).alias("quality_score"))
+    ranked = clusters.join(quality, on="doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component_id").orderBy(
+                F.desc("quality_score"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        "quality_score",
+    )

@@ -795,3 +795,30 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path=path,
     )
     return spark.read.parquet(path)
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH contrib AS (
+      SELECT ts, value,
+             date_trunc('hour', ts) - to_hours(CAST(k AS INT)) AS window_start
+      FROM events, LATERAL (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM contrib
+    GROUP BY window_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2h window, 1h slide) counts through the real
+    streaming engine — every event contributes to exactly two
+    overlapping windows; the oracle replays the fan-out with a 2-row
+    lateral and the DECIMAL-routed sum matches bit-exactly."""
+    from databricks_demo_feature_store_spark.streaming.ops import sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(sliding_counts(stream))

@@ -249,3 +249,32 @@ def enrich_stream(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on=list(on), how=how)
+
+
+def sliding_counts(
+    stream: DataFrame,
+    watermark: str = "7 days",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts: each event lands in
+    window/slide overlapping windows (2h/1h → 2), giving smoothed
+    trailing aggregates with updates each slide period — the third
+    window family next to tumbling (:func:`hourly_counts`) and session
+    (:func:`sessionize`). State per key-window is bounded by the
+    watermark exactly as for tumbling windows; the fan-out factor is
+    window/slide, fixed at plan time."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
