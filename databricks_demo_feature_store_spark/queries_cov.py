@@ -618,3 +618,40 @@ def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal_zscore",
         "c_acctbal_minmax",
     )
+
+
+@register(
+    "q_salted_join",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_orderdate, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join vs the plain-join oracle: the deterministic salt
+    explode/unsalt round-trip must be invisible in the result — exactly
+    the guarantee a skewed 100 TB fact join relies on."""
+    from databricks_demo_feature_store_spark.operators.joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+    out = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        keys=["k"],
+        salt_buckets=8,
+        salt_source="l_linenumber",
+    )
+    return out.select(
+        F.col("k").alias("l_orderkey"),
+        "l_linenumber",
+        "l_quantity",
+        "o_orderdate",
+        "o_totalprice",
+    )

@@ -1657,3 +1657,28 @@ def q_ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("kept_doc_id"),
         "quality_score",
     )
+
+
+@register(
+    "q_ext_corpus_roundtrip",
+    oracle="SELECT doc_id, text, lang, source FROM documents",
+)
+def q_ext_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-ingestion round-trip: export the documents table to JSONL,
+    re-ingest through ``read_corpus`` (the JSONL crawl path), and
+    hash-match the original — proving the ingestion source preserves
+    ids, text bytes and metadata exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from databricks_demo_feature_store_spark.sources.corpus import read_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_corpus_roundtrip")
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "docs_jsonl")
+    load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).write.json(path)
+    out = read_corpus(spark, path, fmt="jsonl", id_field="doc_id")
+    return out.select("doc_id", "text", "lang", "source")
