@@ -202,3 +202,30 @@ def q_val_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "q_val_freshness",
+    oracle="""
+    SELECT CAST(date_trunc('month', MAX(CAST(o_orderdate AS DATE))) AS DATE) AS max_month,
+           CAST(date_trunc('month', MAX(CAST(o_orderdate AS DATE))) + INTERVAL 1 MONTH AS DATE) AS available_month,
+           CAST('1999-01-01' AS DATE) AS reference_month,
+           COALESCE(CAST(date_trunc('month', MAX(CAST(o_orderdate AS DATE))) + INTERVAL 1 MONTH AS DATE)
+                    >= CAST('1999-01-01' AS DATE), FALSE) AS is_fresh
+    FROM orders
+    """,
+)
+def q_val_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outdateness/freshness validator's distributable core: max
+    order month + availability shift vs a pinned reference month —
+    one-row aggregate, no driver round-trip, exact-checked."""
+    import datetime as _dt
+
+    from databricks_demo_feature_store_spark.validation.monitor import freshness_frame
+
+    return freshness_frame(
+        load(spark, sf_dir, "orders"),
+        "o_orderdate",
+        months_shift=1,
+        reference_month=_dt.date(1999, 1, 1),
+    )

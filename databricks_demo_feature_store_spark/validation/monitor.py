@@ -127,6 +127,31 @@ class OutdatenessResult:
     passed: bool
 
 
+def freshness_frame(
+    df: DataFrame,
+    date_column: str,
+    months_shift: int = 1,
+    reference_month: _dt.date | None = None,
+) -> DataFrame:
+    """The freshness check as a one-row DataFrame (no driver round-trip):
+    (max_month, available_month, reference_month, is_fresh) where
+    ``available = max(month(date)) + months_shift`` and ``is_fresh =
+    available >= reference``. This is the distributable core of
+    :func:`outdateness`; pass an explicit ``reference_month`` for
+    reproducible gating (the wall clock is not a deterministic input)."""
+    ref = reference_month or _dt.date.today().replace(day=1)
+    mx = F.max(F.trunc(F.col(date_column).cast("date"), "month"))
+    return df.agg(mx.alias("max_month")).select(
+        "max_month",
+        F.add_months(F.col("max_month"), months_shift).alias("available_month"),
+        F.lit(ref).cast("date").alias("reference_month"),
+        F.coalesce(
+            F.add_months(F.col("max_month"), months_shift) >= F.lit(ref).cast("date"),
+            F.lit(False),
+        ).alias("is_fresh"),
+    )
+
+
 def outdateness(
     df: DataFrame,
     date_column: str,
@@ -136,20 +161,14 @@ def outdateness(
     """Freshness gate (reference ``outdateness.py:20-169``).
 
     ``max(date) + months_shift`` (the availability shift) must reach the
-    reference month (defaults to the current month). The single-row agg is
-    the only driver round-trip in the validation suite.
+    reference month (defaults to the current month). The single-row
+    collect of :func:`freshness_frame` is the only driver round-trip in
+    the validation suite.
     """
-    row = df.agg(
-        F.max(F.trunc(F.col(date_column).cast("date"), "month")).alias("mx")
-    ).collect()[0]
-    max_date = row["mx"]
-    today = reference_month or _dt.date.today().replace(day=1)
-    if max_date is None:
-        return OutdatenessResult(None, today, None, False)
-    y, m = max_date.year, max_date.month + months_shift
-    y, m = y + (m - 1) // 12, (m - 1) % 12 + 1
-    available = _dt.date(y, m, 1)
-    return OutdatenessResult(max_date, today, available, available >= today)
+    row = freshness_frame(df, date_column, months_shift, reference_month).collect()[0]
+    return OutdatenessResult(
+        row["max_month"], row["reference_month"], row["available_month"], row["is_fresh"]
+    )
 
 
 class ValidationLog:
