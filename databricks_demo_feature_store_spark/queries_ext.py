@@ -1682,3 +1682,71 @@ def q_ext_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.json(path)
     out = read_corpus(spark, path, fmt="jsonl", id_field="doc_id")
     return out.select("doc_id", "text", "lang", "source")
+
+
+@register(
+    "q_ext_session_features",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_idx,
+             COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+             SUM(CAST(value AS DECIMAL(25,6))) AS value_dec
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(duration_us) AS BIGINT) AS total_duration_us,
+           CAST(MAX(duration_us) AS BIGINT) AS max_duration_us,
+           CAST(SUM(value_dec) AS DOUBLE) AS total_value
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def q_ext_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral features derived from sessionized events —
+    the events→sessions→entity-features composite a behavioral feature
+    store ships (session counts, total/max session duration, exact value
+    sums). Both window passes share one (user_id, ts, event_id) sort;
+    the two aggregations are map-side combinable."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap_us > 30 * 60 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = flagged.withColumn("session_idx", F.sum("is_new").over(cum))
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("value_dec"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("duration_us").alias("total_duration_us"),
+        F.max("duration_us").alias("max_duration_us"),
+        F.sum("value_dec").cast("double").alias("total_value"),
+    )
