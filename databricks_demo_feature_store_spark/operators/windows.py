@@ -192,3 +192,38 @@ def create_lags_ind(
             label_col
         ),
     )
+
+
+def rolling_quantiles(
+    df: DataFrame,
+    columns: Sequence[str],
+    quantiles: Sequence[float],
+    window_sizes: Sequence[int],
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    round_to: int = 4,
+) -> DataFrame:
+    """Rolling EXACT quantiles over the trailing N rows —
+    ``{c}_rq{QQ}_{N}m`` (e.g. ``spend_rq50_3m`` = trailing 3-month
+    median): the robust-statistics companion to the rolling mean/std
+    (medians shrug off the one-off spike that drags an average).
+
+    Exact ``percentile`` (linear interpolation), not the approximate
+    sketch: window frames are small (a handful of rows), so exactness is
+    free, deterministic, and cross-engine checkable (DuckDB
+    ``quantile_cont`` computes the identical value — the same mapping
+    the column profiler's gate already proves). All quantile columns
+    share the one (partition, order) sort every other rolling stat uses.
+    """
+    base = _base_window(partition_by, order_by)
+    cols: list[Column] = []
+    for n in window_sizes:
+        frame = base.rowsBetween(-(n - 1), 0)
+        for c in columns:
+            for q in quantiles:
+                cols.append(
+                    dround(
+                        F.expr(f"percentile(`{c}`, {q!r})").over(frame), round_to
+                    ).alias(f"{c}_rq{int(q * 100):02d}_{n}m")
+                )
+    return df.select("*", *cols)

@@ -655,3 +655,40 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
     )
+
+
+@register(
+    "q_rolling_quantile",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT custkey, order_month, total_spend,
+           {oracle_dround('quantile_cont(total_spend, 0.5) OVER f3')} AS total_spend_rq50_3m,
+           {oracle_dround('quantile_cont(total_spend, 0.9) OVER f3')} AS total_spend_rq90_3m
+    FROM m
+    WINDOW f3 AS (PARTITION BY custkey ORDER BY order_month ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-month exact median and p90 of the monthly spend series
+    — robust rolling statistics sharing the single per-entity sort."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        rolling_quantiles,
+    )
+
+    m = _monthly_orders_dec(spark, sf_dir).select(
+        "custkey", "order_month", F.col("total_spend").cast("double").alias("total_spend")
+    )
+    return rolling_quantiles(
+        m,
+        columns=["total_spend"],
+        quantiles=[0.5, 0.9],
+        window_sizes=[3],
+        partition_by=["custkey"],
+        order_by=["order_month"],
+    )
