@@ -227,3 +227,59 @@ def rolling_quantiles(
                     ).alias(f"{c}_rq{int(q * 100):02d}_{n}m")
                 )
     return df.select("*", *cols)
+
+
+def rolling_ewma(
+    df: DataFrame,
+    columns: Sequence[str],
+    alpha: float,
+    window_sizes: Sequence[int],
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    round_to: int = 4,
+) -> DataFrame:
+    """Exponentially weighted moving average over the trailing N rows —
+    ``{c}_ewma{N}m``: recent months dominate, old months decay by
+    ``(1-α)`` per step (the adjusted form,
+    ``Σ (1-α)^(m-i)·x_i / Σ (1-α)^(m-i)`` over the frame, i.e.
+    pandas ``ewm(alpha, adjust=True).mean()`` restricted to the window).
+
+    A TRUE infinite-history EWM is a per-key recursion Spark's window
+    algebra can't express declaratively; the bounded-frame form keeps
+    ≥ ``1-(1-α)^N`` of the total weight mass (α=0.5, N=6 → 98.4%), is
+    shuffle-free beyond the shared sort, and — unlike the recursion —
+    is exactly reproducible by any engine with list algebra, so it
+    gate-checks. Fold order equals frame order on both engines, so the
+    doubles match bit-for-bit before rounding.
+    """
+    base = _base_window(partition_by, order_by)
+    decay = 1.0 - alpha
+    cols: list[Column] = []
+    for n in window_sizes:
+        frame = base.rowsBetween(-(n - 1), 0)
+        for c in columns:
+            xs = F.collect_list(F.col(c).cast("double")).over(frame)
+            m = F.size(xs)
+            weighted = F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.pow(F.lit(decay), (m - i).cast("double"))
+                    * F.element_at(xs, i),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            wsum = F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.pow(F.lit(decay), (m - i).cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cols.append(
+                dround(
+                    F.when(m > 0, weighted / wsum), round_to
+                ).alias(f"{c}_ewma{n}m")
+            )
+    return df.select("*", *cols)

@@ -692,3 +692,43 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["custkey"],
         order_by=["order_month"],
     )
+
+
+@register(
+    "q_rolling_ewma",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT custkey, order_month, total_spend,
+             list(total_spend) OVER f6 AS xs
+      FROM m
+      WINDOW f6 AS (PARTITION BY custkey ORDER BY order_month ASC
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT custkey, order_month, total_spend,
+           {oracle_dround('list_sum(list_transform(range(1, len(xs) + 1), i -> pow(0.5, len(xs) - i) * xs[i])) / list_sum(list_transform(range(1, len(xs) + 1), i -> pow(0.5, len(xs) - i)))')} AS total_spend_ewma6m
+    FROM w
+    """,
+)
+def q_rolling_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-month EWMA (α=0.5, adjusted) of the monthly spend
+    series — the oracle replays the identical weight fold in list
+    algebra, so even the accumulation order is checked."""
+    from databricks_demo_feature_store_spark.operators.windows import rolling_ewma
+
+    m = _monthly_orders_dec(spark, sf_dir).select(
+        "custkey", "order_month", F.col("total_spend").cast("double").alias("total_spend")
+    )
+    return rolling_ewma(
+        m,
+        columns=["total_spend"],
+        alpha=0.5,
+        window_sizes=[6],
+        partition_by=["custkey"],
+        order_by=["order_month"],
+    )
