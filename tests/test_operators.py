@@ -405,3 +405,39 @@ def test_scan_fanout_noop_when_already_parallel(spark, tmp_path):
     df2 = load(spark, str(narrow_dir), "documents")
     assert _SCAN_FANOUT[(str(narrow_dir), "documents")] is True
     assert df2.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_rolling_quantile_and_ewma_edges(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.operators.windows import (
+        rolling_ewma,
+        rolling_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 90.0), ("b", 1, 5.0)],
+        ["k", "t", "x"],
+    )
+    q = {
+        (r["k"], r["t"]): r
+        for r in rolling_quantiles(
+            df, ["x"], [0.5], [3], ["k"], ["t"]
+        ).collect()
+    }
+    # single-row frame: median = the value itself
+    assert q[("a", 1)]["x_rq50_3m"] == 10.0 and q[("b", 1)]["x_rq50_3m"] == 5.0
+    # 2-row frame: linear interpolation midpoint
+    assert q[("a", 2)]["x_rq50_3m"] == 15.0
+    # full 3-row frame: middle value (robust to the 90 spike)
+    assert q[("a", 3)]["x_rq50_3m"] == 20.0
+
+    e = {
+        (r["k"], r["t"]): r
+        for r in rolling_ewma(df, ["x"], 0.5, [3], ["k"], ["t"]).collect()
+    }
+    assert e[("a", 1)]["x_ewma3m"] == 10.0  # single row: itself
+    # two rows, alpha=.5 adjusted: (0.5*10 + 1*20) / 1.5
+    assert e[("a", 2)]["x_ewma3m"] == round((0.5 * 10 + 20) / 1.5, 4)
+    # three rows: (.25*10 + .5*20 + 1*90) / 1.75
+    assert e[("a", 3)]["x_ewma3m"] == round((0.25 * 10 + 0.5 * 20 + 90) / 1.75, 4)
