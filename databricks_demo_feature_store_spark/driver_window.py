@@ -48,6 +48,30 @@ module import order. Selection policy:
   plain agg+filter, its machinery anchored everywhere; the incremental
   entity-refresh composite proves pipeline decomposability + the
   entity-scoped replace writer against the full-recompute oracle).
+* Round-5 rotation: ten never-driver-checked (or newly-oracled) families
+  rotate IN — q_rolling_quantile, q_rolling_ewma (round-4 window ops),
+  q_ext_session_features, q_ext_dsir_weights, q_ext_dedup_keep_best (the
+  full near-dup resolution composite, post-perf-fix),
+  q_ext_corpus_roundtrip (JSONL ingestion), q_ext_semantic_dedup (full
+  Lloyd-replay oracle, new in round 5), q_ext_sketch_profile
+  (self-auditing sketch bounds, new oracle), q_gen_payment_golden (pinned
+  digest oracle), q_ext_paragraph_dedup (now non-vacuous span dedup).
+  Demoted with transitive cover: q_ext_lang_id + q_ext_fingerprint_dedup
+  (both run verbatim inside in-window q_ext_curation_pipeline via
+  lang_id_col / fingerprint_col + min-id groupBy; fingerprints also in
+  rotating-in q_ext_paragraph_dedup), q_ext_ngram_jaccard (the exact
+  candidate-jaccard verify runs inside in-window q_ext_minhash_dedup),
+  q_ext_ann_lsh (the same LSH index is the measured side of in-window
+  q_ext_ann_recall), q_ext_stratified_sample (sampling family anchored by
+  q_ext_token_mixture), q_anti_join (left-anti machinery inside
+  rotating-in q_ext_semantic_dedup and in-window q_ext_contamination),
+  q_val_profile (monitor family keeps 4 in-window anchors),
+  q_ext_text_stats (tokenization/length stats run inside q_ext_lm_score,
+  q_ext_bm25_topk and the curation quality score), q_conditional_pivot
+  (the SUM(CASE)+ind_* pivot is the core of in-window
+  q_pipeline_product_holdings), q_agg_dispatch (the same name-dispatch
+  allowlist backs in-window q_window_dispatch and every pipeline agg
+  step).
 """
 
 from __future__ import annotations
@@ -66,7 +90,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_val_crosscheck",
     "q_val_dimension_drift",
     "q_val_timetravel_crosscheck",
-    "q_val_profile",
     "q_rollup_hierarchy",
     # streaming spread: windowed agg, session window, arbitrary state, dedup
     "q_stream_hourly",
@@ -76,33 +99,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # operator-family anchors
     "q_filter_fold",
     "q_equi_join_left_wins",
-    "q_anti_join",
     "q_pit_join",
     "q_interval_join",
-    "q_agg_dispatch",
-    "q_conditional_pivot",
     "q_window_dispatch",
     "q_rsi",
     "q_feature_chain",
     "q_layer_roundtrip",
     # text / dedup / similarity / multimodal
-    "q_ext_text_stats",
-    "q_ext_lang_id",
     "q_ext_repetition",
-    "q_ext_fingerprint_dedup",
-    "q_ext_ngram_jaccard",
     # q_ext_minhash_sig demoted: q_ext_minhash_dedup rebuilds the same
     # signatures before banding, so the signature math is still hash-checked
     "q_ext_minhash_dedup",
     "q_ext_simhash",
     "q_ext_dedup_clusters",
-    "q_ext_ann_lsh",
     "q_ext_ann_ivf",
     "q_ext_embedding_near_dup",
     "q_ext_multimodal_decode",
     # q_ext_frame_sample demoted round 3 (multimodal family anchored by
     # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
-    "q_ext_stratified_sample",
     # round-4 family anchors (see module docstring rotation note)
     "q_ext_ann_recall",
     "q_ext_lm_score",
@@ -112,6 +126,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_contamination",
     "q_ext_pii_scrub",
     "q_ext_token_mixture",
+    # round-5 rotation (see module docstring)
+    "q_rolling_quantile",
+    "q_rolling_ewma",
+    "q_ext_session_features",
+    "q_ext_dsir_weights",
+    "q_ext_dedup_keep_best",
+    "q_ext_corpus_roundtrip",
+    "q_ext_semantic_dedup",
+    "q_ext_sketch_profile",
+    "q_gen_payment_golden",
+    "q_ext_paragraph_dedup",
 )
 
 WINDOW_SIZE = 50

@@ -7,10 +7,13 @@ aggregation, and (for HLL) MERGEABLE registers — a day's sketch can be
 stored and unioned with other days without rescanning. All built-ins run
 JVM-side (DataSketches HLL, KLL-style quantile digests); no Python.
 
-Accuracy is engine-specific (approximate by definition), so these
-operators are verified by error-bound tests against exact answers
-(``tests/test_sketches.py``) and surface as a rows-only gate query rather
-than a value-hash oracle.
+Accuracy is engine-specific (approximate by definition), so raw sketch
+values can't be hash-compared across engines. Two verification layers
+instead: error-bound tests against exact answers
+(``tests/test_sketches.py``), and :func:`sketch_profile_audit`, which
+folds the error-bound assertion INTO the query output (exact counts +
+within-bound booleans) so the differential gate value-checks the sketch
+guarantees themselves.
 """
 
 from __future__ import annotations
@@ -67,6 +70,99 @@ def sketch_profile(
         ]
     )
     return one.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+def sketch_profile_audit(
+    df: DataFrame,
+    columns: Sequence[str],
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    rsd: float = 0.02,
+    accuracy: int = 2_000,
+    ndv_tolerance: float | None = None,
+) -> DataFrame:
+    """Self-auditing sketch profile: one row per column with EXACT
+    ``n_rows`` / ``exact_ndv`` plus booleans asserting the sketches hit
+    their documented error bounds — ``ndv_ok`` (HLL++ relative error ≤
+    ``ndv_tolerance``, default 4·rsd ≈ 4σ) and one ``q{NN}_ok`` per
+    quantile (the approx quantile's true rank interval intersects
+    q·n ± 2n/accuracy, twice ``percentile_approx``'s guaranteed bound).
+
+    Approximate values are engine-specific, so a cross-engine oracle can
+    never compare them directly; what IS portable is the *claim* that the
+    sketch is within bound of the exact answer. This query computes both
+    sides in one place and emits the verdict, making sketch correctness
+    value-hash-checkable (oracle: exact counts + all-TRUE verdicts).
+
+    Two scans by construction (the audit needs the sketch output to count
+    ranks against) — the production profile is :func:`sketch_profile`,
+    single-pass. The second scan's per-column rank counts are plain
+    conditional aggregates against the broadcast 1-row sketch result.
+    """
+    tol = float(ndv_tolerance if ndv_tolerance is not None else 4 * rsd)
+    aggs = []
+    for c in columns:
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"__andv_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__ndv_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+        aggs.append(
+            F.percentile_approx(
+                F.col(c).cast("double"), list(quantiles), accuracy
+            ).alias(f"__q_{c}")
+        )
+    one = F.broadcast(df.agg(*aggs))
+
+    audited = df.crossJoin(one)
+    rank_aggs = []
+    for c in columns:
+        x = F.col(c).cast("double")
+        for i in range(len(quantiles)):
+            qv = F.col(f"__q_{c}")[i]
+            rank_aggs.append(
+                F.sum((x < qv).cast("long")).alias(f"__lt_{c}_{i}")
+            )
+            rank_aggs.append(
+                F.sum((x <= qv).cast("long")).alias(f"__le_{c}_{i}")
+            )
+    # global agg; the broadcast 1-row sketch columns ride along via first()
+    ranks = audited.agg(
+        *[
+            F.first(f"__{k}_{c}").alias(f"__{k}_{c}")
+            for c in columns
+            for k in ("andv", "ndv", "n", "q")
+        ],
+        *rank_aggs,
+    )
+
+    def _q_ok(c: str, i: int, q: float) -> Column:
+        n = F.col(f"__n_{c}").cast("double")
+        slack = F.lit(2.0) * n / F.lit(float(accuracy)) + F.lit(1.0)
+        lo, hi = F.lit(q) * n - slack, F.lit(q) * n + slack
+        # true rank interval of the returned value: (count(<), count(<=)]
+        return (F.col(f"__le_{c}_{i}") >= lo) & (F.col(f"__lt_{c}_{i}") <= hi)
+
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_rows"),
+                F.col(f"__ndv_{c}").alias("exact_ndv"),
+                (
+                    F.abs(
+                        F.col(f"__andv_{c}").cast("double")
+                        / F.col(f"__ndv_{c}").cast("double")
+                        - 1.0
+                    )
+                    <= tol
+                ).alias("ndv_ok"),
+                *[
+                    _q_ok(c, i, q).alias(f"q{int(q * 100):02d}_ok")
+                    for i, q in enumerate(quantiles)
+                ],
+            )
+            for c in columns
+        ]
+    )
+    return ranks.select(F.explode(per_col).alias("s")).select("s.*")
 
 
 def hll_sketch(df: DataFrame, key_cols: Sequence[str], value_col: str) -> DataFrame:

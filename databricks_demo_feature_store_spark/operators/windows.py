@@ -251,6 +251,13 @@ def rolling_ewma(
     is exactly reproducible by any engine with list algebra, so it
     gate-checks. Fold order equals frame order on both engines, so the
     doubles match bit-for-bit before rounding.
+
+    NULL rows keep their frame slot: values are collected as structs (a
+    bare ``collect_list`` would compact NULLs out, silently re-assigning
+    decay weights by position among the survivors), so a NULL at offset
+    ``i`` contributes nothing to numerator or weight mass while the
+    neighbors keep their true row-offset decay — pandas
+    ``ewm(adjust=True).mean()`` NaN semantics. All-NULL frame → NULL.
     """
     base = _base_window(partition_by, order_by)
     decay = 1.0 - alpha
@@ -258,13 +265,19 @@ def rolling_ewma(
     for n in window_sizes:
         frame = base.rowsBetween(-(n - 1), 0)
         for c in columns:
-            xs = F.collect_list(F.col(c).cast("double")).over(frame)
+            # struct-wrap: one list slot per frame ROW, null-valued or not
+            xs = F.collect_list(
+                F.struct(F.col(c).cast("double").alias("x"))
+            ).over(frame)
             m = F.size(xs)
             weighted = F.aggregate(
                 F.transform(
                     F.sequence(F.lit(1), m),
-                    lambda i: F.pow(F.lit(decay), (m - i).cast("double"))
-                    * F.element_at(xs, i),
+                    lambda i: F.coalesce(
+                        F.pow(F.lit(decay), (m - i).cast("double"))
+                        * F.element_at(xs, i)["x"],
+                        F.lit(0.0),
+                    ),
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
@@ -272,14 +285,17 @@ def rolling_ewma(
             wsum = F.aggregate(
                 F.transform(
                     F.sequence(F.lit(1), m),
-                    lambda i: F.pow(F.lit(decay), (m - i).cast("double")),
+                    lambda i: F.when(
+                        F.element_at(xs, i)["x"].isNotNull(),
+                        F.pow(F.lit(decay), (m - i).cast("double")),
+                    ).otherwise(F.lit(0.0)),
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
             cols.append(
                 dround(
-                    F.when(m > 0, weighted / wsum), round_to
+                    F.when(wsum > 0, weighted / wsum), round_to
                 ).alias(f"{c}_ewma{n}m")
             )
     return df.select("*", *cols)

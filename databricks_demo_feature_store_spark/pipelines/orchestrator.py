@@ -74,9 +74,15 @@ class Orchestrator:
         spark: SparkSession,
         sf_dir: str,
         materialize: Callable[[str, DataFrame], None] | None = None,
+        count_rows: bool = False,
     ) -> dict[str, JobResult]:
         """Execute every job; ``materialize(name, df)`` is the sink hook
-        (e.g. FeatureStoreManager.save); default just counts."""
+        (e.g. FeatureStoreManager.save). ``count_rows=True`` opts into a
+        per-job ``count()`` action for ``JobResult.rows`` — off by default
+        because it forces a full extra job per pipeline (the reference's
+        eager-logging anti-pattern, SURVEY §4.3); without it (and without
+        a sink) jobs are only planned, which still surfaces analysis
+        errors but runs nothing."""
         results: dict[str, JobResult] = {}
         failed: set[str] = set()
         for name in self.order():
@@ -89,9 +95,9 @@ class Orchestrator:
                 df = job.run(spark, sf_dir)
                 if materialize is not None:
                     materialize(name, df)
-                    results[name] = JobResult(name, ok=True)
-                else:
-                    results[name] = JobResult(name, ok=True, rows=df.count())
+                results[name] = JobResult(
+                    name, ok=True, rows=df.count() if count_rows else None
+                )
             except Exception as exc:  # noqa: BLE001 - job isolation boundary
                 results[name] = JobResult(name, ok=False, error=str(exc))
                 failed.add(name)

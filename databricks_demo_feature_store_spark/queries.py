@@ -136,6 +136,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _parallelize_scan(spark, df, (sf_dir, name))
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(name: str) -> str:
+    """Fresh per-process scratch directory for queries that materialize
+    intermediate tables (layer round-trips, incremental stores, corpus
+    re-ingestion).
+
+    One ``mkdtemp`` root per process (unpredictable, mode 0700 — immune
+    to the symlink attacks and cross-run rmtree/rename races a fixed
+    ``/tmp`` name invites), one empty subdir per call, removed at
+    interpreter exit. Concurrent suite runs on one host therefore never
+    touch each other's scratch state.
+    """
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="databricks_demo_fs_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    path = tempfile.mkdtemp(prefix=f"{name}_", dir=_SCRATCH_ROOT)
+    return path
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]

@@ -366,7 +366,9 @@ def q_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference storage_operations.py:19-57, 75-211); partitioning on the
     historical key means a re-run only rewrites affected partitions, and
     MSCK partition recovery makes them visible through the metastore."""
-    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_layers")
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+
+    root = scratch_dir("layers")
     cat = Catalog(root=root, database="demo_db")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1995-01-01").cast("date")
@@ -711,14 +713,16 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
     )
     SELECT custkey, order_month, total_spend,
-           {oracle_dround('list_sum(list_transform(range(1, len(xs) + 1), i -> pow(0.5, len(xs) - i) * xs[i])) / list_sum(list_transform(range(1, len(xs) + 1), i -> pow(0.5, len(xs) - i)))')} AS total_spend_ewma6m
+           {oracle_dround('list_sum(list_transform(range(1, len(xs) + 1), i -> CASE WHEN xs[i] IS NOT NULL THEN pow(0.5, len(xs) - i) * xs[i] ELSE 0.0 END)) / NULLIF(list_sum(list_transform(range(1, len(xs) + 1), i -> CASE WHEN xs[i] IS NOT NULL THEN pow(0.5, len(xs) - i) ELSE 0.0 END)), 0.0)')} AS total_spend_ewma6m
     FROM w
     """,
 )
 def q_rolling_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 6-month EWMA (α=0.5, adjusted) of the monthly spend
     series — the oracle replays the identical weight fold in list
-    algebra, so even the accumulation order is checked."""
+    algebra (NULL slots keep their row-offset decay but contribute no
+    mass, matching the operator), so even the accumulation order is
+    checked."""
     from databricks_demo_feature_store_spark.operators.windows import rolling_ewma
 
     m = _monthly_orders_dec(spark, sf_dir).select(

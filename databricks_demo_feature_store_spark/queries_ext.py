@@ -1177,36 +1177,129 @@ def q_ext_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_ext_sketch_profile", oracle=None)
-def q_ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct counts + KLL-style approximate quantiles
-    for three lineitem measures — one single-pass aggregate, fixed memory.
+def _sketch_audit_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_orderkey"]
+    parts = [
+        f"""
+        SELECT '{c}' AS "column", COUNT({c}) AS n_rows,
+               COUNT(DISTINCT {c}) AS exact_ndv,
+               TRUE AS ndv_ok, TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+        FROM lineitem
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
 
-    Approximate results are engine-specific by definition, so this is a
-    rows-only gate entry; the error bounds vs exact answers are asserted
-    in ``tests/test_sketches.py``.
-    """
-    from databricks_demo_feature_store_spark.operators.sketches import sketch_profile
+
+@register("q_ext_sketch_profile", oracle=_sketch_audit_oracle())
+def q_ext_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing sketch profile of three lineitem measures: HLL++
+    approximate NDV and KLL-style approximate quantiles, audited in-query
+    against the exact answers. Raw sketch values are engine-specific, so
+    the gated output is (exact n_rows, exact NDV, within-bound booleans)
+    — DuckDB recomputes the exact counts and expects every verdict TRUE,
+    making the sketch error guarantees themselves value-hash-checked.
+    Raw sketch output stays covered by ``tests/test_sketches.py``."""
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        sketch_profile_audit,
+    )
 
     li = load(spark, sf_dir, "lineitem")
-    return sketch_profile(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
+    return sketch_profile_audit(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
 
 
 # ---------------------------------------------------------------------------
-# Semantic dedup (SemDeDup; rows-only — k-means centroids aren't SQL)
+# Semantic dedup (SemDeDup) — full Lloyd replay oracle
 # ---------------------------------------------------------------------------
+#
+# The Lloyd chain IS SQL-replayable because kmeans_refine quantizes each
+# refined centroid component to float32 (CAST(avg AS REAL)): the only
+# cross-engine nondeterminism is the summation order inside avg(), whose
+# last-ulp drift is crushed by the ~1e-7 float32 quantization step. Every
+# other arithmetic step (dot-product folds, sqrt, division, argmax
+# tie-breaks) is an identical IEEE754 sequential computation in both
+# engines. The within-cluster drop replays the columnar pair filter
+# (unit-normalize once, dot >= threshold); tests/test_sketches.py pins the
+# Arrow gram-matrix path to the same verdicts.
 
 
-@register("q_ext_semantic_dedup", oracle=None)
+def _sem_cos(v: str, cv: str) -> str:
+    return (
+        f"CASE WHEN sqrt(list_inner_product({v}, {v}))"
+        f"          * sqrt(list_inner_product({cv}, {cv})) > 0"
+        f" THEN list_inner_product({v}, {cv})"
+        f" / (sqrt(list_inner_product({v}, {v})) * sqrt(list_inner_product({cv}, {cv})))"
+        f" END"
+    )
+
+
+def _sem_assign(src: str, cents: str, out_cols: str = "vec_id, v") -> str:
+    """One nearest-centroid assignment CTE body (max cosine, min-id tie)."""
+    return f"""
+      SELECT {out_cols}, centroid_id AS cluster
+      FROM (SELECT s.*, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.vec_id
+                     ORDER BY {_sem_cos('s.v', 'c.cv')} DESC NULLS LAST,
+                              c.centroid_id ASC) AS rn
+            FROM {src} s CROSS JOIN {cents} c)
+      WHERE rn = 1
+    """
+
+
+def _sem_refine(assign: str) -> str:
+    """Lloyd update: per-(cluster,pos) mean quantized to float32, lists
+    re-assembled in position order — the exact kmeans_refine computation."""
+    return f"""
+      SELECT cluster AS centroid_id,
+             list_transform(list(m ORDER BY pos), x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT cluster, i AS pos, CAST(AVG(v[i + 1]) AS REAL) AS m
+            FROM {assign}, LATERAL (SELECT unnest(range(len(v))) AS i)
+            GROUP BY cluster, i)
+      GROUP BY cluster
+    """
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_O_EMB},
+    c0 AS (
+      SELECT vec_id AS centroid_id, v AS cv
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8
+    ),
+    a1 AS ({_sem_assign('e', 'c0')}),
+    c1 AS ({_sem_refine('a1')}),
+    a2 AS ({_sem_assign('e', 'c1')}),
+    c2 AS ({_sem_refine('a2')}),
+    af AS ({_sem_assign('e', 'c2')}),
+    u AS (
+      SELECT vec_id, cluster,
+             CASE WHEN sqrt(list_inner_product(v, v)) > 0
+                  THEN list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+             END AS uv
+      FROM af
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM u a JOIN u b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_inner_product(a.uv, b.uv) >= 0.9
+    )
+    SELECT af.vec_id, af.cluster
+    FROM af LEFT JOIN dropped d ON af.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+"""
+
+
+@register("q_ext_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
 def q_ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: Lloyd-refined IVF clusters,
     then drop within-cluster cosine near-duplicates (≥0.9), keeping the
     lowest-id representative per duplicate set.
 
-    Lloyd double-means aren't SQL-reproducible, so the gate checks rows
-    only; semantics are pinned by ``tests/test_sketches.py`` against a
-    brute-force reference on a fixture corpus.
-    """
+    The oracle replays the ENTIRE chain in SQL — md5-sampled seed
+    centroids, two Lloyd iterations (float32-quantized means make the
+    distributed avg engine-portable), final assignment, and the
+    within-cluster lower-id-wins drop — so the gate is an exact-value
+    check, not rows-only."""
     from databricks_demo_feature_store_spark.textops.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1536,18 +1629,27 @@ def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_key(d, "source", cap=15)
 
 
+_SPAN_K = 5  # words per span — 5-word windows repeat across the synthetic
+# corpus even at sf0.01 (~226 duplicated spans), keeping the oracle
+# comparison non-vacuous at every gate scale
+
+
 @register(
     "q_ext_paragraph_dedup",
-    oracle=r"""
-    WITH paras AS (
-      SELECT doc_id, trim(p) AS para
-      FROM (SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS p FROM documents)
-      WHERE trim(p) <> ''
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(t[i*{_SPAN_K}+1 : i*{_SPAN_K}+{_SPAN_K}], ' ') AS span
+      FROM toks, LATERAL (SELECT unnest(range(0, len(t) // {_SPAN_K})) AS i)
     ),
     fp AS (
       SELECT doc_id,
-             md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g')) AS fingerprint
-      FROM paras
+             md5(regexp_replace(trim(lower(span)), '\s+', ' ', 'g')) AS fingerprint
+      FROM spans
     ),
     grp AS (
       SELECT fingerprint,
@@ -1561,25 +1663,37 @@ def q_ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-document (sentence/paragraph-level) exact dedup: split each
-    document on sentence boundaries, fingerprint each span, and report
-    every span occurring more than once (boilerplate sentences repeated
-    across the corpus — the C4/RefinedWeb intra-document dedup shape).
-    Composition of existing primitives: split+explode → fingerprint_col
-    → hash groupBy; the shuffle carries (hash, doc_id) only, never span
-    text."""
+    """Sub-document (span-level) exact dedup: chunk each document into
+    non-overlapping 5-word spans, fingerprint each span, and report every
+    span occurring more than once (boilerplate repeated across the corpus
+    — the C4/RefinedWeb intra-document dedup shape; real pipelines span
+    on sentences/lines, which is just a different splitter). Composition
+    of existing primitives: tokenize → windowed slice+explode →
+    fingerprint_col → hash groupBy; the shuffle carries (hash, doc_id)
+    only, never span text."""
     from databricks_demo_feature_store_spark.textops.analysis import fingerprint_col
 
+    k = _SPAN_K
     d = load(spark, sf_dir, "documents")
-    paras = (
-        d.select(
-            "doc_id",
-            F.explode_outer(F.split(F.col("text"), r"\.\s+")).alias("para"),
-        )
-        .select("doc_id", F.trim(F.col("para")).alias("para"))
-        .where(F.col("para") != "")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
     )
-    fp = paras.select("doc_id", fingerprint_col(F.col("para")).alias("fingerprint"))
+    nspans = F.floor(F.size("t") / k).cast("int")
+    idx = F.when(nspans > 0, F.sequence(F.lit(0), nspans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i * F.lit(k) + 1, F.lit(k))
+                ),
+            )
+        ).alias("span"),
+    )
+    fp = spans.select("doc_id", fingerprint_col(F.col("span")).alias("fingerprint"))
     return (
         fp.groupBy("fingerprint")
         .agg(
@@ -1674,8 +1788,9 @@ def q_ext_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from databricks_demo_feature_store_spark.sources.corpus import read_corpus
 
-    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_corpus_roundtrip")
-    shutil.rmtree(root, ignore_errors=True)
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+
+    root = scratch_dir("corpus_roundtrip")
     path = os.path.join(root, "docs_jsonl")
     load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"

@@ -153,7 +153,7 @@ from databricks_demo_feature_store_spark.featurestore.training import (  # noqa:
     FeatureLookup,
     create_training_set,
 )
-from databricks_demo_feature_store_spark.queries import load  # noqa: E402
+from databricks_demo_feature_store_spark.queries import load, scratch_dir  # noqa: E402
 
 
 @register(
@@ -196,7 +196,7 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("total_spend"),
         F.count(F.lit(1)).alias("order_cnt"),
     )
-    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_store")
+    root = scratch_dir("store")
     manager = FeatureStoreManager(spark, root)
     manager.save(
         feat,
@@ -599,8 +599,7 @@ def q_stream_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_features_to_store,
     )
 
-    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_stream_store")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("stream_store")
     manager = FeatureStoreManager(spark, os.path.join(root, "tables"))
     spec = FeatureTableSpec(
         name="user_hourly_counts",
@@ -727,15 +726,72 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q_gen_payment_golden")  # no SQL oracle: the generator's hash
-# randomness (xxhash64) has no DuckDB twin; correctness is pinned instead
-# by the exact-value golden test (tests/test_datagen.py) over the same
-# deterministic fixture — the driver records the rows-only check
+def _golden_digest(out: DataFrame) -> DataFrame:
+    """Per-month digest of the golden pipeline output: row/customer counts
+    plus an order-independent DECIMAL-exact sum of every numeric feature.
+    Any change to the generator's hash math, the ingestion mapping, or any
+    pipeline stage flips at least one cell — full-sensitivity, 18 rows."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("pk_customer")).alias("n_customers"),
+    ]
+    for f in out.schema.fields:
+        t = f.dataType.simpleString()
+        if f.name in ("pk_customer", "tpk_release_dt"):
+            continue
+        if t in ("int", "bigint", "smallint"):
+            aggs.append(F.sum(F.col(f.name).cast("long")).alias(f"{f.name}_sum"))
+        elif t == "double":
+            aggs.append(
+                F.sum(F.col(f.name).cast("decimal(30,6)"))
+                .cast("double")
+                .alias(f"{f.name}_sum")
+            )
+    return out.groupBy(F.col("tpk_release_dt").alias("month")).agg(*aggs)
+
+
+def _golden_oracle() -> str | None:
+    """Literal VALUES oracle pinned from a verified run (see
+    ``tools/pin_golden.py``); the generator ignores ``sf_dir``, so the
+    digest is a constant table."""
+    try:
+        from databricks_demo_feature_store_spark.golden_payment import (
+            GOLDEN_COLUMNS,
+            GOLDEN_ROWS,
+            GOLDEN_TYPES,
+        )
+    except ImportError:  # before the first pin run
+        return None
+
+    # every literal carries an explicit cast: DuckDB would otherwise infer
+    # DECIMAL / INT32 where Spark emits DOUBLE / BIGINT — same values,
+    # different value-hash dtypes; types come from the pinned Spark schema
+    types = GOLDEN_TYPES
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "DATE":
+            return f"DATE '{v}'"
+        return f"CAST({v!r} AS {t})"
+
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(v, t) for v, t in zip(row, types)) + ")"
+        for row in GOLDEN_ROWS
+    )
+    cols = ", ".join(GOLDEN_COLUMNS)
+    return f"SELECT * FROM (VALUES\n      {rows}\n    ) AS t({cols})"
+
+
+@register("q_gen_payment_golden", oracle=_golden_oracle())
 def q_gen_payment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded fixture factory → reference ingestion mapping → the real
-    payment-behavior pipeline. Exercises the generator's distributed path
-    (spark.range + hash noise + array-fold state machine, zero shuffles,
-    zero Python) end-to-end through a production pipeline."""
+    payment-behavior pipeline → per-month full-sensitivity digest.
+    Exercises the generator's distributed path (spark.range + hash noise +
+    array-fold state machine, zero shuffles, zero Python) end-to-end
+    through a production pipeline; the oracle is the pinned literal digest
+    (the generator is seed-deterministic and sf-independent), so the gate
+    is exact-value. Row-level goldens live in ``tests/test_datagen.py``."""
     from databricks_demo_feature_store_spark.pipelines.payment_behavior_features import (
         PAYMENT_BEHAVIOR_PIPELINE,
     )
@@ -745,7 +801,7 @@ def q_gen_payment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = pagos_to_payment_events(gen_pagos(spark, n=120, months=18))
-    return PAYMENT_BEHAVIOR_PIPELINE.run(events)
+    return _golden_digest(PAYMENT_BEHAVIOR_PIPELINE.run(events))
 
 
 # ---------------------------------------------------------------------------
@@ -782,8 +838,7 @@ def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale = orders.where(F.col("o_custkey") % 7 != 0)
     changed = orders.where(F.col("o_custkey") % 7 == 0).select("o_custkey")
 
-    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_incremental")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("incremental")
     path = os.path.join(root, "customer_tx")
     save_table(CUSTOMER_TX_PIPELINE.run(stale), path)
     incremental_entity_refresh(

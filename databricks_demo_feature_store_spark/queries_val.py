@@ -165,8 +165,9 @@ def q_val_timetravel_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load(spark, sf_dir, "orders")
-    root = os.path.join(tempfile.gettempdir(), "databricks_demo_fs_versioned_orders")
-    shutil.rmtree(root, ignore_errors=True)
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+
+    root = scratch_dir("versioned_orders")
     t = VersionedTable(spark, root)
     t.save(o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
            operation="WRITE", count_rows=False)

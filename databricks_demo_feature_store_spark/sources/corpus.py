@@ -41,7 +41,14 @@ def read_corpus(
     ``fmt``: ``jsonl`` (one JSON object per line, ``.gz`` transparent),
     ``csv`` (header by default; override via ``csv_options``),
     ``parquet``, or ``text`` (one doc per line, no metadata).
-    ``id_field=None`` → deterministic 60-bit md5 hash of the text.
+    ``id_field=None`` → deterministic 60-bit md5 hash of the text SALTED
+    with the source file path — raw crawls repeat identical texts across
+    files constantly, and an unsalted content hash would silently
+    collapse those rows onto one doc_id (downstream groupBys would then
+    double-count occurrences under a single id). Two identical texts in
+    the SAME file still share an id (they are indistinguishable rows);
+    run exact dedup explicitly if that matters, don't rely on id
+    assignment to do it.
     """
     if fmt not in _FORMATS:
         raise ValueError(f"read_corpus fmt must be one of {_FORMATS}, got {fmt!r}")
@@ -65,7 +72,13 @@ def read_corpus(
             raise ValueError(f"id column {id_field!r} not in {df.columns}")
         doc_id = F.col(id_field).cast("long")
     else:
-        doc_id = F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+        doc_id = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.input_file_name(), text)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
     passthrough = [
         c for c in df.columns if c not in (text_field, id_field, "doc_id")
     ]

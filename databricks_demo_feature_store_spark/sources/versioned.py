@@ -77,8 +77,12 @@ class VersionedTable:
         df: DataFrame,
         operation: str = "WRITE",
         partition_by: Sequence[str] | None = None,
-        count_rows: bool = True,
+        count_rows: bool = False,
     ) -> VersionInfo:
+        """Write the next version. ``count_rows=True`` opts into a
+        read-back ``count()`` for the manifest's ``num_rows`` — off by
+        default: it is a second full scan of what was just written, wanted
+        for audited validation tables, wrong as a general write tax."""
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
         vdir = os.path.join(self.path, f"v={version}")

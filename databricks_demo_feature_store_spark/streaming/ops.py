@@ -27,6 +27,7 @@ are high-cardinality and uniform.
 from __future__ import annotations
 
 import itertools
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
@@ -256,17 +257,20 @@ def sliding_counts(
     watermark: str = "7 days",
     window: str = "2 hours",
     slide: str = "1 hour",
+    key_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Watermarked SLIDING-window counts: each event lands in
     window/slide overlapping windows (2h/1h → 2), giving smoothed
     trailing aggregates with updates each slide period — the third
     window family next to tumbling (:func:`hourly_counts`) and session
-    (:func:`sessionize`). State per key-window is bounded by the
-    watermark exactly as for tumbling windows; the fan-out factor is
-    window/slide, fixed at plan time."""
+    (:func:`sessionize`). ``key_cols`` adds grouping keys next to the
+    window (per-user sliding counts, etc.); empty → global windows only.
+    State per (key, window) is bounded by the watermark exactly as for
+    tumbling windows; the fan-out factor is window/slide, fixed at plan
+    time."""
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window, slide).alias("w"))
+        .groupBy(F.window("ts", window, slide).alias("w"), *list(key_cols))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
@@ -274,6 +278,7 @@ def sliding_counts(
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
+            *list(key_cols),
             "n_events",
             "sum_value",
         )

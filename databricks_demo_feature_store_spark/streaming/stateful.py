@@ -115,10 +115,17 @@ def stateful_user_stats_tws(stream: DataFrame) -> DataFrame:
             "(pyspark's TWS state protocol); install protobuf or use "
             "stateful_user_stats (applyInPandasWithState) instead"
         ) from e
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
+    try:  # Spark 4.0+ API; 3.5 sessions use the applyInPandasWithState twin
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "transformWithStateInPandas requires PySpark >= 4.0; on 3.5 use "
+            "stateful_user_stats (applyInPandasWithState), which has the "
+            "same emission contract"
+        ) from e
 
     class UserStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -60,8 +60,9 @@ def ngram_contamination(
     back (see :func:`curate_corpus`).
 
     ``bloom_fpp`` enables the constant-memory scale path: the eval
-    shingle hashes aggregate into ONE Bloom filter (`bloom_filter_agg`,
-    a few MB regardless of eval-set size) that pre-filters the exploded
+    shingle hashes aggregate into ONE Bloom filter (the pure-DataFrame
+    ``bloom_build`` from ``operators/sketches.py`` — engine-portable bit
+    positions, a few MB regardless of eval-set size) that pre-filters the exploded
     corpus BEFORE the exact join — at 100 TB the overwhelmingly-clean
     corpus drops ~(1 − fpp) of its shingle rows at scan speed, and only
     the survivors reach the join/distinct machinery. The result is still

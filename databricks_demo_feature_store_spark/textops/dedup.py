@@ -588,6 +588,13 @@ def dedup_clusters(
     constant-size. Raises if the round budget is exhausted while labels
     are still changing (silent unconverged output would be wrong data).
 
+    Propagation runs ONLY over edge-touched nodes: in a web-scale corpus
+    the overwhelming majority of documents are singletons (no near-dup
+    pair), and carrying them through every round's join would multiply
+    the per-round shuffle by corpus-size/edge-node-count for zero
+    information. Singletons are re-attached as their own component with
+    one final left join.
+
     ``algorithm="two-phase"``: alternating large-star/small-star
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
     SoCC'14), converging in O(log n) rounds regardless of component
@@ -604,7 +611,11 @@ def dedup_clusters(
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     edges = edges.localCheckpoint(eager=True)
 
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # Seed labels from edge-touched nodes only (edges is symmetric, so
+    # distinct src covers every endpoint); singletons join back at the end.
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
     labels = labels.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iterations):
@@ -632,8 +643,13 @@ def dedup_clusters(
             "rounds — the pair graph has components deeper than the budget; "
             "raise max_iterations or use algorithm='two-phase' (O(log n) rounds)"
         )
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("component_id")
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(labels, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("component_id"),
+        )
     )
 
 

@@ -441,3 +441,24 @@ def test_rolling_quantile_and_ewma_edges(spark):
     assert e[("a", 2)]["x_ewma3m"] == round((0.5 * 10 + 20) / 1.5, 4)
     # three rows: (.25*10 + .5*20 + 1*90) / 1.75
     assert e[("a", 3)]["x_ewma3m"] == round((0.25 * 10 + 0.5 * 20 + 90) / 1.75, 4)
+
+
+def test_rolling_ewma_null_gap_keeps_row_offsets(spark):
+    """A NULL mid-frame must keep its slot: neighbors keep their true
+    row-offset decay (pandas ewm NaN semantics), instead of being
+    compacted together; an all-NULL frame yields NULL."""
+    from databricks_demo_feature_store_spark.operators.windows import rolling_ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0), ("c", 1, None)],
+        ["k", "t", "x"],
+    )
+    e = {
+        (r["k"], r["t"]): r
+        for r in rolling_ewma(df, ["x"], 0.5, [3], ["k"], ["t"]).collect()
+    }
+    # frame (10, NULL): weight .5 on the 10, the NULL adds no mass
+    assert e[("a", 2)]["x_ewma3m"] == round((0.5 * 10) / 0.5, 4)
+    # frame (10, NULL, 30): 10 decays TWO steps (.25), not one
+    assert e[("a", 3)]["x_ewma3m"] == round((0.25 * 10 + 30) / 1.25, 4)
+    assert e[("c", 1)]["x_ewma3m"] is None  # all-NULL frame

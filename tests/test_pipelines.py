@@ -111,7 +111,7 @@ def test_orchestrator_dag(spark):
             PipelineJob("d", ok_job("d"), depends_on=("a",)),
         ]
     )
-    res = orch.run_all(spark, "/root/testdata/sf0.001")
+    res = orch.run_all(spark, "/root/testdata/sf0.001", count_rows=True)
     assert res["a"].ok and res["a"].rows == 3
     assert not res["b"].ok and "boom" in res["b"].error
     assert not res["c"].ok and res["c"].error == "upstream failed"
@@ -260,3 +260,27 @@ def test_incremental_entity_refresh_equals_full_recompute(spark, tmp_path):
     want = CUSTOMER_TX_PIPELINE.run(orders)
     assert got.count() == want.count()
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_run_all_triggers_no_jobs_by_default(spark):
+    """run_all without a sink and without count_rows must only PLAN jobs —
+    zero Spark jobs executed (the reference's eager per-pipeline logging
+    anti-pattern stays out, SURVEY §4.3)."""
+    from databricks_demo_feature_store_spark.pipelines.orchestrator import (
+        Orchestrator,
+        PipelineJob,
+    )
+
+    orch = Orchestrator([PipelineJob("a", lambda sp, sf: sp.range(3))])
+    sc = spark.sparkContext
+    sc.setJobGroup("orch-default", "probe")
+    try:
+        res = orch.run_all(spark, "/root/testdata/sf0.001")
+    finally:
+        sc.setJobGroup(None, None)
+    assert res["a"].ok and res["a"].rows is None
+    jobs = sc.statusTracker().getJobIdsForGroup("orch-default")
+    assert jobs == [], f"default run_all ran Spark jobs: {jobs}"
+
+    res = orch.run_all(spark, "/root/testdata/sf0.001", count_rows=True)
+    assert res["a"].rows == 3

@@ -374,3 +374,35 @@ def test_tws_raises_clearly_without_protobuf(spark):
 
     with pytest.raises(ImportError, match="protobuf"):
         stateful_user_stats_tws(read_events_stream(spark, "/root/testdata/sf0.001"))
+
+
+def test_sliding_counts_keyed_matches_batch(spark):
+    """key_cols adds grouping keys next to the sliding window; the keyed
+    streamed answer must equal the batch overlapping-window GROUP BY."""
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.streaming.ops import sliding_counts
+
+    streamed = run_available_now(
+        sliding_counts(
+            read_events_stream(spark, SF), window="2 hours", slide="1 hour",
+            key_cols=["user_id"],
+        )
+    )
+    ev = load(spark, SF, "events")
+    batch = (
+        ev.select("user_id", "value", F.explode(
+            F.array(
+                F.date_trunc("hour", "ts"),
+                F.date_trunc("hour", "ts") - F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("window_start"))
+        .groupBy("window_start", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    s = {(r["window_start"], r["user_id"], r["n_events"], r["sum_value"])
+         for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b

@@ -16,8 +16,8 @@ def test_versioned_save_read_history(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "tbl"))
     assert t.history() == [] and t.latest_version() is None
 
-    t.save(spark.range(10), operation="WRITE")
-    t.save(spark.range(25), operation="OVERWRITE")
+    t.save(spark.range(10), operation="WRITE", count_rows=True)
+    t.save(spark.range(25), operation="OVERWRITE", count_rows=True)
     hist = t.history()
     assert [v.version for v in hist] == [1, 0]
     assert hist[0].num_rows == 25 and hist[1].num_rows == 10
@@ -67,3 +67,29 @@ def test_read_before_parses_timestamps(spark, tmp_path):
     with pytest.raises(ValueError, match="No version"):
         # same instant expressed in a NEGATIVE offset still compares equal
         t.read_before((cut - dt.timedelta(hours=12)).isoformat())
+
+
+def test_save_triggers_no_readback_job_by_default(spark, tmp_path):
+    """save() must run exactly the write job — the manifest row count is
+    opt-in (count_rows=True adds a full read-back scan)."""
+    sc = spark.sparkContext
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+
+    sc.setJobGroup("vt-save-default", "probe")
+    try:
+        info = t.save(spark.range(10))
+    finally:
+        sc.setJobGroup(None, None)
+    default_jobs = sc.statusTracker().getJobIdsForGroup("vt-save-default")
+    assert len(default_jobs) == 1, f"expected only the write job, got {default_jobs}"
+    assert info.num_rows is None
+
+    sc.setJobGroup("vt-save-counted", "probe")
+    try:
+        info = t.save(spark.range(10), count_rows=True)
+    finally:
+        sc.setJobGroup(None, None)
+    # read-back count adds jobs (scan + AQE stages) on top of the write
+    counted_jobs = sc.statusTracker().getJobIdsForGroup("vt-save-counted")
+    assert len(counted_jobs) > 1, f"expected write + count jobs, got {counted_jobs}"
+    assert info.num_rows == 10
