@@ -99,17 +99,22 @@ def sketch_profile_audit(
     conditional aggregates against the broadcast 1-row sketch result.
     """
     tol = float(ndv_tolerance if ndv_tolerance is not None else 4 * rsd)
-    aggs = []
+    # Two SEPARATE 1-row aggregates, crossed after: mixing multi-column
+    # COUNT(DISTINCT) (Expand + per-(gid,value) grouping) with
+    # percentile_approx in one Aggregate makes Spark key the percentile
+    # sketch buffers by distinct VALUE — millions of sketches instead of
+    # one per column (measured 198 s vs ~5 s at sf0.1).
+    sketch_aggs = []
     for c in columns:
-        aggs.append(F.approx_count_distinct(c, rsd).alias(f"__andv_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__ndv_{c}"))
-        aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
-        aggs.append(
+        sketch_aggs.append(F.approx_count_distinct(c, rsd).alias(f"__andv_{c}"))
+        sketch_aggs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+        sketch_aggs.append(
             F.percentile_approx(
                 F.col(c).cast("double"), list(quantiles), accuracy
             ).alias(f"__q_{c}")
         )
-    one = F.broadcast(df.agg(*aggs))
+    ndv_aggs = [F.count_distinct(F.col(c)).alias(f"__ndv_{c}") for c in columns]
+    one = F.broadcast(df.agg(*sketch_aggs).crossJoin(df.agg(*ndv_aggs)))
 
     audited = df.crossJoin(one)
     rank_aggs = []

@@ -1705,6 +1705,121 @@ def q_ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fastText-style hashed linear quality classifier: explicit term weights
+# (multiples of 0.25 — dyadic, so every tf·w product and partial sum is an
+# EXACT double on both engines regardless of accumulation order; only the
+# final sigmoid needs dround)
+_CLF_VOCAB: dict[str, float] = {
+    "data": 1.0,
+    "query": 0.75,
+    "join": 0.5,
+    "vector": 0.5,
+    "stream": 0.25,
+    "slow": -0.5,
+    "the": -0.25,
+    "a": -0.25,
+}
+_CLF_DIM = 1 << 18
+_CLF_B = -0.5
+
+
+@register(
+    "q_ext_quality_classifier",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, ({_o_hash('tok', 0)}) % {_CLF_DIM} AS bucket,
+             COUNT(*) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    vocab(term, w) AS (VALUES {", ".join(f"('{t}', CAST({w!r} AS DOUBLE))" for t, w in sorted(_CLF_VOCAB.items()))}),
+    wt AS (
+      SELECT ({_o_hash('term', 0)}) % {_CLF_DIM} AS bucket, SUM(w) AS weight
+      FROM vocab GROUP BY 1
+    ),
+    contrib AS (
+      SELECT tf.doc_id, SUM(tf.tf * wt.weight) AS z
+      FROM tf JOIN wt USING (bucket) GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           {oracle_dround(f'1.0 / (1.0 + exp(-(COALESCE(c.z, 0.0) + ({_CLF_B}))))', 6)} AS score
+    FROM documents d LEFT JOIN contrib c ON d.doc_id = c.doc_id
+    """,
+)
+def q_ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear (fastText-style) quality classifier scoring — the
+    GPT-3/LLaMA-shaped corpus quality filter: term-frequency features
+    through the hashing trick, broadcast weight table, sigmoid score per
+    document. The oracle replays bucket hashing, collision-folded
+    weights, and the exact dyadic-weight dot product."""
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        hashed_linear_scores,
+        vocab_weights,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    w = vocab_weights(spark, _CLF_VOCAB, dim=_CLF_DIM)
+    return hashed_linear_scores(d, w, dim=_CLF_DIM, intercept=_CLF_B)
+
+
+_SUB_L = 10  # tokens per duplicated-substring window (Lee et al. use 50
+# BPE tokens at web scale; 10 keeps the synthetic corpus non-vacuous —
+# ~2000 duplicated windows at sf0.01)
+
+
+@register(
+    "q_ext_substring_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             {_o_hash(f"array_to_string(t[i+1 : i+{_SUB_L}], chr(31))", 0)} AS h
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, greatest(len(t) - {_SUB_L} + 1, 0))) AS i)
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+    m AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL
+                       OR pos - LAG(pos) OVER w > {_SUB_L}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM m
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos ASC)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {_SUB_L} - 1 AS INT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {_SUB_L} AS INT) AS n_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substring regions (Lee et al. 2021 substring
+    dedup, Spark-shaped): overlapping 10-token window hashes → frequency
+    groupBy → per-doc gaps-and-islands merge into maximal repeated runs.
+    Catches repeated boilerplate that document-level (fingerprint) and
+    span-level (q_ext_paragraph_dedup) dedup both miss. The oracle
+    replays window hashing, the >1 frequency filter, and the island
+    merge exactly."""
+    from databricks_demo_feature_store_spark.textops.dedup import duplicated_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicated_spans(d, min_len=_SUB_L)
+
+
 def _keep_best_oracle(threshold: float = 0.7) -> str:
     """Clusters (recursive CTE) × per-doc quality → per-cluster argmax."""
     quality_body = _quality_oracle().split("WITH", 1)[1].lstrip()

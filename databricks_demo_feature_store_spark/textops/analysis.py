@@ -8,7 +8,7 @@ so they run inside whole-stage codegen and scale linearly with no shuffle
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from databricks_demo_feature_store_spark.functions.rounding import dround
 
@@ -322,4 +322,77 @@ def bigram_lm_scores(
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         dround(F.col("__ce_raw"), 6).alias("cross_entropy_bits"),
+    )
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    dim: int = 1 << 18,
+    intercept: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with a hashed bag-of-words linear classifier
+    — the fastText-style quality-filter shape (GPT-3 / LLaMA corpus
+    curation): ``p = sigmoid(b + Σ_buckets tf(bucket) · w(bucket))``
+    with tokens mapped to ``dim`` buckets by the portable 60-bit hash
+    (hashing trick; collisions fold, as in the real model).
+
+    ``weights`` is the model: ``(bucket int, weight double)`` — tiny
+    (≤ dim rows), broadcast. Scale shape: tokens explode map-side, per-doc
+    term frequencies are ONE hash aggregation on (doc, bucket), the model
+    join is a broadcast hash join, and the final score is a second
+    map-side-combinable aggregation — the corpus text itself never
+    shuffles. Train the weights wherever (sklearn/fastText on a sample),
+    then ship them as this table; :func:`vocab_weights` builds one from
+    an explicit term→weight dict for interpretable heuristics.
+
+    Returns ``(doc_id, score)`` for every input row; docs with no
+    in-model tokens score ``sigmoid(intercept)``.
+    """
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("__tok"),
+    )
+    tf = (
+        toks.where(F.col("__tok").isNotNull())
+        .select(
+            "doc_id", F.pmod(portable_hash_col(F.col("__tok")), F.lit(dim)).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    contrib = tf.join(F.broadcast(weights), on="bucket").groupBy("doc_id").agg(
+        F.sum(F.col("__tf") * F.col("weight")).alias("__z")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    z = F.coalesce(F.col("__z"), F.lit(0.0)) + F.lit(float(intercept))
+    return base.join(contrib, on="doc_id", how="left").select(
+        "doc_id",
+        dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
+
+
+def vocab_weights(
+    spark: SparkSession, term_weights: dict[str, float], dim: int = 1 << 18
+) -> DataFrame:
+    """Hashed weight table from an explicit term→weight dict (buckets via
+    the same portable hash as :func:`hashed_linear_scores`); colliding
+    terms sum, exactly as training on hashed features would."""
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    rows = spark.createDataFrame(
+        [(t, float(w)) for t, w in sorted(term_weights.items())], ["term", "w"]
+    )
+    return (
+        rows.select(
+            F.pmod(portable_hash_col(F.col("term")), F.lit(dim)).alias("bucket"),
+            F.col("w"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("w").alias("weight"))
     )

@@ -23,7 +23,10 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 from databricks_demo_feature_store_spark.functions.rounding import dround
-from databricks_demo_feature_store_spark.textops.analysis import fingerprint_col
+from databricks_demo_feature_store_spark.textops.analysis import (
+    fingerprint_col,
+    tokens_col,
+)
 
 
 def portable_hash_col(col: Column, seed: int | str = 0) -> Column:
@@ -135,6 +138,92 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return fp.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("representative_id")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated SUBSTRING regions: every run of ≥ ``min_len``
+    consecutive tokens that occurs more than once in the corpus (in other
+    documents or elsewhere in the same one), reported as
+    ``(doc_id, span_start, span_end, n_tokens)`` token-offset intervals —
+    the substring-level exact dedup of Lee et al. 2021 (*Deduplicating
+    Training Data Makes Language Models Better*), which removes repeated
+    boilerplate/templates that document- and sentence-level dedup both
+    miss.
+
+    Spark shape instead of the paper's suffix array: overlapping
+    ``min_len``-token windows (stride 1) hash to 60-bit portable ids; a
+    hash groupBy finds windows occurring >1 time; per document, marked
+    window starts merge into maximal regions with one gaps-and-islands
+    window pass (new island when the gap exceeds ``min_len``, i.e. the
+    covered intervals no longer overlap or touch). Work is O(total
+    tokens): the shuffle carries (hash) map-side-combined for the
+    frequency count, then (hash, doc_id, pos) for the survivors only;
+    no suffix array, no global sort. Equivalent to the suffix-array
+    answer for duplicated runs in [min_len, 2·min_len) and a
+    superset-merge above (adjacent duplicated windows from different
+    sources merge into one reported region).
+    """
+    L = int(min_len)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__t")
+    )
+    nwins = F.greatest(F.size("__t") - F.lit(L) + 1, F.lit(0))
+    idx = F.when(nwins > 0, F.sequence(F.lit(0), nwins - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    portable_hash_col(
+                        F.concat_ws(
+                            "\x1f", F.slice(F.col("__t"), i + 1, F.lit(L))
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("__n")).where(
+        F.col("__n") > 1
+    )
+    marked = wins.join(dup.select("h"), on="h", how="left_semi")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flagged = marked.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > L),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("__new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("__island"),
+    )
+    return islands.groupBy("doc_id", "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(L)).alias("n_tokens"),
+    ).drop("__island")
 
 
 def winnowing_fingerprints(

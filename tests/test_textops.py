@@ -705,3 +705,53 @@ def test_cap_per_key_deterministic_and_bounded(spark):
     assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in b.select("doc_id").collect()
     )
+
+
+def test_duplicated_spans_exact_regions(spark):
+    """A 12-token run shared by two docs reports one maximal region per
+    doc at the right offsets; a doc-internal repeat is found too; unique
+    text reports nothing."""
+    from databricks_demo_feature_store_spark.textops.dedup import duplicated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, f"u1 u2 u3 {boiler} t1 t2"),           # region at pos 3..14
+        (2, f"{boiler} v1 v2 v3 v4"),              # region at pos 0..11
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14"),  # unique
+        (4, f"x0 {boiler} x1 {boiler}"),           # internal repeat
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicated_spans(df, min_len=10).collect()
+    }
+    assert (1, 3, 14, 12) in out
+    assert (2, 0, 11, 12) in out
+    assert not any(d == 3 for d, *_ in out)
+    # doc 4: two boiler copies at pos 1..12 and 14..25, separated by the
+    # unique token at offset 13 — two maximal regions, NOT merged (their
+    # covered intervals don't touch)
+    d4 = sorted(t for t in out if t[0] == 4)
+    assert d4 == [(4, 1, 12, 12), (4, 14, 25, 12)]
+
+
+def test_hashed_linear_scores_exact(spark):
+    """Exact sigmoid of the dyadic-weight dot product; out-of-vocab-only
+    docs score sigmoid(intercept); collisions fold by summation."""
+    import math
+
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        hashed_linear_scores,
+        vocab_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "data data query junk"), (2, "junk junk"), (3, "")],
+        ["doc_id", "text"],
+    )
+    w = vocab_weights(spark, {"data": 1.0, "query": 0.75, "slow": -0.5})
+    out = {r["doc_id"]: r["score"] for r in
+           hashed_linear_scores(df, w, intercept=-0.5).collect()}
+    assert out[1] == round(1 / (1 + math.exp(-(2 * 1.0 + 0.75 - 0.5))), 6)
+    assert out[2] == round(1 / (1 + math.exp(0.5)), 6)
+    assert out[3] == round(1 / (1 + math.exp(0.5)), 6)
