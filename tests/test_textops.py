@@ -755,3 +755,48 @@ def test_hashed_linear_scores_exact(spark):
     assert out[1] == round(1 / (1 + math.exp(-(2 * 1.0 + 0.75 - 0.5))), 6)
     assert out[2] == round(1 / (1 + math.exp(0.5)), 6)
     assert out[3] == round(1 / (1 + math.exp(0.5)), 6)
+
+
+def test_duplicated_spans_matches_bruteforce(spark):
+    """Windows/frequency/island-merge must match a pure-Python
+    computation on random small-vocab corpora (high collision rate)."""
+    import random
+    from collections import Counter
+
+    from databricks_demo_feature_store_spark.textops.dedup import duplicated_spans
+
+    rng = random.Random(11)
+    L = 4
+    docs = []
+    for doc_id in range(40):
+        n = rng.randrange(0, 14)
+        docs.append((doc_id, " ".join(rng.choice("abcde") for _ in range(n))))
+
+    # brute force
+    wins = []  # (doc, pos, window-tuple)
+    for doc_id, text in docs:
+        toks = text.split()
+        for p in range(0, max(len(toks) - L + 1, 0)):
+            wins.append((doc_id, p, tuple(toks[p : p + L])))
+    freq = Counter(w for _, _, w in wins)
+    marked = {}
+    for doc_id, p, w in wins:
+        if freq[w] > 1:
+            marked.setdefault(doc_id, []).append(p)
+    expected = set()
+    for doc_id, ps in marked.items():
+        ps.sort()
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > L:
+                expected.add((doc_id, start, prev + L - 1, prev - start + L))
+                start = p
+            prev = p
+        expected.add((doc_id, start, prev + L - 1, prev - start + L))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicated_spans(df, min_len=L).collect()
+    }
+    assert got == expected and len(expected) > 5
