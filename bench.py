@@ -37,6 +37,7 @@ HEADLINE = [
     "q_training_set",
     "q_stream_hourly",
     "q_stream_sessionize",
+    "q_stream_distinct_sketch",
     "q_val_crosscheck",
     "q_rsi",
 ]

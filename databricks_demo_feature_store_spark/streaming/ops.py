@@ -109,6 +109,36 @@ def sessionize_stream(
     )
 
 
+def windowed_distinct_sketch(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    watermark: str = "7 days",
+    window: str = "1 hour",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Watermarked tumbling-window APPROXIMATE distinct count of
+    ``key_col`` (HLL++, relative error ``rsd``) — the streaming cardinality
+    profile. Exact ``COUNT(DISTINCT)`` is unsupported in streaming
+    aggregations (it would need unbounded per-window value state);
+    the sketch is the standard answer: fixed-size register state per
+    window, merged across micro-batches, bounded by the watermark exactly
+    like any windowed agg.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct(key_col, rsd).alias("approx_distinct"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "approx_distinct",
+        )
+    )
+
+
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Replay the stream's backlog with the availableNow trigger into an
     in-memory sink; block until done; return the sink as a batch frame.

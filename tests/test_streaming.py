@@ -406,3 +406,28 @@ def test_sliding_counts_keyed_matches_batch(spark):
          for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_windowed_distinct_sketch_matches_batch(spark):
+    """The streamed HLL merged across micro-batches must equal the batch
+    single-pass sketch exactly (register merge is associative), and
+    window row counts must match the batch GROUP BY."""
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        windowed_distinct_sketch,
+    )
+
+    streamed = run_available_now(
+        windowed_distinct_sketch(read_events_stream(spark, SF))
+    )
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_distinct"),
+        )
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
