@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from databricks_demo_feature_store_spark.featurestore.manager import FeatureStoreManager
 from databricks_demo_feature_store_spark.operators.joins import point_in_time_join
@@ -61,3 +61,40 @@ def create_training_set(
             tolerance_expr=lk.tolerance,
         )
     return out
+
+
+def latest_features(
+    features: DataFrame,
+    primary_keys: Sequence[str],
+    timestamp_key: str,
+    as_of: str | None = None,
+) -> DataFrame:
+    """Online-serving snapshot: the latest feature row per entity,
+    optionally as of a fixed timestamp — what an online store would
+    materialize for low-latency lookups (the batch twin of the Databricks
+    ``publish_table`` online sync).
+
+    One ``max_by`` hash aggregation — map-side partial combine collapses
+    each entity's history before the shuffle, so the exchange carries one
+    row per (entity, partition), NOT the history; a row_number window
+    would shuffle and sort every historical row. At 100 TB the feature
+    table is already partitioned by the timestamp key, so an ``as_of``
+    snapshot prunes future partitions at scan time.
+
+    Requires (primary_keys, timestamp_key) unique — the feature-table
+    contract the manager's primary-key spec enforces; ties would
+    otherwise pick an arbitrary row.
+    """
+    pks = [k for k in primary_keys if k != timestamp_key]
+    f = features
+    if as_of is not None:
+        f = f.filter(
+            F.col(timestamp_key) <= F.lit(as_of).cast("timestamp")
+        )
+    payload = [c for c in f.columns if c not in pks]
+    agg = f.groupBy(*pks).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]), F.col(timestamp_key)
+        ).alias("__latest")
+    )
+    return agg.select(*pks, "__latest.*")

@@ -926,3 +926,65 @@ def q_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ok"
         ),
     )
+
+
+@register(
+    "q_fs_online_snapshot",
+    oracle="""
+    WITH feat AS (
+      SELECT o_custkey AS custkey,
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS release_dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend,
+             COUNT(*) AS order_cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    cut AS (SELECT * FROM feat WHERE release_dt <= TIMESTAMP '1997-06-15'),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+                                   ORDER BY release_dt DESC) AS rn
+      FROM cut
+    )
+    SELECT custkey, release_dt, total_spend, order_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_fs_online_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-serving snapshot end-to-end: monthly features persisted via
+    FeatureStoreManager, read back, then ``latest_features`` materializes
+    the one-row-per-entity as-of-timestamp state an online store would
+    serve — a max_by hash aggregation (map-side combine collapses each
+    entity's history pre-shuffle), not a row_number sort of all history.
+    The oracle replays the snapshot with an argmax window."""
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        latest_features,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feat = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.add_months(F.trunc(F.col("o_orderdate").cast("date"), "month"), 1)
+        .cast("timestamp")
+        .alias("release_dt"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )
+    root = scratch_dir("online_store")
+    manager = FeatureStoreManager(spark, root)
+    manager.save(
+        feat,
+        FeatureTableSpec(
+            name="cus_monthly_spend",
+            primary_keys=("custkey", "release_dt"),
+            timestamp_keys=("release_dt",),
+            description="monthly customer spend features",
+            source_tables=("orders",),
+        ),
+        mode="overwrite",
+    )
+    return latest_features(
+        manager.read("cus_monthly_spend"),
+        primary_keys=("custkey", "release_dt"),
+        timestamp_key="release_dt",
+        as_of="1997-06-15",
+    )

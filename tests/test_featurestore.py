@@ -158,3 +158,39 @@ def test_manager_recovers_from_empty_table_dir(spark, tmp_path):
     mgr.save(spark.range(3).select("id"), spec, mode="merge")
     assert mgr.exists("t")
     assert mgr.read("t").count() == 3
+
+
+def test_latest_features_snapshot(spark):
+    """latest_features returns one row per entity — the newest at or
+    before as_of; entities with no history before the cutoff drop out."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        latest_features,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10.0),
+        (1, dt.datetime(2024, 2, 1), 20.0),
+        (1, dt.datetime(2024, 3, 1), 30.0),
+        (2, dt.datetime(2024, 2, 15), 5.0),
+        (3, dt.datetime(2024, 3, 20), 7.0),  # after the cutoff
+    ]
+    df = spark.createDataFrame(rows, ["custkey", "release_dt", "spend"])
+
+    latest = {
+        r["custkey"]: (r["release_dt"], r["spend"])
+        for r in latest_features(df, ("custkey", "release_dt"), "release_dt").collect()
+    }
+    assert latest[1] == (dt.datetime(2024, 3, 1), 30.0)
+    assert latest[3] == (dt.datetime(2024, 3, 20), 7.0)
+
+    snap = {
+        r["custkey"]: (r["release_dt"], r["spend"])
+        for r in latest_features(
+            df, ("custkey", "release_dt"), "release_dt", as_of="2024-02-20"
+        ).collect()
+    }
+    assert snap[1] == (dt.datetime(2024, 2, 1), 20.0)
+    assert snap[2] == (dt.datetime(2024, 2, 15), 5.0)
+    assert 3 not in snap
