@@ -71,7 +71,19 @@ module import order. Selection policy:
   (the SUM(CASE)+ind_* pivot is the core of in-window
   q_pipeline_product_holdings), q_agg_dispatch (the same name-dispatch
   allowlist backs in-window q_window_dispatch and every pipeline agg
-  step).
+  step). Late round-5 additions — four families born THIS round rotate
+  straight in (q_ext_substring_dedup, q_ext_quality_classifier,
+  q_stream_distinct_sketch, q_fs_online_snapshot) — demoting, with
+  cover: q_filter_fold (AND-fold filters run in every in-window
+  pipeline's ingestion predicates and q_feature_chain), q_rsi (window
+  family holds q_window_dispatch + q_rolling_quantile/q_rolling_ewma +
+  rolling stats inside three in-window pipelines; RSI's gain/loss CASE
+  split is the q_feature_chain categorize algebra), q_val_dimension_drift
+  (monitor family keeps crosscheck/schema-cast/timetravel in-window; the
+  1-row global agg shape is also the in-window q_ext_sketch_profile),
+  q_ext_embedding_near_dup (cosine-threshold near-dup pairs run inside
+  in-window q_ext_semantic_dedup; the LSH blocking machinery is the
+  measured side of in-window q_ext_ann_recall).
 """
 
 from __future__ import annotations
@@ -88,7 +100,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_pipeline_incremental",
     "q_val_schema_cast",
     "q_val_crosscheck",
-    "q_val_dimension_drift",
     "q_val_timetravel_crosscheck",
     "q_rollup_hierarchy",
     # streaming spread: windowed agg, session window, arbitrary state, dedup
@@ -97,12 +108,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_stateful_stats",
     "q_stream_dedup",
     # operator-family anchors
-    "q_filter_fold",
     "q_equi_join_left_wins",
     "q_pit_join",
     "q_interval_join",
     "q_window_dispatch",
-    "q_rsi",
     "q_feature_chain",
     "q_layer_roundtrip",
     # text / dedup / similarity / multimodal
@@ -113,7 +122,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_simhash",
     "q_ext_dedup_clusters",
     "q_ext_ann_ivf",
-    "q_ext_embedding_near_dup",
     "q_ext_multimodal_decode",
     # q_ext_frame_sample demoted round 3 (multimodal family anchored by
     # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
@@ -137,6 +145,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_sketch_profile",
     "q_gen_payment_golden",
     "q_ext_paragraph_dedup",
+    # round-5 late additions (families born this round; see docstring)
+    "q_ext_substring_dedup",
+    "q_ext_quality_classifier",
+    "q_stream_distinct_sketch",
+    "q_fs_online_snapshot",
 )
 
 WINDOW_SIZE = 50
