@@ -35,6 +35,8 @@ HEADLINE = [
     "q_pipeline_demographic",
     "q_pipeline_payment_behavior",
     "q_training_set",
+    "q_fs_online_snapshot",
+    "q_unpivot_melt",
     "q_stream_hourly",
     "q_stream_sessionize",
     "q_stream_distinct_sketch",

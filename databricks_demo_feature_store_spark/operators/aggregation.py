@@ -168,3 +168,32 @@ def conditional_pivot(
             )
     exprs.extend(_agg_exprs(extra_operations))
     return df.groupBy(*group_by).agg(*exprs)
+
+
+def unpivot_columns(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of the pivot ops above:
+    each input row emits one output row per value column, labeled with
+    the column name. Narrow, shuffle-free (a Generate/Expand at scan
+    speed; output width shrinks to id_cols + 2, so no column-width
+    amplification survives the projection). Values must share a common
+    type; they are cast to the first value column's type up front so the
+    stack is well-typed (matching ``DataFrame.unpivot`` semantics, but
+    expressed with ``stack`` so it runs identically on Spark 3.x)."""
+    if not value_cols:
+        raise ValueError("unpivot_columns requires at least one value column")
+    t = df.schema[value_cols[0]].dataType.simpleString()
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    stacked = df.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c).cast(t).alias(c) for c in value_cols],
+    ).selectExpr(
+        *[f"`{c}`" for c in id_cols],
+        f"stack({len(value_cols)}, {pairs}) AS (`{var_name}`, `{value_name}`)",
+    )
+    return stacked

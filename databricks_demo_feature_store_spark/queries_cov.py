@@ -736,3 +736,49 @@ def q_rolling_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["custkey"],
         order_by=["order_month"],
     )
+
+
+@register(
+    "q_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS F_sum_qty,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,2)) END) AS DOUBLE) AS O_sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, u.variable, u.value
+    FROM wide
+    UNPIVOT INCLUDE NULLS (value FOR variable IN (F_sum_qty, O_sum_qty)) AS u
+    """,
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt), the inverse of the conditional pivot:
+    pivot per-status quantity sums to wide, then stack back to long —
+    a Generate at scan speed, no shuffle beyond the pivot's own agg.
+    The oracle uses DuckDB's native UNPIVOT (INCLUDE NULLS to match the
+    stack semantics for absent combinations)."""
+    from databricks_demo_feature_store_spark.operators.aggregation import (
+        aggregation_operations,
+        unpivot_columns,
+    )
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(25,2)")
+    )
+    wide = aggregation_operations(
+        li,
+        group_by=["l_returnflag"],
+        operations=[{"column": "qty_dec", "operation": "sum", "alias": "sum_qty"}],
+        pivot_column="l_linestatus",
+        pivot_values=["F", "O"],
+    ).select(
+        "l_returnflag",
+        # single-agg pivot names columns by pivot value alone
+        F.col("F").cast("double").alias("F_sum_qty"),
+        F.col("O").cast("double").alias("O_sum_qty"),
+    )
+    return unpivot_columns(
+        wide, id_cols=["l_returnflag"], value_cols=["F_sum_qty", "O_sum_qty"]
+    )

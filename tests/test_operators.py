@@ -462,3 +462,25 @@ def test_rolling_ewma_null_gap_keeps_row_offsets(spark):
     # frame (10, NULL, 30): 10 decays TWO steps (.25), not one
     assert e[("a", 3)]["x_ewma3m"] == round((0.25 * 10 + 30) / 1.25, 4)
     assert e[("c", 1)]["x_ewma3m"] is None  # all-NULL frame
+
+
+def test_unpivot_columns_roundtrip(spark):
+    """melt emits one row per (id, value column), keeps NULLs, casts to a
+    common type, and inverts a pivot exactly."""
+    from databricks_demo_feature_store_spark.operators.aggregation import (
+        unpivot_columns,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, None), ("b", 2.5, 3.5)], ["k", "x", "y"]
+    )
+    out = {
+        (r["k"], r["variable"], r["value"])
+        for r in unpivot_columns(df, ["k"], ["x", "y"]).collect()
+    }
+    assert out == {("a", "x", 1.0), ("a", "y", None),
+                   ("b", "x", 2.5), ("b", "y", 3.5)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one value column"):
+        unpivot_columns(df, ["k"], [])
