@@ -2062,3 +2062,98 @@ def q_ext_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         codes, cb, emb.filter(F.col("vec_id") < 3), k=5, m=_PQ_M
     )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH {_O_EMB},
+    cents8 AS (
+      SELECT vec_id AS centroid_id, v AS cv
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_O_COS_CV} DESC NULLS LAST, c.centroid_id ASC) AS rn
+        FROM e CROSS JOIN cents8 c)
+      WHERE rn = 1
+    ),
+    subs AS (
+      SELECT e.vec_id AS id, j.sub,
+             list_transform(e.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM e, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j
+    ),
+    cb AS (
+      SELECT sub, code, sv AS centroid FROM (
+        SELECT sub, sv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub
+                 ORDER BY md5(CAST(sub AS VARCHAR) || ':' || CAST(id AS VARCHAR)) ASC,
+                          id ASC) - 1 AS code
+        FROM subs)
+      WHERE code < {_PQ_K}
+    ),
+    enc AS (
+      SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_D} + 1),
+                   i -> (s.sv[i] - cb.centroid[i]) * (s.sv[i] - cb.centroid[i]))) ASC,
+                          cb.code ASC) AS rn
+        FROM subs s JOIN cb USING (sub))
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT e.vec_id AS query_id, c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_O_COS_CV} DESC NULLS LAST, c.centroid_id ASC) AS rn
+        FROM e CROSS JOIN cents8 c
+        WHERE e.vec_id < 3)
+      WHERE rn <= 2
+    ),
+    qlut AS (
+      SELECT q.id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+               i -> (q.sv[i] - cb.centroid[i]) * (q.sv[i] - cb.centroid[i]))) AS d
+      FROM subs q JOIN cb USING (sub)
+      WHERE q.id < 3
+    ),
+    adc AS (
+      SELECT l.query_id, en.id AS vec_id,
+             list_sum(list(l.d ORDER BY l.sub)) AS dist
+      FROM enc en
+      JOIN assign a ON a.vec_id = en.id
+      JOIN probes p ON p.cluster = a.cluster
+      JOIN qlut l ON l.query_id = p.query_id AND l.sub = en.sub AND l.code = en.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, {oracle_dround('dist', 6)} AS adc_dist, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_ext_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def q_ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ index: coarse quantizer shards the corpus into
+    inverted lists, PQ compresses every vector to m bytes, a query
+    probes its 2 nearest lists and ADC-scores only the code bytes in
+    them — the two cost cuts (nprobe/nlist of the corpus, bytes not
+    vectors) multiply, which is how FAISS-scale indexes search 10^11
+    vectors. Oracle replays coarse assignment, codebooks, encoding,
+    probe selection, and the cluster-restricted fold-ordered ADC."""
+    from databricks_demo_feature_store_spark.textops.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, nlist=8, nprobe=2,
+        m=_PQ_M, pq_k=_PQ_K,
+    )

@@ -800,3 +800,106 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, dround(F.col("__adc"), 6).alias("adc_dist"), "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """The full IVF-PQ index shape (Jégou et al. 2011, §IV): a coarse
+    quantizer shards the corpus into ``nlist`` inverted lists, PQ codes
+    compress every vector to ``m`` bytes, and a query (a) picks its
+    ``nprobe`` nearest lists, (b) ADC-scores ONLY the codes in those
+    lists. Per query ~nprobe/nlist of the corpus is touched, and what is
+    touched is bytes — the two cost cuts multiply, which is the entire
+    reason FAISS-style indexes scale to 10^11 vectors.
+
+    At 100 TB: persist ``(cluster, codes)`` partitioned BY cluster so a
+    probe is a partition-pruned scan of code bytes; centroids, codebooks
+    and per-query LUTs all broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    cents = ivf_centroids(corpus, nlist, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(id_col, "cluster")
+    cb = pq_codebooks(corpus, m, pq_k, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, id_col, vec_col).join(assigned, on=id_col)
+
+    q = query.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qscore = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "__qv",
+        "centroid_id",
+        cosine_col(F.col("__qv"), F.col("centroid")).alias("__cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("centroid_id"))
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", F.col("centroid_id").alias("cluster"))
+    )
+
+    # per-query LUT (m × pq_k squared L2 distances), broadcast with probes
+    qsubs = probes.select("query_id", "__qv", "cluster").dropDuplicates(
+        ["query_id"]
+    ).select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.expr(
+            f"transform(slice(__qv, sub * (size(__qv) div {m}) + 1,"
+            f" size(__qv) div {m}), x -> CAST(x AS DOUBLE))"
+        ).alias("__qs"),
+    )
+    lut = (
+        qsubs.join(F.broadcast(cb), on="sub")
+        .select(
+            "query_id", "sub", "code",
+            _l2sq(F.col("__qs"), F.col("centroid")).alias("__d"),
+        )
+        .groupBy("query_id", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "__d"))),
+                lambda s: s["__d"],
+            ).alias("__dists")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "__dists"))),
+                lambda s: s["__dists"],
+            ).alias("__lut")
+        )
+    )
+
+    cand = codes.join(
+        F.broadcast(probes.select("query_id", "cluster")), on="cluster"
+    ).join(F.broadcast(lut), on="query_id")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(F.col("__lut"), j + 1),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            ),
+        ).alias("__adc"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, dround(F.col("__adc"), 6).alias("adc_dist"), "rank")
+    )

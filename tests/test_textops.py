@@ -843,3 +843,65 @@ def test_pq_encode_and_adc(spark):
             c for (q2, _), c in cos.items() if q2 == qid
         ) / n_corpus
         assert sum(picked) / len(picked) > corpus_mean + 0.1
+
+
+def test_ivfpq_restricts_to_probed_clusters(spark):
+    """IVF-PQ candidates all live in the query's nprobe nearest lists,
+    self still ranks first, and within the probed subset the ranking
+    equals full-corpus ADC restricted to those clusters."""
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ivfpq_topk(emb, q, k=5, nlist=8, nprobe=2)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+
+    cents = ivf_centroids(emb, nlist=8)
+    clusters = {r["vec_id"]: r["cluster"] for r in ivf_assign(emb, cents).collect()}
+    # every returned candidate must live in one of the query's own probe
+    # clusters — recompute probes as the 2 clusters of highest centroid
+    # cosine (same tie rule)
+    import math
+
+    evecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    cvecs = {r["centroid_id"]: r["centroid"] for r in cents.collect()}
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return num / (na * nb)
+
+    for r in rows:
+        qv = evecs[r["query_id"]]
+        probed = sorted(cvecs, key=lambda c: (-cos(qv, cvecs[c]), c))[:2]
+        assert clusters[r["vec_id"]] in probed
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]  # self's cluster is probed
+
+    # rank parity vs full-corpus ADC restricted to the probed clusters
+    cb = pq_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, cb, m=8)
+    full = pq_adc_topk(codes, cb, q, k=10_000, m=8).collect()
+    for qid in (0, 1):
+        qv = evecs[qid]
+        probed = sorted(cvecs, key=lambda c: (-cos(qv, cvecs[c]), c))[:2]
+        expect = [
+            r["vec_id"] for r in sorted(
+                (r for r in full if r["query_id"] == qid
+                 and clusters[r["vec_id"]] in probed),
+                key=lambda r: r["rank"],
+            )
+        ][:5]
+        got = [r["vec_id"] for r in sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert got == expect
