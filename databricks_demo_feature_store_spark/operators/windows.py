@@ -299,3 +299,67 @@ def rolling_ewma(
                 ).alias(f"{c}_ewma{n}m")
             )
     return df.select("*", *cols)
+
+
+def fill_monthly_gaps(
+    df: DataFrame,
+    entity_col: str,
+    month_col: str,
+    value_cols: Sequence[str],
+    interpolate: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Densify a sparse per-entity monthly series: emit EVERY month
+    between each entity's first and last observation, then (optionally)
+    linearly interpolate interior gaps — the resample+interpolate step a
+    monthly feature pipeline needs before lag/rolling features, which
+    otherwise silently treat a 3-month gap as one step.
+
+    Output: the spine with the original ``{col}`` (NULL on gap months)
+    and ``{col}_filled`` (linear interpolation between the nearest
+    observed neighbors; months before the first / after the last
+    observation stay NULL — no extrapolation).
+
+    Scale shape: the spine is one hash agg (min/max month per entity) +
+    a ``sequence`` explode (fan-out bounded by the series length, no
+    cross join); all fills share ONE ascending (entity, month) sort —
+    ``last IGNORE NULLS`` over the preceding frame and ``first IGNORE
+    NULLS`` over the following frame both run on the same ordering, so
+    Catalyst plans a single window exchange.
+    """
+    ent, mon = F.col(entity_col), F.col(month_col)
+    spine = (
+        df.groupBy(entity_col)
+        .agg(F.min(mon).alias("__m0"), F.max(mon).alias("__m1"))
+        .select(
+            entity_col,
+            F.explode(
+                F.expr("sequence(__m0, __m1, interval 1 month)")
+            ).alias(month_col),
+        )
+    )
+    dense = spine.join(df, on=[entity_col, month_col], how="left")
+    if not interpolate:
+        return dense
+
+    base = _base_window([entity_col], [month_col])
+    back = base.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    out = dense
+    for c in value_cols:
+        x = F.col(c).cast("double")
+        prev = F.last(x, ignorenulls=True).over(back)
+        prev_m = F.last(F.when(x.isNotNull(), F.col(month_col)), True).over(back)
+        nxt = F.first(x, ignorenulls=True).over(fwd)
+        nxt_m = F.first(F.when(x.isNotNull(), F.col(month_col)), True).over(fwd)
+        frac = F.months_between(F.col(month_col), prev_m) / F.months_between(
+            nxt_m, prev_m
+        )
+        filled = F.when(x.isNotNull(), x).otherwise(
+            F.when(
+                prev.isNotNull() & nxt.isNotNull(),
+                prev + (nxt - prev) * frac,
+            )
+        )
+        out = out.withColumn(f"{c}_filled", dround(filled, round_to))
+    return out

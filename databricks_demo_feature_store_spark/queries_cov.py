@@ -782,3 +782,62 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpivot_columns(
         wide, id_cols=["l_returnflag"], value_cols=["F_sum_qty", "O_sum_qty"]
     )
+
+
+@register(
+    "q_fill_gaps_interpolate",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT custkey, MIN(order_month) AS m0, MAX(order_month) AS m1
+      FROM m GROUP BY custkey
+    ),
+    spine AS (
+      SELECT custkey,
+             CAST(unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS DATE) AS order_month
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.custkey, s.order_month, m.total_spend
+      FROM spine s LEFT JOIN m USING (custkey, order_month)
+    ),
+    n AS (
+      SELECT custkey, order_month, total_spend,
+             LAST_VALUE(total_spend IGNORE NULLS) OVER back AS prev,
+             LAST_VALUE(CASE WHEN total_spend IS NOT NULL THEN order_month END IGNORE NULLS) OVER back AS prev_m,
+             FIRST_VALUE(total_spend IGNORE NULLS) OVER fwd AS nxt,
+             FIRST_VALUE(CASE WHEN total_spend IS NOT NULL THEN order_month END IGNORE NULLS) OVER fwd AS nxt_m
+      FROM dense
+      WINDOW back AS (PARTITION BY custkey ORDER BY order_month ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY custkey ORDER BY order_month ASC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT custkey, order_month, total_spend,
+           {oracle_dround("CASE WHEN total_spend IS NOT NULL THEN total_spend WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN prev + (nxt - prev) * (CAST(date_diff('month', prev_m, order_month) AS DOUBLE) / CAST(date_diff('month', prev_m, nxt_m) AS DOUBLE)) END", 6)} AS total_spend_filled
+    FROM n
+    """,
+)
+def q_fill_gaps_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse→dense monthly resample with linear interpolation: every
+    month between each customer's first and last order appears, gap
+    months carry the linearly interpolated spend — the densify step that
+    keeps lag/rolling features honest over gappy series. One hash agg
+    (bounds) + sequence explode for the spine, and both neighbor scans
+    share one ascending (entity, month) sort."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        fill_monthly_gaps,
+    )
+
+    m = _monthly_orders_dec(spark, sf_dir).select(
+        "custkey", "order_month",
+        F.col("total_spend").cast("double").alias("total_spend"),
+    )
+    return fill_monthly_gaps(
+        m, "custkey", "order_month", ["total_spend"], round_to=6
+    )

@@ -484,3 +484,32 @@ def test_unpivot_columns_roundtrip(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one value column"):
         unpivot_columns(df, ["k"], [])
+
+
+def test_fill_monthly_gaps_interpolation(spark):
+    """Gap months appear with linear interpolation; edges never
+    extrapolate; observed months pass through exactly."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.windows import (
+        fill_monthly_gaps,
+    )
+
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10.0),
+        ("a", dt.date(2024, 4, 1), 40.0),   # 2 gap months between
+        ("a", dt.date(2024, 5, 1), None),   # observed-but-null row
+        ("a", dt.date(2024, 6, 1), 60.0),
+        ("b", dt.date(2024, 2, 1), 5.0),    # single month, no gaps
+    ]
+    df = spark.createDataFrame(rows, ["k", "m", "x"])
+    out = {
+        (r["k"], r["m"]): (r["x"], r["x_filled"])
+        for r in fill_monthly_gaps(df, "k", "m", ["x"]).collect()
+    }
+    assert len(out) == 7  # a: Jan..Jun dense, b: Feb
+    assert out[("a", dt.date(2024, 2, 1))] == (None, 20.0)
+    assert out[("a", dt.date(2024, 3, 1))] == (None, 30.0)
+    assert out[("a", dt.date(2024, 4, 1))] == (40.0, 40.0)
+    assert out[("a", dt.date(2024, 5, 1))] == (None, 50.0)  # null row interpolates
+    assert out[("b", dt.date(2024, 2, 1))] == (5.0, 5.0)
