@@ -42,6 +42,7 @@ HEADLINE = [
     "q_stream_sessionize",
     "q_stream_distinct_sketch",
     "q_val_crosscheck",
+    "q_val_expectations",
     "q_rsi",
 ]
 

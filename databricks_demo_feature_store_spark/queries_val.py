@@ -230,3 +230,78 @@ def q_val_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         months_shift=1,
         reference_month=_dt.date(1999, 1, 1),
     )
+
+
+@register(
+    "q_val_expectations",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS v_null,
+             SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 800 OR o_totalprice > 600000)
+                      THEN 1 ELSE 0 END) AS v_between,
+             SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND o_orderpriority NOT IN
+                           ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                      THEN 1 ELSE 0 END) AS v_set,
+             SUM(CASE WHEN o_orderdate IS NOT NULL
+                       AND NOT regexp_matches(CAST(o_orderdate AS VARCHAR),
+                                              '^199[0-9]-')
+                      THEN 1 ELSE 0 END) AS v_match,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uniq
+      FROM orders
+    )
+    SELECT 'o_totalprice' AS "column", 'not_null' AS rule, n AS n_rows,
+           CAST(v_null AS BIGINT) AS n_violations,
+           ROUND(CAST(v_null AS DOUBLE) / n, 6) AS violation_fraction,
+           CAST(v_null AS DOUBLE) / n <= 0.0 AS passed
+    FROM s
+    UNION ALL
+    SELECT 'o_totalprice', 'between', n, CAST(v_between AS BIGINT),
+           ROUND(CAST(v_between AS DOUBLE) / n, 6),
+           CAST(v_between AS DOUBLE) / n <= 0.01 FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', 'in_set', n, CAST(v_set AS BIGINT),
+           ROUND(CAST(v_set AS DOUBLE) / n, 6),
+           CAST(v_set AS DOUBLE) / n <= 0.0 FROM s
+    UNION ALL
+    SELECT 'o_orderdate', 'matches', n, CAST(v_match AS BIGINT),
+           ROUND(CAST(v_match AS DOUBLE) / n, 6),
+           CAST(v_match AS DOUBLE) / n <= 0.0 FROM s
+    UNION ALL
+    SELECT 'o_orderkey', 'unique', n, CAST(v_uniq AS BIGINT),
+           ROUND(CAST(v_uniq AS DOUBLE) / n, 6),
+           CAST(v_uniq AS DOUBLE) / n <= 0.0 FROM s
+    """,
+)
+def q_val_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract check (the DLT-expectations shape): five
+    rules over orders — null guard, value range with a 1% tolerance,
+    category allowlist, date-format regex, key uniqueness — evaluated in
+    two aggregates total (conditional sums in one; COUNT(DISTINCT) split
+    out, see sketch-audit planning lesson). The oracle recomputes every
+    violation count exactly."""
+    from databricks_demo_feature_store_spark.validation.expectations import (
+        Expectation,
+        check_expectations,
+    )
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    rules = [
+        Expectation("o_totalprice", "not_null"),
+        Expectation("o_totalprice", "between", lo=800, hi=600000, max_fraction=0.01),
+        Expectation(
+            "o_orderpriority",
+            "in_set",
+            allowed=("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        ),
+        Expectation("o_orderdate", "matches", pattern=r"^199[0-9]-"),
+        Expectation("o_orderkey", "unique"),
+    ]
+    out = check_expectations(o.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("string")
+    ), rules)
+    return out

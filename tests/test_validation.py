@@ -111,3 +111,47 @@ def test_validation_log_roundtrip(spark, tmp_path):
     assert len(latest) == 1 and latest[0]["passed"] is False
     det = spark.read.parquet(str(tmp_path / "detail")).collect()
     assert len(det) == 1 and det[0]["table_name"] == "tbl_a" and det[0]["passed"]
+
+
+def test_check_expectations_rules(spark):
+    """Every rule type: exact violation counts, fraction thresholds, NULL
+    handling (value rules ignore NULLs; not_null counts them), uniqueness
+    over non-null values, and two-job planning (scan agg + distinct agg)."""
+    from databricks_demo_feature_store_spark.validation.expectations import (
+        Expectation,
+        check_expectations,
+    )
+
+    rows = [
+        (1, 10.0, "a", "x1"),
+        (2, None, "a", "x2"),
+        (3, 50.0, "b", "y3"),
+        (3, 5.0, "zz", "x4"),
+        (None, 20.0, "a", "x5"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "cat", "code"])
+    out = {
+        (r["column"], r["rule"]): r
+        for r in check_expectations(
+            df,
+            [
+                Expectation("v", "not_null", max_fraction=0.25),
+                Expectation("v", "between", lo=0, hi=40),
+                Expectation("cat", "in_set", allowed=("a", "b")),
+                Expectation("code", "matches", pattern=r"^x"),
+                Expectation("k", "unique"),
+            ],
+        ).collect()
+    }
+    assert out[("v", "not_null")]["n_violations"] == 1
+    assert out[("v", "not_null")]["passed"]            # 0.2 <= 0.25
+    assert out[("v", "between")]["n_violations"] == 1  # 50.0; NULL ignored
+    assert not out[("v", "between")]["passed"]
+    assert out[("cat", "in_set")]["n_violations"] == 1
+    assert out[("code", "matches")]["n_violations"] == 1  # y3
+    assert out[("k", "unique")]["n_violations"] == 1   # duplicate 3; NULL ignored
+    assert all(r["n_rows"] == 5 for r in out.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown expectation rule"):
+        check_expectations(df, [Expectation("v", "nope")]).collect()
