@@ -38,6 +38,7 @@ HEADLINE = [
     "q_fs_online_snapshot",
     "q_unpivot_melt",
     "q_fill_gaps_interpolate",
+    "q_target_encoding",
     "q_stream_hourly",
     "q_stream_sessionize",
     "q_stream_distinct_sketch",

@@ -199,3 +199,83 @@ def spark_function_operations(
     fn = getattr(F, function)
     args = [F.col(c) for c in columns] + [F.lit(v) for v in literals]
     return df.withColumn(new_column, fn(*args))
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    leave_one_out: bool = False,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column — the standard
+    high-cardinality categorical feature (per-category mean of the
+    target, shrunk toward the global mean):
+
+        enc = (sum_cat + smoothing · global_mean) / (cnt_cat + smoothing)
+
+    ``leave_one_out=True`` excludes each row's OWN target from its
+    category statistics ((sum − y) / (cnt − 1) before smoothing) — the
+    leakage guard for encoding the training split.
+
+    Scale shape: one hash aggregation on the category (map-side
+    combined, DECIMAL-exact sums so the encoding is identical under any
+    partitioning), a broadcast 1-row global mean, and one join back —
+    category cardinality bounds the joined table, not the fact table.
+    NULL targets are excluded from the statistics; NULL categories
+    encode to the global mean (they form their own group of unknowns).
+    """
+    out_col = out_col or f"{category_col}_target_enc"
+    t_dec = F.col(target_col).cast("decimal(25,6)")
+    stats = df.groupBy(category_col).agg(
+        F.sum(t_dec).alias("__sum"),
+        F.count(F.col(target_col)).alias("__cnt"),
+    )
+    glob = F.broadcast(
+        df.agg(
+            (
+                F.sum(t_dec).cast("double") / F.count(F.col(target_col))
+            ).alias("__gmean")
+        )
+    )
+    joined = df.join(stats, on=category_col, how="left").crossJoin(glob)
+    if leave_one_out:
+        y = F.col(target_col).cast("decimal(25,6)")
+        s = F.col("__sum") - F.coalesce(y, F.lit(0).cast("decimal(25,6)"))
+        c = F.col("__cnt") - F.col(target_col).isNotNull().cast("long")
+    else:
+        s, c = F.col("__sum"), F.col("__cnt")
+    enc = (
+        (s.cast("double") + F.lit(float(smoothing)) * F.col("__gmean"))
+        / (c.cast("double") + F.lit(float(smoothing)))
+    )
+    return joined.select(
+        *df.columns,
+        dround(F.coalesce(enc, F.col("__gmean")), round_to).alias(out_col),
+    )
+
+
+def train_test_split_col(
+    key: Column,
+    test_fraction: float = 0.2,
+    val_fraction: float = 0.0,
+    seed: int | str = 42,
+    buckets: int = 10_000,
+) -> Column:
+    """Deterministic split label ('train' / 'val' / 'test') from a hash
+    of the entity key — no ``rand()``, so the assignment is stable across
+    runs, engines and partitionings, and EVERY row of one entity lands in
+    the same split (hash the entity key, not the row, to prevent
+    entity-level leakage between splits)."""
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    b = F.pmod(portable_hash_col(key.cast("string"), seed), F.lit(buckets))
+    test_hi = int(round(test_fraction * buckets))
+    val_hi = test_hi + int(round(val_fraction * buckets))
+    return (
+        F.when(b < test_hi, F.lit("test"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )

@@ -841,3 +841,80 @@ def q_fill_gaps_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_monthly_gaps(
         m, "custkey", "order_month", ["total_spend"], round_to=6
     )
+
+
+@register(
+    "q_target_encoding",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s,
+             COUNT(o_totalprice) AS c
+      FROM orders GROUP BY o_orderpriority
+    ),
+    g AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(o_totalprice) AS gmean
+      FROM orders
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(COALESCE(
+             (CAST(st.s - CAST(o.o_totalprice AS DECIMAL(25,6)) AS DOUBLE)
+                + 20.0 * g.gmean)
+             / (CAST(st.c - 1 AS DOUBLE) + 20.0),
+             g.gmean), 6) AS o_orderpriority_target_enc
+    FROM orders o
+    LEFT JOIN stats st ON o.o_orderpriority = st.o_orderpriority
+    CROSS JOIN g
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of order priority against
+    order value — the high-cardinality categorical feature with the
+    training-leakage guard. One DECIMAL-exact category aggregation +
+    broadcast global mean + join-back; the oracle replays the shrinkage
+    arithmetic exactly."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        target_encode,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = target_encode(
+        o, "o_orderpriority", "o_totalprice", smoothing=20.0, leave_one_out=True
+    )
+    return out.select("o_orderkey", "o_orderpriority", "o_orderpriority_target_enc")
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_custkey,
+             ({{h}}) % 10000 AS bucket
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN bucket < 2000 THEN 'test'
+                WHEN bucket < 3000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+    """.format(h="CAST(concat('0x', substr(md5(concat('42:', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)"),
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity-level train/val/test assignment (20/10/70) by
+    key hash — stable across runs/engines/partitionings, every row of an
+    entity in one split (no rand(), no entity leakage). Oracle replays
+    the hash-bucket thresholds."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        train_test_split_col,
+    )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return c.select(
+        "c_custkey",
+        train_test_split_col(
+            F.col("c_custkey"), test_fraction=0.2, val_fraction=0.1
+        ).alias("split"),
+    )

@@ -178,3 +178,51 @@ def test_spark_function_operations_allowlist(spark):
     assert one(out, "a") == 3.0
     with pytest.raises(ValueError):
         spark_function_operations(df, "x", "expr", literals=["1=1"])
+
+
+def test_target_encode_smoothing_and_loo(spark):
+    """Hand-checked shrinkage arithmetic, NULL category → global mean,
+    and leave-one-out excluding each row's own target."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        target_encode,
+    )
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 100.0), (None, 40.0)]
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    gmean = (10 + 20 + 100 + 40) / 4  # 42.5
+
+    plain = {
+        (r["cat"], r["y"]): r["cat_target_enc"]
+        for r in target_encode(df, "cat", "y", smoothing=2.0).collect()
+    }
+    assert plain[("a", 10.0)] == round((30 + 2 * gmean) / (2 + 2), 6)
+    assert plain[("b", 100.0)] == round((100 + 2 * gmean) / (1 + 2), 6)
+
+    loo = {
+        (r["cat"], r["y"]): r["cat_target_enc"]
+        for r in target_encode(
+            df, "cat", "y", smoothing=2.0, leave_one_out=True
+        ).collect()
+    }
+    # row (a, 10): stats exclude itself → sum 20, cnt 1
+    assert loo[("a", 10.0)] == round((20 + 2 * gmean) / (1 + 2), 6)
+    # singleton b excluded from itself → cnt 0 → pure prior
+    assert loo[("b", 100.0)] == round((0 + 2 * gmean) / (0 + 2), 6)
+
+
+def test_train_test_split_deterministic_and_proportioned(spark):
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        train_test_split_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(F.col("id"))
+    out = df.select("id", train_test_split_col(F.col("id"), 0.2, 0.1).alias("s"))
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["test"] / 10_000 - 0.2) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.02
+    # stable: re-evaluation yields identical assignment
+    again = {r["id"]: r["s"] for r in out.collect()}
+    again2 = {r["id"]: r["s"] for r in df.select(
+        "id", train_test_split_col(F.col("id"), 0.2, 0.1).alias("s")).collect()}
+    assert again == again2
