@@ -279,3 +279,67 @@ def train_test_split_col(
         .when(b < val_hi, F.lit("val"))
         .otherwise(F.lit("train"))
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    column: str,
+    n_bins: int,
+    out_col: str | None = None,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equal-frequency discretization: bin 1..n_bins by ``ntile`` over
+    the value order (ties broken by ``tiebreak_cols`` so the assignment
+    is total and deterministic — without a tiebreak, equal values at a
+    bin boundary would land arbitrarily).
+
+    This is the GLOBAL-order form (one ntile window over an unpartitioned
+    sort) — right for cutpoint fitting and feature grids up to dimension
+    tables. For 100 TB fact tables, fit cutpoints on this output (or
+    ``percentile_approx``) and assign bins with a broadcast range join
+    instead of sorting the world; the reference's monthly feature grain
+    never needs the global form beyond entity scale.
+    """
+    from pyspark.sql import Window as W
+
+    out_col = out_col or f"{column}_qbin{n_bins}"
+    order = [F.col(column).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    return df.select(
+        "*", F.ntile(n_bins).over(W.orderBy(*order)).alias(out_col)
+    )
+
+
+def feature_correlations(
+    df: DataFrame,
+    columns: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of the given numeric columns in ONE
+    aggregation pass — the collinearity screen before feature selection.
+    All C(n,2) ``corr`` aggregates share a single scan with map-side
+    partial combine (each keeps 6 moments of state); output is one row
+    per (col_a, col_b) pair, a < b."""
+    pairs = [
+        (a, b)
+        for i, a in enumerate(columns)
+        for b in list(columns)[i + 1 :]
+    ]
+    one = df.agg(
+        *[
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+                f"__c_{i}"
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    per_pair = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                dround(F.col(f"__c_{i}"), round_to).alias("pearson_corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return one.select(F.explode(per_pair).alias("s")).select("s.*")

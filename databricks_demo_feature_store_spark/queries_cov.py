@@ -918,3 +918,69 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey"), test_fraction=0.2, val_fraction=0.1
         ).alias("split"),
     )
+
+
+@register(
+    "q_quantile_bin",
+    oracle=f"""
+    WITH {_O_MONTHLY_DEC}
+    SELECT custkey, order_month,
+           CAST(total_spend AS DOUBLE) AS total_spend,
+           NTILE(10) OVER (ORDER BY total_spend ASC, custkey ASC,
+                           order_month ASC) AS total_spend_qbin10
+    FROM monthly
+    """,
+)
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of monthly spend (global ntile
+    with a deterministic (value, entity, month) total order). The oracle
+    replays the identical ntile assignment — Spark and DuckDB share the
+    larger-groups-first ntile definition."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        quantile_bin,
+    )
+
+    m = _monthly_orders_dec(spark, sf_dir)
+    out = quantile_bin(
+        m, "total_spend", 10, tiebreak_cols=["custkey", "order_month"]
+    )
+    return out.select(
+        "custkey", "order_month",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "total_spend_qbin10",
+    )
+
+
+@register(
+    "q_feature_correlations",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             ROUND(corr(CAST(l_quantity AS DOUBLE),
+                        CAST(l_extendedprice AS DOUBLE)), 6) AS pearson_corr
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             ROUND(corr(CAST(l_quantity AS DOUBLE),
+                        CAST(l_discount AS DOUBLE)), 6)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             ROUND(corr(CAST(l_extendedprice AS DOUBLE),
+                        CAST(l_discount AS DOUBLE)), 6)
+      FROM lineitem
+    )
+    """,
+)
+def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of three lineitem measures in one
+    scan (all corr aggregates share the pass, map-side combined) — the
+    collinearity screen before feature selection."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        feature_correlations,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return feature_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )

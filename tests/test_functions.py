@@ -226,3 +226,46 @@ def test_train_test_split_deterministic_and_proportioned(spark):
     again2 = {r["id"]: r["s"] for r in df.select(
         "id", train_test_split_col(F.col("id"), 0.2, 0.1).alias("s")).collect()}
     assert again == again2
+
+
+def test_quantile_bin_equal_frequency(spark):
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        quantile_bin,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = quantile_bin(df, "v", 4, tiebreak_cols=["id"])
+    counts = {r["v_qbin4"]: r["n"] for r in
+              out.groupBy("v_qbin4").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {1, 2, 3, 4} and all(v == 25 for v in counts.values())
+    # bins are monotone in value: max of bin k <= min of bin k+1
+    rows = out.select("v", "v_qbin4").collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["v_qbin4"], []).append(r["v"])
+    for k in (1, 2, 3):
+        assert max(by_bin[k]) <= min(by_bin[k + 1])
+
+
+def test_feature_correlations_known_values(spark):
+    import math
+
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        feature_correlations,
+    )
+
+    rows = [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.5, -4.0)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    out = {
+        (r["col_a"], r["col_b"]): r["pearson_corr"]
+        for r in feature_correlations(df, ["x", "y", "z"]).collect()
+    }
+    assert out[("x", "z")] == -1.0
+    assert 0.99 < out[("x", "y")] < 1.0
+    # cross-check one pair against the closed form
+    xs = [r[0] for r in rows]; ys = [r[1] for r in rows]
+    mx, my = sum(xs)/4, sum(ys)/4
+    num = sum((a-mx)*(b-my) for a, b in zip(xs, ys))
+    den = math.sqrt(sum((a-mx)**2 for a in xs) * sum((b-my)**2 for b in ys))
+    assert out[("x", "y")] == round(num/den, 6)
