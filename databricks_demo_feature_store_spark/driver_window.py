@@ -83,7 +83,18 @@ module import order. Selection policy:
   1-row global agg shape is also the in-window q_ext_sketch_profile),
   q_ext_embedding_near_dup (cosine-threshold near-dup pairs run inside
   in-window q_ext_semantic_dedup; the LSH blocking machinery is the
-  measured side of in-window q_ext_ann_recall).
+  measured side of in-window q_ext_ann_recall). Final round-5 sweep —
+  four more new families in (q_ext_ivfpq_topk, the IVF-PQ capstone whose
+  coarse stage IS the IVF assignment; q_val_expectations;
+  q_target_encoding; q_fill_gaps_interpolate), demoting with cover:
+  q_ext_ann_ivf (assignment + probe selection run verbatim inside
+  in-window q_ext_ivfpq_topk and q_ext_semantic_dedup),
+  q_rolling_quantile (window family holds q_rolling_ewma,
+  q_window_dispatch and three pipelines' rolling stats in-window),
+  q_ext_winnowing + q_ext_repetition (fingerprint/analysis families
+  anchored in-window by q_ext_paragraph_dedup / q_ext_substring_dedup and
+  q_ext_lm_score / q_ext_curation_pipeline; both stay exact-checked by
+  the local full gate and pytest).
 """
 
 from __future__ import annotations
@@ -115,13 +126,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_feature_chain",
     "q_layer_roundtrip",
     # text / dedup / similarity / multimodal
-    "q_ext_repetition",
     # q_ext_minhash_sig demoted: q_ext_minhash_dedup rebuilds the same
     # signatures before banding, so the signature math is still hash-checked
     "q_ext_minhash_dedup",
     "q_ext_simhash",
     "q_ext_dedup_clusters",
-    "q_ext_ann_ivf",
     "q_ext_multimodal_decode",
     # q_ext_frame_sample demoted round 3 (multimodal family anchored by
     # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
@@ -129,13 +138,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_ann_recall",
     "q_ext_lm_score",
     "q_ext_curation_pipeline",
-    "q_ext_winnowing",
     "q_ext_bm25_topk",
     "q_ext_contamination",
     "q_ext_pii_scrub",
     "q_ext_token_mixture",
     # round-5 rotation (see module docstring)
-    "q_rolling_quantile",
     "q_rolling_ewma",
     "q_ext_session_features",
     "q_ext_dsir_weights",
@@ -150,6 +157,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_quality_classifier",
     "q_stream_distinct_sketch",
     "q_fs_online_snapshot",
+    "q_ext_ivfpq_topk",
+    "q_val_expectations",
+    "q_target_encoding",
+    "q_fill_gaps_interpolate",
 )
 
 WINDOW_SIZE = 50
