@@ -322,10 +322,13 @@ def fill_monthly_gaps(
 
     Scale shape: the spine is one hash agg (min/max month per entity) +
     a ``sequence`` explode (fan-out bounded by the series length, no
-    cross join); all fills share ONE ascending (entity, month) sort —
-    ``last IGNORE NULLS`` over the preceding frame and ``first IGNORE
-    NULLS`` over the following frame both run on the same ordering, so
-    Catalyst plans a single window exchange.
+    cross join). Both neighbor scans are RUNNING ``last IGNORE NULLS``
+    frames — ascending for the previous neighbor, descending for the
+    next — because Spark evaluates an UnboundedPreceding frame in O(n)
+    per partition while an UnboundedFollowing one is recomputed per row,
+    O(n²) (measured 4s → 1s at sf0.1 on 30-80-row partitions). Same
+    hash partitioning on the entity → ONE exchange; the descending pass
+    adds an in-partition re-sort only.
     """
     ent, mon = F.col(entity_col), F.col(month_col)
     spine = (
@@ -342,16 +345,23 @@ def fill_monthly_gaps(
     if not interpolate:
         return dense
 
-    base = _base_window([entity_col], [month_col])
-    back = base.rowsBetween(Window.unboundedPreceding, 0)
-    fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    back = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(month_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(month_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     out = dense
     for c in value_cols:
         x = F.col(c).cast("double")
         prev = F.last(x, ignorenulls=True).over(back)
         prev_m = F.last(F.when(x.isNotNull(), F.col(month_col)), True).over(back)
-        nxt = F.first(x, ignorenulls=True).over(fwd)
-        nxt_m = F.first(F.when(x.isNotNull(), F.col(month_col)), True).over(fwd)
+        nxt = F.last(x, ignorenulls=True).over(fwd)
+        nxt_m = F.last(F.when(x.isNotNull(), F.col(month_col)), True).over(fwd)
         frac = F.months_between(F.col(month_col), prev_m) / F.months_between(
             nxt_m, prev_m
         )
