@@ -39,6 +39,8 @@ HEADLINE = [
     "q_unpivot_melt",
     "q_fill_gaps_interpolate",
     "q_target_encoding",
+    "q_funnel_steps",
+    "q_retention_cohorts",
     "q_stream_hourly",
     "q_stream_sessionize",
     "q_stream_distinct_sketch",

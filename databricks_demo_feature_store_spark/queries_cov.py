@@ -984,3 +984,88 @@ def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_correlations(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS step1_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    allu AS (SELECT DISTINCT user_id FROM events),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS step2_ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS step3_ts
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+      GROUP BY e.user_id
+    )
+    SELECT a.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+           CAST((s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT
+                + (s3.user_id IS NOT NULL)::INT AS INT) AS steps_completed
+    FROM allu a
+    LEFT JOIN s1 ON a.user_id = s1.user_id
+    LEFT JOIN s2 ON a.user_id = s2.user_id
+    LEFT JOIN s3 ON a.user_id = s3.user_id
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the event stream: per
+    user, the first view, the first click after it, the first purchase
+    after that — chained conditional MINs on one per-user grouping, no
+    per-step self-join of the raw events, no event sorting. The oracle
+    replays the step chain with correlated CTEs."""
+    from databricks_demo_feature_store_spark.operators.events import funnel_steps
+
+    e = load(spark, sf_dir, "events")
+    return funnel_steps(e, ["view", "click", "purchase"])
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_period
+      FROM events GROUP BY user_id
+    ),
+    offsets AS (
+      SELECT DISTINCT e.user_id, p.cohort_period,
+             CAST(date_diff('day', p.cohort_period,
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+               AS period_offset
+      FROM events e JOIN per_user p ON e.user_id = p.user_id
+    ),
+    counts AS (
+      SELECT cohort_period, period_offset,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM offsets GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_period, n_active AS sz FROM counts WHERE period_offset = 0
+    )
+    SELECT c.cohort_period, c.period_offset, c.n_active,
+           ROUND(CAST(c.n_active AS DOUBLE) / s.sz, 6) AS retained_fraction
+    FROM counts c JOIN sizes s ON c.cohort_period = s.cohort_period
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle at WEEK grain (the synthetic events span
+    one month, so weekly cohorts give a real 5x5 triangle where monthly
+    would be a single vacuous cell): users cohorted by first active ISO
+    week, activity counted at each week offset, retained fraction against
+    the cohort size — one per-user aggregation (first week + bounded
+    distinct-week set) plus an explode, never a users×weeks cross
+    join."""
+    from databricks_demo_feature_store_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return retention_cohorts(e, grain="week")

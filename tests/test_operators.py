@@ -513,3 +513,58 @@ def test_fill_monthly_gaps_interpolation(spark):
     assert out[("a", dt.date(2024, 4, 1))] == (40.0, 40.0)
     assert out[("a", dt.date(2024, 5, 1))] == (None, 50.0)  # null row interpolates
     assert out[("b", dt.date(2024, 2, 1))] == (5.0, 5.0)
+
+
+def test_funnel_steps_ordering(spark):
+    """Steps only count when strictly ordered: a purchase BEFORE the
+    first view doesn't complete the funnel; out-of-order users stall at
+    the last ordered step."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: purchase precedes view → stalls after click
+        (2, "purchase", t(0)), (2, "view", t(1)), (2, "click", t(2)),
+        # u3: never views → 0 steps even though click exists
+        (3, "click", t(0)),
+        # u4: repeated views, first one counts
+        (4, "view", t(5)), (4, "view", t(1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {r["user_id"]: r for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 2 and out[2]["step3_ts"] is None
+    assert out[3]["steps_completed"] == 0
+    assert out[4]["step1_ts"] == t(1) and out[4]["steps_completed"] == 1
+
+
+def test_retention_cohorts_weekly(spark):
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    # week of Mon 2024-01-01; u1 active weeks 0,1,2; u2 weeks 0,2; u3
+    # joins in week 1 (separate cohort), active weeks 1,2
+    rows = [
+        (1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 8)),
+        (1, dt.datetime(2024, 1, 15)),
+        (2, dt.datetime(2024, 1, 3)), (2, dt.datetime(2024, 1, 16)),
+        (3, dt.datetime(2024, 1, 10)), (3, dt.datetime(2024, 1, 17)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_period"], r["period_offset"]): (r["n_active"], r["retained_fraction"])
+        for r in retention_cohorts(df, grain="week").collect()
+    }
+    w0, w1 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    assert out[(w0, 0)] == (2, 1.0)
+    assert out[(w0, 1)] == (1, 0.5)   # only u1 active in week 1
+    assert out[(w0, 2)] == (2, 1.0)   # both back in week 2
+    assert out[(w1, 0)] == (1, 1.0) and out[(w1, 1)] == (1, 1.0)
