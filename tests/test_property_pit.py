@@ -1,0 +1,124 @@
+"""Property-based check of the PIT (as-of) join — the scale-critical
+operator — against a brute-force Python as-of computation on randomized
+spine/feature tables (hypothesis drives key overlap, timestamp ties,
+duplicate feature times, and empty-history cases)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from databricks_demo_feature_store_spark.operators.joins import point_in_time_join
+
+BASE = dt.datetime(2024, 1, 1)
+
+_keys = st.integers(min_value=0, max_value=4)
+_hours = st.integers(min_value=0, max_value=40)
+
+_spine_rows = st.lists(st.tuples(_keys, _hours), min_size=1, max_size=25)
+_feature_rows = st.lists(
+    st.tuples(_keys, _hours, st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _brute_force(spine, feats):
+    out = {}
+    for i, (k, h) in enumerate(spine):
+        ts = BASE + dt.timedelta(hours=h)
+        cands = [
+            (BASE + dt.timedelta(hours=fh), v, j)
+            for j, (fk, fh, v) in enumerate(feats)
+            if fk == k and BASE + dt.timedelta(hours=fh) <= ts
+        ]
+        if cands:
+            # latest feature time; ties among equal times → greatest value
+            # (the tiebreak column), matching feature_tiebreak=['v']
+            best = max(cands, key=lambda c: (c[0], c[1]))
+            out[i] = best[1]
+        else:
+            out[i] = None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spine=_spine_rows, feats=_feature_rows)
+def test_pit_join_matches_bruteforce(spark, spine, feats):
+    spine_df = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(hours=h)) for i, (k, h) in enumerate(spine)],
+        ["row_id", "k", "ts"],
+    )
+    feat_df = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(hours=h), v) for (k, h, v) in feats],
+        ["k", "fts", "v"],
+    ) if feats else spark.createDataFrame([], "k long, fts timestamp, v long")
+
+    got = {
+        r["row_id"]: r["v"]
+        for r in point_in_time_join(
+            spine_df,
+            feat_df,
+            keys=["k"],
+            spine_time="ts",
+            feature_time="fts",
+            feature_tiebreak=["v"],
+        ).collect()
+    }
+    assert got == _brute_force(spine, feats)
+
+
+_edges = st.lists(st.tuples(_keys, _keys), min_size=0, max_size=15)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges, extra_nodes=st.sets(_keys, max_size=5))
+def test_cc_both_algorithms_match_union_find(spark, edges, extra_nodes):
+    """Both distributed CC algorithms must equal a Python union-find on
+    random pair graphs (self-loops, duplicate edges, singleton nodes)."""
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    nodes = sorted({n for e in edges for n in e} | extra_nodes)
+    if not nodes:
+        return
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component id = min reachable node
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    expected = {n: min(members) for r, members in comp.items() for n in members}
+
+    docs = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    pairs = (
+        spark.createDataFrame(edges, ["id_a", "id_b"])
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    for algo in ("label-prop", "two-phase"):
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dedup_clusters(docs, pairs, algorithm=algo).collect()
+        }
+        assert got == expected, algo
