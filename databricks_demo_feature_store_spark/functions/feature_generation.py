@@ -343,3 +343,41 @@ def feature_correlations(
         ]
     )
     return one.select(F.explode(per_pair).alias("s")).select("s.*")
+
+
+def assign_bins(
+    df: DataFrame,
+    column: str,
+    cutpoints: DataFrame,
+    cutpoints_col: str = "cutpoint",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Assign ``bin = 1 + #(cutpoints < value)`` from a FITTED cutpoint
+    table — the 100 TB companion to :func:`quantile_bin`: fit cutpoints
+    once (exact percentiles on an aggregate, or ``percentile_approx`` on
+    the raw data), then bin the fact table with a broadcast of the tiny
+    cutpoint set and a per-row fold — no global sort, no shuffle of the
+    data being binned. NULL values get a NULL bin.
+
+    Boundary rule: a value EQUAL to a cutpoint falls in the lower bin
+    (``value <= cut``), matching ntile's closed-on-the-right buckets.
+    """
+    out_col = out_col or f"{column}_bin"
+    cuts = F.broadcast(
+        cutpoints.agg(
+            F.array_sort(F.collect_list(F.col(cutpoints_col).cast("double"))).alias(
+                "__cuts"
+            )
+        )
+    )
+    x = F.col(column).cast("double")
+    bin_expr = F.when(
+        x.isNotNull(),
+        F.lit(1)
+        + F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, c: acc + (x > c).cast("int"),
+        ),
+    )
+    return df.crossJoin(cuts).select(*df.columns, bin_expr.alias(out_col))

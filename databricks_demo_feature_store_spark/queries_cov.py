@@ -1069,3 +1069,45 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     return retention_cohorts(e, grain="week")
+
+
+@register(
+    "q_bin_by_cutpoints",
+    oracle=f"""
+    WITH {_O_MONTHLY_DEC},
+    m2 AS (SELECT custkey, order_month,
+                  CAST(total_spend AS DOUBLE) AS total_spend
+           FROM monthly),
+    cuts AS (
+      SELECT quantile_cont(total_spend, 0.25) AS q1,
+             quantile_cont(total_spend, 0.50) AS q2,
+             quantile_cont(total_spend, 0.75) AS q3
+      FROM m2
+    )
+    SELECT m2.custkey, m2.order_month, m2.total_spend,
+           CAST(1 + (m2.total_spend > c.q1)::INT + (m2.total_spend > c.q2)::INT
+                  + (m2.total_spend > c.q3)::INT AS INT) AS total_spend_bin
+    FROM m2 CROSS JOIN cuts c
+    """,
+)
+def q_bin_by_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-then-assign binning, the 100 TB path: exact quartile cutpoints
+    fitted as ONE aggregate row, broadcast, then every row binned with a
+    per-row fold over the cutpoint array — no global sort of the data
+    being binned (contrast q_quantile_bin's ntile form). Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation definition, so the oracle replays the fit too."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        assign_bins,
+    )
+
+    m = _monthly_orders_dec(spark, sf_dir).select(
+        "custkey", "order_month",
+        F.col("total_spend").cast("double").alias("total_spend"),
+    )
+    cutpoints = m.agg(
+        F.percentile(
+            F.col("total_spend"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("__q")
+    ).select(F.explode("__q").alias("cutpoint"))
+    return assign_bins(m, "total_spend", cutpoints)

@@ -269,3 +269,18 @@ def test_feature_correlations_known_values(spark):
     num = sum((a-mx)*(b-my) for a, b in zip(xs, ys))
     den = math.sqrt(sum((a-mx)**2 for a in xs) * sum((b-my)**2 for b in ys))
     assert out[("x", "y")] == round(num/den, 6)
+
+
+def test_assign_bins_boundaries(spark):
+    """Values equal to a cutpoint fall in the LOWER bin; NULLs bin NULL;
+    unordered cutpoint input is sorted before assignment."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        assign_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 10.5), (4, 25.0), (5, None)], ["id", "x"]
+    )
+    cuts = spark.createDataFrame([(20.0,), (10.0,)], ["cutpoint"])  # unsorted
+    out = {r["id"]: r["x_bin"] for r in assign_bins(df, "x", cuts).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: None}
