@@ -41,6 +41,10 @@ HEADLINE = [
     "q_target_encoding",
     "q_funnel_steps",
     "q_retention_cohorts",
+    "q_quantile_bin",
+    "q_bin_by_cutpoints",
+    "q_feature_correlations",
+    "q_train_test_split",
     "q_stream_hourly",
     "q_stream_sessionize",
     "q_stream_distinct_sketch",
