@@ -288,24 +288,82 @@ def quantile_bin(
     out_col: str | None = None,
     tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Equal-frequency discretization: bin 1..n_bins by ``ntile`` over
-    the value order (ties broken by ``tiebreak_cols`` so the assignment
-    is total and deterministic — without a tiebreak, equal values at a
-    bin boundary would land arbitrarily).
+    """Equal-frequency discretization: bin 1..n_bins by global ``ntile``
+    semantics over the value order (ties broken by ``tiebreak_cols`` so
+    the assignment is total and deterministic — without a tiebreak,
+    equal values at a bin boundary would land arbitrarily).
 
-    This is the GLOBAL-order form (one ntile window over an unpartitioned
-    sort) — right for cutpoint fitting and feature grids up to dimension
-    tables. For 100 TB fact tables, fit cutpoints on this output (or
-    ``percentile_approx``) and assign bins with a broadcast range join
-    instead of sorting the world; the reference's monthly feature grain
-    never needs the global form beyond entity scale.
+    Scale shape — a DISTRIBUTED global rank, never a single-partition
+    window: ``repartitionByRange`` on the order key gives ordered,
+    parallel partitions and ``sortWithinPartitions`` orders each one
+    locally; ``monotonically_increasing_id`` (whose lower bits are the
+    consecutive record number inside a partition) yields the local rank
+    with NO window over the data; per-partition ``(count, min_id)`` — a
+    tiny aggregate, one row per partition, map-side combined — turns
+    into broadcast cumulative offsets; ``global_rank = offset + (id -
+    min_id) + 1`` and the ntile bucket follows arithmetically (Spark's /
+    DuckDB's larger-groups-first definition: with n rows and k buckets,
+    the first ``n % k`` buckets hold ``n div k + 1`` rows). The data
+    being binned shuffles EXACTLY once (the range exchange, reused by
+    both branches) and every partition sorts independently — the plan
+    survives a 100× scale-up where ``ntile().over(Window.orderBy(...))``
+    would move the world to one task. For repeated binning of a fact
+    table against a fixed distribution, fit cutpoints once and use
+    :func:`assign_bins` (broadcast fold, zero shuffles of the fact
+    side).
     """
-    from pyspark.sql import Window as W
-
     out_col = out_col or f"{column}_qbin{n_bins}"
-    order = [F.col(column).asc()] + [F.col(c).asc() for c in tiebreak_cols]
-    return df.select(
-        "*", F.ntile(n_bins).over(W.orderBy(*order)).alias(out_col)
+    order_cols = [column, *tiebreak_cols]
+    order = [F.col(c).asc() for c in order_cols]
+    pid, mid, cnt, mn, off, tot = (
+        "__qb_pid", "__qb_mid", "__qb_cnt", "__qb_min", "__qb_off",
+        "__qb_total",
+    )
+
+    local = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .select(
+            "*",
+            F.spark_partition_id().alias(pid),
+            F.monotonically_increasing_id().alias(mid),
+        )
+    )
+    # One row per range partition. Cumulative offsets come from a
+    # broadcast triangular self-join over this partition-count-sized
+    # frame (O(P^2) pairs for P shuffle partitions — trivial), so the
+    # plan contains NO unpartitioned window at all, not even over the
+    # aggregate.
+    counts = local.groupBy(pid).agg(
+        F.count(F.lit(1)).alias(cnt), F.min(mid).alias(mn)
+    )
+    total = counts.agg(F.sum(cnt).alias(tot))
+    a, b = counts.alias("__qb_a"), counts.alias("__qb_b")
+    offsets = (
+        a.join(
+            F.broadcast(b),
+            F.col(f"__qb_b.{pid}") < F.col(f"__qb_a.{pid}"),
+            "left",
+        )
+        .groupBy(F.col(f"__qb_a.{pid}").alias(pid), F.col(f"__qb_a.{mn}").alias(mn))
+        .agg(F.coalesce(F.sum(F.col(f"__qb_b.{cnt}")), F.lit(0)).alias(off))
+        .crossJoin(F.broadcast(total))
+    )
+
+    r = (F.col(off) + (F.col(mid) - F.col(mn)) + F.lit(1)).cast("long")
+    n, k = F.col(tot).cast("long"), F.lit(int(n_bins)).cast("long")
+    q, rem = n / k, n % k  # integer division below via floor
+    q = F.floor(q).cast("long")
+    threshold = rem * (q + F.lit(1))
+    bucket = F.when(
+        r <= threshold,
+        F.floor((r + q) / (q + F.lit(1))),  # ceil(r / (q+1))
+    ).otherwise(
+        rem + F.floor((r - threshold + q - F.lit(1)) / q)
+    )
+    return (
+        local.join(F.broadcast(offsets), pid)
+        .select(*df.columns, bucket.cast("int").alias(out_col))
     )
 
 

@@ -4,12 +4,13 @@ The product-analytics tier over an event stream — the batch twins of what
 the reference's validation notebooks eyeball by hand, expressed as plain
 aggregations so they run at any event volume.
 
-Scale shape: both operators are per-user hash aggregations with map-side
-partial combine (conditional MINs / month sets collapse before the
-shuffle); the funnel's step chaining is sequential CONDITIONAL aggregates
-over the same grouped pass — never a per-user sort or a self-join per
-step — and retention is one aggregation plus an explode of each user's
-bounded distinct-month array.
+Scale shape: both operators are per-user hash aggregations; the funnel is
+ONE grouped pass — events shuffle exactly once (the ``groupBy(user_id)``
+exchange), each user's step-typed events are collected, sorted in-array
+(a JVM expression, not a sort node), and a single ``F.aggregate`` fold
+walks them once filling step slots — never a per-step join or re-shuffle
+of the raw events. Retention is one aggregation plus an explode of each
+user's bounded distinct-period array; never a users×periods cross join.
 """
 
 from __future__ import annotations
@@ -31,41 +32,73 @@ def funnel_steps(
     """Ordered funnel: per user, the first timestamp of step 1, the first
     step-2 AFTER that, the first step-3 after THAT, and so on —
     ``(user, step1_ts, …, stepN_ts, steps_completed)``; a later step is
-    NULL (and uncounted) unless every earlier step happened before it.
+    NULL (and uncounted) unless every earlier step happened before it
+    (strictly — an equal-timestamp event does not advance the funnel).
 
-    Each step is one conditional MIN over the SAME per-user group: step
-    k's filter references step k-1's min, so Spark plans N chained
-    aggregations on an already-partitioned frame — the first groupBy
-    shuffles once, the rest are exchange-free (same key). No per-step
-    self-joins, no event sorting.
+    Single-pass form: ONE ``groupBy(user_id)`` collects each user's
+    step-typed events (non-step types are dropped before collection, so
+    the array holds only funnel-relevant rows), ``array_sort`` orders
+    them by time inside the row, and one ``F.aggregate`` fold walks the
+    array filling an N-slot timestamp state — an event fills the
+    EARLIEST unfilled slot whose type matches and whose predecessor slot
+    is already filled with a strictly earlier time. The raw events
+    shuffle exactly once; there is no per-step join, no window, no sort
+    node. Per-user state is the user's own funnel-event array — bounded
+    by per-user activity, the same invariant every per-user analytics
+    aggregation (sessionization, retention) already relies on.
     """
     if not steps:
         raise ValueError("funnel_steps requires at least one step")
+    n = len(steps)
     cur = events.select(
         F.col(user_col).alias("user_id"),
         F.col(type_col).alias("__t"),
         F.col(ts_col).alias("__ts"),
     )
-    acc = cur.groupBy("user_id").agg(
-        F.min(F.when(F.col("__t") == steps[0], F.col("__ts"))).alias("step1_ts")
+    per_user = cur.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__t").isin(*[str(s) for s in steps]),
+                    F.struct(
+                        F.col("__ts").alias("ts"), F.col("__t").alias("t")
+                    ),
+                )
+            )
+        ).alias("__evs")
     )
-    for i, step in enumerate(steps[1:], start=2):
-        prev = f"step{i - 1}_ts"
-        nxt = (
-            cur.join(acc.select("user_id", prev), on="user_id")
-            .where(F.col("__t") == step)
-            .where(F.col("__ts") > F.col(prev))
-            .groupBy("user_id")
-            .agg(F.min("__ts").alias(f"step{i}_ts"))
+
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(n)])
+
+    def _advance(state, ev):
+        slots = [F.element_at(state, k + 1) for k in range(n)]
+        fills = []
+        for k in range(n):
+            cond = slots[k].isNull() & (ev["t"] == F.lit(str(steps[k])))
+            if k > 0:
+                cond = cond & slots[k - 1].isNotNull() & (ev["ts"] > slots[k - 1])
+            for earlier in fills:  # one event advances at most one slot
+                cond = cond & ~earlier
+            fills.append(cond)
+        return F.array(
+            *[
+                F.when(fills[k], ev["ts"]).otherwise(slots[k])
+                for k in range(n)
+            ]
         )
-        acc = acc.join(nxt, on="user_id", how="left")
+
+    final = F.aggregate(F.col("__evs"), init, _advance)
+    out = per_user.select("user_id", final.alias("__st"))
     completed = sum(
-        (F.col(f"step{i}_ts").isNotNull()).cast("int")
-        for i in range(1, len(steps) + 1)
+        F.element_at(F.col("__st"), i).isNotNull().cast("int")
+        for i in range(1, n + 1)
     )
-    return acc.select(
+    return out.select(
         "user_id",
-        *[f"step{i}_ts" for i in range(1, len(steps) + 1)],
+        *[
+            F.element_at(F.col("__st"), i).alias(f"step{i}_ts")
+            for i in range(1, n + 1)
+        ],
         completed.alias("steps_completed"),
     )
 

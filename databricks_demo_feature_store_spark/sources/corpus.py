@@ -42,13 +42,20 @@ def read_corpus(
     ``csv`` (header by default; override via ``csv_options``),
     ``parquet``, or ``text`` (one doc per line, no metadata).
     ``id_field=None`` → deterministic 60-bit md5 hash of the text SALTED
-    with the source file path — raw crawls repeat identical texts across
-    files constantly, and an unsalted content hash would silently
+    with the source file's BASENAME — raw crawls repeat identical texts
+    across files constantly, and an unsalted content hash would silently
     collapse those rows onto one doc_id (downstream groupBys would then
-    double-count occurrences under a single id). Two identical texts in
-    the SAME file still share an id (they are indistinguishable rows);
-    run exact dedup explicitly if that matters, don't rely on id
-    assignment to do it.
+    double-count occurrences under a single id). The salt is the file
+    name only, never the absolute URI: re-reading the identical corpus
+    from a different directory, mount point, or host yields the SAME
+    doc_ids, so persisted downstream artifacts (dedup clusters, feature
+    tables, span reports) keyed on them survive relocation. Two
+    caveats, both inherent to name-salting: identical texts in the SAME
+    file share an id (they are indistinguishable rows — run exact dedup
+    explicitly if that matters), and identical texts in two files that
+    share a basename across subdirectories also collide (crawl shards
+    are conventionally uniquely numbered; rename shards if yours
+    aren't).
     """
     if fmt not in _FORMATS:
         raise ValueError(f"read_corpus fmt must be one of {_FORMATS}, got {fmt!r}")
@@ -72,9 +79,10 @@ def read_corpus(
             raise ValueError(f"id column {id_field!r} not in {df.columns}")
         doc_id = F.col(id_field).cast("long")
     else:
+        basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
         doc_id = F.conv(
             F.substring(
-                F.md5(F.concat_ws("\x1f", F.input_file_name(), text)), 1, 15
+                F.md5(F.concat_ws("\x1f", basename, text)), 1, 15
             ),
             16,
             10,

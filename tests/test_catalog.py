@@ -132,3 +132,25 @@ def test_read_corpus_jsonl_csv_text(spark, tmp_path):
     from databricks_demo_feature_store_spark.textops.analysis import bigram_lm_scores
 
     assert bigram_lm_scores(t).count() == 2
+
+
+def test_read_corpus_hash_ids_salted_and_relocatable(spark, tmp_path):
+    """Hash-derived doc_ids must (a) distinguish identical texts that
+    arrive in different files, and (b) survive relocating the corpus to
+    another directory (salt = file basename, never the absolute URI)."""
+    import shutil
+
+    from databricks_demo_feature_store_spark.sources.corpus import read_corpus
+
+    root = tmp_path / "corpus"
+    root.mkdir()
+    (root / "shard-000.jsonl").write_text('{"text": "same text"}\n')
+    (root / "shard-001.jsonl").write_text('{"text": "same text"}\n')
+    out = read_corpus(spark, str(root), fmt="jsonl")
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2  # per-file salt splits them
+
+    moved = tmp_path / "elsewhere" / "corpus2"
+    shutil.copytree(root, moved)
+    ids2 = [r["doc_id"] for r in read_corpus(spark, str(moved), fmt="jsonl").collect()]
+    assert sorted(ids) == sorted(ids2)  # relocation preserves ids

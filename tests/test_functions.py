@@ -248,6 +248,46 @@ def test_quantile_bin_equal_frequency(spark):
         assert max(by_bin[k]) <= min(by_bin[k + 1])
 
 
+def test_quantile_bin_matches_ntile_and_stays_distributed(spark):
+    """The distributed rank must reproduce Spark's own global ntile
+    exactly, and the physical plan must contain NO unpartitioned Window
+    (the single-partition shape the round-5 verdict flagged)."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        quantile_bin,
+    )
+
+    random.seed(11)
+    rows = [(i, random.randint(0, 40) / 8.0) for i in range(1013)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {
+        (r["id"],): r["v_qbin7"]
+        for r in quantile_bin(df, "v", 7, tiebreak_cols=["id"]).collect()
+    }
+    ref = {
+        (r["id"],): r["b"]
+        for r in df.select(
+            "id",
+            F.ntile(7).over(W.orderBy(F.col("v").asc(), F.col("id").asc())).alias("b"),
+        ).collect()
+    }
+    assert got == ref
+    plan = (
+        quantile_bin(df, "v", 7, tiebreak_cols=["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition" not in plan.lower()
+    # the binned data shuffles once: a range exchange, never SinglePartition
+    # on the unaggregated side
+    assert "rangepartitioning(v#" in plan
+
+
 def test_feature_correlations_known_values(spark):
     import math
 
