@@ -281,6 +281,70 @@ def train_test_split_col(
     )
 
 
+def attach_global_rank(
+    df: DataFrame,
+    order: Sequence[Column],
+    rank_col: str = "global_rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Attach a DISTRIBUTED global ``row_number`` (1..n in the total
+    order of ``order``) without ever moving the data to one task — the
+    scale-safe replacement for ``row_number().over(Window.orderBy(...))``
+    wherever an exact global rank is required (ntile binning, exact-k
+    selection, deterministic sharding).
+
+    Shape: ``repartitionByRange`` on the order key gives ordered,
+    parallel partitions and ``sortWithinPartitions`` orders each one
+    locally; ``monotonically_increasing_id`` (whose lower bits are the
+    consecutive record number inside a partition) yields the local rank
+    with NO window over the data; per-partition ``(count, min_id)`` — a
+    tiny aggregate, one row per partition, map-side combined — turns
+    into broadcast cumulative offsets via a broadcast triangular
+    self-join over that partition-count-sized frame (O(P²) pairs for P
+    shuffle partitions — trivial), so the plan contains NO unpartitioned
+    window at all; ``rank = offset + (id - min_id) + 1``. The ranked
+    data shuffles EXACTLY once (the range exchange, reused by both
+    branches). ``order`` must be a TOTAL order (add tiebreak columns)
+    for the rank to be deterministic. ``total_col`` additionally
+    attaches the global row count to every row (broadcast, no extra
+    pass over the data).
+    """
+    order = list(order)
+    pid, mid, cnt, mn, off, tot = (
+        "__gr_pid", "__gr_mid", "__gr_cnt", "__gr_min", "__gr_off",
+        "__gr_total",
+    )
+    local = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .select(
+            "*",
+            F.spark_partition_id().alias(pid),
+            F.monotonically_increasing_id().alias(mid),
+        )
+    )
+    counts = local.groupBy(pid).agg(
+        F.count(F.lit(1)).alias(cnt), F.min(mid).alias(mn)
+    )
+    total = counts.agg(F.sum(cnt).alias(tot))
+    a, b = counts.alias("__gr_a"), counts.alias("__gr_b")
+    offsets = (
+        a.join(
+            F.broadcast(b),
+            F.col(f"__gr_b.{pid}") < F.col(f"__gr_a.{pid}"),
+            "left",
+        )
+        .groupBy(F.col(f"__gr_a.{pid}").alias(pid), F.col(f"__gr_a.{mn}").alias(mn))
+        .agg(F.coalesce(F.sum(F.col(f"__gr_b.{cnt}")), F.lit(0)).alias(off))
+        .crossJoin(F.broadcast(total))
+    )
+    rank = (F.col(off) + (F.col(mid) - F.col(mn)) + F.lit(1)).cast("long")
+    extra = [rank.alias(rank_col)]
+    if total_col is not None:
+        extra.append(F.col(tot).cast("long").alias(total_col))
+    return local.join(F.broadcast(offsets), pid).select(*df.columns, *extra)
+
+
 def quantile_bin(
     df: DataFrame,
     column: str,
@@ -293,19 +357,11 @@ def quantile_bin(
     the assignment is total and deterministic — without a tiebreak,
     equal values at a bin boundary would land arbitrarily).
 
-    Scale shape — a DISTRIBUTED global rank, never a single-partition
-    window: ``repartitionByRange`` on the order key gives ordered,
-    parallel partitions and ``sortWithinPartitions`` orders each one
-    locally; ``monotonically_increasing_id`` (whose lower bits are the
-    consecutive record number inside a partition) yields the local rank
-    with NO window over the data; per-partition ``(count, min_id)`` — a
-    tiny aggregate, one row per partition, map-side combined — turns
-    into broadcast cumulative offsets; ``global_rank = offset + (id -
-    min_id) + 1`` and the ntile bucket follows arithmetically (Spark's /
+    Built on :func:`attach_global_rank` (range-partitioned distributed
+    rank — the data shuffles once, no single-partition window), then the
+    ntile bucket follows arithmetically from ``(rank, total)`` (Spark's /
     DuckDB's larger-groups-first definition: with n rows and k buckets,
-    the first ``n % k`` buckets hold ``n div k + 1`` rows). The data
-    being binned shuffles EXACTLY once (the range exchange, reused by
-    both branches) and every partition sorts independently — the plan
+    the first ``n % k`` buckets hold ``n div k + 1`` rows). The plan
     survives a 100× scale-up where ``ntile().over(Window.orderBy(...))``
     would move the world to one task. For repeated binning of a fact
     table against a fixed distribution, fit cutpoints once and use
@@ -313,47 +369,14 @@ def quantile_bin(
     side).
     """
     out_col = out_col or f"{column}_qbin{n_bins}"
-    order_cols = [column, *tiebreak_cols]
-    order = [F.col(c).asc() for c in order_cols]
-    pid, mid, cnt, mn, off, tot = (
-        "__qb_pid", "__qb_mid", "__qb_cnt", "__qb_min", "__qb_off",
-        "__qb_total",
+    order = [F.col(c).asc() for c in [column, *tiebreak_cols]]
+    ranked = attach_global_rank(
+        df, order, rank_col="__qb_rank", total_col="__qb_total"
     )
-
-    local = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .select(
-            "*",
-            F.spark_partition_id().alias(pid),
-            F.monotonically_increasing_id().alias(mid),
-        )
-    )
-    # One row per range partition. Cumulative offsets come from a
-    # broadcast triangular self-join over this partition-count-sized
-    # frame (O(P^2) pairs for P shuffle partitions — trivial), so the
-    # plan contains NO unpartitioned window at all, not even over the
-    # aggregate.
-    counts = local.groupBy(pid).agg(
-        F.count(F.lit(1)).alias(cnt), F.min(mid).alias(mn)
-    )
-    total = counts.agg(F.sum(cnt).alias(tot))
-    a, b = counts.alias("__qb_a"), counts.alias("__qb_b")
-    offsets = (
-        a.join(
-            F.broadcast(b),
-            F.col(f"__qb_b.{pid}") < F.col(f"__qb_a.{pid}"),
-            "left",
-        )
-        .groupBy(F.col(f"__qb_a.{pid}").alias(pid), F.col(f"__qb_a.{mn}").alias(mn))
-        .agg(F.coalesce(F.sum(F.col(f"__qb_b.{cnt}")), F.lit(0)).alias(off))
-        .crossJoin(F.broadcast(total))
-    )
-
-    r = (F.col(off) + (F.col(mid) - F.col(mn)) + F.lit(1)).cast("long")
-    n, k = F.col(tot).cast("long"), F.lit(int(n_bins)).cast("long")
-    q, rem = n / k, n % k  # integer division below via floor
-    q = F.floor(q).cast("long")
+    r = F.col("__qb_rank")
+    n, k = F.col("__qb_total"), F.lit(int(n_bins)).cast("long")
+    q = F.floor(n / k).cast("long")
+    rem = n % k
     threshold = rem * (q + F.lit(1))
     bucket = F.when(
         r <= threshold,
@@ -361,10 +384,7 @@ def quantile_bin(
     ).otherwise(
         rem + F.floor((r - threshold + q - F.lit(1)) / q)
     )
-    return (
-        local.join(F.broadcast(offsets), pid)
-        .select(*df.columns, bucket.cast("int").alias(out_col))
-    )
+    return ranked.select(*df.columns, bucket.cast("int").alias(out_col))
 
 
 def feature_correlations(

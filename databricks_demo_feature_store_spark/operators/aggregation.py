@@ -181,13 +181,22 @@ def unpivot_columns(
     each input row emits one output row per value column, labeled with
     the column name. Narrow, shuffle-free (a Generate/Expand at scan
     speed; output width shrinks to id_cols + 2, so no column-width
-    amplification survives the projection). Values must share a common
-    type; they are cast to the first value column's type up front so the
-    stack is well-typed (matching ``DataFrame.unpivot`` semantics, but
-    expressed with ``stack`` so it runs identically on Spark 3.x)."""
+    amplification survives the projection). Mixed value types resolve to
+    Spark's LEAST COMMON type (int+double → double — never a silent
+    truncation to the first column's type), probed via the analyzer's
+    own ``array()`` coercion so the rule matches ``DataFrame.unpivot``
+    exactly; columns with no common type raise an ``AnalysisException``
+    at plan time. Expressed with ``stack`` so it runs identically on
+    Spark 3.x."""
     if not value_cols:
         raise ValueError("unpivot_columns requires at least one value column")
-    t = df.schema[value_cols[0]].dataType.simpleString()
+    # schema-only probe: array() applies findWiderCommonType across its
+    # elements — the same coercion native unpivot uses
+    t = (
+        df.select(F.array(*[F.col(c) for c in value_cols]).alias("__lct"))
+        .schema[0]
+        .dataType.elementType.simpleString()
+    )
     pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
     stacked = df.select(
         *[F.col(c) for c in id_cols],

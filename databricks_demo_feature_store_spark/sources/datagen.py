@@ -172,11 +172,25 @@ def gen_pagos(
     cust = spark.range(1, n + 1).select(F.col("id").alias("id_cliente"))
 
     if exact_share:
-        # exactly int(n*share) delinquents, chosen by hash rank (:207-212);
-        # one global sort of n customer rows — fixture-scale only
+        # exactly int(n*share) delinquents, chosen by hash rank (:207-212).
+        # Distributed global rank (range partitions + broadcast offsets) —
+        # never a single-partition row_number window, so the exact-count
+        # path scales with the customer dimension. id_cliente tiebreak
+        # keeps the order total even under (astronomically unlikely)
+        # xxhash64 collisions.
+        from databricks_demo_feature_store_spark.functions.feature_generation import (
+            attach_global_rank,
+        )
+
         k = int(n * delinquent_share)
-        rank = F.row_number().over(W.orderBy(F.xxhash64(F.lit(seed), F.lit("moroso"), F.col("id_cliente"))))
-        cust = cust.withColumn("moroso", rank <= k)
+        cust = attach_global_rank(
+            cust,
+            [
+                F.xxhash64(F.lit(seed), F.lit("moroso"), F.col("id_cliente")).asc(),
+                F.col("id_cliente").asc(),
+            ],
+            rank_col="__moroso_rank",
+        ).select("id_cliente", (F.col("__moroso_rank") <= k).alias("moroso"))
     else:
         cust = cust.withColumn("moroso", _u(seed, "moroso", F.col("id_cliente")) < delinquent_share)
 

@@ -486,7 +486,19 @@ def test_unpivot_columns_roundtrip(spark):
         unpivot_columns(df, ["k"], [])
 
 
-def test_fill_monthly_gaps_interpolation(spark):
+def test_unpivot_columns_mixed_types_use_least_common(spark):
+    """int + double value columns must melt to double (native unpivot's
+    least-common-type rule), never truncate doubles to the first
+    column's int type."""
+    from databricks_demo_feature_store_spark.operators.aggregation import (
+        unpivot_columns,
+    )
+
+    df = spark.createDataFrame([("a", 2, 2.7)], "k string, i int, d double")
+    out = unpivot_columns(df, ["k"], ["i", "d"])
+    assert dict(out.dtypes)["value"] == "double"
+    vals = {r["variable"]: r["value"] for r in out.collect()}
+    assert vals == {"i": 2.0, "d": 2.7}  # 2.7 survives intact
     """Gap months appear with linear interpolation; edges never
     extrapolate; observed months pass through exactly."""
     import datetime as dt

@@ -1,56 +1,168 @@
 """Plan audit: scans the physical plan of every registered query for
 scale red flags and prints a per-query summary.
 
-Flags:
-- BatchEvalPython / PythonUDF      → row-at-a-time Python in the plan
-- CartesianProduct                 → non-broadcast cross join
-- count of Exchange nodes          → shuffle budget
-- count of Window nodes            → window sort budget
-- PushedFilters: []                → filter didn't reach the parquet scan
+Flags (any → FLAG, non-zero exit of the count):
+- BatchEvalPython / PythonUDF       → row-at-a-time Python in the plan
+- CartesianProduct                  → non-broadcast cross join
+- single-partition Window           → an UNPARTITIONED Window whose input
+  is not an aggregate: Spark moves every row to one task ("No Partition
+  Defined for Window operation"), the shape that dies at 100×. Windows
+  over aggregated inputs (1-row / per-group frames) are exempt — that is
+  the documented tiny-frame pattern (cumulative offsets over partition
+  counts, etc.).
+- exchange budget exceeded          → more Exchange nodes than the
+  per-query budget documented in SCALING.md ("## Exchange budgets"
+  table). Queries without a documented budget get DEFAULT_BUDGET.
+
+Also printed per query: exchange count vs budget, window count.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import os
 import re
 import sys
+
+DEFAULT_BUDGET = 8
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Nodes an unpartitioned Window may sit above without materializing the
+# whole input on one task being a *scale* problem only if the chain ends
+# in an Aggregate (bounded output) or a LocalRelation / OneRowRelation.
+_BENIGN_CHAIN = (
+    "Project",
+    "Filter",
+    "Sort",
+    "RepartitionByExpression",
+    "Repartition",
+    "Coalesce",
+    "SubqueryAlias",
+    "Deduplicate",
+)
+_BOUNDED_LEAVES = ("Aggregate", "LocalRelation", "OneRowRelation", "GlobalLimit")
+
+
+def _depth(line: str) -> int:
+    m = re.match(r"^[\s:+|-]*", line)
+    return m.end()
+
+
+def unpartitioned_windows_over_raw(optimized_plan: str) -> list[str]:
+    """Return the offending Window lines: unpartitioned (no partition
+    spec group in the node text) AND the first-child chain below them
+    never reaches a bounded node before a non-benign one."""
+    lines = optimized_plan.splitlines()
+    offenders = []
+    for i, line in enumerate(lines):
+        node = line[_depth(line):]
+        if not node.startswith("Window ["):
+            continue
+        # groups: [funcs], [partitionSpec], [orderSpec]. Unpartitioned
+        # windows print two groups where the SECOND is an order spec
+        # (contains ASC/DESC); partition-only windows also print two
+        # groups but the second is a bare column list — partitioned,
+        # fine.
+        groups = node.count("], [")
+        if groups >= 2:
+            continue
+        if groups == 1:
+            tail = node.rsplit("], [", 1)[1]
+            if " ASC" not in tail and " DESC" not in tail:
+                continue  # [funcs], [partitionSpec] — partitioned
+        d = _depth(line)
+        bounded = False
+        cur = d
+        for nxt in lines[i + 1:]:
+            nd = _depth(nxt)
+            if nd <= cur:
+                break  # left the first-child spine without resolution
+            name = re.match(r"[A-Za-z]+", nxt[nd:])
+            name = name.group(0) if name else ""
+            if any(nxt[nd:].startswith(b) for b in _BOUNDED_LEAVES):
+                bounded = True
+                break
+            if name in _BENIGN_CHAIN:
+                cur = nd
+                continue
+            break  # joins, generators, scans… → unbounded input
+        if not bounded:
+            offenders.append(node[:100])
+    return offenders
+
+
+def load_budgets() -> dict[str, int]:
+    """Parse the '## Exchange budgets' table in SCALING.md:
+    rows '| q_name | N |'."""
+    path = os.path.join(_REPO, "SCALING.md")
+    budgets: dict[str, int] = {}
+    try:
+        text = open(path).read()
+    except OSError:
+        return budgets
+    m = re.search(r"^## Exchange budgets.*?(?=^## |\Z)", text, re.M | re.S)
+    if not m:
+        return budgets
+    for q, n in re.findall(r"^\|\s*(q\w+)\s*\|\s*(\d+)\s*\|", m.group(0), re.M):
+        budgets[q] = int(n)
+    return budgets
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, _REPO)
     import __spark_entry__ as entry_mod
     from databricks_demo_feature_store_spark import get_spark
 
+    budgets = load_budgets()
     spark = get_spark("explain-audit")
+    # AQE defers the exchange-reuse rule to runtime, so an un-executed
+    # adaptive plan re-prints shared subtrees once per consumer and the
+    # static count overstates real shuffles. Non-adaptive planning
+    # applies ReuseExchange at plan time — the audit counts what would
+    # actually run.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     flagged = 0
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            qe = df._jdf.queryExecution()
+            plan = qe.executedPlan().toString()
+            logical = qe.optimizedPlan().toString()
         except Exception as exc:
             print(f"ERR  {name}: {exc}")
             flagged += 1
             continue
-        n_ex = plan.count("Exchange")
-        n_win = len(re.findall(r"\bWindow\b", plan))
+        # AQE prints the current plan AND an "== Initial Plan ==" copy —
+        # count only the live section, and only SHUFFLE exchanges
+        # (BroadcastExchange is the cheap path we WANT; ReusedExchange is
+        # free).
+        live = plan.split("== Initial Plan ==")[0]
+        n_ex = sum(
+            1
+            for ln in live.splitlines()
+            if ln[_depth(ln):].startswith("Exchange ")
+        )
+        n_win = len(re.findall(r"\bWindow\b", live))
+        budget = budgets.get(name, DEFAULT_BUDGET)
         problems = []
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time PythonUDF")
         if "CartesianProduct" in plan:
             problems.append("CartesianProduct")
-        if re.search(r"PushedFilters: \[\], .*Filter", plan, re.DOTALL) and "Scan parquet" in plan:
-            # only a hint — filters on derived columns can't push down
-            pass
+        for w in unpartitioned_windows_over_raw(logical):
+            problems.append(f"single-partition Window over raw input: {w}")
+        if n_ex > budget:
+            problems.append(f"exchange budget exceeded: {n_ex} > {budget}")
         tag = "FLAG" if problems else "ok  "
         if problems:
             flagged += 1
-        print(f"{tag} {name}: exchanges={n_ex} windows={n_win}"
+        print(f"{tag} {name}: exchanges={n_ex}/{budget} windows={n_win}"
               + (f"  [{'; '.join(problems)}]" if problems else ""))
     print(f"\n{flagged} flagged")
     return 0
