@@ -95,6 +95,36 @@ module import order. Selection policy:
   anchored in-window by q_ext_paragraph_dedup / q_ext_substring_dedup and
   q_ext_lm_score / q_ext_curation_pipeline; both stay exact-checked by
   the local full gate and pytest).
+* Round-6 rotation (VERDICT r5 task 1: drive the never-driver-checked
+  set through the window, round-5-born families first): twelve rotate
+  IN — q_funnel_steps + q_retention_cohorts (event analytics, new r5,
+  funnel re-planned r6 as the single-pass fold), q_quantile_bin (the r5
+  `weak`, re-planned r6 as the distributed global rank — the driver row
+  now certifies the fixed plan), q_bin_by_cutpoints (the fit-then-assign
+  companion), q_unpivot_melt, q_train_test_split,
+  q_feature_correlations, q_ext_pq_adc_topk (the exhaustive-ADC PQ
+  baseline next to in-window q_ext_ivfpq_topk), and the four streaming
+  holdouts q_stream_interval_join, q_stream_enrich, q_stream_sliding,
+  q_stream_feature_store. Demoted with transitive cover (all green in
+  ≥1 earlier driver round AND in the full local gate):
+  q_equi_join_left_wins + q_interval_join (join machinery runs inside
+  every in-window pipeline; the interval-join bucketing is the exact
+  batch twin of rotating-in q_stream_interval_join),
+  q_window_dispatch + q_rolling_ewma (window family keeps rolling stats
+  inside three in-window pipelines; the dispatch allowlist backs every
+  pipeline agg step), q_rollup_hierarchy (Expand+agg shape also planned
+  by the in-window pivot pipelines), q_ext_session_features (session
+  semantics anchored by in-window q_stream_sessionize; lag+cumsum by
+  the pipelines), q_ext_dsir_weights (hashed-feature + broadcast-model
+  machinery anchored by in-window q_ext_quality_classifier),
+  q_ext_corpus_roundtrip (r5 driver-green; the roundtrip reads with
+  id_field so the r6 salt change is outside its path — salting is
+  pytest-gated), q_ext_paragraph_dedup (span-dedup family anchored by
+  in-window q_ext_substring_dedup), q_ext_semantic_dedup (Lloyd/IVF
+  assignment runs inside in-window q_ext_ivfpq_topk; anti-join inside
+  q_ext_contamination), q_ext_sketch_profile (HLL machinery anchored by
+  in-window q_stream_distinct_sketch), q_ext_pii_scrub (cleaning regex
+  family runs inside in-window q_ext_curation_pipeline).
 """
 
 from __future__ import annotations
@@ -112,17 +142,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_val_schema_cast",
     "q_val_crosscheck",
     "q_val_timetravel_crosscheck",
-    "q_rollup_hierarchy",
-    # streaming spread: windowed agg, session window, arbitrary state, dedup
+    # streaming spread: windowed agg, session window, arbitrary state,
+    # dedup + (round 6) interval join, static enrich, sliding windows,
+    # foreachBatch feature-store sink
     "q_stream_hourly",
     "q_stream_sessionize",
     "q_stream_stateful_stats",
     "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_stream_enrich",
+    "q_stream_sliding",
+    "q_stream_feature_store",
     # operator-family anchors
-    "q_equi_join_left_wins",
     "q_pit_join",
-    "q_interval_join",
-    "q_window_dispatch",
     "q_feature_chain",
     "q_layer_roundtrip",
     # text / dedup / similarity / multimodal
@@ -140,19 +172,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_curation_pipeline",
     "q_ext_bm25_topk",
     "q_ext_contamination",
-    "q_ext_pii_scrub",
     "q_ext_token_mixture",
-    # round-5 rotation (see module docstring)
-    "q_rolling_ewma",
-    "q_ext_session_features",
-    "q_ext_dsir_weights",
+    # round-5 holdovers (see docstring)
     "q_ext_dedup_keep_best",
-    "q_ext_corpus_roundtrip",
-    "q_ext_semantic_dedup",
-    "q_ext_sketch_profile",
     "q_gen_payment_golden",
-    "q_ext_paragraph_dedup",
-    # round-5 late additions (families born this round; see docstring)
     "q_ext_substring_dedup",
     "q_ext_quality_classifier",
     "q_stream_distinct_sketch",
@@ -161,6 +184,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_val_expectations",
     "q_target_encoding",
     "q_fill_gaps_interpolate",
+    # round-6 rotation (never-driver-checked families; see docstring)
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_quantile_bin",
+    "q_bin_by_cutpoints",
+    "q_unpivot_melt",
+    "q_train_test_split",
+    "q_feature_correlations",
+    "q_ext_pq_adc_topk",
 )
 
 WINDOW_SIZE = 50
