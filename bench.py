@@ -50,6 +50,9 @@ HEADLINE = [
     "q_stream_distinct_sketch",
     "q_val_crosscheck",
     "q_val_expectations",
+    "q_val_psi_drift",
+    "q_val_ks_drift",
+    "q_event_attribution",
     "q_rsi",
 ]
 

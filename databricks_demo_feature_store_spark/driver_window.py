@@ -124,7 +124,22 @@ module import order. Selection policy:
   assignment runs inside in-window q_ext_ivfpq_topk; anti-join inside
   q_ext_contamination), q_ext_sketch_profile (HLL machinery anchored by
   in-window q_stream_distinct_sketch), q_ext_pii_scrub (cleaning regex
-  family runs inside in-window q_ext_curation_pipeline).
+  family runs inside in-window q_ext_curation_pipeline). Late round-6
+  additions — four families born THIS round rotate straight in:
+  q_val_psi_drift + q_val_ks_drift (distribution-drift monitoring; KS
+  exercises the new distributed prefix-sum primitive),
+  q_event_attribution (last-touch credit), q_ext_exact_sample (exact-k
+  deterministic sampling over the distributed global rank). Demoted
+  with cover, all r5-driver-green: q_val_expectations (contract rules
+  are two plain aggregates, pytest + local-gate checked; the monitor
+  family keeps crosscheck/schema-cast/timetravel in-window),
+  q_target_encoding (DECIMAL category agg + broadcast join-back — the
+  same shape as in-window q_fs_online_snapshot and the pipeline aggs),
+  q_fill_gaps_interpolate (window family keeps three pipelines' rolling
+  stats + the spine/sequence machinery of q_pipeline_demographic
+  in-window), q_ext_dedup_keep_best (its LSH→CC→argmax stages are
+  anchored by in-window q_ext_minhash_dedup + q_ext_dedup_clusters; the
+  r5 driver row proved the composite post-perf-fix).
 """
 
 from __future__ import annotations
@@ -174,16 +189,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_contamination",
     "q_ext_token_mixture",
     # round-5 holdovers (see docstring)
-    "q_ext_dedup_keep_best",
     "q_gen_payment_golden",
     "q_ext_substring_dedup",
     "q_ext_quality_classifier",
     "q_stream_distinct_sketch",
     "q_fs_online_snapshot",
     "q_ext_ivfpq_topk",
-    "q_val_expectations",
-    "q_target_encoding",
-    "q_fill_gaps_interpolate",
     # round-6 rotation (never-driver-checked families; see docstring)
     "q_funnel_steps",
     "q_retention_cohorts",
@@ -193,6 +204,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_train_test_split",
     "q_feature_correlations",
     "q_ext_pq_adc_topk",
+    # round-6 late additions (families born this round; see docstring)
+    "q_val_psi_drift",
+    "q_val_ks_drift",
+    "q_event_attribution",
+    "q_ext_exact_sample",
 )
 
 WINDOW_SIZE = 50

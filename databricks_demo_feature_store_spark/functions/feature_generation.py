@@ -345,6 +345,71 @@ def attach_global_rank(
     return local.join(F.broadcast(offsets), pid).select(*df.columns, *extra)
 
 
+def attach_global_cumsum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_cols: Sequence[str],
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Attach DISTRIBUTED global running sums (inclusive prefix sums in
+    the total order of ``order``) for each of ``value_cols`` — the
+    scale-safe replacement for ``sum(x).over(Window.orderBy(...))``,
+    which moves all data to one task.
+
+    Shape: one range exchange orders the partitions; the per-partition
+    running sums are a window PARTITIONED by the range-partition id (a
+    second, parallel exchange — never SinglePartition); per-partition
+    totals (one row per partition, map-side combined) become broadcast
+    cumulative offsets via the triangular self-join over the
+    partition-count frame; ``global_cumsum = offset + local_running``.
+    Used by the exact KS drift statistic (`validation/drift.py`) to
+    build full CDFs without a single-partition window. Sums should be
+    exact types (longs / DECIMAL) when cross-engine reproducibility
+    matters — double addition order differs between partitions.
+    """
+    from pyspark.sql import Window as W
+
+    order = list(order)
+    pid = "__cs_pid"
+    local = df.repartitionByRange(*order).select(
+        "*", F.spark_partition_id().alias(pid)
+    )
+    w = (
+        W.partitionBy(pid)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run_cols = {c: F.sum(F.col(c)).over(w) for c in value_cols}
+    local = local.select(
+        "*", *[run_cols[c].alias(f"__cs_run_{c}") for c in value_cols]
+    )
+    totals = local.groupBy(pid).agg(
+        *[F.sum(F.col(c)).alias(f"__cs_tot_{c}") for c in value_cols]
+    )
+    a, b = totals.alias("__cs_a"), totals.alias("__cs_b")
+    offsets = (
+        a.join(
+            F.broadcast(b),
+            F.col(f"__cs_b.{pid}") < F.col(f"__cs_a.{pid}"),
+            "left",
+        )
+        .groupBy(F.col(f"__cs_a.{pid}").alias(pid))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.col(f"__cs_b.__cs_tot_{c}")), F.lit(0)).alias(
+                    f"__cs_off_{c}"
+                )
+                for c in value_cols
+            ]
+        )
+    )
+    out_cols = [
+        (F.col(f"__cs_off_{c}") + F.col(f"__cs_run_{c}")).alias(f"{prefix}{c}")
+        for c in value_cols
+    ]
+    return local.join(F.broadcast(offsets), pid).select(*df.columns, *out_cols)
+
+
 def quantile_bin(
     df: DataFrame,
     column: str,

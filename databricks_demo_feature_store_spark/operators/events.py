@@ -103,6 +103,62 @@ def funnel_steps(
     )
 
 
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Last-touch conversion attribution: every ``conversion_type``
+    event is credited to the user's most recent STRICTLY PRECEDING
+    non-conversion event type (the "channel"); conversions with no
+    prior touch credit ``direct_label``. Output is one row per channel:
+    ``(channel, n_conversions, total_value)``.
+
+    One per-user window (partitioned — state scales with users, never a
+    global sort) computes ``last(non-conversion type, ignorenulls)``
+    over the frame ``(unbounded preceding, -1)``; ``(ts, event_id)``
+    ordering makes the credit deterministic under same-timestamp
+    events. The value sum routes through DECIMAL so the per-channel
+    totals are engine-reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(F.col(user_col))
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col),
+            F.col(value_col),
+            channel.alias("__channel"),
+        )
+        .where(F.col(type_col) == conversion_type)
+    )
+    return (
+        conv.groupBy(
+            F.coalesce(F.col("__channel"), F.lit(direct_label)).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col(value_col).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1111,3 +1111,35 @@ def q_bin_by_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__q")
     ).select(F.explode("__q").alias("cutpoint"))
     return assign_bins(m, "total_spend", cutpoints)
+
+
+@register(
+    "q_event_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+      FROM events
+    )
+    SELECT COALESCE(ch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits the
+    user's most recent strictly-preceding non-purchase event type
+    ('direct' when none) — one per-user partitioned window with a
+    (ts, event_id) deterministic order, then a per-channel rollup with
+    a DECIMAL-routed value sum. The oracle replays the same
+    last-value-ignore-nulls frame."""
+    from databricks_demo_feature_store_spark.operators.events import (
+        last_touch_attribution,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return last_touch_attribution(e, "purchase")

@@ -2157,3 +2157,31 @@ def q_ext_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 3), k=5, nlist=8, nprobe=2,
         m=_PQ_M, pq_k=_PQ_K,
     )
+
+
+@register(
+    "q_ext_exact_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hh
+      FROM documents
+    ),
+    rn AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY hh ASC, doc_id ASC) AS r
+      FROM h
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM rn WHERE r <= 137
+    """,
+)
+def q_ext_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-137-document uniform sample (the k smallest portable key
+    hashes win): reproducible across engines and partitionings, a prefix
+    of any larger sample with the same seed, and computed with the
+    distributed global rank — no single-partition row_number window, no
+    driver-side top-k. The oracle replays the md5 hash order."""
+    from databricks_demo_feature_store_spark.textops.sampling import exact_k_sample
+
+    d = load(spark, sf_dir, "documents")
+    return exact_k_sample(d, 137, "doc_id", seed=7)

@@ -305,3 +305,102 @@ def q_val_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", F.col("o_orderdate").cast("string")
     ), rules)
     return out
+
+
+@register(
+    "q_val_psi_drift",
+    oracle="""
+    WITH cur AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS category
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND NOT (o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0)
+    ),
+    ref AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS category
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    c AS (SELECT category, COUNT(*) AS n_cur FROM cur GROUP BY 1),
+    r AS (SELECT category, COUNT(*) AS n_ref FROM ref GROUP BY 1),
+    j AS (
+      SELECT COALESCE(c.category, r.category) AS category,
+             COALESCE(n_cur, 0) AS n_cur, COALESCE(n_ref, 0) AS n_ref
+      FROM c FULL OUTER JOIN r ON c.category = r.category
+    ),
+    t AS (SELECT COUNT(*) AS k, SUM(n_cur) AS tot_cur, SUM(n_ref) AS tot_ref FROM j)
+    SELECT 'o_orderpriority' AS "column",
+           CAST(ROUND(CAST(SUM(
+             ((n_cur + 0.5) / (tot_cur + 0.5 * k) - (n_ref + 0.5) / (tot_ref + 0.5 * k))
+             * ln(((n_cur + 0.5) / (tot_cur + 0.5 * k)) / ((n_ref + 0.5) / (tot_ref + 0.5 * k)))
+           ) AS DECIMAL(38,10)), 6) AS DOUBLE) AS psi,
+           CAST(k AS INT) AS n_categories,
+           CAST(tot_cur AS BIGINT) AS n_cur,
+           CAST(tot_ref AS BIGINT) AS n_ref
+    FROM j CROSS JOIN t
+    GROUP BY k, tot_cur, tot_ref
+    """,
+)
+def q_val_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over the order-priority distribution:
+    1996+ orders (with a deterministic bias injected — every third
+    5-LOW order dropped) vs the pre-1996 reference slice. Two category
+    aggregations joined on the tiny category key; the raw slices never
+    co-shuffle. The oracle replays the Laplace-smoothed PSI sum."""
+    from databricks_demo_feature_store_spark.validation.drift import psi_drift
+
+    o = load(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    cur = o.where(split).where(
+        ~((F.col("o_orderpriority") == "5-LOW") & (F.col("o_orderkey") % 3 == 0))
+    )
+    ref = o.where(~split)
+    return psi_drift(cur, ref, "o_orderpriority")
+
+
+@register(
+    "q_val_ks_drift",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice IS NOT NULL
+    ),
+    ref AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_totalprice IS NOT NULL
+    ),
+    u AS (
+      SELECT v, 1 AS c, 0 AS r FROM cur
+      UNION ALL SELECT v, 0, 1 FROM ref
+    ),
+    g AS (SELECT v, SUM(c) AS n_cur, SUM(r) AS n_ref FROM u GROUP BY v),
+    cs AS (
+      SELECT v,
+             SUM(n_cur) OVER (ORDER BY v ASC) AS cum_cur,
+             SUM(n_ref) OVER (ORDER BY v ASC) AS cum_ref
+      FROM g
+    ),
+    t AS (SELECT SUM(n_cur) AS tot_cur, SUM(n_ref) AS tot_ref FROM g)
+    SELECT 'o_totalprice' AS "column",
+           CAST(ROUND(CAST(
+             CAST(MAX(ABS(CAST(cum_cur AS DECIMAL(38,0)) * tot_ref
+                         - CAST(cum_ref AS DECIMAL(38,0)) * tot_cur)) AS DOUBLE)
+             / (CAST(tot_cur AS DOUBLE) * CAST(tot_ref AS DOUBLE))
+           AS DECIMAL(38,10)), 6) AS DOUBLE) AS ks_stat,
+           CAST(tot_cur AS BIGINT) AS n_cur,
+           CAST(tot_ref AS BIGINT) AS n_ref
+    FROM cs CROSS JOIN t
+    GROUP BY tot_cur, tot_ref
+    """,
+)
+def q_val_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic on the order-price
+    distribution, 1996+ vs pre-1996. The CDFs are DISTRIBUTED prefix
+    sums (attach_global_cumsum: range partitions + broadcast offsets,
+    no single-partition window); the max gap stays in exact integer
+    cross-products until one final division. The oracle replays the
+    identical integer arithmetic with a window cumsum."""
+    from databricks_demo_feature_store_spark.validation.drift import ks_drift
+
+    o = load(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    return ks_drift(o.where(split), o.where(~split), "o_totalprice")

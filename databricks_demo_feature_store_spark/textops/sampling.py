@@ -59,6 +59,39 @@ def deterministic_stratified_sample(
     return df.where(sample_bucket_col(F.col(key_col), seed) < threshold)
 
 
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """EXACTLY ``k`` rows (not a fraction in expectation), sampled
+    uniformly and reproducibly: the k smallest portable key hashes win.
+    The hash order is a fixed random permutation of the keys, so the
+    selection is uniform, stable across runs/engines/partitionings, and
+    composable (the k-sample is a prefix of the (k+m)-sample — growing a
+    fixture never reshuffles previously selected rows).
+
+    Built on ``attach_global_rank`` (range-partitioned distributed rank
+    over the hash order): no single-partition window, no driver-side
+    top-k. The rate-based :func:`deterministic_stratified_sample` is the
+    zero-shuffle path when "about p percent" is acceptable; this is the
+    exact-count path (eval fixtures, labeling budgets, golden sets).
+    ``key_col`` must be unique per row for the output size to be exactly
+    min(k, rows); duplicate keys are kept or dropped together.
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_rank,
+    )
+
+    order = [
+        portable_hash_col(F.col(key_col).cast("string"), seed).asc(),
+        F.col(key_col).asc(),
+    ]
+    ranked = attach_global_rank(df, order, rank_col="__eks_rank")
+    return ranked.where(F.col("__eks_rank") <= int(k)).select(*df.columns)
+
+
 def token_budget_shards(
     df: DataFrame,
     token_col: str,

@@ -9,6 +9,10 @@ from databricks_demo_feature_store_spark.validation.schemas import (
     missing_columns,
     QUARTER_FORMAT,
 )
+from databricks_demo_feature_store_spark.validation.drift import (
+    ks_drift,
+    psi_drift,
+)
 from databricks_demo_feature_store_spark.validation.monitor import (
     monthly_counts,
     cross_check,
@@ -24,6 +28,7 @@ from databricks_demo_feature_store_spark.validation.monitor import (
 __all__ = [
     "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
     "missing_columns", "QUARTER_FORMAT",
-    "monthly_counts", "cross_check", "dimension_drift", "outdateness", "profile_columns",
+    "monthly_counts", "cross_check", "dimension_drift", "ks_drift", "psi_drift",
+    "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

@@ -1,0 +1,143 @@
+"""Distribution-drift statistics between a current and a reference slice
+of a feature — the monitoring tier above `monitor.dimension_drift`'s
+row-count gate (reference `src/packages/data_validation/monitor.py`
+checks counts only; production feature monitoring also needs SHAPE
+drift before a model silently degrades).
+
+Two standard statistics, both exact and both oracle-replayable:
+
+- :func:`psi_drift` — Population Stability Index over a categorical
+  column: ``Σ (p_cur - p_ref) · ln(p_cur / p_ref)`` with Laplace
+  smoothing so categories present on only one side stay finite. The
+  conventional alert levels are 0.1 (drifting) / 0.25 (major shift).
+- :func:`ks_drift` — the exact two-sample Kolmogorov–Smirnov statistic
+  over a numeric column: ``D = max_x |CDF_cur(x) - CDF_ref(x)|``.
+
+Scale shape: PSI is two map-side-combinable category aggregations joined
+on the (small) category key — the raw slices never co-shuffle. KS needs
+full CDFs, i.e. global running sums — built with
+``attach_global_cumsum`` (range-partitioned prefix sums, broadcast
+offsets), NEVER a single-partition ``sum().over(Window.orderBy())``; the
+max-gap comparison is kept in exact integer/DECIMAL cross-products
+(``|cum_cur·n_ref - cum_ref·n_cur|``) so both engines agree bit-for-bit
+before the single final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from databricks_demo_feature_store_spark.functions.rounding import dround
+
+
+def psi_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    column: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row PSI between the category distributions of ``column`` in
+    ``cur`` vs ``ref``: ``(column, psi, n_categories, n_cur, n_ref)``.
+
+    Smoothing: ``p = (count + 0.5) / (total + 0.5·K)`` with K = number
+    of distinct categories across both sides (NULL is its own
+    category), so one-sided categories contribute a finite penalty
+    instead of an infinite log ratio.
+    """
+    cat = F.coalesce(F.col(column).cast("string"), F.lit("__null__"))
+    c = cur.groupBy(cat.alias("category")).agg(F.count(F.lit(1)).alias("n_cur"))
+    r = ref.groupBy(cat.alias("category")).agg(F.count(F.lit(1)).alias("n_ref"))
+    j = (
+        c.join(r, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        )
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_cur").alias("tot_cur"),
+        F.sum("n_ref").alias("tot_ref"),
+    )
+    jt = j.crossJoin(F.broadcast(tot))
+    p_cur = (F.col("n_cur") + F.lit(0.5)) / (
+        F.col("tot_cur") + F.lit(0.5) * F.col("k")
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (
+        F.col("tot_ref") + F.lit(0.5) * F.col("k")
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        jt.groupBy("k", "tot_cur", "tot_ref")
+        .agg(F.sum(term).alias("__psi"))
+        .select(
+            F.lit(column).alias("column"),
+            dround(F.col("__psi"), round_to).alias("psi"),
+            F.col("k").cast("int").alias("n_categories"),
+            F.col("tot_cur").cast("long").alias("n_cur"),
+            F.col("tot_ref").cast("long").alias("n_ref"),
+        )
+    )
+
+
+def ks_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    column: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row exact two-sample KS statistic for numeric ``column``:
+    ``(column, ks_stat, n_cur, n_ref)``. NULLs are dropped (a NULL has
+    no place on a CDF); drift in NULL *rates* is :func:`psi_drift`'s
+    job.
+
+    Exactness: per-value counts → distributed prefix sums over the value
+    order → the gap is maximized as the integer cross-product
+    ``|cum_cur·n_ref - cum_ref·n_cur|`` (DECIMAL(38) so 100 TB row
+    counts can't overflow); only the final max divides by
+    ``n_cur·n_ref``.
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_cumsum,
+    )
+
+    v = F.col(column).cast("double")
+    a = cur.select(v.alias("v")).where(F.col("v").isNotNull()).select(
+        "v", F.lit(1).alias("one_cur"), F.lit(0).alias("one_ref")
+    )
+    b = ref.select(v.alias("v")).where(F.col("v").isNotNull()).select(
+        "v", F.lit(0).alias("one_cur"), F.lit(1).alias("one_ref")
+    )
+    counts = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("one_cur").alias("n_cur"),
+            F.sum("one_ref").alias("n_ref"),
+        )
+    )
+    cdf = attach_global_cumsum(counts, [F.col("v").asc()], ["n_cur", "n_ref"])
+    tot = counts.agg(
+        F.sum("n_cur").alias("tot_cur"), F.sum("n_ref").alias("tot_ref")
+    )
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.col("cum_n_cur").cast(dec) * F.col("tot_ref").cast(dec)
+        - F.col("cum_n_ref").cast(dec) * F.col("tot_cur").cast(dec)
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("tot_cur", "tot_ref")
+        .agg(F.max(gap).alias("__gap"))
+        .select(
+            F.lit(column).alias("column"),
+            dround(
+                F.col("__gap").cast("double")
+                / (F.col("tot_cur").cast("double") * F.col("tot_ref").cast("double")),
+                round_to,
+            ).alias("ks_stat"),
+            F.col("tot_cur").cast("long").alias("n_cur"),
+            F.col("tot_ref").cast("long").alias("n_ref"),
+        )
+    )

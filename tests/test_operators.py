@@ -580,3 +580,41 @@ def test_retention_cohorts_weekly(spark):
     assert out[(w0, 1)] == (1, 0.5)   # only u1 active in week 1
     assert out[(w0, 2)] == (2, 1.0)   # both back in week 2
     assert out[(w1, 0)] == (1, 1.0) and out[(w1, 1)] == (1, 1.0)
+
+
+def test_last_touch_attribution(spark):
+    """Purchases credit the last strictly-preceding non-purchase type;
+    no prior touch → 'direct'; same-ts ties broken by event_id."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import (
+        last_touch_attribution,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: view -> click -> purchase  => click credited
+        (1, t(1), 1, "view", 0.0),
+        (2, t(2), 1, "click", 0.0),
+        (3, t(3), 1, "purchase", 10.0),
+        # u2: purchase with no prior touch => direct
+        (4, t(1), 2, "purchase", 5.0),
+        # u2: then view -> purchase => view
+        (5, t(2), 2, "view", 0.0),
+        (6, t(3), 2, "purchase", 7.0),
+        # u3: same-ts view(id=7) and purchase(id=8): view precedes by id
+        (7, t(1), 3, "view", 0.0),
+        (8, t(1), 3, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r["channel"]: (r["n_conversions"], r["total_value"])
+        for r in last_touch_attribution(df, "purchase").collect()
+    }
+    assert out == {
+        "click": (1, 10.0),
+        "direct": (1, 5.0),
+        "view": (2, 8.0),
+    }

@@ -905,3 +905,19 @@ def test_ivfpq_restricts_to_probed_clusters(spark):
         got = [r["vec_id"] for r in sorted(
             (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])]
         assert got == expect
+
+
+def test_exact_k_sample_exact_and_prefix(spark):
+    """Exactly k rows, deterministic across calls, and the k-sample is a
+    prefix of the (k+m)-sample with the same seed."""
+    from databricks_demo_feature_store_spark.textops.sampling import exact_k_sample
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s20 = {r["doc_id"] for r in exact_k_sample(df, 20, "doc_id", seed=5).collect()}
+    s50 = {r["doc_id"] for r in exact_k_sample(df, 50, "doc_id", seed=5).collect()}
+    assert len(s20) == 20 and len(s50) == 50
+    assert s20 < s50  # prefix property
+    again = {r["doc_id"] for r in exact_k_sample(df, 20, "doc_id", seed=5).collect()}
+    assert again == s20
+    # k >= rows returns everything
+    assert exact_k_sample(df, 5000, "doc_id").count() == 1000

@@ -155,3 +155,87 @@ def test_check_expectations_rules(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown expectation rule"):
         check_expectations(df, [Expectation("v", "nope")]).collect()
+
+
+def test_psi_drift_known_value(spark):
+    """PSI matches the hand-computed Laplace-smoothed sum; identical
+    distributions give PSI ~ 0."""
+    import math
+
+    from databricks_demo_feature_store_spark.validation.drift import psi_drift
+
+    cur = spark.createDataFrame([("a",)] * 6 + [("b",)] * 2, ["c"])
+    ref = spark.createDataFrame([("a",)] * 4 + [("b",)] * 4, ["c"])
+    row = psi_drift(cur, ref, "c").collect()[0]
+    k = 2
+    pc = [(6 + 0.5) / (8 + 0.5 * k), (2 + 0.5) / (8 + 0.5 * k)]
+    pr = [(4 + 0.5) / (8 + 0.5 * k), (4 + 0.5) / (8 + 0.5 * k)]
+    want = sum((a - b) * math.log(a / b) for a, b in zip(pc, pr))
+    assert row["column"] == "c" and row["n_categories"] == 2
+    assert abs(row["psi"] - want) < 1e-6
+    same = psi_drift(ref, ref, "c").collect()[0]
+    assert same["psi"] == 0.0
+
+
+def test_psi_drift_one_sided_category_stays_finite(spark):
+    from databricks_demo_feature_store_spark.validation.drift import psi_drift
+
+    cur = spark.createDataFrame([("a",), ("z",)], ["c"])
+    ref = spark.createDataFrame([("a",), ("a",)], ["c"])
+    row = psi_drift(cur, ref, "c").collect()[0]
+    assert row["n_categories"] == 2
+    assert row["psi"] == row["psi"] and abs(row["psi"]) < 100  # finite
+
+
+def test_ks_drift_exact_statistic(spark):
+    """KS equals the hand-computed max CDF gap; identical samples → 0."""
+    from databricks_demo_feature_store_spark.validation.drift import ks_drift
+
+    cur = spark.createDataFrame([(float(v),) for v in (1, 2, 3)], ["x"])
+    ref = spark.createDataFrame([(float(v),) for v in (2, 3, 4, 4)], ["x"])
+    row = ks_drift(cur, ref, "x").collect()[0]
+    # CDFs at pooled values: 1:(1/3,0) 2:(2/3,1/4) 3:(1,1/2) 4:(1,1)
+    want = max(abs(1 / 3 - 0), abs(2 / 3 - 1 / 4), abs(1 - 1 / 2), 0.0)
+    assert abs(row["ks_stat"] - round(want, 6)) < 1e-9
+    assert row["n_cur"] == 3 and row["n_ref"] == 4
+    assert ks_drift(ref, ref, "x").collect()[0]["ks_stat"] == 0.0
+
+
+def test_attach_global_cumsum_matches_window(spark):
+    """Distributed prefix sums equal the single-window cumsum, and the
+    plan has no unpartitioned window."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_cumsum,
+    )
+
+    random.seed(3)
+    rows = [(i, random.randint(0, 9)) for i in range(507)]
+    df = spark.createDataFrame(rows, "id int, n int")
+    got = {
+        r["id"]: r["cum_n"]
+        for r in attach_global_cumsum(df, [F.col("id").asc()], ["n"]).collect()
+    }
+    ref = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id",
+            F.sum("n").over(
+                W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+            ).alias("c"),
+        ).collect()
+    }
+    assert got == ref
+    plan = (
+        attach_global_cumsum(df, [F.col("id").asc()], ["n"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    from tools.explain_audit import unpartitioned_windows_over_raw
+
+    assert unpartitioned_windows_over_raw(plan) == []

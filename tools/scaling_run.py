@@ -1,0 +1,181 @@
+"""Empirical scale validation: materialize a deterministic 10× slice of
+the heavy tables (documents / embeddings / events / orders), run the
+heaviest registered queries at 1× (sf0.1) and at 10×, and report the
+per-query scaling exponent  log(t_10x / t_1x) / log(10)  — 1.0 is
+linear, <1 means fixed overheads still dominate, >1.1 is super-linear
+and a scale bug.
+
+The 10× tables keep each copy STATISTICALLY INDEPENDENT of the others so
+the workload's character is preserved (10× more documents, not 10×
+bigger duplicate clusters):
+
+- documents: per-copy alphabet rotation of the text (a deterministic
+  `translate`), so shingles/fingerprints of different copies never
+  collide; doc_id offset per copy.
+- embeddings: position+copy sign-flip pattern on the vector (preserves
+  norms, decorrelates copies), vec_id offset.
+- events / orders: id offsets per copy (10× more users / customers with
+  the same per-entity activity shape).
+
+Every other table is copied as-is. Timing = min of 2 after one discarded
+warm-up run (plan + JIT), sink = noop writer (no driver collect).
+
+Usage: python tools/scaling_run.py [--queries q1,q2] [--factor 10]
+Writes JSON to stdout; paste the table into SCALING.md §"Empirical 10×
+scaling".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY = [
+    "q_ext_dedup_keep_best",
+    "q_ext_dedup_clusters",
+    "q_ext_dedup_clusters_twophase",
+    "q_ext_minhash_dedup",
+    "q_ext_substring_dedup",
+    "q_ext_semantic_dedup",
+    "q_ext_ivfpq_topk",
+    "q_ext_pq_adc_topk",
+    "q_ext_dsir_weights",
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_quantile_bin",
+]
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_scaled_dir(spark, src: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    copies = spark.range(factor).select(F.col("id").cast("int").alias("__c"))
+
+    def _expand(name):
+        return (
+            spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+            .crossJoin(F.broadcast(copies))
+        )
+
+    # documents: rotate the alphabet per copy so copies share no shingles
+    d = _expand("documents")
+    rotations = [ALPHA[i % 26:] + ALPHA[: i % 26] for i in range(factor)]
+    text = F.col("text")
+    for i in range(1, factor):
+        text = F.when(
+            F.col("__c") == i,
+            F.translate(F.col("text"), ALPHA + ALPHA.upper(),
+                        rotations[i] + rotations[i].upper()),
+        ).otherwise(text)
+    d.select(
+        (F.col("doc_id") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
+
+    # embeddings: (pos + copy) sign-flip — norm-preserving decorrelation
+    e = _expand("embeddings")
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            ((i + F.col("__c")) % 2) == 0, x
+        ).otherwise(-x).cast("float"),
+    )
+    e.select(
+        (F.col("vec_id") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("vec_id"),
+        flipped.alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(os.path.join(dst, "embeddings.parquet"))
+
+    ev = _expand("events")
+    ev.select(
+        (F.col("event_id") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(os.path.join(dst, "events.parquet"))
+
+    o = _expand("orders")
+    o.select(
+        (F.col("o_orderkey") + F.col("__c").cast("long") * F.lit(100_000_000)).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(os.path.join(dst, "orders.parquet"))
+
+    for name in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+        src_file = os.path.join(src, f"{name}.parquet")
+        if os.path.exists(src_file):
+            shutil.copy(src_file, os.path.join(dst, f"{name}.parquet"))
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    def once() -> float:
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    once()  # warm-up: plan + JIT, discarded
+    return min(once() for _ in range(runs))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(HEAVY))
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q]
+
+    import __spark_entry__ as entry_mod
+    from databricks_demo_feature_store_spark import get_spark
+
+    spark = get_spark("scaling-run")
+    qs = entry_mod.queries()
+    scaled = tempfile.mkdtemp(prefix=f"scale{args.factor}x_")
+    try:
+        t0 = time.monotonic()
+        build_scaled_dir(spark, args.base, scaled, args.factor)
+        print(f"built {args.factor}x dir in {time.monotonic() - t0:.1f}s",
+              file=sys.stderr)
+
+        results = {}
+        for name in names:
+            if name not in qs:
+                print(f"skip unknown {name}", file=sys.stderr)
+                continue
+            t1 = time_query(qs[name], spark, args.base)
+            t10 = time_query(qs[name], spark, scaled)
+            exp = math.log(t10 / t1) / math.log(args.factor)
+            results[name] = {
+                "t_1x_sec": round(t1, 2),
+                f"t_{args.factor}x_sec": round(t10, 2),
+                "exponent": round(exp, 2),
+            }
+            print(f"{name}: {t1:.2f}s -> {t10:.2f}s  exponent={exp:.2f}",
+                  file=sys.stderr)
+        print(json.dumps({"factor": args.factor, "results": results}))
+        return 0
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
