@@ -128,8 +128,14 @@ module import order. Selection policy:
   additions — four families born THIS round rotate straight in:
   q_val_psi_drift + q_val_ks_drift (distribution-drift monitoring; KS
   exercises the new distributed prefix-sum primitive),
-  q_event_attribution (last-touch credit), q_ext_exact_sample (exact-k
-  deterministic sampling over the distributed global rank). Demoted
+  q_event_attribution (last-touch credit), q_ext_weighted_sample (Efraimidis-Spirakis weighted sampling — it
+  replays the portable-hash + distributed-global-rank machinery of
+  q_ext_exact_sample plus the E-S keys, so the simpler exact-k form
+  stays local-gated), q_event_transitions (Markov matrix over event
+  sequences), q_chi2_association (categorical association screen).
+  q_ext_pq_refined_topk supersedes q_ext_pq_adc_topk in-window: the
+  refined oracle replays seeding, encoding and the ADC fold of the
+  unrefined pipeline VERBATIM plus one full Lloyd iteration. Demoted
   with cover, all r5-driver-green: q_val_expectations (contract rules
   are two plain aggregates, pytest + local-gate checked; the monitor
   family keeps crosscheck/schema-cast/timetravel in-window),
@@ -139,7 +145,12 @@ module import order. Selection policy:
   stats + the spine/sequence machinery of q_pipeline_demographic
   in-window), q_ext_dedup_keep_best (its LSH→CC→argmax stages are
   anchored by in-window q_ext_minhash_dedup + q_ext_dedup_clusters; the
-  r5 driver row proved the composite post-perf-fix).
+  r5 driver row proved the composite post-perf-fix),
+  q_gen_payment_golden (r5 driver-green pinned-digest oracle; its
+  round-6 exact-share change runs on attach_global_rank, which
+  in-window q_quantile_bin certifies), q_fs_online_snapshot (r5
+  driver-green; the max_by latest-row agg is the same shape as every
+  in-window pipeline's keep-latest step).
 """
 
 from __future__ import annotations
@@ -189,11 +200,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_contamination",
     "q_ext_token_mixture",
     # round-5 holdovers (see docstring)
-    "q_gen_payment_golden",
     "q_ext_substring_dedup",
     "q_ext_quality_classifier",
     "q_stream_distinct_sketch",
-    "q_fs_online_snapshot",
     "q_ext_ivfpq_topk",
     # round-6 rotation (never-driver-checked families; see docstring)
     "q_funnel_steps",
@@ -203,12 +212,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_unpivot_melt",
     "q_train_test_split",
     "q_feature_correlations",
-    "q_ext_pq_adc_topk",
+    "q_ext_pq_refined_topk",
     # round-6 late additions (families born this round; see docstring)
     "q_val_psi_drift",
     "q_val_ks_drift",
     "q_event_attribution",
-    "q_ext_exact_sample",
+    "q_ext_weighted_sample",
+    "q_event_transitions",
+    "q_chi2_association",
 )
 
 WINDOW_SIZE = 50

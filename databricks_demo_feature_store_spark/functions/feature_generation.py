@@ -488,6 +488,71 @@ def feature_correlations(
     return one.select(F.explode(per_pair).alias("s")).select("s.*")
 
 
+def chi2_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chi-square test of association between two categorical columns
+    plus Cramér's V (the [0,1]-normalized effect size) — the categorical
+    companion to :func:`feature_correlations` for feature selection.
+    Returns one row: ``(col_a, col_b, chi2, cramers_v, dof, n)``.
+
+    One contingency aggregation on the (a, b) pair key (map-side
+    combined — state is distinct pair count, never rows), broadcast row
+    and column margins, and the zero-cell-free identity
+    ``χ² = Σ_observed[(o-e)²/e − e] + n`` (unobserved cells contribute
+    exactly their expectation, which telescopes into n), so no r×c cell
+    materialization is ever needed. NULLs are their own category.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("__null__"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("__null__"))
+    cells = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct("__a").alias("__r"),
+        F.count_distinct("__b").alias("__c"),
+    )
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("__n").cast("double")
+    )
+    o = F.col("__o").cast("double")
+    term = (o - e) * (o - e) / e - e
+    joined = (
+        cells.join(F.broadcast(row_m), "__a")
+        .join(F.broadcast(col_m), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = joined.groupBy("__n", "__r", "__c").agg(F.sum(term).alias("__t"))
+    chi2 = F.col("__t") + F.col("__n").cast("double")
+    dof = (F.col("__r") - 1) * (F.col("__c") - 1)
+    v = F.when(
+        dof > 0,
+        F.sqrt(
+            chi2
+            / (
+                F.col("__n").cast("double")
+                * F.least(F.col("__r") - 1, F.col("__c") - 1).cast("double")
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        dround(chi2, round_to).alias("chi2"),
+        dround(v, round_to).alias("cramers_v"),
+        dof.cast("int").alias("dof"),
+        F.col("__n").cast("long").alias("n"),
+    )
+
+
 def assign_bins(
     df: DataFrame,
     column: str,

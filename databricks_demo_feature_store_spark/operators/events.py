@@ -103,6 +103,56 @@ def funnel_steps(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    start_label: str = "__start__",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: one row per ``(from_type, to_type)`` with the transition
+    count and the row-normalized probability (``P(to | from)``). Every
+    user's first event transitions from ``start_label``, so session
+    entry points are part of the matrix.
+
+    One per-user partitioned ``lag`` (deterministic (ts, id) order)
+    tags each event with its predecessor type, then a single pair
+    aggregation with map-side combine; the probability join is against
+    the tiny per-from_type margin. State scales with distinct type
+    PAIRS, never users or events.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = events.select(
+        F.coalesce(F.lag(F.col(type_col)).over(w), F.lit(start_label)).alias(
+            "from_type"
+        ),
+        F.col(type_col).alias("to_type"),
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    margins = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__row_total")
+    )
+    return counts.join(F.broadcast(margins), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        dround(
+            F.col("n_transitions").cast("double")
+            / F.col("__row_total").cast("double"),
+            round_to,
+        ).alias("probability"),
+    )
+
+
 def last_touch_attribution(
     events: DataFrame,
     conversion_type: str,

@@ -1143,3 +1143,86 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     return last_touch_attribution(e, "purchase")
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC), '__start__') AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM pairs GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT from_type, SUM(n_transitions) AS row_total FROM counts GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST(ROUND(CAST(CAST(c.n_transitions AS DOUBLE) / CAST(m.row_total AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS probability
+    FROM counts c JOIN margins m USING (from_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences
+    (entry transitions from '__start__' included): one per-user lag
+    window + one pair aggregation; probabilities against the broadcast
+    per-from_type margin. The oracle replays the lag and the
+    row-normalization."""
+    from databricks_demo_feature_store_spark.operators.events import (
+        event_transitions,
+    )
+
+    return event_transitions(load(spark, sf_dir, "events"))
+
+
+@register(
+    "q_chi2_association",
+    oracle="""
+    WITH cells AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS a,
+             COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__') AS b,
+             COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+    cm AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+    t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c FROM cells),
+    s AS (
+      SELECT n, r, c,
+             SUM((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                 - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS tsum
+      FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t
+      GROUP BY n, r, c
+    )
+    SELECT 'o_orderpriority' AS col_a, 'o_orderstatus' AS col_b,
+           CAST(ROUND(CAST(tsum + CAST(n AS DOUBLE) AS DECIMAL(38,10)), 6) AS DOUBLE) AS chi2,
+           CAST(ROUND(CAST(
+             CASE WHEN (r - 1) * (c - 1) > 0
+                  THEN sqrt((tsum + CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))
+                  ELSE 0.0 END AS DECIMAL(38,10)), 6) AS DOUBLE) AS cramers_v,
+           CAST((r - 1) * (c - 1) AS INT) AS dof,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+)
+def q_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association + Cramer's V between order priority and
+    order status — the categorical feature-selection screen next to
+    q_feature_correlations. One contingency aggregation plus broadcast
+    margins; unobserved cells handled by the telescoping identity (no
+    r x c materialization). The oracle replays the identical identity."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        chi2_association,
+    )
+
+    return chi2_association(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )

@@ -2185,3 +2185,135 @@ def q_ext_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return exact_k_sample(d, 137, "doc_id", seed=7)
+
+
+_PQ_REFINED_ORACLE = f"""
+    WITH {_O_EMB},
+    subs AS (
+      SELECT e.vec_id AS id, j.sub,
+             list_transform(e.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM e, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j
+    ),
+    cb0 AS (
+      SELECT sub, code, sv AS centroid FROM (
+        SELECT sub, sv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub
+                 ORDER BY md5(CAST(sub AS VARCHAR) || ':' || CAST(id AS VARCHAR)) ASC,
+                          id ASC) - 1 AS code
+        FROM subs)
+      WHERE code < {_PQ_K}
+    ),
+    enc0 AS (
+      SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, cb0.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_D} + 1),
+                   i -> (s.sv[i] - cb0.centroid[i]) * (s.sv[i] - cb0.centroid[i]))) ASC,
+                          cb0.code ASC) AS rn
+        FROM subs s JOIN cb0 USING (sub))
+      WHERE rn = 1
+    ),
+    means AS (
+      SELECT e0.sub, e0.code, p.pos, AVG(s.sv[p.pos]) AS mval
+      FROM enc0 e0
+      JOIN subs s ON s.id = e0.id AND s.sub = e0.sub,
+           LATERAL (SELECT unnest(range(1, {_PQ_D} + 1)) AS pos) p
+      GROUP BY 1, 2, 3
+    ),
+    cb AS (
+      SELECT sub, code,
+             list_transform(list(CAST(mval AS FLOAT) ORDER BY pos),
+                            x -> CAST(x AS DOUBLE)) AS centroid
+      FROM means GROUP BY sub, code
+    ),
+    enc AS (
+      SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_D} + 1),
+                   i -> (s.sv[i] - cb.centroid[i]) * (s.sv[i] - cb.centroid[i]))) ASC,
+                          cb.code ASC) AS rn
+        FROM subs s JOIN cb USING (sub))
+      WHERE rn = 1
+    ),
+    qlut AS (
+      SELECT q.id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+               i -> (q.sv[i] - cb.centroid[i]) * (q.sv[i] - cb.centroid[i]))) AS d
+      FROM subs q JOIN cb USING (sub)
+      WHERE q.id < 3
+    ),
+    adc AS (
+      SELECT l.query_id, e.id AS vec_id,
+             list_sum(list(l.d ORDER BY l.sub)) AS dist
+      FROM enc e JOIN qlut l ON l.sub = e.sub AND l.code = e.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, {oracle_dround('dist', 6)} AS adc_dist, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_ext_pq_refined_topk", oracle=_PQ_REFINED_ORACLE)
+def q_ext_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with Lloyd-TRAINED codebooks (the full Jegou et al. recipe):
+    md5-sampled seeds, one k-means iteration per subspace (assign by L2
+    argmin, recompute per-code element-wise means — float-quantized so
+    both engines agree), then m-byte encoding and asymmetric-distance
+    top-5. The oracle replays seeding, the full Lloyd iteration, the
+    re-encode and the fold-ordered ADC sum exactly."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_refine_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb0 = pq_codebooks(emb, m=_PQ_M, k=_PQ_K)
+    cb = pq_refine_codebooks(emb, cb0, iterations=1, m=_PQ_M)
+    codes = pq_encode(emb, cb, m=_PQ_M)
+    return pq_adc_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 3), k=5, m=_PQ_M
+    )
+
+
+@register(
+    "q_ext_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             (CAST(CAST(concat('0x', substr(md5(concat('11:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u,
+             CAST(n_chars AS DOUBLE) AS wt
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY ln(u) / wt DESC, doc_id ASC) AS rk
+      FROM w WHERE wt > 0
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM r WHERE rk <= 100
+    """,
+)
+def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    exactly 100 documents drawn with probability proportional to length
+    — deterministic hash-uniform u, the 100 largest u^(1/w) win (ranked
+    as ln(u)/w), selection via the distributed global rank. The oracle
+    replays the hash, the E-S key and the rank."""
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        weighted_k_sample,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return weighted_k_sample(d, 100, "doc_id", "n_chars", seed=11)

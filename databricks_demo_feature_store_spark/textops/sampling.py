@@ -59,6 +59,48 @@ def deterministic_stratified_sample(
     return df.where(sample_bucket_col(F.col(key_col), seed) < threshold)
 
 
+def weighted_k_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Exactly ``k`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis & Spirakis (2006,
+    *Weighted random sampling with a reservoir*): each row draws a
+    deterministic hash-uniform u ∈ (0,1) and the k largest
+    ``u^(1/w)`` win, which is distribution-identical to sequential
+    weighted draws. Ranking by ``log(u)/w`` (same order, one
+    transcendental) via the distributed global rank — no
+    single-partition window, no reservoir state, exactly reproducible
+    across runs and engines. Rows with weight <= 0 or NULL never
+    qualify.
+
+    This is how a quality-weighted training subset gets drawn at corpus
+    scale: one pass, no rand(), and re-running with a bigger k keeps
+    every previously selected row (the E-S keys don't change).
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_rank,
+    )
+
+    u = (
+        F.pmod(portable_hash_col(F.col(key_col).cast("string"), seed), F.lit(RESOLUTION))
+        + F.lit(0.5)
+    ) / F.lit(float(RESOLUTION))
+    w = F.col(weight_col).cast("double")
+    # maximize u^(1/w)  ⇔  maximize log(u)/w (log u < 0, w > 0)
+    es_key = F.when(w > 0, F.log(u) / w)
+    eligible = df.where(es_key.isNotNull())
+    ranked = attach_global_rank(
+        eligible,
+        [es_key.desc(), F.col(key_col).asc()],
+        rank_col="__ws_rank",
+    )
+    return ranked.where(F.col("__ws_rank") <= int(k)).select(*df.columns)
+
+
 def exact_k_sample(
     df: DataFrame,
     k: int,

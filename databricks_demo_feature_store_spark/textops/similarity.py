@@ -673,6 +673,88 @@ def _l2sq(a, b) -> Column:
     )
 
 
+def _pq_subvectors(
+    corpus: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, __sv double[]) — every vector split into ``m``
+    contiguous subvectors, the shared first stage of codebook fitting,
+    refinement and encoding."""
+    return corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        "__id",
+        "sub",
+        F.expr(
+            f"transform(slice(__v, sub * (size(__v) div {m}) + 1,"
+            f" size(__v) div {m}), x -> CAST(x AS DOUBLE))"
+        ).alias("__sv"),
+    )
+
+
+def pq_refine_codebooks(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    iterations: int = 1,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of PQ codebooks per subspace — the
+    TRAINING step of Jégou et al. 2011 (the md5-sampled init of
+    :func:`pq_codebooks` is k-means++-style seeding; real deployments
+    refine until the per-subspace quantization error stops dropping).
+
+    Each iteration, per subspace: assign every subvector to its
+    L2-nearest code (broadcast m·k codebook join + ``min_by`` argmin,
+    map-side combined), then recompute each code's centroid as the
+    element-wise mean of its members (posexplode → per-(sub, code, pos)
+    avg → re-assemble). Means are cast through FLOAT (then back to
+    double) so cross-engine summation-order drift quantizes away — the
+    same trick that makes the SemDeDup Lloyd oracle exact. Codes that
+    lose all members drop out (standard Lloyd). The per-iteration
+    centroid table is ``localCheckpoint``-ed so iteration i's broadcast
+    doesn't replay every prior iteration's full-corpus assignment
+    (O(k²) otherwise). Returns the refined ``(sub, code, centroid)``.
+    """
+    subs = _pq_subvectors(corpus, m, id_col, vec_col)
+    cb = codebooks
+    for _ in range(iterations):
+        scored = subs.join(F.broadcast(cb), on="sub").select(
+            "__id",
+            "sub",
+            "code",
+            "__sv",
+            _l2sq(F.col("__sv"), F.col("centroid")).alias("__d"),
+        )
+        best = scored.groupBy("__id", "sub").agg(
+            F.min_by(
+                F.col("code"),
+                F.struct(F.col("__d").alias("d"), F.col("code").alias("c")),
+            ).alias("code"),
+            F.first("__sv").alias("__sv"),
+        )
+        means = (
+            best.select("sub", "code", F.posexplode("__sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cb = (
+            means.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "sub",
+                "code",
+                F.transform(
+                    F.col("pm"), lambda s: s["m"].cast("float").cast("double")
+                ).alias("centroid"),
+            )
+        )
+        cb = cb.localCheckpoint(eager=True)
+    return cb
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,

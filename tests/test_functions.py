@@ -324,3 +324,27 @@ def test_assign_bins_boundaries(spark):
     cuts = spark.createDataFrame([(20.0,), (10.0,)], ["cutpoint"])  # unsorted
     out = {r["id"]: r["x_bin"] for r in assign_bins(df, "x", cuts).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: None}
+
+
+def test_chi2_association_known_values(spark):
+    """Chi-square matches the textbook 2x2 computation; independent
+    columns give chi2 ~ 0 and a perfectly dependent pair gives V = 1."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        chi2_association,
+    )
+
+    # 2x2: a=x: (b=p 30, b=q 10); a=y: (b=p 10, b=q 30)
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = chi2_association(df, "a", "b").collect()[0]
+    # e = 20 everywhere; chi2 = 4 * (10^2 / 20) = 20; V = sqrt(20/80) = 0.5
+    assert abs(r["chi2"] - 20.0) < 1e-6
+    assert abs(r["cramers_v"] - 0.5) < 1e-6
+    assert r["dof"] == 1 and r["n"] == 80
+
+    dep = spark.createDataFrame([("x", "p")] * 5 + [("y", "q")] * 5, ["a", "b"])
+    rd = chi2_association(dep, "a", "b").collect()[0]
+    assert abs(rd["cramers_v"] - 1.0) < 1e-6

@@ -618,3 +618,30 @@ def test_last_touch_attribution(spark):
         "direct": (1, 5.0),
         "view": (2, 8.0),
     }
+
+
+def test_event_transitions_matrix(spark):
+    """Transition counts and row-normalized probabilities, including
+    __start__ entry transitions."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import (
+        event_transitions,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "view"),
+        (4, t(1), 2, "view"), (5, t(2), 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["probability"])
+        for r in event_transitions(df).collect()
+    }
+    assert out[("__start__", "view")] == (2, 1.0)
+    assert out[("view", "click")] == (2, 1.0)
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3

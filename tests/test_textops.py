@@ -921,3 +921,65 @@ def test_exact_k_sample_exact_and_prefix(spark):
     assert again == s20
     # k >= rows returns everything
     assert exact_k_sample(df, 5000, "doc_id").count() == 1000
+
+
+def test_pq_refine_reduces_quantization_error(spark):
+    """One Lloyd iteration must not increase the total per-subspace
+    quantization SSE (k-means monotonicity), and usually reduces it."""
+    import random
+
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        _l2sq,
+        _pq_subvectors,
+        pq_codebooks,
+        pq_refine_codebooks,
+    )
+
+    random.seed(13)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def total_sse(cb):
+        subs = _pq_subvectors(emb, 4, "vec_id", "embedding")
+        scored = subs.join(F.broadcast(cb), on="sub").select(
+            "__id", "sub", _l2sq(F.col("__sv"), F.col("centroid")).alias("d")
+        )
+        per = scored.groupBy("__id", "sub").agg(F.min("d").alias("dmin"))
+        return per.agg(F.sum("dmin")).collect()[0][0]
+
+    cb0 = pq_codebooks(emb, m=4, k=8)
+    cb1 = pq_refine_codebooks(emb, cb0, iterations=1, m=4)
+    sse0, sse1 = total_sse(cb0), total_sse(cb1)
+    assert sse1 <= sse0 + 1e-6
+    assert sse1 < sse0 * 0.95  # random init leaves real room to improve
+    # codebook stays (sub, code, centroid) with <= k entries per subspace
+    per_sub = {r["sub"]: r["n"] for r in
+               cb1.groupBy("sub").agg(F.count("*").alias("n")).collect()}
+    assert set(per_sub) == {0, 1, 2, 3} and all(n <= 8 for n in per_sub.values())
+
+
+def test_weighted_k_sample_biases_toward_weight(spark):
+    """Exactly k rows; heavier rows are selected far more often than
+    light ones; zero/NULL weights never selected; deterministic."""
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        weighted_k_sample,
+    )
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50) + 10 ineligible
+    df = spark.range(610).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(1.0))
+        .when(F.col("id") < 600, F.lit(50.0))
+        .otherwise(F.lit(0.0))
+        .alias("w"),
+    )
+    got = [r["doc_id"] for r in weighted_k_sample(df, 60, "doc_id", "w", seed=3).collect()]
+    assert len(got) == 60 and len(set(got)) == 60
+    assert all(i < 600 for i in got)  # zero-weight rows never drawn
+    heavy = sum(1 for i in got if i >= 500)
+    # heavy mass = 100*50 = 5000 vs light 500: expect ~91% heavy draws
+    assert heavy > 40
+    again = [r["doc_id"] for r in weighted_k_sample(df, 60, "doc_id", "w", seed=3).collect()]
+    assert sorted(got) == sorted(again)
