@@ -55,6 +55,10 @@ HEADLINE = [
     "q_event_attribution",
     "q_event_transitions",
     "q_chi2_association",
+    "q_mutual_information",
+    "q_winsorize",
+    "q_event_decay",
+    "q_val_count_anomalies",
     "q_rsi",
 ]
 

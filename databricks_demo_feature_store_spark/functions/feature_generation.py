@@ -553,6 +553,94 @@ def chi2_association(
     )
 
 
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information (in nats) between two categorical columns —
+    the information-theoretic companion to :func:`chi2_association`
+    (chi2 tests existence of association, MI measures its strength in
+    bits-like units and handles many-leveled columns more gracefully).
+    Returns one row: ``(col_a, col_b, mutual_info, n)``.
+
+    Same scale shape as chi2: one contingency aggregation on the pair
+    key, broadcast margins, and only OBSERVED cells contribute
+    (``0·ln 0 = 0`` by convention, so zero cells never materialize):
+    ``MI = Σ (o/n) · ln(o·n / (ra·cb))``. NULLs are their own category.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("__null__"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("__null__"))
+    cells = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    row_m = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    col_m = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    o = F.col("__o").cast("double")
+    n = F.col("__n").cast("double")
+    term = (o / n) * F.log(
+        o * n / (F.col("__ra").cast("double") * F.col("__cb").cast("double"))
+    )
+    joined = (
+        cells.join(F.broadcast(row_m), "__a")
+        .join(F.broadcast(col_m), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.groupBy("__n")
+        .agg(F.sum(term).alias("__mi"))
+        .select(
+            F.lit(col_a).alias("col_a"),
+            F.lit(col_b).alias("col_b"),
+            dround(F.col("__mi"), round_to).alias("mutual_info"),
+            F.col("__n").cast("long").alias("n"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    columns: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    suffix: str = "_wins",
+) -> DataFrame:
+    """Percentile clipping (winsorization) — the outlier guard before
+    scaling/encoding: each column is clipped to its own exact
+    ``[lower, upper]`` percentiles. Appends ``{col}{suffix}`` columns;
+    NULLs pass through.
+
+    Fit-then-apply in one plan: ALL columns' cutpoints come from ONE
+    global aggregate row (exact ``percentile`` — Spark and DuckDB share
+    the linear-interpolation definition), broadcast via crossJoin, then
+    clipping is pure row-local ``least``/``greatest`` — the fact table
+    never shuffles.
+    """
+    fit = df.agg(
+        *[
+            F.percentile(
+                F.col(c).cast("double"),
+                F.array(F.lit(float(lower)), F.lit(float(upper))),
+            ).alias(f"__w_{c}")
+            for c in columns
+        ]
+    )
+    out = df.crossJoin(F.broadcast(fit))
+    clipped = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.least(
+                F.greatest(F.col(c).cast("double"), F.element_at(f"__w_{c}", 1)),
+                F.element_at(f"__w_{c}", 2),
+            ),
+        ).alias(f"{c}{suffix}")
+        for c in columns
+    ]
+    return out.select(*df.columns, *clipped)
+
+
 def assign_bins(
     df: DataFrame,
     column: str,

@@ -103,6 +103,45 @@ def funnel_steps(
     )
 
 
+def time_decay_agg(
+    events: DataFrame,
+    reference_ts: str,
+    half_life_days: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed per-entity aggregates — the recency
+    weighting every behavioral feature store wants: an event ``d`` days
+    before ``reference_ts`` counts with weight ``0.5^(d / half_life)``.
+    Returns ``(user_id, decayed_count, decayed_value)``; events after
+    the reference timestamp are excluded (they haven't happened yet at
+    feature time — the leakage rule).
+
+    One hash aggregation with map-side combine; per-term weights are
+    quantized through DECIMAL before summing, so the result is
+    independent of partition summation order AND of last-ulp libm
+    differences between engines (a raw double sum of ``exp`` terms is
+    neither).
+    """
+    ref = F.lit(reference_ts).cast("timestamp")
+    age_days = (
+        ref.cast("double") - F.col(ts_col).cast("timestamp").cast("double")
+    ) / F.lit(86400.0)
+    w = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days)))
+    wdec = w.cast("decimal(25,10)")
+    vdec = (F.col(value_col).cast("double") * w).cast("decimal(25,10)")
+    return (
+        events.where(F.col(ts_col) <= ref)
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            dround(F.sum(wdec).cast("double"), round_to).alias("decayed_count"),
+            dround(F.sum(vdec).cast("double"), round_to).alias("decayed_value"),
+        )
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1226,3 +1226,112 @@ def q_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_association(
         load(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
     )
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS a,
+             COALESCE(CAST(o_orderstatus AS VARCHAR), '__null__') AS b,
+             COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+    cm AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+    t AS (SELECT SUM(o) AS n FROM cells)
+    SELECT 'o_orderpriority' AS col_a, 'o_orderstatus' AS col_b,
+           CAST(ROUND(CAST(SUM(
+             (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+           ) AS DECIMAL(38,10)), 6) AS DOUBLE) AS mutual_info,
+           CAST(n AS BIGINT) AS n
+    FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN t
+    GROUP BY n
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and status —
+    the strength companion to q_chi2_association, same one-contingency
+    scale shape, observed cells only (0 ln 0 = 0). The oracle replays
+    the identical sum."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        mutual_information,
+    )
+
+    return mutual_information(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH fit AS (
+      SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS p_lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p_hi,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS q_lo,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS q_hi
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+           CAST(l_quantity AS DOUBLE) AS l_quantity,
+           CAST(ROUND(CAST(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), p_lo), p_hi)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS l_extendedprice_wins,
+           CAST(ROUND(CAST(LEAST(GREATEST(CAST(l_quantity AS DOUBLE), q_lo), q_hi)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS l_quantity_wins
+    FROM lineitem CROSS JOIN fit
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping of two lineitem measures at [p05, p95]: all
+    cutpoints fitted in ONE aggregate row, broadcast, then row-local
+    least/greatest — the fact table never shuffles. Spark's exact
+    percentile and DuckDB's quantile_cont share the interpolation
+    definition, so the oracle replays the fit."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        winsorize,
+    )
+
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    out = winsorize(li, ["l_extendedprice", "l_quantity"], 0.05, 0.95)
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+        dround("l_extendedprice_wins", 6).alias("l_extendedprice_wins"),
+        dround("l_quantity_wins", 6).alias("l_quantity_wins"),
+    )
+
+
+@register(
+    "q_event_decay",
+    oracle="""
+    SELECT user_id,
+           CAST(ROUND(SUM(CAST(pow(0.5, ((epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts)) / 1000000.0)
+                                        / 86400.0 / 7.0) AS DECIMAL(25,10))), 6) AS DOUBLE) AS decayed_count,
+           CAST(ROUND(SUM(CAST(CAST(value AS DOUBLE)
+                               * pow(0.5, ((epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts)) / 1000000.0)
+                                          / 86400.0 / 7.0) AS DECIMAL(25,10))), 6) AS DOUBLE) AS decayed_value
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-02-01'
+    GROUP BY user_id
+    """,
+)
+def q_event_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user event aggregates (half-life
+    7 days against a 2024-02-01 reference): recency-weighted count and
+    value in one map-side-combinable aggregation, with per-term DECIMAL
+    quantization so the sums are partition-order- and engine-exact.
+    The oracle replays the weight formula term-by-term."""
+    from databricks_demo_feature_store_spark.operators.events import time_decay_agg
+
+    return time_decay_agg(
+        load(spark, sf_dir, "events"), "2024-02-01", half_life_days=7.0
+    )

@@ -404,3 +404,47 @@ def q_val_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     split = F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
     return ks_drift(o.where(split), o.where(~split), "o_totalprice")
+
+
+@register(
+    "q_val_count_anomalies",
+    oracle="""
+    WITH ev AS (
+      SELECT ts FROM events
+      UNION ALL SELECT ts FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+      UNION ALL SELECT ts FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+    ),
+    counts AS (
+      SELECT CAST(ts AS DATE) AS period, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM ev GROUP BY 1
+    ),
+    scored AS (
+      SELECT period, n_rows,
+             AVG(CAST(n_rows AS DOUBLE)) OVER w AS m,
+             STDDEV_SAMP(CAST(n_rows AS DOUBLE)) OVER w AS s
+      FROM counts
+      WINDOW w AS (ORDER BY period ASC ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT period, n_rows,
+           CAST(ROUND(CAST(m AS DECIMAL(38,10)), 6) AS DOUBLE) AS baseline_mean,
+           CAST(ROUND(CAST(CASE WHEN s > 0 THEN (CAST(n_rows AS DOUBLE) - m) / s END
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS zscore,
+           COALESCE(ABS(CASE WHEN s > 0 THEN (CAST(n_rows AS DOUBLE) - m) / s END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def q_val_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags on the event stream (trailing-7-day
+    z-score, current day excluded from its own baseline) with a
+    deterministic injected spike: 2024-01-20 tripled. The raw events
+    collapse to one row per day before the tiny trailing window runs.
+    The oracle replays the same frame."""
+    from databricks_demo_feature_store_spark.validation.drift import count_anomalies
+
+    e = load(spark, sf_dir, "events")
+    spike = e.where(F.col("ts").cast("date") == F.lit("2024-01-20").cast("date"))
+    inflated = e.select("ts").unionByName(spike.select("ts")).unionByName(
+        spike.select("ts")
+    )
+    return count_anomalies(inflated, "ts", trailing=7, z_threshold=3.0, grain="day")

@@ -10,6 +10,7 @@ from databricks_demo_feature_store_spark.validation.schemas import (
     QUARTER_FORMAT,
 )
 from databricks_demo_feature_store_spark.validation.drift import (
+    count_anomalies,
     ks_drift,
     psi_drift,
 )
@@ -28,7 +29,7 @@ from databricks_demo_feature_store_spark.validation.monitor import (
 __all__ = [
     "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
     "missing_columns", "QUARTER_FORMAT",
-    "monthly_counts", "cross_check", "dimension_drift", "ks_drift", "psi_drift",
-    "outdateness", "profile_columns",
+    "monthly_counts", "cross_check", "count_anomalies", "dimension_drift",
+    "ks_drift", "psi_drift", "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

@@ -81,6 +81,55 @@ def psi_drift(
     )
 
 
+def count_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    trailing: int = 6,
+    z_threshold: float = 3.0,
+    grain: str = "month",
+    round_to: int = 6,
+) -> DataFrame:
+    """Volume-anomaly flags on the period row-count series: each
+    period's count is z-scored against the TRAILING ``trailing`` periods
+    (current excluded — an anomaly must not dilute its own baseline);
+    ``|z| > z_threshold`` flags it. Returns
+    ``(period, n_rows, baseline_mean, zscore, is_anomaly)``; the first
+    periods (no 2-period baseline yet) carry NULL z-scores and are never
+    flagged.
+
+    The raw table collapses to one row per period FIRST (map-side
+    combined count), so the trailing window runs over the tiny
+    aggregated series — the one place an unpartitioned window is the
+    right plan (and what the audit's aggregated-input exemption is
+    for).
+    """
+    from pyspark.sql import Window as W
+
+    if grain not in ("month", "week", "day"):
+        raise ValueError(f"count_anomalies grain must be month|week|day, got {grain!r}")
+    period = (
+        F.trunc(F.col(ts_col).cast("date"), grain)
+        if grain != "day"
+        else F.col(ts_col).cast("date")
+    )
+    counts = df.groupBy(period.alias("period")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = W.orderBy("period").rowsBetween(-trailing, -1)
+    mean = F.avg(F.col("n_rows").cast("double")).over(w)
+    std = F.stddev_samp(F.col("n_rows").cast("double")).over(w)
+    z = F.when(std > 0, (F.col("n_rows").cast("double") - mean) / std)
+    return counts.select(
+        "period",
+        "n_rows",
+        dround(mean, round_to).alias("baseline_mean"),
+        dround(z, round_to).alias("zscore"),
+        F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
 def ks_drift(
     cur: DataFrame,
     ref: DataFrame,

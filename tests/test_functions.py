@@ -348,3 +348,19 @@ def test_chi2_association_known_values(spark):
     dep = spark.createDataFrame([("x", "p")] * 5 + [("y", "q")] * 5, ["a", "b"])
     rd = chi2_association(dep, "a", "b").collect()[0]
     assert abs(rd["cramers_v"] - 1.0) < 1e-6
+
+
+def test_winsorize_clips_to_percentiles(spark):
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)] + [(None,)], "v double"
+    )
+    out = {r["v"]: r["v_wins"] for r in winsorize(df, ["v"], 0.1, 0.9).collect()}
+    # exact percentiles of 1..100: p10 = 10.9, p90 = 90.1 (up to fp repr)
+    assert abs(out[1.0] - 10.9) < 1e-9 and abs(out[5.0] - 10.9) < 1e-9
+    assert abs(out[100.0] - 90.1) < 1e-9 and abs(out[95.0] - 90.1) < 1e-9
+    assert out[50.0] == 50.0
+    assert out[None] is None

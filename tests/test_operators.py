@@ -645,3 +645,26 @@ def test_event_transitions_matrix(spark):
     assert out[("view", "click")] == (2, 1.0)
     assert out[("click", "view")] == (1, 1.0)
     assert len(out) == 3
+
+
+def test_time_decay_agg_weights(spark):
+    """Half-life weighting: an event one half-life old counts 0.5; a
+    same-instant event counts 1.0; future events are excluded."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import time_decay_agg
+
+    rows = [
+        (1, dt.datetime(2024, 1, 8), 1, 10.0),   # exactly at reference
+        (2, dt.datetime(2024, 1, 1), 1, 10.0),   # 7 days = 1 half-life
+        (3, dt.datetime(2024, 1, 9), 1, 99.0),   # future: excluded
+        (4, dt.datetime(2024, 1, 1), 2, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {r["user_id"]: r for r in
+           time_decay_agg(df, "2024-01-08", half_life_days=7.0).collect()}
+    assert abs(out[1]["decayed_count"] - 1.5) < 1e-6
+    assert abs(out[1]["decayed_value"] - 15.0) < 1e-6
+    assert abs(out[2]["decayed_count"] - 0.5) < 1e-6

@@ -239,3 +239,43 @@ def test_attach_global_cumsum_matches_window(spark):
     from tools.explain_audit import unpartitioned_windows_over_raw
 
     assert unpartitioned_windows_over_raw(plan) == []
+
+
+def test_count_anomalies_flags_spike(spark):
+    """A 10x day against a flat baseline is flagged; flat days are not;
+    the first two periods carry NULL z (no baseline) and never flag."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.validation.drift import count_anomalies
+
+    rows = []
+    for day in range(1, 11):
+        n = 100 if day != 8 else 1000
+        # tiny jitter so stddev > 0
+        n += day % 3
+        rows += [(dt.datetime(2024, 3, day, 12, 0, 0),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["period"].day: r for r in
+           count_anomalies(df, "ts", trailing=5, z_threshold=3.0, grain="day").collect()}
+    assert out[8]["is_anomaly"] is True
+    assert out[1]["zscore"] is None and out[1]["is_anomaly"] is False
+    assert all(not out[d]["is_anomaly"] for d in out if d != 8)
+
+
+def test_mutual_information_known_values(spark):
+    """MI = ln 2 for a perfectly dependent balanced pair; ~0 for
+    independent columns."""
+    import math
+
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        mutual_information,
+    )
+
+    dep = spark.createDataFrame([("x", "p")] * 5 + [("y", "q")] * 5, ["a", "b"])
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert abs(r["mutual_info"] - round(math.log(2), 6)) < 1e-9
+    ind = spark.createDataFrame(
+        [("x", "p")] * 3 + [("x", "q")] * 3 + [("y", "p")] * 3 + [("y", "q")] * 3,
+        ["a", "b"],
+    )
+    assert abs(mutual_information(ind, "a", "b").collect()[0]["mutual_info"]) < 1e-9
