@@ -59,6 +59,8 @@ HEADLINE = [
     "q_winsorize",
     "q_event_decay",
     "q_val_count_anomalies",
+    "q_stream_psi_drift",
+    "q_key_skew_profile",
     "q_rsi",
 ]
 

@@ -1335,3 +1335,51 @@ def q_event_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_decay_agg(
         load(spark, sf_dir, "events"), "2024-02-01", half_life_days=7.0
     )
+
+
+@register(
+    "q_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT COALESCE(CAST(o_custkey AS VARCHAR), '__null__') AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT SUM(n_rows) AS total, COUNT(*) AS k, MAX(n_rows) AS mx FROM counts
+    ),
+    e AS (
+      SELECT SUM(-(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE))
+                 * ln(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE))) AS entropy
+      FROM counts CROSS JOIN t
+    ),
+    top AS (
+      SELECT key, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+      FROM counts
+      ORDER BY n_rows DESC, key ASC LIMIT 10
+    )
+    SELECT CAST(rank AS INT) AS rank, key, n_rows,
+           CAST(ROUND(CAST(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS share,
+           CAST(total AS BIGINT) AS total_rows,
+           CAST(k AS BIGINT) AS distinct_keys,
+           CAST(ROUND(CAST(CAST(mx AS DOUBLE) / CAST(total AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS max_share,
+           CAST(ROUND(CAST(CASE WHEN k > 1 THEN entropy / ln(CAST(k AS DOUBLE))
+                                ELSE 1.0 END AS DECIMAL(38,10)), 6) AS DOUBLE) AS balance
+    FROM top CROSS JOIN t CROSS JOIN e
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for orders.o_custkey: the 10 hottest keys
+    with shares, plus distribution summary (max_share = straggler
+    bound, balance = normalized entropy) — the measurement behind the
+    salted_join knob. One key aggregation + two tiny summary aggs +
+    TakeOrdered; never a full sort. The oracle replays counts, top-N
+    and the entropy."""
+    from databricks_demo_feature_store_spark.operators.diagnostics import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey", top_n=10)

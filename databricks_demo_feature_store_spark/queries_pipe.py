@@ -988,3 +988,75 @@ def q_fs_online_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         timestamp_key="release_dt",
         as_of="1997-06-15",
     )
+
+
+@register(
+    "q_stream_psi_drift",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             COALESCE(CAST(event_type AS VARCHAR), '__null__') AS category,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ref AS (
+      SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS category,
+             COUNT(*) AS n_ref
+      FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1
+    ),
+    wins AS (SELECT DISTINCT window_start FROM cur),
+    grid AS (
+      SELECT w.window_start, r.category, r.n_ref FROM wins w CROSS JOIN ref r
+    ),
+    j AS (
+      SELECT COALESCE(g.window_start, c.window_start) AS window_start,
+             COALESCE(g.category, c.category) AS category,
+             COALESCE(c.n, 0) AS n_cur, COALESCE(g.n_ref, 0) AS n_ref
+      FROM grid g FULL OUTER JOIN cur c
+        ON g.window_start = c.window_start AND g.category = c.category
+    ),
+    t AS (
+      SELECT window_start, COUNT(*) AS k, SUM(n_cur) AS tot_cur, SUM(n_ref) AS tot_ref
+      FROM j GROUP BY 1
+    )
+    SELECT j.window_start,
+           CAST(ROUND(CAST(SUM(
+             ((n_cur + 0.5) / (tot_cur + 0.5 * k) - (n_ref + 0.5) / (tot_ref + 0.5 * k))
+             * ln(((n_cur + 0.5) / (tot_cur + 0.5 * k)) / ((n_ref + 0.5) / (tot_ref + 0.5 * k)))
+           ) AS DECIMAL(38,10)), 6) AS DOUBLE) AS psi,
+           CAST(k AS INT) AS n_categories,
+           CAST(tot_cur AS BIGINT) AS n_cur,
+           CAST(tot_ref AS BIGINT) AS n_ref
+    FROM j JOIN t USING (window_start)
+    GROUP BY j.window_start, k, tot_cur, tot_ref
+    """,
+)
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: the REAL streaming engine
+    maintains per-day event-type counts (watermarked tumbling windows,
+    availableNow replay), then each completed window becomes a PSI
+    point against the first week's distribution via the batch finisher
+    psi_by_group (chained streaming aggs are unsupported by design).
+    The oracle replays windows, smoothing and the PSI sum."""
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_events_stream,
+        run_available_now,
+        windowed_category_counts,
+    )
+    from databricks_demo_feature_store_spark.validation.drift import psi_by_group
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = run_available_now(
+        windowed_category_counts(stream, "event_type", window="1 day")
+    )
+    ref = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .groupBy(
+            F.coalesce(F.col("event_type").cast("string"), F.lit("__null__")).alias(
+                "category"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return psi_by_group(counts, ref)

@@ -207,6 +207,37 @@ def stream_features_to_store(
     )
 
 
+def windowed_category_counts(
+    stream: DataFrame,
+    column: str,
+    watermark: str = "7 days",
+    window: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming distribution monitor: per tumbling window, the count of
+    each category of ``column`` — the state a live drift dashboard
+    maintains. Feed completed windows into
+    `validation.drift.psi_by_group` (batch, via `run_available_now` or a
+    foreachBatch sink) to turn each window into a PSI point against a
+    reference distribution. Chained streaming aggregations are
+    unsupported in Spark, so the PSI fold itself is deliberately a
+    batch finisher — the stream maintains only the (window, category)
+    counts, whose state the watermark bounds exactly like any windowed
+    agg. NULL categories count under '__null__' (a NULL-rate shift IS
+    drift)."""
+    cat = F.coalesce(F.col(column).cast("string"), F.lit("__null__"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), cat.alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "category",
+            "n",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     keys,

@@ -81,6 +81,94 @@ def psi_drift(
     )
 
 
+def psi_by_group(
+    cur_counts: DataFrame,
+    ref_counts: DataFrame,
+    group_col: str = "window_start",
+    category_col: str = "category",
+    n_col: str = "n",
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI per group (e.g. per time window) from pre-aggregated category
+    counts against ONE reference distribution — the batch finisher of
+    the streaming drift monitor (`streaming/ops.py
+    windowed_category_counts` maintains the counts; this turns each
+    completed window into a PSI point for alerting). Returns one row
+    per group: ``(group, psi, n_categories, n_cur, n_ref)``.
+
+    Same Laplace smoothing as :func:`psi_drift`, with K = distinct
+    categories across the reference and THAT group. Everything here
+    runs on aggregated (group × category) frames — broadcast-sized by
+    construction.
+    """
+    # union + re-aggregate instead of a full-outer self-join: the grid
+    # branch and the current branch share the cur_counts lineage (e.g. a
+    # streaming memory sink), and a self-join over that trips attribute
+    # dedup; the union shape has no such conflict and one fewer join.
+    wins = cur_counts.select(group_col).distinct()
+    grid = wins.crossJoin(
+        F.broadcast(
+            ref_counts.select(
+                F.col(category_col).alias(category_col),
+                F.col(n_col).alias("__ref_n"),
+            )
+        )
+    ).select(
+        group_col,
+        category_col,
+        F.lit(0).cast("long").alias("__n_cur"),
+        F.col("__ref_n").cast("long").alias("__n_ref"),
+    )
+    cur = cur_counts.select(
+        group_col,
+        category_col,
+        F.col(n_col).cast("long").alias("__n_cur"),
+        F.lit(0).cast("long").alias("__n_ref"),
+    )
+    j = (
+        grid.unionByName(cur)
+        .groupBy(group_col, category_col)
+        .agg(
+            F.sum("__n_cur").alias("__n_cur"),
+            F.sum("__n_ref").alias("__n_ref"),
+        )
+    )
+    # per-group totals via a PARTITIONED window over the aggregated
+    # (group × category) frame — no tots-side self-join (same
+    # MemorySink-lineage pitfall as above) and no extra shuffle beyond
+    # the group clustering
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy(group_col)
+    jt = j.select(
+        group_col,
+        category_col,
+        "__n_cur",
+        "__n_ref",
+        F.count(F.lit(1)).over(wg).alias("__k"),
+        F.sum("__n_cur").over(wg).alias("__tot_cur"),
+        F.sum("__n_ref").over(wg).alias("__tot_ref"),
+    )
+    p_cur = (F.col("__n_cur") + F.lit(0.5)) / (
+        F.col("__tot_cur") + F.lit(0.5) * F.col("__k")
+    )
+    p_ref = (F.col("__n_ref") + F.lit(0.5)) / (
+        F.col("__tot_ref") + F.lit(0.5) * F.col("__k")
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        jt.groupBy(group_col, "__k", "__tot_cur", "__tot_ref")
+        .agg(F.sum(term).alias("__psi"))
+        .select(
+            group_col,
+            dround(F.col("__psi"), round_to).alias("psi"),
+            F.col("__k").cast("int").alias("n_categories"),
+            F.col("__tot_cur").cast("long").alias("n_cur"),
+            F.col("__tot_ref").cast("long").alias("n_ref"),
+        )
+    )
+
+
 def count_anomalies(
     df: DataFrame,
     ts_col: str,

@@ -668,3 +668,22 @@ def test_time_decay_agg_weights(spark):
     assert abs(out[1]["decayed_count"] - 1.5) < 1e-6
     assert abs(out[1]["decayed_value"] - 15.0) < 1e-6
     assert abs(out[2]["decayed_count"] - 0.5) < 1e-6
+
+
+def test_key_skew_profile_summary(spark):
+    """Hot key surfaces with rank 1 and the right share; balance < 1
+    for a skewed key and NULLs profile as '__null__'."""
+    from databricks_demo_feature_store_spark.operators.diagnostics import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 9 + [(None,)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    assert len(out) == 3
+    byrank = {r["rank"]: r for r in out}
+    assert byrank[1]["key"] == "hot" and byrank[1]["n_rows"] == 80
+    assert abs(byrank[1]["share"] - 0.8) < 1e-9
+    assert byrank[1]["total_rows"] == 100 and byrank[1]["distinct_keys"] == 4
+    assert byrank[1]["max_share"] == byrank[1]["share"]
+    assert 0 < byrank[1]["balance"] < 0.8  # far from uniform

@@ -279,3 +279,23 @@ def test_mutual_information_known_values(spark):
         ["a", "b"],
     )
     assert abs(mutual_information(ind, "a", "b").collect()[0]["mutual_info"]) < 1e-9
+
+
+def test_psi_by_group_per_window(spark):
+    """Per-group PSI: a window matching the reference scores ~0, a
+    shifted window scores positive; categories missing on one side stay
+    finite."""
+    cur = spark.createDataFrame(
+        [("w1", "a", 50), ("w1", "b", 50),
+         ("w2", "a", 95), ("w2", "b", 5)],
+        ["window_start", "category", "n"],
+    )
+    ref = spark.createDataFrame(
+        [("a", 500), ("b", 500)], ["category", "n"]
+    )
+    from databricks_demo_feature_store_spark.validation.drift import psi_by_group
+
+    out = {r["window_start"]: r for r in psi_by_group(cur, ref).collect()}
+    assert abs(out["w1"]["psi"]) < 1e-4
+    assert out["w2"]["psi"] > 0.5
+    assert out["w1"]["n_categories"] == 2 and out["w1"]["n_cur"] == 100
