@@ -154,3 +154,33 @@ def test_read_corpus_hash_ids_salted_and_relocatable(spark, tmp_path):
     shutil.copytree(root, moved)
     ids2 = [r["doc_id"] for r in read_corpus(spark, str(moved), fmt="jsonl").collect()]
     assert sorted(ids) == sorted(ids2)  # relocation preserves ids
+
+
+def test_scratch_dir_process_isolated():
+    """Two calls get distinct subdirs; a separate interpreter gets a
+    DIFFERENT unpredictable root (mode 0700), so concurrent suite runs
+    on one host can never collide."""
+    import os
+    import stat
+    import subprocess
+    import sys
+
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+
+    a, b = scratch_dir("iso"), scratch_dir("iso")
+    assert a != b and os.path.isdir(a) and os.path.isdir(b)
+    root = os.path.dirname(a)
+    assert os.path.dirname(b) == root
+    assert stat.S_IMODE(os.stat(root).st_mode) == 0o700
+
+    other = subprocess.check_output(
+        [
+            sys.executable,
+            "-c",
+            "from databricks_demo_feature_store_spark.queries import scratch_dir;"
+            "import os; print(os.path.dirname(scratch_dir('iso')))",
+        ],
+        cwd="/root/repo",
+        text=True,
+    ).strip()
+    assert other != root  # per-process mkdtemp root
