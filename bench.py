@@ -61,6 +61,8 @@ HEADLINE = [
     "q_val_count_anomalies",
     "q_stream_psi_drift",
     "q_key_skew_profile",
+    "q_val_roc_auc",
+    "q_val_calibration",
     "q_rsi",
 ]
 

@@ -448,3 +448,90 @@ def q_val_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         spike.select("ts")
     )
     return count_anomalies(inflated, "ts", trailing=7, z_threshold=3.0, grain="day")
+
+
+@register(
+    "q_val_roc_auc",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(embedding[2] AS DOUBLE) AS s,
+             CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+      WHERE embedding[2] IS NOT NULL
+    ),
+    per_score AS (
+      SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM base GROUP BY s
+    ),
+    cum AS (
+      SELECT s, np, nn,
+             SUM(np) OVER (ORDER BY s ASC) AS cnp,
+             SUM(nn) OVER (ORDER BY s ASC) AS cnn
+      FROM per_score
+    ),
+    t AS (SELECT SUM(np) AS P, SUM(nn) AS N FROM per_score),
+    agg AS (
+      SELECT P, N,
+             SUM(CAST(np AS DECIMAL(38,0)) *
+                 (2 * (CAST(cnp + cnn AS DECIMAL(38,0)) - (np + nn)) + (np + nn) + 1)) AS twoR
+      FROM cum CROSS JOIN t
+      GROUP BY P, N
+    )
+    SELECT CAST(ROUND(CAST(
+             CAST(twoR - CAST(P AS DECIMAL(38,0)) * (P + 1) AS DOUBLE)
+             / (2.0 * CAST(P AS DOUBLE) * CAST(N AS DOUBLE))
+           AS DECIMAL(38,10)), 6) AS DOUBLE) AS auc,
+           CAST(P AS BIGINT) AS n_pos,
+           CAST(N AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def q_val_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann-Whitney rank form) of an embedding
+    coordinate as scorer for the low-label classes: per-score counts →
+    distributed prefix-sum ranks (attach_global_cumsum, no
+    single-partition window) → integer-exact rank sum, one final
+    division. The oracle replays the doubled-rank arithmetic."""
+    from databricks_demo_feature_store_spark.validation.evaluation import roc_auc
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        (F.col("label") <= 4).cast("int").alias("y"),
+    )
+    return roc_auc(e, "score", "y")
+
+
+@register(
+    "q_val_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 500.0) AS s,
+             CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT LEAST(10, GREATEST(1, CAST(FLOOR(s * 10) + 1 AS INT))) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(s AS DECIMAL(25,10))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_score,
+           CAST(ROUND(CAST(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS positive_rate
+    FROM base
+    GROUP BY 1
+    """,
+)
+def q_val_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a saturating length-based scorer
+    against the long-document label: equal-width [0,1] bins, per-bin
+    mean score vs positive rate in one map-side-combined aggregation
+    with DECIMAL-routed sums. The oracle replays bins and both rates."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        calibration_bins,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        (
+            F.col("n_chars").cast("double")
+            / (F.col("n_chars").cast("double") + F.lit(500.0))
+        ).alias("score"),
+        (F.col("n_chars") >= 500).cast("int").alias("y"),
+    )
+    return calibration_bins(d, "score", "y", n_bins=10)

@@ -9,9 +9,14 @@ from databricks_demo_feature_store_spark.validation.schemas import (
     missing_columns,
     QUARTER_FORMAT,
 )
+from databricks_demo_feature_store_spark.validation.evaluation import (
+    calibration_bins,
+    roc_auc,
+)
 from databricks_demo_feature_store_spark.validation.drift import (
     count_anomalies,
     ks_drift,
+    psi_by_group,
     psi_drift,
 )
 from databricks_demo_feature_store_spark.validation.monitor import (
@@ -30,6 +35,7 @@ __all__ = [
     "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
     "missing_columns", "QUARTER_FORMAT",
     "monthly_counts", "cross_check", "count_anomalies", "dimension_drift",
-    "ks_drift", "psi_drift", "outdateness", "profile_columns",
+    "ks_drift", "psi_by_group", "psi_drift", "roc_auc", "calibration_bins",
+    "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

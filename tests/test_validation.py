@@ -299,3 +299,48 @@ def test_psi_by_group_per_window(spark):
     assert abs(out["w1"]["psi"]) < 1e-4
     assert out["w2"]["psi"] > 0.5
     assert out["w1"]["n_categories"] == 2 and out["w1"]["n_cur"] == 100
+
+
+def test_roc_auc_known_values(spark):
+    """Hand-computed AUC incl. tie handling; perfect scorer = 1.0;
+    anti-scorer = 0.0; constant scorer = 0.5 exactly."""
+    from databricks_demo_feature_store_spark.validation.evaluation import roc_auc
+
+    # scores: pos {0.9, 0.5}, neg {0.5, 0.1} — one tie across classes.
+    # ranks: 0.1->1, 0.5 avg rank 2.5 (x2), 0.9->4
+    # R_pos = 4 + 2.5 = 6.5; AUC = (6.5 - 3) / (2*2) = 0.875
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0)], ["s", "y"]
+    )
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert abs(r["auc"] - 0.875) < 1e-9
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], ["s", "y"]
+    )
+    assert roc_auc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    anti = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], ["s", "y"]
+    )
+    assert roc_auc(anti, "s", "y").collect()[0]["auc"] == 0.0
+    const = spark.createDataFrame([(0.5, 1), (0.5, 0), (0.5, 0)], ["s", "y"])
+    assert roc_auc(const, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_calibration_bins_rates(spark):
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        calibration_bins,
+    )
+
+    rows = [(0.05, 0)] * 9 + [(0.05, 1)] + [(0.95, 1)] * 8 + [(0.95, 0)] * 2
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y", 10).collect()}
+    assert set(out) == {1, 10}
+    assert out[1]["n"] == 10 and abs(out[1]["positive_rate"] - 0.1) < 1e-9
+    assert abs(out[1]["mean_score"] - 0.05) < 1e-9
+    assert out[10]["n"] == 10 and abs(out[10]["positive_rate"] - 0.8) < 1e-9
+    # clamp: out-of-range scores land in edge bins
+    edge = spark.createDataFrame([(-0.2, 0), (1.3, 1)], ["s", "y"])
+    got = {r["bin"] for r in calibration_bins(edge, "s", "y", 10).collect()}
+    assert got == {1, 10}
