@@ -63,6 +63,10 @@ HEADLINE = [
     "q_key_skew_profile",
     "q_val_roc_auc",
     "q_val_calibration",
+    "q_val_psi_numeric",
+    "q_val_threshold_metrics",
+    "q_val_decile_lift",
+    "q_join_size_estimate",
     "q_rsi",
 ]
 

@@ -14,6 +14,81 @@ from pyspark.sql import DataFrame, functions as F
 from databricks_demo_feature_store_spark.functions.rounding import dround
 
 
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT inner-equi-join output size WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k count_A(k) · count_B(k)`` — two per-key count
+    aggregations (map-side combined) and one join of COUNT frames
+    (distinct keys, never rows). One summary row:
+    ``(join_rows, left_rows, right_rows, matched_keys, amplification,
+    top_key, top_key_rows, top_key_share)`` — ``amplification`` =
+    output/input tells you whether the join explodes; ``top_key_share``
+    tells you whether ONE key dominates the output (the straggler that
+    AQE skew-split or `salted_join` must handle). NULL keys never match
+    (SQL semantics) and are excluded.
+
+    Run this BEFORE a 100 TB fact-fact join: the estimate costs two
+    shuffles of (key, count) pairs; the mistake it prevents costs the
+    cluster.
+    """
+    rk = right_key or left_key
+    lc = (
+        left.where(F.col(left_key).isNotNull())
+        .groupBy(F.col(left_key).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("__nl"))
+    )
+    rc = (
+        right.where(F.col(rk).isNotNull())
+        .groupBy(F.col(rk).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("__nr"))
+    )
+    dec = "decimal(38,0)"
+    prod = (F.col("__nl").cast(dec) * F.col("__nr").cast(dec)).alias("__out")
+    pairs = lc.join(rc, "key").select("key", "__nl", "__nr", prod)
+    totals = pairs.agg(
+        F.sum("__out").alias("__join_rows"),
+        F.count(F.lit(1)).alias("__matched"),
+        F.max_by(
+            F.struct(
+                F.col("key").alias("k"),
+                F.col("__out").alias("o"),
+            ),
+            F.struct(F.col("__out").alias("o"), F.col("key").alias("k")),
+        ).alias("__top"),
+    )
+    lt = left.agg(F.count(F.lit(1)).alias("__lrows"))
+    rt = right.agg(F.count(F.lit(1)).alias("__rrows"))
+    out = totals.crossJoin(F.broadcast(lt)).crossJoin(F.broadcast(rt))
+    join_rows = F.coalesce(F.col("__join_rows"), F.lit(0).cast(dec))
+    denom = (F.col("__lrows") + F.col("__rrows")).cast("double")
+    return out.select(
+        # internal arithmetic stays DECIMAL(38); the reported count is a
+        # long (exact up to 2^63 output rows — beyond that the join
+        # should not be run anyway)
+        join_rows.cast("long").alias("join_rows"),
+        F.col("__lrows").cast("long").alias("left_rows"),
+        F.col("__rrows").cast("long").alias("right_rows"),
+        F.col("__matched").cast("long").alias("matched_keys"),
+        dround(
+            F.when(denom > 0, join_rows.cast("double") / denom), round_to
+        ).alias("amplification"),
+        F.col("__top.k").alias("top_key"),
+        F.coalesce(F.col("__top.o"), F.lit(0).cast(dec)).cast("long").alias("top_key_rows"),
+        dround(
+            F.when(
+                join_rows.cast("double") > 0,
+                F.col("__top.o").cast("double") / join_rows.cast("double"),
+            ),
+            round_to,
+        ).alias("top_key_share"),
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     key_col: str,

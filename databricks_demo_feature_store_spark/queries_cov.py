@@ -1383,3 +1383,58 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return key_skew_profile(load(spark, sf_dir, "orders"), "o_custkey", top_n=10)
+
+
+@register(
+    "q_join_size_estimate",
+    oracle="""
+    WITH lc AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS nl
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    rc AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key, COUNT(*) AS nr
+      FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT lc.key, CAST(nl AS DECIMAL(38,0)) * nr AS o
+      FROM lc JOIN rc USING (key)
+    ),
+    t AS (
+      SELECT SUM(o) AS join_rows, COUNT(*) AS matched FROM pairs
+    ),
+    top AS (
+      SELECT key AS top_key, o AS top_rows
+      FROM pairs ORDER BY o DESC, key DESC LIMIT 1
+    ),
+    lt AS (SELECT COUNT(*) AS lrows FROM orders),
+    rt AS (SELECT COUNT(*) AS rrows FROM customer)
+    SELECT CAST(COALESCE(join_rows, 0) AS BIGINT) AS join_rows,
+           CAST(lrows AS BIGINT) AS left_rows,
+           CAST(rrows AS BIGINT) AS right_rows,
+           CAST(matched AS BIGINT) AS matched_keys,
+           CAST(ROUND(CAST(CAST(join_rows AS DOUBLE) / CAST(lrows + rrows AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS amplification,
+           top_key,
+           CAST(top_rows AS BIGINT) AS top_key_rows,
+           CAST(ROUND(CAST(CAST(top_rows AS DOUBLE) / CAST(join_rows AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS top_key_share
+    FROM t CROSS JOIN top CROSS JOIN lt CROSS JOIN rt
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-join output size WITHOUT running the join (sum of
+    per-key count products over a join of COUNT frames) plus
+    amplification and the dominant key's output share — the pre-flight
+    check before a fact-fact join at scale. The oracle replays the
+    count-product arithmetic."""
+    from databricks_demo_feature_store_spark.operators.diagnostics import (
+        join_size_estimate,
+    )
+
+    return join_size_estimate(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )

@@ -535,3 +535,169 @@ def q_val_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 500).cast("int").alias("y"),
     )
     return calibration_bins(d, "score", "y", n_bins=10)
+
+
+@register(
+    "q_val_psi_numeric",
+    oracle="""
+    WITH refs AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    curs AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    ),
+    cuts AS (
+      SELECT list_sort(quantile_cont(v, [0.25, 0.5, 0.75])) AS qs FROM refs
+    ),
+    binify AS (
+      SELECT 'cur' AS side,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE 1 + (CASE WHEN v > qs[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[3] THEN 1 ELSE 0 END) END AS bin
+      FROM curs CROSS JOIN cuts
+      UNION ALL
+      SELECT 'ref',
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE 1 + (CASE WHEN v > qs[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[3] THEN 1 ELSE 0 END) END
+      FROM refs CROSS JOIN cuts
+    ),
+    j AS (
+      SELECT COALESCE(CAST(bin AS VARCHAR), '__null__') AS category,
+             SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur,
+             SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref
+      FROM binify GROUP BY 1
+    ),
+    t AS (SELECT COUNT(*) AS k, SUM(n_cur) AS tot_cur, SUM(n_ref) AS tot_ref FROM j)
+    SELECT 'o_totalprice' AS "column",
+           CAST(ROUND(CAST(SUM(
+             ((n_cur + 0.5) / (tot_cur + 0.5 * k) - (n_ref + 0.5) / (tot_ref + 0.5 * k))
+             * ln(((n_cur + 0.5) / (tot_cur + 0.5 * k)) / ((n_ref + 0.5) / (tot_ref + 0.5 * k)))
+           ) AS DECIMAL(38,10)), 6) AS DOUBLE) AS psi,
+           CAST(k AS INT) AS n_categories,
+           CAST(tot_cur AS BIGINT) AS n_cur,
+           CAST(tot_ref AS BIGINT) AS n_ref
+    FROM j CROSS JOIN t GROUP BY k, tot_cur, tot_ref
+    """,
+)
+def q_val_psi_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature PSI: quartile cutpoints fitted on the pre-1996
+    reference slice (one aggregate row, broadcast), both slices binned
+    with the per-row cutpoint fold (neither shuffles to bin), smoothed
+    PSI over the binned distributions. The oracle replays fit, binning
+    and the PSI sum."""
+    from databricks_demo_feature_store_spark.validation.drift import psi_numeric
+
+    o = load(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    return psi_numeric(
+        o.where(split).select(F.col("o_totalprice").cast("double").alias("o_totalprice")),
+        o.where(~split).select(F.col("o_totalprice").cast("double").alias("o_totalprice")),
+        "o_totalprice",
+        n_bins=4,
+    )
+
+
+@register(
+    "q_val_threshold_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(n_chars AS DOUBLE) / (CAST(n_chars AS DOUBLE) + 500.0) AS s,
+             CASE WHEN source = 'web' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    th AS (SELECT unnest([0.3, 0.5, 0.7]) AS threshold)
+    SELECT threshold,
+           CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(ROUND(CAST(CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / NULLIF(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END), 0) AS DECIMAL(38,10)), 6) AS DOUBLE) AS precision,
+           CAST(ROUND(CAST(CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / NULLIF(SUM(y), 0) AS DECIMAL(38,10)), 6) AS DOUBLE) AS recall,
+           CAST(ROUND(CAST(
+             2.0 * (CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / NULLIF(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END), 0))
+                 * (CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / NULLIF(SUM(y), 0))
+             / NULLIF((CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / NULLIF(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END), 0))
+                    + (CAST(SUM(CASE WHEN s >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / NULLIF(SUM(y), 0)), 0)
+           AS DECIMAL(38,10)), 6) AS DOUBLE) AS f1
+    FROM base CROSS JOIN th
+    GROUP BY threshold
+    """,
+)
+def q_val_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep over three candidate thresholds of the
+    length-saturation scorer against the 'web' label — every
+    threshold's confusion counts from ONE scan (conditional sums in a
+    single aggregate). The oracle replays each threshold's counts and
+    ratios."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        threshold_metrics,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        (
+            F.col("n_chars").cast("double")
+            / (F.col("n_chars").cast("double") + F.lit(500.0))
+        ).alias("score"),
+        (F.col("source") == "web").cast("int").alias("y"),
+    )
+    return threshold_metrics(d, "score", "y", [0.3, 0.5, 0.7])
+
+
+@register(
+    "q_val_decile_lift",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding[2] AS DOUBLE) AS s,
+             CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+      FROM embeddings WHERE embedding[2] IS NOT NULL
+    ),
+    binned AS (
+      SELECT y, NTILE(5) OVER (ORDER BY -s ASC, vec_id ASC) AS bucket
+      FROM base
+    ),
+    per AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS n_pos
+      FROM binned GROUP BY bucket
+    ),
+    t AS (SELECT SUM(n) AS nn_tot, SUM(n_pos) AS pp_tot FROM per),
+    cum AS (
+      SELECT a.bucket, a.n, a.n_pos, SUM(b.n_pos) AS cum_pos
+      FROM per a JOIN per b ON b.bucket <= a.bucket
+      GROUP BY a.bucket, a.n, a.n_pos
+    )
+    SELECT bucket, n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS positive_rate,
+           CAST(ROUND(CAST((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(pp_tot AS DOUBLE) / CAST(nn_tot AS DOUBLE)) AS DECIMAL(38,10)), 6) AS DOUBLE) AS lift,
+           CAST(ROUND(CAST(CAST(cum_pos AS DOUBLE) / CAST(pp_tot AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS cumulative_gain
+    FROM cum CROSS JOIN t
+    """,
+)
+def q_val_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains-chart quintiles for the embedding-coordinate scorer: rank
+    descending into 5 equal-frequency buckets via the distributed
+    global rank (vec_id tiebreak — total, reproducible order), per
+    bucket the positive rate, lift vs the base rate, and cumulative
+    gain. The oracle replays the ntile and the ratios."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        decile_lift,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        (F.col("label") <= 4).cast("int").alias("y"),
+    )
+    return decile_lift(e, "score", "y", "vec_id", n_bins=5)

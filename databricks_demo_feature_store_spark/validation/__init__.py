@@ -11,13 +11,16 @@ from databricks_demo_feature_store_spark.validation.schemas import (
 )
 from databricks_demo_feature_store_spark.validation.evaluation import (
     calibration_bins,
+    decile_lift,
     roc_auc,
+    threshold_metrics,
 )
 from databricks_demo_feature_store_spark.validation.drift import (
     count_anomalies,
     ks_drift,
     psi_by_group,
     psi_drift,
+    psi_numeric,
 )
 from databricks_demo_feature_store_spark.validation.monitor import (
     monthly_counts,
@@ -35,7 +38,8 @@ __all__ = [
     "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
     "missing_columns", "QUARTER_FORMAT",
     "monthly_counts", "cross_check", "count_anomalies", "dimension_drift",
-    "ks_drift", "psi_by_group", "psi_drift", "roc_auc", "calibration_bins",
+    "ks_drift", "psi_by_group", "psi_drift", "psi_numeric", "roc_auc",
+    "calibration_bins", "decile_lift", "threshold_metrics",
     "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

@@ -81,6 +81,49 @@ def psi_drift(
     )
 
 
+def psi_numeric(
+    cur: DataFrame,
+    ref: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI for a CONTINUOUS feature: fit ``n_bins`` equal-frequency
+    cutpoints on the REFERENCE slice (exact percentiles, one aggregate
+    row), bin both slices with the broadcast cutpoints (per-row fold,
+    neither slice shuffles for the binning), then score the binned
+    distributions with the categorical PSI. Returns the same one-row
+    shape as :func:`psi_drift` with ``column`` labelling the feature.
+    NULLs form their own bin — a NULL-rate shift is drift.
+
+    Fitting on the reference (not the union) is deliberate: the
+    reference defines the expected distribution, and the fitted bins
+    stay FIXED as new current slices arrive, so PSI series over time are
+    comparable point to point.
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        assign_bins,
+    )
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = ref.agg(
+        F.percentile(
+            F.col(column).cast("double"),
+            F.array(*[F.lit(float(q)) for q in qs]),
+        ).alias("__q")
+    ).select(F.explode("__q").alias("cutpoint"))
+    cur_b = assign_bins(cur, column, cuts, out_col="__bin")
+    ref_b = assign_bins(ref, column, cuts, out_col="__bin")
+    out = psi_drift(cur_b, ref_b, "__bin", round_to=round_to)
+    return out.select(
+        F.lit(column).alias("column"),
+        "psi",
+        "n_categories",
+        "n_cur",
+        "n_ref",
+    )
+
+
 def psi_by_group(
     cur_counts: DataFrame,
     ref_counts: DataFrame,

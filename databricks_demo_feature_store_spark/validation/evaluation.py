@@ -87,6 +87,144 @@ def roc_auc(
     )
 
 
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds,
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision / recall / F1 at each candidate threshold, ALL from one
+    scan: every threshold's TP/FP/FN are conditional sums in a single
+    aggregate (map-side combined — state is 3·|thresholds| longs), then
+    the ratios are row-local. One row per threshold:
+    ``(threshold, tp, fp, fn, precision, recall, f1)``; predictions use
+    ``score >= threshold``. The operating-point sweep you run before
+    fixing the curation classifier's cut.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.select(s.alias("__s"), y.alias("__y")).where(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col("__s") >= F.lit(float(t))
+        aggs += [
+            F.sum((pred & (F.col("__y") == 1)).cast("long")).alias(f"__tp_{i}"),
+            F.sum((pred & (F.col("__y") == 0)).cast("long")).alias(f"__fp_{i}"),
+            F.sum(((~pred) & (F.col("__y") == 1)).cast("long")).alias(f"__fn_{i}"),
+        ]
+    one = base.agg(*aggs)
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"__tp_{i}").alias("tp"),
+                F.col(f"__fp_{i}").alias("fp"),
+                F.col(f"__fn_{i}").alias("fn"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    rows = one.select(F.explode(per).alias("m")).select("m.*")
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return rows.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        dround(precision, round_to).alias("precision"),
+        dround(recall, round_to).alias("recall"),
+        dround(f1, round_to).alias("f1"),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lift/gains-chart data: rank by score DESCENDING into ``n_bins``
+    equal-frequency buckets (bucket 1 = highest scores) via the
+    distributed global rank, then per bucket the positive rate and
+    lift = bucket rate / overall rate — "how much better than random is
+    the top decile" — plus the cumulative gain (share of all positives
+    captured down to this bucket). One row per bucket. ``id_col`` breaks
+    score ties so bucket assignment is total and reproducible (never a
+    partition-layout-dependent tiebreak).
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        quantile_bin,
+    )
+
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(id_col).alias("__tb"),
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    # descending score order = ascending (-score); tiebreak keeps the
+    # order total
+    binned = quantile_bin(
+        base.withColumn("__neg_s", -F.col("__s")),
+        "__neg_s",
+        n_bins,
+        out_col="bucket",
+        tiebreak_cols=["__tb"],
+    )
+    per = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("__N"), F.sum("n_pos").alias("__P")
+    )
+    pt = per.crossJoin(F.broadcast(tot))
+    # cumulative positives over the ≤ n_bins bucket rows via a broadcast
+    # triangular self-join (no unpartitioned window, same trick as the
+    # rank offsets)
+    a, b = pt.alias("__dl_a"), per.alias("__dl_b")
+    cum = (
+        a.join(
+            F.broadcast(b),
+            F.col("__dl_b.bucket") <= F.col("__dl_a.bucket"),
+        )
+        .groupBy(
+            F.col("__dl_a.bucket").alias("bucket"),
+            F.col("__dl_a.n").alias("n"),
+            F.col("__dl_a.n_pos").alias("n_pos"),
+            F.col("__dl_a.__N").alias("__N"),
+            F.col("__dl_a.__P").alias("__P"),
+        )
+        .agg(F.sum(F.col("__dl_b.n_pos")).alias("__cum_pos"))
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    overall = F.col("__P").cast("double") / F.col("__N").cast("double")
+    return cum.select(
+        "bucket",
+        "n",
+        "n_pos",
+        dround(rate, round_to).alias("positive_rate"),
+        dround(F.when(overall > 0, rate / overall), round_to).alias("lift"),
+        dround(
+            F.when(
+                F.col("__P") > 0,
+                F.col("__cum_pos").cast("double") / F.col("__P").cast("double"),
+            ),
+            round_to,
+        ).alias("cumulative_gain"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

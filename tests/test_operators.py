@@ -687,3 +687,23 @@ def test_key_skew_profile_summary(spark):
     assert byrank[1]["total_rows"] == 100 and byrank[1]["distinct_keys"] == 4
     assert byrank[1]["max_share"] == byrank[1]["share"]
     assert 0 < byrank[1]["balance"] < 0.8  # far from uniform
+
+
+def test_join_size_estimate_exact(spark):
+    """Estimate equals the actually-run join's count, including the
+    dominant key's contribution; NULL keys never match."""
+    from databricks_demo_feature_store_spark.operators.diagnostics import (
+        join_size_estimate,
+    )
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [(None,)], ["k"]
+    )
+    right = spark.createDataFrame([("a",)] * 4 + [("b",)] * 1 + [(None,)], ["k"])
+    est = join_size_estimate(left, right, "k").collect()[0]
+    real = left.join(right, "k").count()
+    assert est["join_rows"] == real == 3 * 4 + 2 * 1
+    assert est["matched_keys"] == 2
+    assert est["top_key"] == "a" and est["top_key_rows"] == 12
+    assert abs(est["top_key_share"] - 12 / 14) < 1e-6
+    assert est["left_rows"] == 6 and est["right_rows"] == 6

@@ -344,3 +344,45 @@ def test_calibration_bins_rates(spark):
     edge = spark.createDataFrame([(-0.2, 0), (1.3, 1)], ["s", "y"])
     got = {r["bin"] for r in calibration_bins(edge, "s", "y", 10).collect()}
     assert got == {1, 10}
+
+
+def test_psi_numeric_detects_shift(spark):
+    """A mean-shifted numeric slice scores high PSI; the identical
+    distribution scores ~0 (bins fitted on the reference)."""
+    from databricks_demo_feature_store_spark.validation.drift import psi_numeric
+
+    ref = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    same = psi_numeric(ref, ref, "x", n_bins=4).collect()[0]
+    assert abs(same["psi"]) < 1e-4 and same["n_categories"] == 4
+    shifted = spark.createDataFrame([(float(v + 80),) for v in range(100)], ["x"])
+    assert psi_numeric(shifted, ref, "x", n_bins=4).collect()[0]["psi"] > 1.0
+
+
+def test_threshold_metrics_counts(spark):
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        threshold_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.4, 1), (0.1, 0)], ["s", "y"]
+    )
+    out = {r["threshold"]: r for r in
+           threshold_metrics(df, "s", "y", [0.5]).collect()}
+    r = out[0.5]
+    assert (r["tp"], r["fp"], r["fn"]) == (1, 1, 1)
+    assert r["precision"] == 0.5 and r["recall"] == 0.5 and r["f1"] == 0.5
+
+
+def test_decile_lift_orders_buckets(spark):
+    """Perfect scorer: top bucket lift = 1/base_rate, cumulative gain
+    reaches 1.0 by the bucket holding the last positive."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        decile_lift,
+    )
+
+    rows = [(i, 1.0 - i / 100.0, 1 if i < 20 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "s", "y"])
+    out = {r["bucket"]: r for r in decile_lift(df, "s", "y", "id", n_bins=5).collect()}
+    assert out[1]["positive_rate"] == 1.0 and out[1]["lift"] == 5.0
+    assert out[1]["cumulative_gain"] == 1.0  # all positives in the top quintile
+    assert out[5]["positive_rate"] == 0.0
