@@ -109,6 +109,54 @@ def random_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "projected",
+    round_to: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    dimensions: ``y_j = (1/√out_dim) · v · p_j`` with the same
+    md5-derived deterministic planes the sign-LSH uses — pairwise
+    distances are preserved to (1±ε) with out_dim = O(log n / ε²), which
+    makes downstream brute-force / IVF / PQ stages ~d/out_dim cheaper.
+    Appends ``out_col`` (array<double>); pure column algebra (one fold
+    per output component over the broadcast-inlined plane constants), no
+    shuffle, no Python. Components are rounded so the projection
+    round-trips exactly through SQL literals — the same engine-parity
+    trick as :func:`random_planes`.
+    """
+    import math
+
+    if dim is None:
+        # 1-row dimension probe (array length is not schema metadata);
+        # pass dim explicitly to keep the plan fully lazy
+        first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
+    planes = random_planes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = [
+        dround(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(c) for c in planes[j]]),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+            round_to,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select("*", F.array(*comps).alias(out_col))
+
+
 def sign_bucket_col(
     vec: Column, nbits: int = 8, planes: list[list[float]] | None = None
 ) -> Column:

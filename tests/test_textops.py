@@ -983,3 +983,44 @@ def test_weighted_k_sample_biases_toward_weight(spark):
     assert heavy > 40
     again = [r["doc_id"] for r in weighted_k_sample(df, 60, "doc_id", "w", seed=3).collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: projected pairwise distances correlate strongly with
+    the originals (deterministic planes, no shuffle, exact re-run)."""
+    import math
+    import random
+
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        random_projection,
+    )
+
+    random.seed(29)
+    # varying radii give a wide spread of true pairwise distances (iid
+    # gaussian points concentrate — every distance is ~equal, which
+    # makes correlation meaningless, not the projection wrong)
+    rows = [
+        (i, [random.gauss(0, 1) * (1.0 + i / 5.0) for _ in range(32)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["projected"]
+           for r in random_projection(df, 12, dim=32, seed=7).collect()}
+    again = {r["vec_id"]: r["projected"]
+             for r in random_projection(df, 12, dim=32, seed=7).collect()}
+    assert out == again  # deterministic
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    orig = {r[0]: r[1] for r in rows}
+    pairs = [(i, j) for i in range(0, 40, 4) for j in range(1, 40, 7) if i < j]
+    d0 = [dist(orig[i], orig[j]) for i, j in pairs]
+    d1 = [dist(out[i], out[j]) for i, j in pairs]
+    # Pearson correlation of distance vectors
+    n = len(pairs)
+    m0, m1 = sum(d0) / n, sum(d1) / n
+    cov = sum((a - m0) * (b - m1) for a, b in zip(d0, d1))
+    var0 = math.sqrt(sum((a - m0) ** 2 for a in d0))
+    var1 = math.sqrt(sum((b - m1) ** 2 for b in d1))
+    assert cov / (var0 * var1) > 0.6
