@@ -67,6 +67,8 @@ HEADLINE = [
     "q_val_threshold_metrics",
     "q_val_decile_lift",
     "q_join_size_estimate",
+    "q_table_diff",
+    "q_scd2_intervals",
     "q_rsi",
 ]
 

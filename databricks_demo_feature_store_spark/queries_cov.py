@@ -1438,3 +1438,112 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "c_custkey",
     )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH before AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    after AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN '0-RUSH' ELSE o_orderpriority END AS o_orderpriority,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 17 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+             b.o_orderkey IS NOT NULL AS in_b,
+             a.o_orderkey IS NOT NULL AS in_a,
+             (b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority)
+               AND (b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice) AS same
+      FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_b THEN 'added'
+                WHEN NOT in_a THEN 'removed'
+                WHEN same THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM j
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff on the order key: a deterministic 'next version'
+    (every 17th order dropped, every 5th re-prioritized, every 13th
+    newly added) against the previous one — one null-safe full-outer
+    join, row-local status. The review surface before promoting a
+    versioned write; the oracle replays the join and the status CASE."""
+    from databricks_demo_feature_store_spark.operators.history import table_diff
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    before = o.where(F.col("o_orderkey") % 13 != 0)
+    after = o.where(F.col("o_orderkey") % 17 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("0-RUSH")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return table_diff(before, after, ["o_orderkey"])
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, CAST(ts AS DATE) AS snap_day,
+             MAX(event_type) AS state
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT user_id, snap_day, state,
+             CASE WHEN LAG(snap_day) OVER w IS NULL
+                  OR state IS DISTINCT FROM LAG(state) OVER w
+                  THEN 1 ELSE 0 END AS new_run
+      FROM snaps
+      WINDOW w AS (PARTITION BY user_id ORDER BY snap_day ASC)
+    ),
+    runs AS (
+      SELECT user_id, snap_day, state,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY snap_day ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM flagged
+    ),
+    per_run AS (
+      SELECT user_id, run, MIN(snap_day) AS effective_from,
+             MIN(state) AS state
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id, state,
+           CAST(effective_from AS TIMESTAMP) AS effective_from,
+           CAST(LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from ASC) AS TIMESTAMP) AS effective_to,
+           LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from ASC) IS NULL AS is_current
+    FROM per_run
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compression of a daily per-user state series (max event
+    type per day): unbroken runs of identical state collapse into
+    validity intervals with effective_from/effective_to/is_current —
+    gaps-and-islands on ONE per-user sort, storage linear in CHANGES
+    not snapshots. The oracle replays flagging, run numbering and the
+    interval bounds."""
+    from databricks_demo_feature_store_spark.operators.history import build_scd2
+
+    snaps = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.col("ts").cast("date").alias("snap_day")
+        )
+        .agg(F.max("event_type").alias("state"))
+    )
+    out = build_scd2(snaps, ["user_id"], ["state"], "snap_day")
+    return out.select(
+        "user_id", "state",
+        F.col("effective_from").cast("timestamp").alias("effective_from"),
+        F.col("effective_to").cast("timestamp").alias("effective_to"),
+        "is_current",
+    )

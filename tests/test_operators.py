@@ -707,3 +707,43 @@ def test_join_size_estimate_exact(spark):
     assert est["top_key"] == "a" and est["top_key_rows"] == 12
     assert abs(est["top_key_share"] - 12 / 14) < 1e-6
     assert est["left_rows"] == 6 and est["right_rows"] == 6
+
+
+def test_table_diff_statuses(spark):
+    from databricks_demo_feature_store_spark.operators.history import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)], "k int, s string, v double"
+    )
+    after = spark.createDataFrame(
+        [(2, "B", 2.0), (3, "c", None), (4, "d", 4.0)], "k int, s string, v double"
+    )
+    out = {r["k"]: r["status"] for r in table_diff(before, after, ["k"]).collect()}
+    assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_build_scd2_runs_and_bounds(spark):
+    """Runs of identical state collapse; a reverted state opens a NEW
+    interval (A,A,B,A → three intervals); NULL states compare
+    null-safe."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.history import build_scd2
+
+    d = lambda day: dt.date(2024, 1, day)
+    rows = [
+        (1, d(1), "A"), (1, d(2), "A"), (1, d(3), "B"), (1, d(4), "A"),
+        (2, d(1), None), (2, d(2), None), (2, d(3), "X"),
+    ]
+    df = spark.createDataFrame(rows, "k int, day date, state string")
+    out = sorted(
+        (r["k"], r["effective_from"], r["effective_to"], r["state"], r["is_current"])
+        for r in build_scd2(df, ["k"], ["state"], "day").collect()
+    )
+    assert out == [
+        (1, d(1), d(3), "A", False),
+        (1, d(3), d(4), "B", False),
+        (1, d(4), None, "A", True),
+        (2, d(1), d(3), None, False),
+        (2, d(3), None, "X", True),
+    ]
