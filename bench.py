@@ -60,6 +60,7 @@ HEADLINE = [
     "q_event_decay",
     "q_val_count_anomalies",
     "q_stream_psi_drift",
+    "q_stream_count_anomalies",
     "q_key_skew_profile",
     "q_val_roc_auc",
     "q_val_calibration",

@@ -1060,3 +1060,51 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return psi_by_group(counts, ref)
+
+
+@register(
+    "q_stream_count_anomalies",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS period,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT period, n_rows,
+             AVG(CAST(n_rows AS DOUBLE)) OVER w AS m,
+             STDDEV_SAMP(CAST(n_rows AS DOUBLE)) OVER w AS s
+      FROM counts
+      WINDOW w AS (ORDER BY period ASC ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT period, n_rows,
+           CAST(ROUND(CAST(m AS DECIMAL(38,10)), 6) AS DOUBLE) AS baseline_mean,
+           CAST(ROUND(CAST(CASE WHEN s > 0 THEN (CAST(n_rows AS DOUBLE) - m) / s END
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS zscore,
+           COALESCE(ABS(CASE WHEN s > 0 THEN (CAST(n_rows AS DOUBLE) - m) / s END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def q_stream_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume monitor: the streaming engine maintains hourly
+    event counts (watermarked tumbling windows, availableNow replay);
+    each completed window becomes a trailing-24h z-score anomaly point
+    via the batch finisher anomalies_from_counts — no re-scan of raw
+    events, the same split-responsibility shape as the streaming PSI
+    monitor. The oracle replays windows and the z-score frame."""
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        hourly_counts,
+        read_events_stream,
+        run_available_now,
+    )
+    from databricks_demo_feature_store_spark.validation.drift import (
+        anomalies_from_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = run_available_now(hourly_counts(stream)).select(
+        F.col("hour_start").alias("period"),
+        F.col("n_events").alias("n_rows"),
+    )
+    return anomalies_from_counts(counts, trailing=24, z_threshold=3.0)

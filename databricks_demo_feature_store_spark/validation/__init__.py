@@ -16,6 +16,7 @@ from databricks_demo_feature_store_spark.validation.evaluation import (
     threshold_metrics,
 )
 from databricks_demo_feature_store_spark.validation.drift import (
+    anomalies_from_counts,
     count_anomalies,
     ks_drift,
     psi_by_group,
@@ -37,7 +38,8 @@ from databricks_demo_feature_store_spark.validation.monitor import (
 __all__ = [
     "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
     "missing_columns", "QUARTER_FORMAT",
-    "monthly_counts", "cross_check", "count_anomalies", "dimension_drift",
+    "monthly_counts", "cross_check", "anomalies_from_counts",
+    "count_anomalies", "dimension_drift",
     "ks_drift", "psi_by_group", "psi_drift", "psi_numeric", "roc_auc",
     "calibration_bins", "decile_lift", "threshold_metrics",
     "outdateness", "profile_columns",

@@ -246,11 +246,38 @@ def count_anomalies(
     counts = df.groupBy(period.alias("period")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+    return anomalies_from_counts(
+        counts, trailing=trailing, z_threshold=z_threshold, round_to=round_to
+    )
+
+
+def anomalies_from_counts(
+    counts: DataFrame,
+    period_col: str = "period",
+    n_col: str = "n_rows",
+    trailing: int = 6,
+    z_threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """The scoring stage of :func:`count_anomalies` for
+    PRE-AGGREGATED period counts — e.g. the streaming monitor's
+    windowed counts (`streaming/ops.py hourly_counts` /
+    `windowed_category_counts`) replayed through `run_available_now` or
+    a foreachBatch sink: each completed window becomes an anomaly point
+    without re-scanning raw events. Same trailing-z-score semantics and
+    output shape, with ``period``/``n_rows`` taken from the given
+    columns."""
+    from pyspark.sql import Window as W
+
+    base = counts.select(
+        F.col(period_col).alias("period"),
+        F.col(n_col).alias("n_rows"),
+    )
     w = W.orderBy("period").rowsBetween(-trailing, -1)
     mean = F.avg(F.col("n_rows").cast("double")).over(w)
     std = F.stddev_samp(F.col("n_rows").cast("double")).over(w)
     z = F.when(std > 0, (F.col("n_rows").cast("double") - mean) / std)
-    return counts.select(
+    return base.select(
         "period",
         "n_rows",
         dround(mean, round_to).alias("baseline_mean"),

@@ -386,3 +386,27 @@ def test_decile_lift_orders_buckets(spark):
     assert out[1]["positive_rate"] == 1.0 and out[1]["lift"] == 5.0
     assert out[1]["cumulative_gain"] == 1.0  # all positives in the top quintile
     assert out[5]["positive_rate"] == 0.0
+
+
+def test_anomalies_from_counts_matches_raw_path(spark):
+    """The pre-aggregated scoring stage gives identical output to
+    count_anomalies over the raw rows."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.validation.drift import (
+        anomalies_from_counts,
+        count_anomalies,
+    )
+
+    rows = []
+    for day in range(1, 9):
+        n = 50 + day % 4 + (300 if day == 6 else 0)
+        rows += [(dt.datetime(2024, 5, day, 9, 0, 0),)] * n
+    raw = spark.createDataFrame(rows, "ts timestamp")
+    via_raw = sorted(map(tuple, count_anomalies(raw, "ts", trailing=4, grain="day").collect()))
+    counts = raw.groupBy(F.col("ts").cast("date").alias("period")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    via_counts = sorted(map(tuple, anomalies_from_counts(counts, trailing=4).collect()))
+    assert via_raw == via_counts
+    assert any(r[-1] for r in via_counts)  # the day-6 spike flags

@@ -41,7 +41,17 @@ _BENIGN_CHAIN = (
     "SubqueryAlias",
     "Deduplicate",
 )
-_BOUNDED_LEAVES = ("Aggregate", "LocalRelation", "OneRowRelation", "GlobalLimit")
+_BOUNDED_LEAVES = (
+    "Aggregate",
+    "LocalRelation",
+    "OneRowRelation",
+    "GlobalLimit",
+    # run_available_now sinks: every memory-sink view in this engine
+    # holds a REPLAYED STREAMING AGGREGATE (windowed, watermark-bounded
+    # state — one row per window/key), so a window over it is the
+    # tiny-frame pattern, not a raw-data sort
+    "MemoryPlan MemorySink",
+)
 
 
 def _depth(line: str) -> int:
