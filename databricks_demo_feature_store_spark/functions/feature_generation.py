@@ -432,11 +432,18 @@ def quantile_bin(
     table against a fixed distribution, fit cutpoints once and use
     :func:`assign_bins` (broadcast fold, zero shuffles of the fact
     side).
+
+    NULL values get a NULL bin (matching :func:`assign_bins`) — ranking
+    them would silently conflate "missing" with "lowest bucket" and
+    skew bin 1's population; the ntile boundaries are computed over the
+    non-NULL values only.
     """
     out_col = out_col or f"{column}_qbin{n_bins}"
     order = [F.col(c).asc() for c in [column, *tiebreak_cols]]
+    non_null = df.where(F.col(column).isNotNull())
+    nulls = df.where(F.col(column).isNull())
     ranked = attach_global_rank(
-        df, order, rank_col="__qb_rank", total_col="__qb_total"
+        non_null, order, rank_col="__qb_rank", total_col="__qb_total"
     )
     r = F.col("__qb_rank")
     n, k = F.col("__qb_total"), F.lit(int(n_bins)).cast("long")
@@ -449,7 +456,10 @@ def quantile_bin(
     ).otherwise(
         rem + F.floor((r - threshold + q - F.lit(1)) / q)
     )
-    return ranked.select(*df.columns, bucket.cast("int").alias(out_col))
+    binned = ranked.select(*df.columns, bucket.cast("int").alias(out_col))
+    return binned.unionByName(
+        nulls.select(*df.columns, F.lit(None).cast("int").alias(out_col))
+    )
 
 
 def feature_correlations(

@@ -30,26 +30,29 @@ def join_size_estimate(
     output/input tells you whether the join explodes; ``top_key_share``
     tells you whether ONE key dominates the output (the straggler that
     AQE skew-split or `salted_join` must handle). NULL keys never match
-    (SQL semantics) and are excluded.
+    (SQL semantics) but their rows still count toward the input totals.
 
     Run this BEFORE a 100 TB fact-fact join: the estimate costs two
     shuffles of (key, count) pairs; the mistake it prevents costs the
     cluster.
     """
     rk = right_key or left_key
-    lc = (
-        left.where(F.col(left_key).isNotNull())
-        .groupBy(F.col(left_key).cast("string").alias("key"))
-        .agg(F.count(F.lit(1)).alias("__nl"))
+    # group on the RAW key (NULL group included) so the match join below
+    # gets Spark's own type coercion — exactly what the real join would
+    # do; a stringified compare would miss DOUBLE-vs-BIGINT matches the
+    # real join makes. NULLs never equi-join, so the NULL groups simply
+    # don't match; their rows still count toward the totals.
+    lc = left.groupBy(F.col(left_key).alias("__kl")).agg(
+        F.count(F.lit(1)).alias("__nl")
     )
-    rc = (
-        right.where(F.col(rk).isNotNull())
-        .groupBy(F.col(rk).cast("string").alias("key"))
-        .agg(F.count(F.lit(1)).alias("__nr"))
+    rc = right.groupBy(F.col(rk).alias("__kr")).agg(
+        F.count(F.lit(1)).alias("__nr")
     )
     dec = "decimal(38,0)"
     prod = (F.col("__nl").cast(dec) * F.col("__nr").cast(dec)).alias("__out")
-    pairs = lc.join(rc, "key").select("key", "__nl", "__nr", prod)
+    pairs = lc.join(rc, F.col("__kl") == F.col("__kr")).select(
+        F.col("__kl").cast("string").alias("key"), "__nl", "__nr", prod
+    )
     totals = pairs.agg(
         F.sum("__out").alias("__join_rows"),
         F.count(F.lit(1)).alias("__matched"),
@@ -61,8 +64,10 @@ def join_size_estimate(
             F.struct(F.col("__out").alias("o"), F.col("key").alias("k")),
         ).alias("__top"),
     )
-    lt = left.agg(F.count(F.lit(1)).alias("__lrows"))
-    rt = right.agg(F.count(F.lit(1)).alias("__rrows"))
+    # total rows come from the count frames already computed — no second
+    # full scan of either raw table
+    lt = lc.agg(F.coalesce(F.sum("__nl"), F.lit(0)).alias("__lrows"))
+    rt = rc.agg(F.coalesce(F.sum("__nr"), F.lit(0)).alias("__rrows"))
     out = totals.crossJoin(F.broadcast(lt)).crossJoin(F.broadcast(rt))
     join_rows = F.coalesce(F.col("__join_rows"), F.lit(0).cast(dec))
     denom = (F.col("__lrows") + F.col("__rrows")).cast("double")

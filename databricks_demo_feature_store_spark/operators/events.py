@@ -161,18 +161,22 @@ def event_transitions(
     tags each event with its predecessor type, then a single pair
     aggregation with map-side combine; the probability join is against
     the tiny per-from_type margin. State scales with distinct type
-    PAIRS, never users or events.
+    PAIRS, never users or events. NULL event types count as their own
+    '__null__' category BEFORE the lag — a NULL-typed predecessor is a
+    real predecessor, not a session start (the same NULL convention as
+    psi_drift / chi2_association / key_skew_profile).
     """
     from pyspark.sql import Window as W
 
     w = W.partitionBy(F.col(user_col)).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
+    cat = F.coalesce(F.col(type_col).cast("string"), F.lit("__null__"))
     pairs = events.select(
-        F.coalesce(F.lag(F.col(type_col)).over(w), F.lit(start_label)).alias(
+        F.coalesce(F.lag(cat).over(w), F.lit(start_label)).alias(
             "from_type"
         ),
-        F.col(type_col).alias("to_type"),
+        cat.alias("to_type"),
     )
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_transitions")

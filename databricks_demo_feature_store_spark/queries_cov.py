@@ -1148,11 +1148,16 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_event_transitions",
     oracle="""
-    WITH pairs AS (
-      SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
-                        ORDER BY ts ASC, event_id ASC), '__start__') AS from_type,
-             event_type AS to_type
+    WITH typed AS (
+      SELECT user_id, ts, event_id,
+             COALESCE(CAST(event_type AS VARCHAR), '__null__') AS cat
       FROM events
+    ),
+    pairs AS (
+      SELECT COALESCE(LAG(cat) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC), '__start__') AS from_type,
+             cat AS to_type
+      FROM typed
     ),
     counts AS (
       SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions

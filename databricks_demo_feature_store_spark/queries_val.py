@@ -429,8 +429,10 @@ def q_val_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(CAST(m AS DECIMAL(38,10)), 6) AS DOUBLE) AS baseline_mean,
            CAST(ROUND(CAST(CASE WHEN s > 0 THEN (CAST(n_rows AS DOUBLE) - m) / s END
                 AS DECIMAL(38,10)), 6) AS DOUBLE) AS zscore,
-           COALESCE(ABS(CASE WHEN s > 0 THEN (CAST(n_rows AS DOUBLE) - m) / s END) > 3.0,
-                    FALSE) AS is_anomaly
+           (COALESCE(ABS(CASE WHEN s > 0 THEN (CAST(n_rows AS DOUBLE) - m) / s END) > 3.0,
+                     FALSE)
+            OR COALESCE(s = 0 AND m IS NOT NULL AND CAST(n_rows AS DOUBLE) <> m,
+                        FALSE)) AS is_anomaly
     FROM scored
     """,
 )

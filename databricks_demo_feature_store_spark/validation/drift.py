@@ -234,8 +234,6 @@ def count_anomalies(
     right plan (and what the audit's aggregated-input exemption is
     for).
     """
-    from pyspark.sql import Window as W
-
     if grain not in ("month", "week", "day"):
         raise ValueError(f"count_anomalies grain must be month|week|day, got {grain!r}")
     period = (
@@ -277,14 +275,24 @@ def anomalies_from_counts(
     mean = F.avg(F.col("n_rows").cast("double")).over(w)
     std = F.stddev_samp(F.col("n_rows").cast("double")).over(w)
     z = F.when(std > 0, (F.col("n_rows").cast("double") - mean) / std)
+    # a ZERO-variance baseline (constant trailing counts) makes any
+    # deviation an automatic anomaly: z is undefined (NULL) there, but
+    # the flag must still fire — a flat-quota source dropping to 0 is
+    # the monitor's headline case, not a pass
+    flat_break = (
+        (std == 0)
+        & mean.isNotNull()
+        & (F.col("n_rows").cast("double") != mean)
+    )
     return base.select(
         "period",
         "n_rows",
         dround(mean, round_to).alias("baseline_mean"),
         dround(z, round_to).alias("zscore"),
-        F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False)).alias(
-            "is_anomaly"
-        ),
+        (
+            F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False))
+            | F.coalesce(flat_break, F.lit(False))
+        ).alias("is_anomaly"),
     )
 
 

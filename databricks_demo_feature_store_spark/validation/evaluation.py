@@ -22,7 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from databricks_demo_feature_store_spark.functions.rounding import dround
 

@@ -364,3 +364,19 @@ def test_winsorize_clips_to_percentiles(spark):
     assert abs(out[100.0] - 90.1) < 1e-9 and abs(out[95.0] - 90.1) < 1e-9
     assert out[50.0] == 50.0
     assert out[None] is None
+
+
+def test_quantile_bin_nulls_get_null_bin(spark):
+    """NULL values take a NULL bin (matching assign_bins) and the ntile
+    boundaries are computed over non-NULL values only."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        quantile_bin,
+    )
+
+    rows = [(i, float(i)) for i in range(8)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    out = {r["id"]: r["v_qbin4"] for r in
+           quantile_bin(df, "v", 4, tiebreak_cols=["id"]).collect()}
+    assert out[100] is None and out[101] is None
+    # 8 non-null values into 4 bins of 2
+    assert [out[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]

@@ -747,3 +747,40 @@ def test_build_scd2_runs_and_bounds(spark):
         (2, d(1), d(3), None, False),
         (2, d(3), None, "X", True),
     ]
+
+
+def test_event_transitions_null_type_is_category(spark):
+    """A NULL-typed predecessor is a real predecessor ('__null__'), not
+    a session start."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import (
+        event_transitions,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [(1, t(1), 1, None), (2, t(2), 1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {(r["from_type"], r["to_type"]) for r in event_transitions(df).collect()}
+    assert ("__start__", "__null__") in out
+    assert ("__null__", "purchase") in out
+    assert ("__start__", "purchase") not in out
+
+
+def test_join_size_estimate_numeric_coercion(spark):
+    """DOUBLE 1.0 on one side matches BIGINT 1 on the other — the same
+    coercion the real join applies; a stringified compare would miss
+    it."""
+    from databricks_demo_feature_store_spark.operators.diagnostics import (
+        join_size_estimate,
+    )
+
+    left = spark.createDataFrame([(1.0,), (1.0,), (2.5,)], "k double")
+    right = spark.createDataFrame([(1,), (2,)], "k bigint")
+    est = join_size_estimate(left, right, "k").collect()[0]
+    real = left.join(right.withColumnRenamed("k", "k2"),
+                     F.col("k") == F.col("k2")).count()
+    assert est["join_rows"] == real == 2
+    assert est["left_rows"] == 3 and est["right_rows"] == 2

@@ -410,3 +410,22 @@ def test_anomalies_from_counts_matches_raw_path(spark):
     via_counts = sorted(map(tuple, anomalies_from_counts(counts, trailing=4).collect()))
     assert via_raw == via_counts
     assert any(r[-1] for r in via_counts)  # the day-6 spike flags
+
+
+def test_count_anomalies_zero_variance_baseline(spark):
+    """A flat baseline (stddev 0) must still flag any deviation — the
+    quota-fed-source collapse case; an unchanged flat count does not
+    flag."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.validation.drift import count_anomalies
+
+    rows = []
+    for day in range(1, 8):
+        n = 100 if day != 7 else 3  # flat, then collapse
+        rows += [(dt.datetime(2024, 6, day),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["period"].day: r for r in
+           count_anomalies(df, "ts", trailing=5, grain="day").collect()}
+    assert out[7]["is_anomaly"] is True and out[7]["zscore"] is None
+    assert out[6]["is_anomaly"] is False  # flat and unchanged
