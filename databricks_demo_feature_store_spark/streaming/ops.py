@@ -283,8 +283,10 @@ def interval_join_stream(
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
-        (rw[right_ts] >= lw[left_ts] + F.expr(f"INTERVAL {int(lower_seconds)} SECOND"))
-        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {int(upper_seconds)} SECOND"))
+        (rw[right_ts] >= lw[left_ts]
+         + F.expr(f"INTERVAL {int(lower_seconds * 1000)} MILLISECOND"))
+        & (rw[right_ts] <= lw[left_ts]
+           + F.expr(f"INTERVAL {int(upper_seconds * 1000)} MILLISECOND"))
     )
     for k in on:
         cond = cond & (lw[k] == rw[k])

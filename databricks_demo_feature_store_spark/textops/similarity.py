@@ -690,17 +690,8 @@ def pq_codebooks(
     """
     from pyspark.sql import Window as W
 
-    subs = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-    ).select(
-        "__id",
-        "sub",
-        F.expr(
-            f"transform(slice(__v, sub * (size(__v) div {m}) + 1,"
-            f" size(__v) div {m}), x -> CAST(x AS DOUBLE))"
-        ).alias("centroid"),
+    subs = _pq_subvectors(corpus, m, id_col, vec_col).withColumnRenamed(
+        "__sv", "centroid"
     )
     w = W.partitionBy("sub").orderBy(
         F.md5(F.concat_ws(":", F.col("sub"), F.col("__id"))).asc(), F.col("__id").asc()
@@ -819,17 +810,8 @@ def pq_encode(
     ``min_by`` argmin per (row, sub) with map-side combine, re-assemble
     the code array in subspace order. Returns (id, codes array<int>).
     """
-    subs = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-    ).select(
-        id_col,
-        "sub",
-        F.expr(
-            f"transform(slice(__v, sub * (size(__v) div {m}) + 1,"
-            f" size(__v) div {m}), x -> CAST(x AS DOUBLE))"
-        ).alias("__sv"),
+    subs = _pq_subvectors(corpus, m, id_col, vec_col).withColumnRenamed(
+        "__id", id_col
     )
     scored = subs.join(F.broadcast(codebooks), on="sub").select(
         id_col,
@@ -875,19 +857,15 @@ def pq_adc_topk(
     from pyspark.sql import Window as W
 
     qid = query_id_col or id_col
-    qsubs = query.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-    ).select(
-        "query_id",
-        "sub",
-        F.expr(
-            f"transform(slice(__qv, sub * (size(__qv) div {m}) + 1,"
-            f" size(__qv) div {m}), x -> CAST(x AS DOUBLE))"
-        ).alias("__qs"),
+    qsubs = (
+        _pq_subvectors(query, m, qid, vec_col)
+        .withColumnRenamed("__id", "query_id")
+        .withColumnRenamed("__sv", "__qs")
     )
-    # per (query, sub): ordered array of distances to codes 0..k-1
+    # per (query, sub): distances keyed BY CODE (a map, not a dense
+    # positional array — Lloyd-refined codebooks may have dropped empty
+    # codes, leaving non-contiguous code labels; positional indexing
+    # would silently read the wrong entry)
     lut = (
         qsubs.join(F.broadcast(codebooks), on="sub")
         .select(
@@ -898,17 +876,15 @@ def pq_adc_topk(
         )
         .groupBy("query_id", "sub")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "__d"))),
-                lambda s: s["__d"],
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("code", "__d")))
             ).alias("__dists")
         )
         .groupBy("query_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "__dists"))),
-                lambda s: s["__dists"],
-            ).alias("__lut")  # m × k distance table
+            F.map_from_entries(F.collect_list(F.struct("sub", "__dists"))).alias(
+                "__lut"
+            )  # map sub → (map code → distance); maps need no sort order
         )
     )
     scored = codes.crossJoin(F.broadcast(lut)).select(
@@ -919,8 +895,8 @@ def pq_adc_topk(
             F.lit(0.0),
             lambda acc, j: acc
             + F.element_at(
-                F.element_at(F.col("__lut"), j + 1),
-                F.element_at(F.col("codes"), j + 1) + 1,
+                F.element_at(F.col("__lut"), j),
+                F.element_at(F.col("codes"), j + 1),
             ),
         ).alias("__adc"),
     )
@@ -979,16 +955,18 @@ def ivfpq_topk(
     )
 
     # per-query LUT (m × pq_k squared L2 distances), broadcast with probes
-    qsubs = probes.select("query_id", "__qv", "cluster").dropDuplicates(
-        ["query_id"]
-    ).select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.expr(
-            f"transform(slice(__qv, sub * (size(__qv) div {m}) + 1,"
-            f" size(__qv) div {m}), x -> CAST(x AS DOUBLE))"
-        ).alias("__qs"),
+    qsubs = (
+        _pq_subvectors(
+            probes.select("query_id", "__qv").dropDuplicates(["query_id"]),
+            m,
+            "query_id",
+            "__qv",
+        )
+        .withColumnRenamed("__id", "query_id")
+        .withColumnRenamed("__sv", "__qs")
     )
+    # code-keyed maps, not dense positional arrays — refined codebooks
+    # may carry non-contiguous code labels after Lloyd drop-out
     lut = (
         qsubs.join(F.broadcast(cb), on="sub")
         .select(
@@ -997,17 +975,15 @@ def ivfpq_topk(
         )
         .groupBy("query_id", "sub")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("code", "__d"))),
-                lambda s: s["__d"],
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("code", "__d")))
             ).alias("__dists")
         )
         .groupBy("query_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "__dists"))),
-                lambda s: s["__dists"],
-            ).alias("__lut")
+            F.map_from_entries(F.collect_list(F.struct("sub", "__dists"))).alias(
+                "__lut"
+            )  # map sub → (map code → distance); maps need no sort order
         )
     )
 
@@ -1022,8 +998,8 @@ def ivfpq_topk(
             F.lit(0.0),
             lambda acc, j: acc
             + F.element_at(
-                F.element_at(F.col("__lut"), j + 1),
-                F.element_at(F.col("codes"), j + 1) + 1,
+                F.element_at(F.col("__lut"), j),
+                F.element_at(F.col("codes"), j + 1),
             ),
         ).alias("__adc"),
     )

@@ -1024,3 +1024,36 @@ def test_random_projection_preserves_distances(spark):
     var0 = math.sqrt(sum((a - m0) ** 2 for a in d0))
     var1 = math.sqrt(sum((b - m1) ** 2 for b in d1))
     assert cov / (var0 * var1) > 0.6
+
+
+def test_pq_adc_handles_noncontiguous_codes(spark):
+    """After Lloyd drop-out the codebook may keep codes {0,2,5}; the ADC
+    lookup must key by CODE, not position, or distances silently come
+    from the wrong entry."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    # 2 subspaces of dim 2; codebook with non-contiguous codes per sub
+    cb_rows = [
+        (0, 0, [0.0, 0.0]), (0, 2, [1.0, 1.0]), (0, 5, [5.0, 5.0]),
+        (1, 1, [0.0, 0.0]), (1, 7, [2.0, 2.0]),
+    ]
+    cb = spark.createDataFrame(cb_rows, "sub int, code int, centroid array<double>")
+    emb = spark.createDataFrame(
+        [(10, [1.1, 0.9, 2.1, 1.9]), (11, [0.1, -0.1, 0.0, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = pq_encode(emb, cb, m=2)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert got[10] == [2, 7] and got[11] == [0, 1]
+
+    q = spark.createDataFrame([(99, [1.0, 1.0, 2.0, 2.0])],
+                              "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["adc_dist"] for r in
+           pq_adc_topk(codes, cb, q, k=2, m=2).collect()}
+    # query subvectors (1,1) and (2,2); vec 10 codes (2,7): d = 0 + 0 = 0
+    # vec 11 codes (0,1): d = (1+1) + (4+4) = 10
+    assert abs(out[10] - 0.0) < 1e-9
+    assert abs(out[11] - 10.0) < 1e-9

@@ -175,7 +175,7 @@ def main() -> int:
         print(f"{tag} {name}: exchanges={n_ex}/{budget} windows={n_win}"
               + (f"  [{'; '.join(problems)}]" if problems else ""))
     print(f"\n{flagged} flagged")
-    return 0
+    return min(flagged, 255)
 
 
 if __name__ == "__main__":

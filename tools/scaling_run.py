@@ -12,8 +12,9 @@ bigger duplicate clusters):
 - documents: per-copy alphabet rotation of the text (a deterministic
   `translate`), so shingles/fingerprints of different copies never
   collide; doc_id offset per copy.
-- embeddings: position+copy sign-flip pattern on the vector (preserves
-  norms, decorrelates copies), vec_id offset.
+- embeddings: per-(copy, position) hash sign-flips on the vector
+  (preserves norms, decorrelates every copy from every other), vec_id
+  offset.
 - events / orders: id offsets per copy (10× more users / customers with
   the same per-entity activity shape).
 
@@ -85,12 +86,15 @@ def build_scaled_dir(spark, src: str, dst: str, factor: int) -> None:
         "n_chars",
     ).write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet"))
 
-    # embeddings: (pos + copy) sign-flip — norm-preserving decorrelation
+    # embeddings: per-(copy, position) HASH sign-flip — norm-preserving
+    # decorrelation that is non-periodic in the copy index (a (pos+copy)%2
+    # pattern would make copies 0,2,4,… exact duplicates and grow
+    # duplicate CLUSTERS instead of corpus size)
     e = _expand("embeddings")
     flipped = F.transform(
         F.col("embedding"),
         lambda x, i: F.when(
-            ((i + F.col("__c")) % 2) == 0, x
+            F.pmod(F.xxhash64(F.col("__c"), i), F.lit(2)) == 0, x
         ).otherwise(-x).cast("float"),
     )
     e.select(
