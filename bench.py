@@ -70,6 +70,8 @@ HEADLINE = [
     "q_join_size_estimate",
     "q_table_diff",
     "q_scd2_intervals",
+    "q_rank_normalize",
+    "q_robust_outliers",
     "q_rsi",
 ]
 

@@ -92,3 +92,70 @@ def prefix_columns(
     """
     renames = {c: f"{prefix}{c}" for c in df.columns if c not in set(exclude)}
     return df.withColumnsRenamed(renames)
+
+
+def robust_outlier_flags(
+    df,
+    column: str,
+    partition_by=(),
+    threshold: float = 3.5,
+    round_to: int = 6,
+):
+    """Median/MAD outlier detection (per group when ``partition_by`` is
+    given): the modified z-score ``0.6745 · (x − median) / MAD`` flags
+    rows beyond ``threshold`` (Iglewicz & Hoaglin's 3.5 default).
+    Median-based, so — unlike mean/stddev z-scores — the outliers
+    themselves cannot inflate the scale estimate and mask each other.
+    Appends ``{col}_robust_z`` (NULL when the value is NULL or the
+    group's MAD is 0) and ``{col}_is_outlier`` (a zero-MAD group flags
+    any value different from the median — the constant-column break
+    case).
+
+    Two grouped aggregations (exact ``percentile`` median, then MAD as
+    the median absolute deviation — both map-side-combinable per group)
+    broadcast back onto the rows; the fact table never sorts globally.
+    """
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+
+    keys = list(partition_by)
+    x = F.col(column).cast("double")
+    med_agg = (
+        df.groupBy(*keys).agg(F.percentile(x, F.lit(0.5)).alias("__med"))
+        if keys
+        else df.agg(F.percentile(x, F.lit(0.5)).alias("__med"))
+    )
+    if keys:
+        with_med = df.join(F.broadcast(med_agg), keys)
+    else:
+        with_med = df.crossJoin(F.broadcast(med_agg))
+    dev = F.abs(x - F.col("__med"))
+    mad_agg = (
+        with_med.groupBy(*keys).agg(
+            F.percentile(dev, F.lit(0.5)).alias("__mad"),
+            F.first("__med").alias("__med"),
+        )
+        if keys
+        else with_med.agg(
+            F.percentile(dev, F.lit(0.5)).alias("__mad"),
+            F.first("__med").alias("__med"),
+        )
+    )
+    if keys:
+        out = df.join(F.broadcast(mad_agg), keys)
+    else:
+        out = df.crossJoin(F.broadcast(mad_agg))
+    z = F.when(
+        x.isNotNull() & (F.col("__mad") > 0),
+        F.lit(0.6745) * (x - F.col("__med")) / F.col("__mad"),
+    )
+    flat_break = (F.col("__mad") == 0) & x.isNotNull() & (x != F.col("__med"))
+    return out.select(
+        *df.columns,
+        dround(z, round_to).alias(f"{column}_robust_z"),
+        (
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False))
+            | F.coalesce(flat_break, F.lit(False))
+        ).alias(f"{column}_is_outlier"),
+    )

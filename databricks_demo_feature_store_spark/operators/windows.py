@@ -373,3 +373,45 @@ def fill_monthly_gaps(
         )
         out = out.withColumn(f"{c}_filled", dround(filled, round_to))
     return out
+
+
+def rank_normalize(
+    df: DataFrame,
+    columns: Sequence[str],
+    partition_by: Sequence[str],
+    suffix: str = "_pctrank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Group-wise rank normalization: each value becomes its
+    ``percent_rank`` within its partition (0 = group minimum, 1 = group
+    maximum) — the monotone-invariant scaling that neutralizes skew and
+    outliers where z-scores cannot (ranks don't care HOW far the tail
+    stretches). Appends ``{col}{suffix}``; NULLs pass through with NULL
+    rank (ordering them would hand "missing" the extreme ranks).
+
+    One PARTITIONED window per column set, sharing the per-entity sort —
+    state scales with the partition key's group sizes, never a global
+    sort. For an UNGROUPED global rank-normalize, use
+    ``attach_global_rank`` and divide by the total instead (a
+    partition-less percent_rank would move the world to one task).
+    """
+    out_cols: list[Column] = []
+    part = [F.col(p) for p in partition_by]
+    for c in columns:
+        w = Window.partitionBy(*part).orderBy(F.col(c).asc())
+        wp = Window.partitionBy(*part)
+        # NULLs sort first, so a raw percent_rank would both hand them
+        # rank 0 AND inflate every real value's denominator; subtract
+        # the group's null block and rank over non-null counts only
+        n_nulls = F.count(F.lit(1)).over(wp) - F.count(F.col(c)).over(wp)
+        n_vals = F.count(F.col(c)).over(wp)
+        rank_nn = F.rank().over(w) - n_nulls - F.lit(1)
+        pr = F.when(
+            F.col(c).isNotNull(),
+            F.when(
+                n_vals > 1,
+                rank_nn.cast("double") / (n_vals - F.lit(1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        out_cols.append(dround(pr, round_to).alias(f"{c}{suffix}"))
+    return df.select("*", *out_cols)

@@ -1552,3 +1552,73 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_to").cast("timestamp").alias("effective_to"),
         "is_current",
     )
+
+
+@register(
+    "q_rank_normalize",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(ROUND(CAST(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                                ORDER BY c_acctbal ASC)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS c_acctbal_pctrank
+    FROM customer
+    """,
+)
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment rank normalization of the customer balance
+    (percent_rank in [0,1] — the monotone-invariant scaling that
+    neutralizes skew where z-scores cannot). One partitioned window;
+    the oracle replays the identical frame."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        rank_normalize,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    return rank_normalize(c, ["c_acctbal"], ["c_mktsegment"])
+
+
+@register(
+    "q_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment, quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med
+      FROM customer GROUP BY 1
+    ),
+    mad AS (
+      SELECT c.c_mktsegment,
+             quantile_cont(ABS(CAST(c.c_acctbal AS DOUBLE) - m.med), 0.5) AS mad,
+             ANY_VALUE(m.med) AS med
+      FROM customer c JOIN med m USING (c_mktsegment)
+      GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(ROUND(CAST(CASE WHEN c.c_acctbal IS NOT NULL AND mad > 0
+                THEN 0.6745 * (CAST(c.c_acctbal AS DOUBLE) - med) / mad END
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS c_acctbal_robust_z,
+           (COALESCE(ABS(CASE WHEN c.c_acctbal IS NOT NULL AND mad > 0
+                THEN 0.6745 * (CAST(c.c_acctbal AS DOUBLE) - med) / mad END) > 3.5, FALSE)
+            OR COALESCE(mad = 0 AND c.c_acctbal IS NOT NULL
+                        AND CAST(c.c_acctbal AS DOUBLE) <> med, FALSE)) AS c_acctbal_is_outlier
+    FROM customer c JOIN mad USING (c_mktsegment)
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified-z outlier flags on the customer balance per
+    market segment (Iglewicz-Hoaglin 3.5 cut): two grouped exact-median
+    aggregations broadcast back — the outliers cannot inflate the scale
+    estimate, unlike mean/stddev z-scores. The oracle replays median,
+    MAD and the flag rule."""
+    from databricks_demo_feature_store_spark.functions.quality import (
+        robust_outlier_flags,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    return robust_outlier_flags(c, "c_acctbal", ["c_mktsegment"])

@@ -380,3 +380,22 @@ def test_quantile_bin_nulls_get_null_bin(spark):
     assert out[100] is None and out[101] is None
     # 8 non-null values into 4 bins of 2
     assert [out[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_robust_outlier_flags(spark):
+    """MAD-based z flags the planted outlier; the outlier cannot mask
+    itself (unlike mean/std z); zero-MAD groups flag any deviant."""
+    from databricks_demo_feature_store_spark.functions.quality import (
+        robust_outlier_flags,
+    )
+
+    rows = [("a", float(v)) for v in (10, 11, 12, 13, 14)] + [("a", 1000.0)]
+    rows += [("b", 5.0)] * 4 + [("b", 6.0)]  # near-constant group
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g"], r["v"]): r for r in
+           robust_outlier_flags(df, "v", ["g"]).collect()}
+    assert out[("a", 1000.0)]["v_is_outlier"] is True
+    assert out[("a", 12.0)]["v_is_outlier"] is False
+    # group b: median 5, MAD 0 → the 6.0 is a flat-break anomaly
+    assert out[("b", 6.0)]["v_is_outlier"] is True
+    assert out[("b", 5.0)]["v_is_outlier"] is False

@@ -784,3 +784,20 @@ def test_join_size_estimate_numeric_coercion(spark):
                      F.col("k") == F.col("k2")).count()
     assert est["join_rows"] == real == 2
     assert est["left_rows"] == 3 and est["right_rows"] == 2
+
+
+def test_rank_normalize_per_group(spark):
+    from databricks_demo_feature_store_spark.operators.windows import (
+        rank_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0), ("b", None)],
+        ["g", "v"],
+    )
+    out = {(r["g"], r["v"]): r["v_pctrank"]
+           for r in rank_normalize(df, ["v"], ["g"]).collect()}
+    assert out[("a", 10.0)] == 0.0 and out[("a", 30.0)] == 1.0
+    assert out[("a", 20.0)] == 0.5
+    assert out[("b", 5.0)] == 0.0  # singleton group
+    assert out[("b", None)] is None
