@@ -151,6 +151,38 @@ module import order. Selection policy:
   in-window q_quantile_bin certifies), q_fs_online_snapshot (r5
   driver-green; the max_by latest-row agg is the same shape as every
   in-window pipeline's keep-latest step).
+* Round-7 rotation (VERDICT r6 task 1: burn down the 37 never-driver-
+  checked queries, round-6-born families first): fourteen rotate IN —
+  q_val_roc_auc (exact tie-aware Mann-Whitney over the distributed
+  prefix-sum primitive), q_val_calibration, q_val_threshold_metrics,
+  q_val_decile_lift (the model-evaluation family), q_stream_psi_drift +
+  q_stream_count_anomalies (streaming drift/volume monitors),
+  q_key_skew_profile, q_table_diff, q_scd2_intervals,
+  q_join_size_estimate (ops diagnostics family), q_mutual_information,
+  q_winsorize, q_event_decay, q_rank_normalize. Demoted with transitive
+  cover — ALL fourteen are round-6 driver-green (CORRECTNESS_r06) and
+  stay in the full local gate: q_funnel_steps + q_retention_cohorts +
+  q_event_transitions + q_event_attribution (event family keeps
+  rotating-in q_event_decay; per-user window/agg machinery runs inside
+  in-window q_stream_sessionize and every pipeline), q_val_psi_drift
+  (the PSI binning/EPS math runs verbatim inside rotating-in
+  q_stream_psi_drift via psi_by_group), q_val_ks_drift (its
+  attach_global_cumsum prefix-sum primitive is the core of rotating-in
+  q_val_roc_auc), q_quantile_bin (r6 row certified the fixed
+  distributed-rank plan; attach_global_rank also drives rotating-in
+  q_rank_normalize's percent_rank sibling and r6-green
+  q_ext_weighted_sample), q_bin_by_cutpoints (fit-broadcast-assign CASE
+  algebra = q_feature_chain; the exact-percentile fit runs inside
+  rotating-in q_winsorize), q_unpivot_melt (single stack projection,
+  pytest + local-gated), q_train_test_split (hash-split machinery =
+  sampling family anchored by in-window q_ext_token_mixture),
+  q_feature_correlations + q_chi2_association (the shared-scan
+  statistics shape is rotating-in q_mutual_information's plan),
+  q_ext_weighted_sample (E-S keys over attach_global_rank — the rank
+  primitive stays certified via q_rank_normalize; sampling family
+  anchored by q_ext_token_mixture), q_ext_pq_refined_topk (PQ/ADC
+  family anchored by in-window q_ext_ivfpq_topk; the Lloyd-replay
+  oracle stays in the full local gate).
 """
 
 from __future__ import annotations
@@ -204,22 +236,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_quality_classifier",
     "q_stream_distinct_sketch",
     "q_ext_ivfpq_topk",
-    # round-6 rotation (never-driver-checked families; see docstring)
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_quantile_bin",
-    "q_bin_by_cutpoints",
-    "q_unpivot_melt",
-    "q_train_test_split",
-    "q_feature_correlations",
-    "q_ext_pq_refined_topk",
-    # round-6 late additions (families born this round; see docstring)
-    "q_val_psi_drift",
-    "q_val_ks_drift",
-    "q_event_attribution",
-    "q_ext_weighted_sample",
-    "q_event_transitions",
-    "q_chi2_association",
+    # round-7 rotation (never-driver-checked families; see docstring)
+    "q_val_roc_auc",
+    "q_val_calibration",
+    "q_val_threshold_metrics",
+    "q_val_decile_lift",
+    "q_stream_psi_drift",
+    "q_stream_count_anomalies",
+    "q_key_skew_profile",
+    "q_table_diff",
+    "q_scd2_intervals",
+    "q_join_size_estimate",
+    "q_mutual_information",
+    "q_winsorize",
+    "q_event_decay",
+    "q_rank_normalize",
 )
 
 WINDOW_SIZE = 50
