@@ -28,6 +28,7 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered funnel: per user, the first timestamp of step 1, the first
     step-2 AFTER that, the first step-3 after THAT, and so on —
@@ -36,16 +37,27 @@ def funnel_steps(
     (strictly — an equal-timestamp event does not advance the funnel).
 
     Single-pass form: ONE ``groupBy(user_id)`` collects each user's
-    step-typed events (non-step types are dropped before collection, so
-    the array holds only funnel-relevant rows), ``array_sort`` orders
-    them by time inside the row, and one ``F.aggregate`` fold walks the
-    array filling an N-slot timestamp state — an event fills the
-    EARLIEST unfilled slot whose type matches and whose predecessor slot
-    is already filled with a strictly earlier time. The raw events
-    shuffle exactly once; there is no per-step join, no window, no sort
-    node. Per-user state is the user's own funnel-event array — bounded
-    by per-user activity, the same invariant every per-user analytics
-    aggregation (sessionization, retention) already relies on.
+    DISTINCT step-typed ``(ts, type)`` events (non-step types are
+    dropped before collection; duplicates collapse inside the
+    aggregation buffer — including map-side, so a bot replaying the
+    same event a million times never shuffles or stores more than one
+    copy), ``array_sort`` orders them by time inside the row, and one
+    ``F.aggregate`` fold walks the array filling an N-slot timestamp
+    state — an event fills the EARLIEST unfilled slot whose type
+    matches and whose predecessor slot is already filled with a
+    strictly earlier time. Dropping ``(ts, type)`` duplicates is
+    semantics-preserving: advancement requires a STRICTLY earlier
+    predecessor, so of two identical events at most one can ever fill
+    a slot and the other can never ride on it. The raw events shuffle
+    exactly once; there is no per-step join, no window, no sort node.
+
+    Per-user state is the user's distinct funnel-event set. For
+    adversarial actors with huge numbers of DISTINCT timestamps,
+    ``max_events_per_user`` caps the fold input to the EARLIEST k
+    events after sorting; the greedy funnel fills earliest-first, so a
+    truncated user can only under-report steps completed AFTER their
+    k-th funnel event (their row carries ``truncated = true`` when the
+    cap bit). Default ``None`` = exact.
     """
     if not steps:
         raise ValueError("funnel_steps requires at least one step")
@@ -57,7 +69,7 @@ def funnel_steps(
     )
     per_user = cur.groupBy("user_id").agg(
         F.array_sort(
-            F.collect_list(
+            F.collect_set(
                 F.when(
                     F.col("__t").isin(*[str(s) for s in steps]),
                     F.struct(
@@ -67,6 +79,14 @@ def funnel_steps(
             )
         ).alias("__evs")
     )
+    if max_events_per_user is not None:
+        if max_events_per_user < 1:
+            raise ValueError("max_events_per_user must be >= 1")
+        per_user = per_user.select(
+            "user_id",
+            F.slice("__evs", 1, int(max_events_per_user)).alias("__evs"),
+            (F.size("__evs") > int(max_events_per_user)).alias("truncated"),
+        )
 
     init = F.array(*[F.lit(None).cast("timestamp") for _ in range(n)])
 
@@ -88,7 +108,8 @@ def funnel_steps(
         )
 
     final = F.aggregate(F.col("__evs"), init, _advance)
-    out = per_user.select("user_id", final.alias("__st"))
+    extra = ["truncated"] if max_events_per_user is not None else []
+    out = per_user.select("user_id", final.alias("__st"), *extra)
     completed = sum(
         F.element_at(F.col("__st"), i).isNotNull().cast("int")
         for i in range(1, n + 1)
@@ -100,6 +121,7 @@ def funnel_steps(
             for i in range(1, n + 1)
         ],
         completed.alias("steps_completed"),
+        *extra,
     )
 
 
@@ -218,16 +240,24 @@ def last_touch_attribution(
     ordering makes the credit deterministic under same-timestamp
     events. The value sum routes through DECIMAL so the per-channel
     totals are engine-reproducible.
+
+    NULL-typed events ARE touches, credited to the ``'__null__'``
+    channel — the same NULL-is-a-real-category convention
+    :func:`event_transitions` documents for all event-sequence
+    operators (without the coalesce, ``type != conversion`` is NULL
+    for NULL types and ``last(ignorenulls)`` would silently skip them,
+    mis-crediting such conversions to ``direct``).
     """
     from pyspark.sql import Window as W
 
+    typed = F.coalesce(F.col(type_col).cast("string"), F.lit("__null__"))
     w = (
         W.partitionBy(F.col(user_col))
         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
     channel = F.last(
-        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        F.when(typed != conversion_type, typed),
         ignorenulls=True,
     ).over(w)
     conv = (

@@ -1116,12 +1116,17 @@ def q_bin_by_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_event_attribution",
     oracle="""
-    WITH t AS (
+    WITH typed AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             COALESCE(CAST(event_type AS VARCHAR), '__null__') AS cat
+      FROM events
+    ),
+    t AS (
       SELECT user_id, event_type, value,
-             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             LAST_VALUE(CASE WHEN cat <> 'purchase' THEN cat END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
-      FROM events
+      FROM typed
     )
     SELECT COALESCE(ch, 'direct') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
@@ -1133,7 +1138,8 @@ def q_bin_by_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: every purchase credits the
     user's most recent strictly-preceding non-purchase event type
-    ('direct' when none) — one per-user partitioned window with a
+    ('direct' when none, NULL types as the '__null__' channel per the
+    shared event-sequence convention) — one per-user partitioned window with a
     (ts, event_id) deterministic order, then a per-channel rollup with
     a DECIMAL-routed value sum. The oracle replays the same
     last-value-ignore-nulls frame."""

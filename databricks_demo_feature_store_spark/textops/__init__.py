@@ -18,6 +18,7 @@ from databricks_demo_feature_store_spark.textops.dedup import (
     simhash_col,
     simhash_near_dup_pairs,
     portable_hash_col,
+    portable_hash64_col,
     shingles_col,
 )
 from databricks_demo_feature_store_spark.textops.similarity import (
@@ -38,7 +39,8 @@ __all__ = [
     "fingerprint_col",
     "exact_dedup", "duplicate_groups", "ngram_jaccard_pairs",
     "minhash_signatures", "minhash_lsh_candidates", "minhash_dedup_pairs",
-    "simhash_col", "simhash_near_dup_pairs", "portable_hash_col", "shingles_col",
+    "simhash_col", "simhash_near_dup_pairs", "portable_hash_col",
+    "portable_hash64_col", "shingles_col",
     "brute_force_topk", "lsh_topk", "embedding_near_dup_pairs", "cosine_col",
     "sign_bucket_col",
     "decode_features", "media_repartition", "synthesize_media_from_documents",

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from databricks_demo_feature_store_spark.functions.rounding import dround
 from databricks_demo_feature_store_spark.textops.analysis import (
@@ -420,6 +420,166 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Shared hot-bucket-capped candidate generation (MinHash bands + SimHash
+# blocks both bucket docs by a key and self-join inside the bucket; a
+# bucket of d near-identical docs makes a d² clique — the quadratic
+# scale-killer this helper bounds).
+# ---------------------------------------------------------------------------
+
+
+_BUCKET_PERSIST_SLOT: list = []
+
+
+def _capped_bucket_pairs(
+    blocked: DataFrame,
+    key_cols: list[str],
+    payload_col: str,
+    cap: int | str | None,
+    rows_per_doc: int,
+    carry_payload: bool = False,
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs from per-bucket self-joins, with
+    buckets larger than ``cap`` routed through exact-payload
+    pre-grouping instead of the full clique.
+
+    ``blocked`` must carry one row per (doc, bucket): an ``id`` column,
+    the bucket ``key_cols``, and ``payload_col`` — the doc's FULL
+    signature/hash, identical iff the docs are exact sketch-duplicates.
+    ``rows_per_doc`` is the exact per-doc fan-out (bands/blocks count),
+    used to recover n_docs from bucket statistics without a second scan.
+
+    Cold buckets (``count <= cap``) self-join normally — the exact
+    candidate set. Hot buckets are pre-grouped by payload: each
+    exact-payload group emits a min-id STAR (rep→member, distance 0 by
+    construction), and the group representatives — now one per distinct
+    payload — clique-join only if the bucket still holds ≤ cap distinct
+    payloads; hotter residuals are dropped as stop-buckets (a bucket key
+    shared by > cap DISTINCT sketches carries ~no information, the same
+    contract as ``ngram_jaccard_pairs``' stop-shingle cutoff). The
+    emitted graph is therefore a CONNECTIVITY-PRESERVING subset of the
+    full candidate cliques: downstream connected-components clustering
+    (``dedup_clusters``) produces identical components for exact-dup
+    cliques, with per-clique candidate counts O(d) instead of O(d²).
+
+    ``cap="auto"`` derives ``max(64, 2·⌈√n_docs⌉)`` LAZILY from the
+    bucket-count aggregate itself (``Σ bucket_count / rows_per_doc``) —
+    no driver action, no extra scan of the data (the bucket-count
+    exchange is shared with the tagging join and reused). ``cap=None``
+    keeps the provably-exact full clique join.
+
+    ``carry_payload=True`` emits ``payload_a`` / ``payload_b`` alongside
+    the ids so the caller's verification step reads them straight off
+    the candidate rows instead of re-deriving the sketches with a second
+    scan of the corpus (payloads are functionally dependent on the ids,
+    so the dedup cardinality is unchanged).
+
+    When the cap is active the blocked frame feeds several plan branches
+    (bucket counts, the lazy cap aggregate, cold clique, hot grouping) —
+    it is pinned with ``persist`` for the call (same pattern and slot
+    discipline as ``ngram_jaccard_pairs``' normalization cache) so the
+    upstream sketch computation runs once, not once per branch; at
+    cluster scale write the blocked frame to a table instead.
+    """
+
+    def _emit(pa: Column, pb: Column) -> list[Column]:
+        return (
+            [pa.alias("payload_a"), pb.alias("payload_b")] if carry_payload else []
+        )
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    if cap is None:
+        return (
+            a.join(b, on=key_cols)
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                *_emit(F.col(f"a.{payload_col}"), F.col(f"b.{payload_col}")),
+            )
+            .distinct()
+        )
+    while _BUCKET_PERSIST_SLOT:
+        _BUCKET_PERSIST_SLOT.pop().unpersist()
+    blocked = blocked.persist()
+    _BUCKET_PERSIST_SLOT.append(blocked)
+    # Hot-bucket KEYS are provably few — at cap ~2√n there are at most
+    # (n·rows_per_doc)/cap = O(√n·rows_per_doc) of them — so they travel
+    # as a BROADCAST and the cold path keeps the plain one-shuffle
+    # self-join shape (hot filtering is a map-side anti join, no extra
+    # exchange of the blocked frame).
+    counts = blocked.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    if cap == "auto":
+        capf = counts.agg(
+            F.greatest(
+                F.lit(64),
+                (F.lit(2) * F.ceil(F.sqrt(F.sum("__bn") / F.lit(rows_per_doc)))).cast(
+                    "int"
+                ),
+            ).alias("__cap")
+        )
+        hot_keys = (
+            counts.crossJoin(F.broadcast(capf))
+            .filter(F.col("__bn") > F.col("__cap"))
+            .select(*key_cols, "__cap")
+        )
+    elif isinstance(cap, int) and cap >= 1:
+        hot_keys = (
+            counts.filter(F.col("__bn") > F.lit(int(cap)))
+            .select(*key_cols)
+            .withColumn("__cap", F.lit(int(cap)))
+        )
+    else:
+        raise ValueError(f"cap must be a positive int, 'auto' or None, got {cap!r}")
+
+    cold = blocked.join(
+        F.broadcast(hot_keys.select(*key_cols)), on=key_cols, how="left_anti"
+    )
+    ca, cb = cold.alias("a"), cold.alias("b")
+    cold_pairs = (
+        ca.join(cb, on=key_cols)
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *_emit(F.col(f"a.{payload_col}"), F.col(f"b.{payload_col}")),
+        )
+    )
+
+    hot = blocked.join(F.broadcast(hot_keys), on=key_cols)
+    groups = hot.groupBy(*key_cols, payload_col, "__cap").agg(
+        F.min("id").alias("__rep")
+    )
+    star_pairs = (
+        hot.drop("__cap")
+        .join(groups.select(*key_cols, payload_col, "__rep"), on=[*key_cols, payload_col])
+        .where(F.col("id") != F.col("__rep"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *_emit(F.col(payload_col), F.col(payload_col)),
+        )
+    )
+    rep_ok = (
+        groups.withColumn(
+            "__rn", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        )
+        .filter(F.col("__rn") <= F.col("__cap"))
+        .select(*key_cols, "__rep", payload_col)
+    )
+    ra, rb = rep_ok.alias("a"), rep_ok.alias("b")
+    rep_pairs = (
+        ra.join(rb, on=key_cols)
+        .where(F.col("a.__rep") < F.col("b.__rep"))
+        .select(
+            F.col("a.__rep").alias("id_a"),
+            F.col("b.__rep").alias("id_b"),
+            *_emit(F.col(f"a.{payload_col}"), F.col(f"b.{payload_col}")),
+        )
+    )
+    return cold_pairs.unionByName(star_pairs).unionByName(rep_pairs).distinct()
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
@@ -455,16 +615,33 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_band_size: int | str | None = "auto",
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become candidates.
 
     Band key = md5 of the band's signature slice → equi-join on
     (band, key). Probability a pair with Jaccard s collides:
     ``1 - (1 - s^r)^b`` (the S-curve that makes this sublinear).
+
+    ``max_band_size`` is the hot-band guard: a band bucket shared by d
+    near-identical docs otherwise emits d² candidate pairs — wasted
+    shuffle, since true duplicates cluster transitively anyway. Buckets
+    above the cap route through :func:`_capped_bucket_pairs`' exact-
+    signature pre-grouping (star per identical signature + clique over
+    the ≤ cap distinct-signature representatives), keeping per-clique
+    candidates O(d) while preserving downstream connected-component
+    clusters. ``"auto"`` (default) = ``max(64, 2·⌈√n_docs⌉)``, derived
+    lazily from the bucket statistics (no extra scan); with it, ordinary
+    corpora (every bucket ≤ cap) get the EXACT full candidate set —
+    only pathological cliques see the star reduction. ``None`` forces
+    the provably-exact clique join at any bucket size.
     """
     banded = signatures.select(
         "id",
+        F.col("signature"),
         F.explode(
             F.array(
                 *[
@@ -484,13 +661,13 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.band_key")
-    a, b2 = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b2, on=["band", "band_key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    ).select("id", "signature", "bk.band", "bk.band_key")
+    return _capped_bucket_pairs(
+        banded,
+        key_cols=["band", "band_key"],
+        payload_col="signature",
+        cap=max_band_size,
+        rows_per_doc=bands,
     )
 
 
@@ -538,9 +715,13 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_col(text: Column, bits: int = 16) -> Column:
+def simhash_col(text: Column, bits: int = 64) -> Column:
     """SimHash over word tokens (Charikar 2002): per bit, sum ±1 votes of
-    each token's hash bit; bit set iff the vote is positive.
+    each token's hash bit; bit set iff the vote is positive. Default 64
+    bits (Manku/Jain/Das Sarma, WWW'07 — the production geometry: 16-bit
+    corpora collide unrelated docs within small Hamming distances at any
+    real corpus size); bit 63 is carried in the long's sign bit (two's
+    complement), which XOR/bit_count handle transparently.
 
     NOTE: as a single Column expression the token-hash array is inlined
     into every bit vote (bits× md5 passes) — prefer :func:`with_simhash`
@@ -549,9 +730,26 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     """
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     toks = F.array_distinct(F.split(norm, " "))
-    hashes = F.transform(toks, lambda t: portable_hash_col(t, seed="simhash"))
+    hashes = F.transform(toks, lambda t: portable_hash64_col(t, seed="simhash"))
     votes = _vote_vector(hashes, bits)
     return _fold_votes(votes, bits)
+
+
+def portable_hash64_col(col: Column, seed: int | str = 0) -> Column:
+    """Deterministic 64-bit integer hash portable across engines: low 60
+    bits from md5 hex chars 1-15 (identical to :func:`portable_hash_col`,
+    so narrower consumers see unchanged values), bits 60-63 from hex char
+    16 — assembled with explicitly-signed arithmetic (the top nibble's
+    bit 3 contributes −2^63) so no step overflows under ANSI mode and the
+    same formula replays in DuckDB."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), col))
+    lo = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    hi = F.conv(F.substring(h, 16, 1), 16, 10).cast("long")
+    return (
+        lo
+        + F.shiftleft(hi.bitwiseAND(F.lit(7)), 60)
+        + F.when(hi >= 8, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    )
 
 
 def _vote_vector(hashes: Column, bits: int) -> Column:
@@ -576,10 +774,14 @@ def _vote_vector(hashes: Column, bits: int) -> Column:
 
 
 def _fold_votes(votes: Column, bits: int) -> Column:
+    # bit 63 can't be the literal 1 << 63 (overflows signed long): it
+    # contributes -2^63 instead — the lower 63 bits sum to < 2^63, so the
+    # addition stays in range and yields the two's-complement pattern.
     out = F.lit(0).cast("long")
     for i in range(bits):
+        contrib = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
         out = out + (
-            F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i))
+            F.when(F.element_at(votes, i + 1) > 0, contrib)
             .otherwise(F.lit(0))
             .cast("long")
         )
@@ -587,15 +789,17 @@ def _fold_votes(votes: Column, bits: int) -> Column:
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash16", bits: int = 16
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash", bits: int = 64
 ) -> DataFrame:
     """Attach a SimHash column with staged projections: hash array → vote
-    vector → folded hash, each computed exactly once per row."""
+    vector → folded hash, each computed exactly once per row. The 64-bit
+    token hash's low 60 bits equal the classic portable hash, so results
+    for any ``bits <= 60`` are identical to the narrow-hash form."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     toks = F.array_distinct(F.split(norm, " "))
     hashed = df.select(
         "*",
-        F.transform(toks, lambda t: portable_hash_col(t, seed="simhash")).alias(
+        F.transform(toks, lambda t: portable_hash64_col(t, seed="simhash")).alias(
             "__tok_hashes"
         ),
     )
@@ -611,19 +815,44 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
-    max_hamming: int = 2,
-    block_bits: int = 4,
+    bits: int = 64,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Candidate generation by the pigeonhole trick: split the hash into
-    ``max_hamming + 1``-ish blocks (``block_bits`` each); any pair within
-    the distance budget must agree exactly on ≥1 block → equi-join on
-    (block_idx, block_value), then verify with bit_count(xor).
+    Candidate generation by the pigeonhole trick (Manku/Jain/Das Sarma,
+    WWW'07): split the hash into exactly ``max_hamming + 1`` disjoint
+    blocks of ``block_bits`` — at most ``max_hamming`` differing bits can
+    dirty at most ``max_hamming`` blocks, so every qualifying pair agrees
+    exactly on ≥ 1 block → equi-join on (block_idx, block_value), verify
+    with ``bit_count(xor)``. No false negatives at any block placement.
+
+    Default geometry is the production one: 64-bit hash, Hamming ≤ 3,
+    four 16-bit blocks — 65,536 values per block keeps buckets thin
+    (~n/65,536 on non-duplicate data), so candidates stay ~O(n·k). The
+    old demo default (16-bit hash, 4-bit blocks = 64 buckets total) made
+    candidate generation ~n²/64 and is exactly what this replaces.
+
+    ``max_bucket`` guards the remaining hot case — exact-duplicate
+    cliques, whose members share every block: buckets above the cap
+    route through :func:`_capped_bucket_pairs`' exact-hash pre-grouping
+    (min-id star per identical simhash + clique over ≤ cap distinct
+    hashes; hotter residuals dropped as stop-buckets), keeping a
+    d-document clique at O(d) candidates while preserving downstream
+    connected components. ``"auto"`` = ``max(64, 2·⌈√n⌉)`` derived
+    lazily from bucket statistics; ordinary corpora never hit it, so
+    the output is the exact pair set. ``None`` = provably-exact clique
+    join regardless of bucket size.
     """
+    nblocks = max_hamming + 1
+    if nblocks * block_bits > bits:
+        raise ValueError(
+            f"simhash blocking needs (max_hamming+1)*block_bits <= bits: "
+            f"{nblocks}*{block_bits} > {bits}"
+        )
     h = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sh"))
-    nblocks = bits // block_bits
     mask = (1 << block_bits) - 1
     blocked = h.select(
         "id",
@@ -640,18 +869,21 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("id", "sh", "b.blk", "b.blkval")
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(b, on=["blk", "blkval"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    cands = _capped_bucket_pairs(
+        blocked,
+        key_cols=["blk", "blkval"],
+        payload_col="sh",
+        cap=max_bucket,
+        rows_per_doc=nblocks,
+        carry_payload=True,  # verify off the candidate rows, no re-hash scan
     )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b"))).alias(
+            "hamming"
+        ),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def dedup_clusters(

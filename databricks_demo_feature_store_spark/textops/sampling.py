@@ -85,10 +85,15 @@ def weighted_k_sample(
         attach_global_rank,
     )
 
+    # full 60-bit uniform (not the RESOLUTION=1e6 bucketing the rate
+    # samplers use): at 1e6 granularity u collisions are guaranteed above
+    # ~1e6 rows and equal-weight ties would fall back to lexicographic key
+    # order — a deterministic bias toward low keys. 2^60 keys collide at
+    # ~2^-60; the int64→double cast rounds identically in any IEEE engine.
     u = (
-        F.pmod(portable_hash_col(F.col(key_col).cast("string"), seed), F.lit(RESOLUTION))
+        portable_hash_col(F.col(key_col).cast("string"), seed).cast("double")
         + F.lit(0.5)
-    ) / F.lit(float(RESOLUTION))
+    ) / F.lit(float(1 << 60))
     w = F.col(weight_col).cast("double")
     # maximize u^(1/w)  ⇔  maximize log(u)/w (log u < 0, w > 0)
     es_key = F.when(w > 0, F.log(u) / w)

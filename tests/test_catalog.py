@@ -156,6 +156,42 @@ def test_read_corpus_hash_ids_salted_and_relocatable(spark, tmp_path):
     assert sorted(ids) == sorted(ids2)  # relocation preserves ids
 
 
+def test_read_corpus_basename_collision_warns_and_dirname_salt(spark, tmp_path):
+    """Same-named files in different subdirectories: the basename salt
+    collides (identical texts collapse to one id) but is no longer
+    silent — a metadata-only listing warns; salt='dirname' (last two
+    path components) keeps the ids distinct."""
+    import warnings
+
+    from databricks_demo_feature_store_spark.sources.corpus import (
+        list_basename_collisions,
+        read_corpus,
+    )
+
+    root = tmp_path / "byDomain"
+    for dom in ("domainA", "domainB"):
+        (root / dom).mkdir(parents=True)
+        (root / dom / "data.jsonl").write_text('{"text": "same text"}\n')
+
+    assert list_basename_collisions(spark, str(root)) == {"data.jsonl": 2}
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = read_corpus(spark, str(root) + "/*", fmt="jsonl")
+        ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 2 and len(set(ids)) == 1  # documented collision
+    assert any("basename" in str(w.message) for w in caught)
+
+    dsalted = read_corpus(spark, str(root) + "/*", fmt="jsonl", salt="dirname")
+    ids_d = [r["doc_id"] for r in dsalted.collect()]
+    assert len(ids_d) == 2 and len(set(ids_d)) == 2  # parent dir splits them
+
+    # dirname salt is itself deterministic across reruns
+    again = [r["doc_id"] for r in
+             read_corpus(spark, str(root) + "/*", fmt="jsonl", salt="dirname").collect()]
+    assert sorted(ids_d) == sorted(again)
+
+
 def test_scratch_dir_process_isolated():
     """Two calls get distinct subdirs; a separate interpreter gets a
     DIFFERENT unpredictable root (mode 0700), so concurrent suite runs

@@ -555,6 +555,41 @@ def test_funnel_steps_ordering(spark):
     assert out[4]["step1_ts"] == t(1) and out[4]["steps_completed"] == 1
 
 
+def test_funnel_steps_dup_collapse_and_cap(spark):
+    """(ts, type) duplicates collapse in the aggregation buffer without
+    changing the funnel (strict ordering means at most one of them can
+    ever fill a slot); max_events_per_user caps the fold input to the
+    earliest k events and flags the truncated user."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: bot-style replay — 6 identical views, then click, purchase
+        *[(1, "view", t(0)) for _ in range(6)],
+        (1, "click", t(1)),
+        (1, "purchase", t(2)),
+        # u2: many distinct-ts views then a late click
+        *[(2, "view", t(m)) for m in range(10)],
+        (2, "click", t(30)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    exact = {r["user_id"]: r for r in
+             funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert "truncated" not in exact[1].asDict()
+    assert exact[1]["steps_completed"] == 3 and exact[1]["step1_ts"] == t(0)
+    assert exact[2]["steps_completed"] == 2
+
+    capped = {r["user_id"]: r for r in
+              funnel_steps(df, ["view", "click", "purchase"],
+                           max_events_per_user=3).collect()}
+    # u1's replays collapsed to one view before the cap bit: unaffected
+    assert capped[1]["steps_completed"] == 3 and not capped[1]["truncated"]
+    # u2 kept only its earliest 3 views → click (after the cap) missed
+    assert capped[2]["steps_completed"] == 1 and capped[2]["truncated"]
+
+
 def test_retention_cohorts_weekly(spark):
     import datetime as dt
 
@@ -618,6 +653,36 @@ def test_last_touch_attribution(spark):
         "direct": (1, 5.0),
         "view": (2, 8.0),
     }
+
+
+def test_last_touch_attribution_null_type_is_a_touch(spark):
+    """NULL-typed events are real touches credited to '__null__' (the
+    shared event-sequence convention) — NOT silently skipped into
+    'direct'."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import (
+        last_touch_attribution,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: only prior touch has a NULL type
+        (1, t(1), 1, None, 0.0),
+        (2, t(2), 1, "purchase", 3.0),
+        # u2: NULL touch then a typed touch — latest wins
+        (3, t(1), 2, None, 0.0),
+        (4, t(2), 2, "view", 0.0),
+        (5, t(3), 2, "purchase", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        r["channel"]: (r["n_conversions"], r["total_value"])
+        for r in last_touch_attribution(df, "purchase").collect()
+    }
+    assert out == {"__null__": (1, 3.0), "view": (1, 4.0)}
 
 
 def test_event_transitions_matrix(spark):

@@ -125,6 +125,76 @@ def test_minhash_dedup_pairs(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_hot_bucket_cap_near_linear_on_dup_clique(spark):
+    """VERDICT r6 tasks 2+4: a 1000-document exact-dup clique must emit
+    ~O(n) candidates (min-id star per identical sketch), not the n²/2
+    clique — for BOTH the MinHash hot-band cap and the SimHash
+    hot-bucket cap — while downstream connected components still close
+    the whole clique into one cluster."""
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        simhash_near_dup_pairs,
+    )
+
+    n = 1000
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(n)]
+    rows += [
+        (n + i, f"unique document number {i} with distinct content {i * 7} here")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = minhash_signatures(df, num_hashes=16)
+    mh = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)  # auto cap
+    mh_n = mh.count()
+    assert mh_n < 5 * n  # star, not the ~500k clique
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(df, mh, id_col="doc_id").collect()
+    }
+    assert len({comp[i] for i in range(n)}) == 1  # clique stays one cluster
+
+    sp = simhash_near_dup_pairs(df)  # default 64-bit geometry, auto cap
+    sp_n = sp.count()
+    assert sp_n < 5 * n
+    comp2 = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(df, sp.select("id_a", "id_b"), id_col="doc_id").collect()
+    }
+    assert len({comp2[i] for i in range(n)}) == 1
+
+
+def test_hot_bucket_cap_preserves_components_vs_exact(spark):
+    """With a small forced cap, the capped candidate graph is a subset
+    of the exact one but yields IDENTICAL connected components."""
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)]
+    rows += [(100 + i, f"other text {i} nothing alike {i * 13} at all") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df, num_hashes=16)
+    exact = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4, max_band_size=None)
+    capped = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4, max_band_size=5)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    c = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert c <= e and len(c) < len(e)
+    comp_e = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(df, exact, id_col="doc_id").collect()
+    }
+    comp_c = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_clusters(df, capped, id_col="doc_id").collect()
+    }
+    assert comp_e == comp_c
+
+
 def test_simhash_identical_and_pairs(docs):
     h = {
         r.doc_id: r.sh
@@ -196,6 +266,45 @@ def test_resize_images_byte_exact(spark):
     # fan-in check: only image rows survive
     n_images = media.filter("media_type = 'image'").count()
     assert out.count() == n_images
+
+
+def test_media_repartition_metadata_sizing(spark, tmp_path):
+    """The round-7 re-plan: partition count comes from METADATA (plan
+    stats / file lengths), not from a pre-scan of the payloads."""
+    from databricks_demo_feature_store_spark.textops.multimodal import (
+        _input_file_size,
+        _plan_size_estimate,
+        media_repartition,
+        synthesize_media_from_documents,
+    )
+    from databricks_demo_feature_store_spark.queries import load
+
+    media = synthesize_media_from_documents(
+        load(spark, "/root/testdata/sf0.001", "documents")
+    )
+    path = str(tmp_path / "media")
+    media.write.mode("overwrite").parquet(path)
+    on_disk = spark.read.parquet(path)
+
+    # file-scan path: both metadata probes agree with the actual file bytes
+    file_bytes = sum(
+        f.stat().st_size for f in (tmp_path / "media").glob("*.parquet")
+    )
+    assert _input_file_size(on_disk) == file_bytes
+    est = _plan_size_estimate(on_disk)
+    assert est is not None and est >= file_bytes  # stats may pad, never undercount
+
+    # target = half the table → 2..3 partitions, derived without scanning
+    out = media_repartition(on_disk, target_bytes=max(1, file_bytes // 2),
+                            method="metadata")
+    assert 2 <= out.rdd.getNumPartitions() <= 3
+
+    # derived in-memory frame: metadata-only raises loudly, scan still works
+    derived = on_disk.limit(5).localCheckpoint()
+    if _plan_size_estimate(derived) is None:
+        with pytest.raises(ValueError, match="no plan statistics"):
+            media_repartition(derived, method="metadata")
+    assert media_repartition(derived, target_bytes=10, method="scan").count() == 5
 
 
 def test_ngram_jaccard_matches_bruteforce(spark):
