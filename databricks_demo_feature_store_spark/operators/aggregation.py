@@ -131,12 +131,23 @@ def conditional_pivot(
     indicator_prefix: str = "ind_",
     extra_operations: Sequence[Mapping[str, Any]] = (),
     fill_value: float | int = 0,
+    category_names: Mapping[str, str] | None = None,
+    value_suffix: str = "",
+    indicator_suffix: str = "",
 ) -> DataFrame:
     """Deterministic pivot via per-category conditional aggregation.
 
     Reference: the manual ``SUM(CASE WHEN pivot_col = c THEN x ELSE 0 END)``
     pivot at ``fs_cus_holding_products.py:279-300`` with the ``LIT``
     pseudo-op emitting boolean holding indicators ``ind_*`` (:283-287).
+
+    ``category_names`` is the reference's ``cats_to_pivot`` rename map
+    (pivot VALUE → output base name, e.g. ``credito_vehicular`` →
+    ``vehicle_loan``); ``value_suffix`` / ``indicator_suffix`` append the
+    reference's per-op aliases (``_amount_sum_m`` / ``_product``), so the
+    exact notebook naming ``vehicle_loan_amount_sum_m`` /
+    ``ind_vehicle_loan_product`` is expressible (:613-626). Defaults keep
+    the plain ``{prefix}{safe(cat)}`` naming.
 
     Compared to ``GroupedData.pivot`` this keeps the output column set
     **deterministic** (derived from config, not from the data), which is
@@ -149,13 +160,14 @@ def conditional_pivot(
     fn = _dispatch(agg, _ALLOWED_AGG_FUNCS)
     for cat in categories:
         safe = re.sub(r"_+", "_", re.sub(r"[^a-z0-9]+", "_", cat.strip().lower())).strip("_")
+        base = category_names.get(cat, safe) if category_names else safe
         if value_column is not None:
             exprs.append(
                 fn(
                     F.when(F.col(pivot_column) == cat, F.col(value_column)).otherwise(
                         F.lit(fill_value)
                     )
-                ).alias(f"{prefix}{safe}")
+                ).alias(f"{prefix}{base}{value_suffix}")
             )
         if indicators:
             exprs.append(
@@ -164,7 +176,7 @@ def conditional_pivot(
                         F.when(F.col(pivot_column) == cat, F.lit(1)).otherwise(F.lit(0))
                     )
                     > 0
-                ).alias(f"{indicator_prefix}{safe}")
+                ).alias(f"{indicator_prefix}{base}{indicator_suffix}")
             )
     exprs.extend(_agg_exprs(extra_operations))
     return df.groupBy(*group_by).agg(*exprs)

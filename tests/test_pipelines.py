@@ -181,22 +181,28 @@ def test_payment_behavior_pipeline_schema_and_values(spark):
 
 def test_reference_native_stack(spark):
     """The switch-over surface: generator-produced reference-native tables
-    (clientes/pagos/transacciones) through all three adapters."""
+    (clientes/pagos/transacciones/buro_credito/productos) through all
+    FIVE adapters — every reference feature notebook has a drop-in."""
     from pyspark.sql import functions as F
 
     from databricks_demo_feature_store_spark.pipelines.reference_sources import (
         run_reference_stack,
     )
     from databricks_demo_feature_store_spark.sources.datagen import (
+        gen_buro,
         gen_clientes,
         gen_pagos,
+        gen_productos,
         gen_transacciones,
     )
 
+    pagos = gen_pagos(spark, n=80, months=12)
     tables = {
         "clientes": gen_clientes(spark, n=80),
-        "pagos": gen_pagos(spark, n=80, months=12),
+        "pagos": pagos,
         "transacciones": gen_transacciones(spark, n=80, months=12),
+        "buro_credito": gen_buro(pagos),
+        "productos": gen_productos(spark, n=80, months=12),
     }
     out = run_reference_stack(spark, tables, "2023-02-01", "2024-01-01")
 
@@ -218,6 +224,49 @@ def test_reference_native_stack(spark):
     # lag semantics survive the adapter: first month per customer has no lag
     first = tx.orderBy("pk_customer", "tpk_release_dt").first()
     assert first["ctrx_monto_total_transacciones_lag_1m"] is None
+
+    credit = out["fs_cus_credit_risk"]
+    assert credit.columns[:2] == ["pk_customer", "tpk_release_dt"]
+    # exact 24-column reference output surface (fs_cus_credit_risk.py:630-655)
+    assert len(credit.columns) == 24 and credit.count() > 0
+    ctypes = dict(credit.dtypes)
+    assert ctypes["chr_credits_cnt"] == "int"  # LONG→INT output rule
+    assert ctypes["chr_total_banking_debt_sum"] == "double"  # DECIMAL→DOUBLE
+    assert ctypes["chr_rating_num_rmin_6m"] == "int"
+    # rating CASE lands in 1..5 on generator data (A–E always present)
+    ratings = {r[0] for r in credit.select("chr_rating_num").distinct().collect()}
+    assert ratings <= {1, 2, 3, 4, 5}
+    # ratio: NULL only when the score sum is 0 (never on generator data)
+    assert (
+        credit.filter(
+            F.col("chr_total_banking_debt_sum_to_bureau_score_sum_ratio").isNull()
+        ).count()
+        == 0
+    )
+
+    hold = out["fs_cus_holding_products"]
+    # exact 67-column reference surface (fs_cus_holding_products.py:726-791)
+    assert len(hold.columns) == 67 and hold.count() > 0
+    htypes = dict(hold.dtypes)
+    assert htypes["chp_ind_vehicle_loan_product"] == "boolean"
+    assert htypes["chp_ind_credit_card_product_rmax_6m"] == "boolean"
+    assert htypes["chp_products_cnt_m"] == "int"
+    assert htypes["chp_amount_sum_m"] == "double"
+    # pivot identity: the per-product amounts never exceed the total
+    bad = hold.filter(
+        F.col("chp_vehicle_loan_amount_sum_m")
+        + F.col("chp_mortgage_loan_amount_sum_m")
+        + F.col("chp_credit_card_amount_sum_m")
+        + F.col("chp_productive_credit_amount_sum_m")
+        > F.col("chp_amount_sum_m") + 1e-6
+    )
+    assert bad.count() == 0
+    # holding indicator agrees with its amount column
+    mism = hold.filter(
+        F.col("chp_ind_vehicle_loan_product")
+        != (F.col("chp_vehicle_loan_amount_sum_m") > 0)
+    )
+    assert mism.count() == 0
 
 
 def test_incremental_entity_refresh_equals_full_recompute(spark, tmp_path):
