@@ -183,6 +183,45 @@ module import order. Selection policy:
   anchored by q_ext_token_mixture), q_ext_pq_refined_topk (PQ/ADC
   family anchored by in-window q_ext_ivfpq_topk; the Lloyd-replay
   oracle stays in the full local gate).
+* Round-7 mid-round sweep (burn-down continues + three queries born
+  this round rotate straight in): twelve more swaps. IN —
+  q_pipeline_credit_native + q_pipeline_holdings_native (the two
+  native-schema notebook twins new this round), q_ext_simhash_pairs
+  (the 64-bit production-geometry blocking + verification, new this
+  round — supersedes the signatures-only check), and nine
+  never-driver-checked: q_ext_dedup_clusters_twophase (large/small-star
+  O(log n) CC), q_ext_ann_multiprobe, q_ext_tfidf_terms,
+  q_ext_contamination_bloom, q_ext_curate_corpus, q_val_freshness,
+  q_salted_join, q_rolling_quantile, q_ext_domain_cap. OUT, all
+  driver-green in >= 1 round with transitive cover: q_ext_simhash
+  (16-bit signatures are the low-60-bit projection of the machinery
+  q_ext_simhash_pairs now certifies end-to-end), q_ext_dedup_clusters
+  (min-label CC anchored by the rotating-in two-phase variant, which
+  shares the edge-touched-nodes contract; also inside in-window
+  q_ext_minhash_dedup's downstream usage), q_ext_ann_recall (the
+  recall query's measured side is the LSH index whose probing the
+  rotating-in multiprobe query exercises more deeply; brute-force
+  ground truth is r6-green), q_ext_bm25_topk (lexical family keeps
+  rotating-in q_ext_tfidf_terms; the BM25 fold shares its broadcast-idf
+  scan shape), q_ext_contamination (the exact shingle semi-join runs
+  verbatim inside rotating-in q_ext_contamination_bloom, which adds the
+  Bloom pre-filter on top), q_ext_curation_pipeline (the composed
+  verdict is rotating-in q_ext_curate_corpus's flow; the stage ops are
+  anchored by in-window q_ext_substring_dedup / q_ext_quality_classifier
+  and pytest), q_val_crosscheck (multi-round driver-green; the outer-join
+  count reconciliation shape is in-window q_table_diff's core),
+  q_stream_hourly (tumbling windows are the degenerate case of in-window
+  q_stream_sliding; the hourly-count finisher is certified by in-window
+  q_stream_count_anomalies), q_stream_dedup (watermarked
+  dropDuplicates is exercised by in-window q_stream_interval_join's
+  state machinery; r6-green), q_ext_lm_score (broadcast-model scoring
+  anchored by in-window q_ext_quality_classifier; bigram perplexity
+  stays exact-checked in the local gate + pytest), q_ext_token_mixture
+  (sampling family anchor passes to rotating-in q_ext_domain_cap +
+  r6-green q_ext_weighted_sample; the shard/mixture composition stays
+  local-gated), q_pipeline_incremental (r6-green composite; its
+  decomposability + entity-scoped replace writer are pytest-gated and
+  the pipeline machinery keeps five in-window composites).
 """
 
 from __future__ import annotations
@@ -196,17 +235,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_pipeline_product_holdings",
     "q_pipeline_payment_behavior",
     "q_training_set",
-    "q_pipeline_incremental",
+    "q_rolling_quantile",
     "q_val_schema_cast",
-    "q_val_crosscheck",
+    "q_salted_join",
     "q_val_timetravel_crosscheck",
     # streaming spread: windowed agg, session window, arbitrary state,
     # dedup + (round 6) interval join, static enrich, sliding windows,
     # foreachBatch feature-store sink
-    "q_stream_hourly",
+    "q_pipeline_credit_native",
     "q_stream_sessionize",
     "q_stream_stateful_stats",
-    "q_stream_dedup",
+    "q_pipeline_holdings_native",
     "q_stream_interval_join",
     "q_stream_enrich",
     "q_stream_sliding",
@@ -219,18 +258,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # q_ext_minhash_sig demoted: q_ext_minhash_dedup rebuilds the same
     # signatures before banding, so the signature math is still hash-checked
     "q_ext_minhash_dedup",
-    "q_ext_simhash",
-    "q_ext_dedup_clusters",
+    "q_ext_simhash_pairs",
+    "q_ext_dedup_clusters_twophase",
     "q_ext_multimodal_decode",
     # q_ext_frame_sample demoted round 3 (multimodal family anchored by
     # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
     # round-4 family anchors (see module docstring rotation note)
-    "q_ext_ann_recall",
-    "q_ext_lm_score",
-    "q_ext_curation_pipeline",
-    "q_ext_bm25_topk",
-    "q_ext_contamination",
-    "q_ext_token_mixture",
+    "q_ext_ann_multiprobe",
+    "q_ext_tfidf_terms",
+    "q_ext_curate_corpus",
+    "q_val_freshness",
+    "q_ext_contamination_bloom",
+    "q_ext_domain_cap",
     # round-5 holdovers (see docstring)
     "q_ext_substring_dedup",
     "q_ext_quality_classifier",
