@@ -1,0 +1,128 @@
+"""Static PySpark 3.5 compatibility audit (ratchet).
+
+The reference pins pyspark 3.5 (``src/requirements.txt``); this sandbox
+runs 4.1.2 and cannot install a 3.5 venv (no network — see COMPAT.md for
+the dated install-retry log). Runtime verification being impossible, this
+audit enforces compatibility STATICALLY, as a ratchet:
+
+1. Every ``F.<name>`` used anywhere in the package must appear in
+   ``PYSPARK_35_FUNCTIONS_VERIFIED`` — a curated allowlist where each
+   entry was hand-checked against the public PySpark 3.5 API docs
+   (functions added in 3.5.0 itself are annotated). A NEW function usage
+   fails the audit until someone verifies it exists in 3.5 and adds it
+   here — the same conscious-raise discipline as SCALING.md's exchange
+   budgets.
+2. Known 4.x-only APIs (``SPARK4_ONLY_APIS``) may appear ONLY at their
+   documented, version-gated sites (``EXEMPT_SITES``), which must raise a
+   loud error or fall back on 3.5.
+
+Usage: python tools/compat35_audit.py   (exit 0 = compatible surface)
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+import sys
+
+PACKAGE = pathlib.Path(__file__).resolve().parent.parent / "databricks_demo_feature_store_spark"
+
+#: Every pyspark.sql.functions name the package uses, verified present in
+#: the public PySpark 3.5 docs. Annotated entries are the ones ADDED in
+#: 3.5.0 (everything unannotated predates 3.3).
+PYSPARK_35_FUNCTIONS_VERIFIED = {
+    # core column/expr
+    "Column", "col", "lit", "expr", "when", "broadcast", "asc", "desc",
+    # math
+    "abs", "ceil", "floor", "exp", "log", "log2", "sqrt", "pow", "round",
+    "pmod", "greatest", "least", "conv", "cos",
+    # string
+    "ascii", "concat", "concat_ws", "length", "lower", "lpad", "trim",
+    "regexp_replace", "regexp_extract_all",  # python wrapper added 3.5.0
+    "split", "substring", "translate", "md5", "xxhash64",
+    # dates/timestamps
+    "add_months", "current_date", "date_add", "date_sub", "date_format",
+    "date_trunc", "datediff", "dayofmonth", "months_between", "to_date",
+    "to_timestamp", "trunc", "unix_micros", "timestamp_micros",  # 3.3.0
+    # aggregates
+    "avg", "sum", "min", "max", "count", "countDistinct", "count_distinct",
+    "first", "last", "collect_list", "collect_set", "approx_count_distinct",
+    "stddev_samp", "corr", "max_by", "min_by",  # max_by/min_by 3.3.0
+    "percentile",  # added 3.5.0
+    "percentile_approx", "bit_or",  # bit_or 3.5.0
+    "hll_sketch_agg", "hll_sketch_estimate", "hll_union_agg",  # 3.5.0
+    "grouping_id", "call_function",  # call_function 3.5.0
+    # windows / ordering
+    "lag", "lead", "rank", "row_number",
+    # arrays / higher-order
+    "array", "array_distinct", "array_intersect", "array_join", "array_max",
+    "array_min", "array_repeat", "array_sort", "array_union", "aggregate",
+    "transform", "filter", "zip_with", "flatten", "sequence", "slice",
+    "size", "element_at", "explode", "explode_outer", "posexplode",
+    "posexplode_outer", "struct", "map_from_entries",
+    # bits
+    "bit_count", "shiftleft", "shiftright",  # bit_count 3.5.0
+    # misc
+    "coalesce", "input_file_name", "monotonically_increasing_id",
+    "spark_partition_id", "session_window", "window",
+}
+
+#: APIs that do NOT exist in PySpark 3.5. Each may appear only at an
+#: exempt site that gates it behind a version/feature check with a loud
+#: 3.5 fallback path.
+SPARK4_ONLY_APIS = [
+    "transformWithStateInPandas",  # 4.0; 3.5 path = applyInPandasWithState
+    "toArrow",            # DataFrame.toArrow added 4.0
+    "mergeInto",          # 4.0
+    "lateralJoin",        # 4.0
+    "try_make_timestamp", # 4.0
+    "randstr",            # 4.0
+    "uniform",            # 4.0
+]
+
+#: file -> the 4.x APIs it is allowed to mention (documented gated sites).
+EXEMPT_SITES = {
+    "streaming/stateful.py": {"transformWithStateInPandas"},
+}
+
+
+def main() -> int:
+    problems: list[str] = []
+    used: dict[str, set[str]] = {}
+    for path in sorted(PACKAGE.rglob("*.py")):
+        rel = str(path.relative_to(PACKAGE))
+        src = path.read_text()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Attribute)
+                and isinstance(node.value, ast.Name)
+                and node.value.id == "F"
+            ):
+                used.setdefault(node.attr, set()).add(rel)
+        for api in SPARK4_ONLY_APIS:
+            # match actual invocation sites (.api( / F.api), not prose
+            hit = f".{api}(" in src or f"F.{api}" in src
+            if hit and api not in EXEMPT_SITES.get(rel, set()):
+                problems.append(
+                    f"{rel}: uses Spark-4-only API {api!r} outside the "
+                    f"documented gated sites ({sorted(EXEMPT_SITES)})"
+                )
+
+    unknown = sorted(set(used) - PYSPARK_35_FUNCTIONS_VERIFIED)
+    for name in unknown:
+        problems.append(
+            f"F.{name} (in {sorted(used[name])[:3]}) is not in the verified "
+            "PySpark-3.5 allowlist — check the 3.5 docs and add it, or "
+            "replace it with a 3.5-available form"
+        )
+
+    print(f"functions used: {len(used)}; verified allowlist: "
+          f"{len(PYSPARK_35_FUNCTIONS_VERIFIED)}; flags: {len(problems)}")
+    for p in problems:
+        print("FLAG", p)
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,7 @@ HEAVY = [
     "q_ext_dedup_clusters",
     "q_ext_dedup_clusters_twophase",
     "q_ext_minhash_dedup",
+    "q_ext_simhash_pairs",
     "q_ext_substring_dedup",
     "q_ext_semantic_dedup",
     "q_ext_ivfpq_topk",
