@@ -34,6 +34,8 @@ HEADLINE = [
     "q_pipeline_customer_tx",
     "q_pipeline_demographic",
     "q_pipeline_payment_behavior",
+    "q_pipeline_credit_native",
+    "q_pipeline_holdings_native",
     "q_training_set",
     "q_fs_online_snapshot",
     "q_unpivot_melt",

@@ -473,12 +473,13 @@ def _capped_bucket_pairs(
     scan of the corpus (payloads are functionally dependent on the ids,
     so the dedup cardinality is unchanged).
 
-    When the cap is active the blocked frame feeds several plan branches
-    (bucket counts, the lazy cap aggregate, cold clique, hot grouping) —
-    it is pinned with ``persist`` for the call (same pattern and slot
-    discipline as ``ngram_jaccard_pairs``' normalization cache) so the
-    upstream sketch computation runs once, not once per branch; at
-    cluster scale write the blocked frame to a table instead.
+    The blocked frame feeds several plan branches on every path (at
+    minimum the two self-join sides; with a cap also bucket counts, the
+    lazy cap aggregate, cold clique, hot grouping) — it is pinned with
+    ``persist`` for the call (same pattern and slot discipline as
+    ``ngram_jaccard_pairs``' normalization cache) so the upstream sketch
+    computation runs once, not once per branch; at cluster scale write
+    the blocked frame to a table instead.
     """
 
     def _emit(pa: Column, pb: Column) -> list[Column]:
@@ -486,8 +487,24 @@ def _capped_bucket_pairs(
             [pa.alias("payload_a"), pb.alias("payload_b")] if carry_payload else []
         )
 
+    # EVERY path self-joins blocked, so pin it for the call — and pin it
+    # HASH-PARTITIONED BY THE BUCKET KEY: the persisted frame's
+    # HashPartitioning(key_cols) satisfies the clustering requirement of
+    # every downstream consumer (the bucket-count aggregate, both
+    # self-join sides, the hot-branch groupBy whose keys are a superset),
+    # so the one repartition exchange replaces what would otherwise be a
+    # shuffle per consumer PLUS a replay of the sketch computation per
+    # join side (round-7 finding: without this, the sf0.1 SimHash pairs
+    # query replayed 64-bit hashing per side on one scan task — 72 s →
+    # ~2 s — and the capped MinHash path serialized every extra pass
+    # through a single cached partition, 1.4 s → 6.5 s → back).
+    while _BUCKET_PERSIST_SLOT:
+        _BUCKET_PERSIST_SLOT.pop().unpersist()
+    blocked = blocked.repartition(*key_cols).persist()
+    _BUCKET_PERSIST_SLOT.append(blocked)
     a, b = blocked.alias("a"), blocked.alias("b")
-    if cap is None:
+
+    def _plain_cliques() -> DataFrame:
         return (
             a.join(b, on=key_cols)
             .where(F.col("a.id") < F.col("b.id"))
@@ -498,10 +515,9 @@ def _capped_bucket_pairs(
             )
             .distinct()
         )
-    while _BUCKET_PERSIST_SLOT:
-        _BUCKET_PERSIST_SLOT.pop().unpersist()
-    blocked = blocked.persist()
-    _BUCKET_PERSIST_SLOT.append(blocked)
+
+    if cap is None:
+        return _plain_cliques()
     # Hot-bucket KEYS are provably few — at cap ~2√n there are at most
     # (n·rows_per_doc)/cap = O(√n·rows_per_doc) of them — so they travel
     # as a BROADCAST and the cold path keeps the plain one-shuffle
@@ -530,6 +546,16 @@ def _capped_bucket_pairs(
         )
     else:
         raise ValueError(f"cap must be a positive int, 'auto' or None, got {cap!r}")
+
+    # Common-case short-circuit: probing the hot-key set costs ONE tiny
+    # aggregate over the (just-materialized) cache — hot keys are
+    # broadcast-sized by construction — and when no bucket exceeds the
+    # cap it removes the anti-join, star, and representative stages from
+    # the plan entirely, leaving the exact plain self-join. Round-7
+    # measurement: the always-on hot machinery cost ~1.7 s of fixed
+    # stage latency per query at sf0.1 for corpora with zero hot buckets.
+    if hot_keys.isEmpty():
+        return _plain_cliques()
 
     cold = blocked.join(
         F.broadcast(hot_keys.select(*key_cols)), on=key_cols, how="left_anti"
@@ -852,7 +878,21 @@ def simhash_near_dup_pairs(
             f"simhash blocking needs (max_hamming+1)*block_bits <= bits: "
             f"{nblocks}*{block_bits} > {bits}"
         )
-    h = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sh"))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # Hashing is the CPU-heavy stage; when the scan yields fewer splits
+    # than the session's parallelism (one small parquet file → ONE task
+    # doing every md5+vote), spread it first. At warehouse scale inputs
+    # have many splits, so this no-ops — no shuffle of the corpus.
+    try:
+        default_par = base.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < default_par:
+            base = base.repartition(default_par)
+    except Exception:
+        pass  # Connect sessions: no sparkContext; keep the scan layout
+    # staged projections (hash array → votes → fold), NOT the inline
+    # simhash_col form: staging stops CollapseProject from duplicating
+    # the whole hash pipeline into every downstream block expression
+    h = with_simhash(base, "__t", "sh", bits).select("id", "sh")
     mask = (1 << block_bits) - 1
     blocked = h.select(
         "id",
