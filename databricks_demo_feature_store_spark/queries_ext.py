@@ -2417,3 +2417,51 @@ def q_ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return random_projection(e, 4, dim=64).select("vec_id", "projected")
+
+
+_PACK_L = 256
+
+
+def _pack_sequences_oracle(L: int = _PACK_L) -> str:
+    ordh = _o_hash("CAST(doc_id AS VARCHAR)", "pack")
+    return f"""
+    WITH {_O_TOKS},
+    t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, {ordh} AS ord
+      FROM toks WHERE len(toks) > 0
+    ),
+    c AS (
+      SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY ord ASC, doc_id ASC) AS BIGINT) AS cend
+      FROM t
+    ),
+    s AS (SELECT doc_id, n, cend - n AS cstart, cend FROM c),
+    e AS (
+      SELECT doc_id, n, cstart, cend,
+             unnest(range(cstart // {L}, (cend - 1) // {L} + 1)) AS bin_id
+      FROM s
+    )
+    SELECT bin_id, doc_id,
+           CAST(greatest(cstart, bin_id * {L}) - cstart AS INT) AS doc_offset,
+           CAST(greatest(cstart, bin_id * {L}) - bin_id * {L} AS INT) AS bin_offset,
+           CAST(least(cend, (bin_id + 1) * {L}) - greatest(cstart, bin_id * {L}) AS INT)
+             AS slice_len,
+           CAST(n AS INT) AS n_tokens
+    FROM e
+    """
+
+
+@register("q_ext_pack_sequences", oracle=_pack_sequences_oracle())
+def q_ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (zero-padding GPT-style
+    training bins): deterministic hash-shuffled corpus order, the
+    distributed global prefix sum lays every document's token span on
+    one stream, and each span explodes to its covered fixed-size bins
+    with exact slice bookkeeping. Only (doc_id, n_tokens) ever moves —
+    the text never shuffles. The oracle replays the layout with a
+    plain global window (fine at oracle scale; the engine side uses the
+    range-partitioned prefix-sum machinery the KS statistic certifies).
+    """
+    from databricks_demo_feature_store_spark.textops.sampling import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=_PACK_L)

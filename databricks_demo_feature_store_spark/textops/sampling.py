@@ -426,3 +426,89 @@ def cap_per_key(
         .where(F.col("__rank") <= cap)
         .drop("__rank")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int | str = "pack",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay the whole corpus out as
+    one deterministic token stream and cut it into fixed ``seq_len``
+    training bins (the GPT-style packing that wastes zero tokens to
+    padding), returning the slice bookkeeping
+    ``(bin_id, doc_id, doc_offset, bin_offset, slice_len, n_tokens)`` —
+    one row per (document, bin) intersection.
+
+    Order is a deterministic pseudo-random shuffle (portable hash of the
+    doc id, tie-broken by id), so bins mix domains/sources instead of
+    preserving crawl locality, and any engine/partitioning/rerun
+    produces the identical packing. Empty documents are skipped.
+
+    Scale shape: ONLY ``(doc_id, n_tokens)`` ever moves — token counts
+    flow through :func:`attach_global_cumsum`'s distributed prefix sum
+    (range exchange + per-partition windows + broadcast offsets; no
+    single-partition window), then each document's token span
+    ``[start, end)`` explodes to its covered bins (fan-out
+    ~n_tokens/seq_len + 1, proportional to output size). The text
+    itself never shuffles; a consumer materializes packed examples by
+    joining the slices back on the doc id and slicing token arrays
+    per bin — a co-partitioned join at corpus scale.
+
+    Invariants (property-tested): per-bin ``slice_len`` sums to exactly
+    ``seq_len`` for every bin except the last; per-document slices
+    tile ``[0, n_tokens)`` contiguously; ``bin_offset`` is consistent
+    with the running layout.
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_cumsum,
+    )
+    from databricks_demo_feature_store_spark.textops.analysis import token_count_col
+
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            token_count_col(F.col(text_col)).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            portable_hash_col(F.col("doc_id").cast("string"), seed).alias("__ord"),
+        )
+    )
+    cum = attach_global_cumsum(
+        base, order=[F.col("__ord"), F.col("doc_id")], value_cols=["n_tokens"]
+    )
+    spans = cum.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("__start"),
+        F.col("cum_n_tokens").alias("__end"),
+    )
+    rows = spans.select(
+        "doc_id",
+        "n_tokens",
+        "__start",
+        "__end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__start") / L), F.floor((F.col("__end") - 1) / L)
+            )
+        ).alias("bin_id"),
+    )
+    lo = F.greatest(F.col("__start"), F.col("bin_id") * L)
+    hi = F.least(F.col("__end"), (F.col("bin_id") + 1) * L)
+    return rows.select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "doc_id",
+        (lo - F.col("__start")).cast("int").alias("doc_offset"),
+        (lo - F.col("bin_id") * L).cast("int").alias("bin_offset"),
+        (hi - lo).cast("int").alias("slice_len"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
