@@ -2465,3 +2465,95 @@ def q_ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return pack_sequences(d, seq_len=_PACK_L)
+
+
+_XC_OFFSET = 10_000_000
+
+
+def _cross_corpus_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7, cap: int = 64
+) -> str:
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    rows = num_hashes // bands
+    base = f"({_o_hash('s', 0)}) % {MINHASH_P}"
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * ({base}) + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+            md5(concat_ws(',', {", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))})) AS band_key
+            FROM sigs"""
+        for b in range(bands)
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_XC_OFFSET} AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 0
+    ),
+    normed AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM src
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(t) >= 3 THEN list_distinct(
+                 list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+               WHEN len(t) > 0 AND norm <> '' THEN [norm]
+               ELSE CAST([] AS VARCHAR[])
+             END AS sh
+      FROM (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM normed)
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM sh),
+    bands AS ({band_selects}),
+    wit AS (
+      SELECT band, band_key, doc_id AS id_corpus,
+             ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+      FROM bands WHERE doc_id < {_XC_OFFSET}
+    ),
+    cands AS (
+      SELECT DISTINCT b.doc_id AS id_batch, w.id_corpus
+      FROM bands b
+      JOIN wit w ON b.band = w.band AND b.band_key = w.band_key
+      WHERE b.doc_id >= {_XC_OFFSET} AND w.rn <= {cap}
+    )
+    SELECT c.id_batch, c.id_corpus,
+           {oracle_dround('CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh)))', 6)} AS jaccard
+    FROM cands c
+    JOIN sh x ON x.doc_id = c.id_batch
+    JOIN sh y ON y.doc_id = c.id_corpus
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= {threshold}
+    """
+
+
+@register("q_ext_cross_corpus_dedup", oracle=_cross_corpus_oracle())
+def q_ext_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch AGAINST an existing corpus (the
+    continuous-crawl shape): corpus bands never self-join; the batch's
+    bands equi-join corpus bands with a deterministic 64-witness cap per
+    bucket, then exact-Jaccard verification runs on candidates only.
+    The batch here is every 7th document re-ingested under a new id —
+    each must match its origin at jaccard 1.0 plus any true near-dups —
+    and the oracle replays banding, witness cap, and verification
+    verbatim."""
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        cross_corpus_dedup_pairs,
+    )
+
+    corpus = load(spark, sf_dir, "documents")
+    batch = corpus.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + _XC_OFFSET
+    )
+    return cross_corpus_dedup_pairs(
+        batch, corpus, num_hashes=16, bands=4, threshold=0.7,
+        max_bucket_witnesses=64,
+    )

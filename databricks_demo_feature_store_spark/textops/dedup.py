@@ -640,6 +640,38 @@ def minhash_signatures(
     return based.select("id", sig.alias("signature"))
 
 
+
+
+def _banded_signatures(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """One row per (doc, band): band key = md5 of the band's signature
+    slice (the equi-join key LSH banding buckets on)."""
+    return signatures.select(
+        "id",
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "signature", "bk.band", "bk.band_key")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 4,
@@ -665,29 +697,7 @@ def minhash_lsh_candidates(
     only pathological cliques see the star reduction. ``None`` forces
     the provably-exact clique join at any bucket size.
     """
-    banded = signatures.select(
-        "id",
-        F.col("signature"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "signature", "bk.band", "bk.band_key")
+    banded = _banded_signatures(signatures, bands, rows_per_band)
     return _capped_bucket_pairs(
         banded,
         key_cols=["band", "band_key"],
@@ -1088,4 +1098,89 @@ def _two_phase_cc(
             F.col("node").alias(id_col),
             F.coalesce("component_id", "node").alias("component_id"),
         )
+    )
+
+
+def cross_corpus_dedup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket_witnesses: int | None = 64,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup detection: which documents of
+    a NEW ``batch`` near-duplicate something in an EXISTING ``corpus`` —
+    WITHOUT ever self-joining the corpus. Returns
+    ``(id_batch, id_corpus, jaccard)`` verified pairs; a batch doc is a
+    near-dup iff it appears at all (batch-internal duplicates are
+    :func:`minhash_dedup_pairs` on the batch alone — orders of magnitude
+    smaller than re-pairing the whole corpus).
+
+    This is the continuous-crawl shape at 100 TB: corpus MinHash
+    signatures are computed once (persist them as a table and pass the
+    banded frame straight in at deployment; here they are derived from
+    ``corpus`` for self-containedness), each incremental batch only
+    equi-joins its own bands against the corpus bands on
+    ``(band, band_key)``, and exact-Jaccard verification touches
+    candidate pairs only. The corpus text never shuffles — verification
+    joins candidate ids back to per-side shingle-hash arrays.
+
+    ``max_bucket_witnesses`` bounds boilerplate blowup: a band bucket
+    holding d corpus docs would hand every colliding batch doc d
+    candidates. Capping the corpus side of each bucket to the first
+    ``max_bucket_witnesses`` members (deterministic min-id order, one
+    row_number window on the band frame the join shuffles anyway) keeps
+    per-bucket fan-out constant. The cap can only LOSE pairs, never
+    invent them; for the keep/drop verdict a true near-dup still
+    surfaces unless EVERY one of its (up to ``bands``) matching buckets
+    is boilerplate-hot AND all surviving witnesses fail verification —
+    the same stop-bucket contract as ``ngram_jaccard_pairs``'
+    ``max_shingle_df``. ``None`` keeps every witness (provably exact).
+    """
+    rows_per_band = num_hashes // bands
+    bsig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
+    csig = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
+    bb = _banded_signatures(bsig, bands, rows_per_band).select(
+        F.col("id").alias("id_batch"), "band", "band_key"
+    )
+    cb = _banded_signatures(csig, bands, rows_per_band).select(
+        F.col("id").alias("id_corpus"), "band", "band_key"
+    )
+    if max_bucket_witnesses is not None:
+        if max_bucket_witnesses < 1:
+            raise ValueError("max_bucket_witnesses must be >= 1 or None")
+        w = Window.partitionBy("band", "band_key").orderBy("id_corpus")
+        cb = (
+            cb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(max_bucket_witnesses))
+            .drop("__rn")
+        )
+    cands = (
+        bb.join(cb, on=["band", "band_key"])
+        .select("id_batch", "id_corpus")
+        .distinct()
+    )
+    hb = with_shingle_hashes(batch, text_col, k, "__hs").select(
+        F.col(id_col).alias("id_batch"), F.col("__hs").alias("hs_b")
+    )
+    hc = with_shingle_hashes(corpus, text_col, k, "__hs").select(
+        F.col(id_col).alias("id_corpus"), F.col("__hs").alias("hs_c")
+    )
+    return (
+        cands.join(hb, on="id_batch")
+        .join(hc, on="id_corpus")
+        .withColumn(
+            "jaccard",
+            dround(
+                F.size(F.array_intersect("hs_b", "hs_c"))
+                / F.size(F.array_union("hs_b", "hs_c")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_batch", "id_corpus", "jaccard")
     )

@@ -1221,3 +1221,43 @@ def test_pack_sequences_tiles_exactly(spark):
     # different seed → different layout (shuffle really depends on seed)
     other = pack_sequences(df, seq_len=L, seed="u").collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_cross_corpus_dedup_pairs(spark):
+    """A re-ingested batch doc must match its corpus origin at jaccard
+    1.0 without the corpus ever self-joining; the witness cap bounds
+    boilerplate buckets while keeping at least one witness."""
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        cross_corpus_dedup_pairs,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "totally unrelated text about spark executors and shuffles"),
+        (3, "a third document with its own completely distinct words"),
+    ]
+    # boilerplate clique in the corpus: 30 identical docs
+    corpus_rows += [(100 + i, "same boilerplate header text repeated everywhere") for i in range(30)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (900, "the quick brown fox jumps over the lazy dog tonight again"),  # dup of 1
+            (901, "an entirely new never seen piece of content right here"),     # novel
+            (902, "same boilerplate header text repeated everywhere"),           # dup of clique
+        ],
+        ["doc_id", "text"],
+    )
+
+    exact = cross_corpus_dedup_pairs(batch, corpus, max_bucket_witnesses=None)
+    e = {(r.id_batch, r.id_corpus): r.jaccard for r in exact.collect()}
+    assert e[(900, 1)] == 1.0
+    assert not any(b == 901 for b, _ in e)           # novel doc: no pairs
+    assert sum(1 for b, _ in e if b == 902) == 30    # full clique witnessed
+
+    capped = cross_corpus_dedup_pairs(batch, corpus, max_bucket_witnesses=5)
+    c = {(r.id_batch, r.id_corpus): r.jaccard for r in capped.collect()}
+    assert c[(900, 1)] == 1.0                        # ordinary docs unaffected
+    hits_902 = [k for k in c if k[0] == 902]
+    assert 1 <= len(hits_902) <= 5                   # bounded witnesses...
+    assert min(cid for _, cid in hits_902) == 100    # ...deterministic min-id first
+    assert set(c) <= set(e)                          # cap only loses pairs
