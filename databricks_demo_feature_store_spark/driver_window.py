@@ -221,7 +221,17 @@ module import order. Selection policy:
   r6-green q_ext_weighted_sample; the shard/mixture composition stays
   local-gated), q_pipeline_incremental (r6-green composite; its
   decomposability + entity-scoped replace writer are pytest-gated and
-  the pipeline machinery keeps five in-window composites).
+  the pipeline machinery keeps five in-window composites). Late
+  round-7 sweep — two more families born this round rotate straight in:
+  q_ext_pack_sequences (concat-then-chunk sequence packing over the
+  distributed prefix sum) evicting q_val_schema_cast (multi-round
+  driver-green; the cast/rename schema rules are hash-certified by every
+  in-window q_pipeline_* schema match and the yyyy-MM-qq quarter parse
+  stays pytest- and local-gated), and q_ext_cross_corpus_dedup
+  (incremental batch-vs-corpus dedup with witness caps) evicting
+  q_stream_sessionize (driver-green r2-r6; session-window semantics
+  remain anchored by in-window q_stream_stateful_stats and the batch
+  sessionize twin in the full local gate).
 """
 
 from __future__ import annotations
@@ -236,14 +246,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_pipeline_payment_behavior",
     "q_training_set",
     "q_rolling_quantile",
-    "q_val_schema_cast",
+    "q_ext_pack_sequences",
     "q_salted_join",
     "q_val_timetravel_crosscheck",
     # streaming spread: windowed agg, session window, arbitrary state,
     # dedup + (round 6) interval join, static enrich, sliding windows,
     # foreachBatch feature-store sink
     "q_pipeline_credit_native",
-    "q_stream_sessionize",
+    "q_ext_cross_corpus_dedup",
     "q_stream_stateful_stats",
     "q_pipeline_holdings_native",
     "q_stream_interval_join",
