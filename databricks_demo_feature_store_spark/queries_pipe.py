@@ -1354,3 +1354,147 @@ def q_pipeline_holdings_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     chp_ standardized output. Input is a deterministic lineitem->productos
     shim so the oracle replays shim + pipeline verbatim."""
     return holdings_features_from_productos(_productos_from_lineitem(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingestion with incremental dedup (round-7 capstone:
+# the cross-corpus dedup operator driving a continuous-crawl pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _stream_ingest_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7, cap: int = 64
+) -> str:
+    from databricks_demo_feature_store_spark.functions.rounding import oracle_dround
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    def ohash(expr, seed):
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{seed}:', {expr})), 1, 15)) AS BIGINT)"
+        )
+
+    rows = num_hashes // bands
+    base = f"({ohash('s', 0)}) % {MINHASH_P}"
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * ({base}) + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+    def shingle_chain(src, pfx):
+        return f"""{pfx}n AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM {src}
+    ),
+    {pfx}sh AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(t) >= 3 THEN list_distinct(
+                 list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+               WHEN len(t) > 0 AND norm <> '' THEN [norm]
+               ELSE CAST([] AS VARCHAR[])
+             END AS sh
+      FROM (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM {pfx}n)
+    ),
+    {pfx}sig AS (SELECT doc_id, {mins} FROM {pfx}sh),
+    {pfx}band AS ({" UNION ALL ".join(
+        f'''SELECT doc_id, {b} AS band,
+            md5(concat_ws(',', {", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))})) AS band_key
+            FROM {pfx}sig'''
+        for b in range(bands)
+    )})"""
+
+    jac = oracle_dround(
+        "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh)))",
+        6,
+    )
+    return f"""
+    WITH b0 AS (
+      SELECT DISTINCT {ohash('text', 'corpus')} AS doc_id, text FROM documents
+    ),
+    c0 AS (
+      SELECT DISTINCT {ohash('text', 'corpus')} AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    {shingle_chain('b0', 'b')},
+    bcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bband a JOIN bband b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    bdrop AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM bcand c JOIN bsh x ON x.doc_id = c.id_a JOIN bsh y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= {threshold}
+    ),
+    bkeep AS (
+      SELECT b0.* FROM b0 LEFT JOIN bdrop USING (doc_id)
+      WHERE bdrop.doc_id IS NULL
+    ),
+    allv AS (
+      SELECT DISTINCT doc_id, text FROM (
+        SELECT doc_id, text FROM bkeep UNION ALL SELECT doc_id, text FROM c0
+      )
+    ),
+    {shingle_chain('allv', 'u')},
+    wit AS (
+      SELECT band, band_key, doc_id AS id_corpus,
+             ROW_NUMBER() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+      FROM uband WHERE doc_id IN (SELECT doc_id FROM c0)
+    ),
+    xcand AS (
+      SELECT DISTINCT b.doc_id AS id_batch, w.id_corpus
+      FROM uband b
+      JOIN wit w ON b.band = w.band AND b.band_key = w.band_key
+      WHERE b.doc_id IN (SELECT doc_id FROM bkeep) AND w.rn <= {cap}
+    ),
+    flagged AS (
+      SELECT DISTINCT c.id_batch AS doc_id
+      FROM xcand c JOIN ush x ON x.doc_id = c.id_batch JOIN ush y ON y.doc_id = c.id_corpus
+      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.sh, y.sh))) >= {threshold}
+    )
+    SELECT doc_id, text FROM c0
+    UNION ALL
+    SELECT k.doc_id, k.text FROM bkeep k
+    LEFT JOIN flagged f USING (doc_id) WHERE f.doc_id IS NULL
+    """
+
+
+@register("q_stream_ingest_dedup", oracle=_stream_ingest_oracle())
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl ingestion end-to-end: the documents table arrives
+    as one JSONL drop in a streaming inbox; the standing corpus is
+    pre-seeded with every third document (content-hash ids). The
+    foreachBatch pipeline content-hashes the batch, drops batch-internal
+    exact+near duplicates (greedy min-id representatives), flags
+    survivors against the standing corpus via the witness-capped
+    cross-corpus band join, and appends only novel documents. The oracle
+    replays content hashing, both MinHash chains, the witness cap, and
+    the final union in SQL."""
+    import shutil
+
+    from databricks_demo_feature_store_spark.queries import load
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        stream_ingest_corpus_dedup,
+    )
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    root = scratch_dir("stream_ingest")
+    inbox = os.path.join(root, "inbox")
+    corpus = os.path.join(root, "corpus")
+    ckpt = os.path.join(root, "ckpt")
+    docs = load(spark, sf_dir, "documents")
+    # one part file → one deterministic micro-batch
+    docs.select("text").coalesce(1).write.mode("overwrite").json(inbox)
+    docs.filter(F.col("doc_id") % 3 == 0).select(
+        portable_hash_col(F.col("text"), seed="corpus").alias("doc_id"),
+        "text",
+    ).dropDuplicates(["doc_id"]).write.mode("overwrite").parquet(corpus)
+    q = stream_ingest_corpus_dedup(spark, inbox, corpus, ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(corpus).select("doc_id", "text")

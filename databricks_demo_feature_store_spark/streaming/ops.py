@@ -346,3 +346,97 @@ def sliding_counts(
             "sum_value",
         )
     )
+
+
+def stream_ingest_corpus_dedup(
+    spark: SparkSession,
+    input_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    schema: str = "text string",
+    text_field: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_witnesses: int | None = 64,
+):
+    """Continuous-crawl ingestion with INCREMENTAL dedup: a file stream
+    of newly arrived JSONL documents where each micro-batch is deduplicated
+    (a) against itself and (b) against the STANDING corpus — without the
+    corpus ever self-joining — and only the survivors append to the
+    corpus. The composition every large-scale crawl pipeline needs:
+    dedup cost per batch is O(batch × matched buckets), never
+    O(corpus²) or a corpus re-pair.
+
+    Per micro-batch (foreachBatch — the streaming↔batch bridge, so the
+    full dedup library applies):
+
+    1. ``doc_id`` = portable 60-bit content hash → exact duplicates
+       (within the batch AND vs re-arrivals) collapse deterministically.
+    2. Batch-internal near-dups: :func:`minhash_dedup_pairs` on the
+       batch alone; any doc with a smaller-id near-dup partner drops
+       (greedy min-id representative — transitive chains collapse to
+       the smallest member kept in step order).
+    3. Cross-corpus: :func:`cross_corpus_dedup_pairs` flags batch docs
+       near-duplicating the standing corpus (banded equi-join with the
+       deterministic per-bucket witness cap); flagged docs drop.
+    4. Survivors append to ``corpus_path`` (parquet).
+
+    Exactly-once: the checkpoint tracks processed input files; content
+    hashes make replays idempotent at the exact-dup level. At warehouse
+    scale, persist the corpus MinHash band table alongside the corpus
+    and feed it to the cross step instead of re-deriving signatures from
+    text (the operator reads the corpus per batch here for
+    self-containedness). Runs with ``availableNow`` so a backlog drains
+    in one call; returns the StreamingQuery (caller owns its lifecycle).
+    """
+    from databricks_demo_feature_store_spark.textops.dedup import (
+        cross_corpus_dedup_pairs,
+        minhash_dedup_pairs,
+        portable_hash_col,
+    )
+
+    stream = spark.readStream.schema(schema).json(input_path)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = (
+            batch_df.filter(F.col(text_field).isNotNull())
+            .select(
+                portable_hash_col(F.col(text_field), seed="corpus").alias("doc_id"),
+                F.col(text_field).alias("text"),
+            )
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=True)  # several consumers below
+        )
+        pairs = minhash_dedup_pairs(
+            batch, num_hashes=num_hashes, bands=bands, threshold=threshold
+        )
+        # greedy min-id representative: drop the larger side of each pair
+        drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        batch = batch.join(drop, on="doc_id", how="left_anti")
+        try:
+            corpus = batch_df.sparkSession.read.parquet(corpus_path)
+            have_corpus = True
+        except Exception:
+            have_corpus = False  # first batch: nothing to compare against
+        if have_corpus:
+            flagged = cross_corpus_dedup_pairs(
+                batch,
+                corpus,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                max_bucket_witnesses=max_bucket_witnesses,
+            ).select(F.col("id_batch").alias("doc_id")).distinct()
+            batch = batch.join(flagged, on="doc_id", how="left_anti")
+        batch.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -431,3 +431,48 @@ def test_windowed_distinct_sketch_matches_batch(spark):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_stream_ingest_corpus_dedup(spark, tmp_path):
+    """Continuous ingestion with incremental dedup: arrivals dedupe
+    against themselves and the standing corpus; only novel documents
+    append; re-arrivals and near-dups are dropped; exactly-once across
+    restarts via the checkpoint."""
+    import json as _json
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        stream_ingest_corpus_dedup,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(name, texts):
+        (inbox / name).write_text("\n".join(_json.dumps({"text": t}) for t in texts))
+
+    a = "the quick brown fox jumps over the lazy dog tonight again ok"
+    a_near = "the quick brown fox jumps over the lazy dog tonight again now"
+    b = "completely different content about spark engines and data processing"
+
+    # wave 1: A, exact dup of A, near-dup of A, and B
+    arrive("w1.jsonl", [a, a, a_near, b])
+    q = stream_ingest_corpus_dedup(spark, str(inbox), corpus, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert b in got1 and len(got1) == 2  # one of {a, a_near} + b
+    assert (a in got1) != (a_near in got1)
+
+    # wave 2: A re-arrives (exact + near) plus one novel doc
+    novel = "an entirely new never seen piece of content right here today"
+    arrive("w2.jsonl", [a, a_near, novel])
+    q2 = stream_ingest_corpus_dedup(spark, str(inbox), corpus, ckpt)
+    q2.awaitTermination(120)
+    got2 = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == got1 | {novel}  # exactly one new doc, no duplicates
+
+    # replay with the same checkpoint: nothing new to process
+    q3 = stream_ingest_corpus_dedup(spark, str(inbox), corpus, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 3
