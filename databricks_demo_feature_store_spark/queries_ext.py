@@ -2557,3 +2557,86 @@ def q_ext_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, num_hashes=16, bands=4, threshold=0.7,
         max_bucket_witnesses=64,
     )
+
+
+def _hybrid_rrf_oracle(k: int = 10, k_each: int = 50, rrf_k: int = 60) -> str:
+    terms_sql = ", ".join(repr(t) for t in _BM25_TERMS)
+    return f"""
+    WITH {_O_TOKS},
+    lens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM lens),
+    postings AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (
+        SELECT t.doc_id, l.dl, unnest(t.toks) AS term
+        FROM toks t JOIN lens l ON l.doc_id = t.doc_id
+      )
+      WHERE term IN ({terms_sql})
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+    parts AS (
+      SELECT p.doc_id,
+             CAST(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+             AS DECIMAL(25,10)) AS part
+      FROM postings p JOIN dfreq d ON p.term = d.term CROSS JOIN stats s
+    ),
+    bagg AS (
+      SELECT doc_id, {oracle_dround('CAST(SUM(part) AS DOUBLE)', 6)} AS bm25
+      FROM parts GROUP BY 1
+    ),
+    blex AS (
+      SELECT doc_id, bm25, lex_rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+               AS lex_rank
+        FROM bagg
+      ) WHERE lex_rank <= {k_each}
+    ),
+    {_O_EMB},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    vscored AS (
+      SELECT e.vec_id AS doc_id, {oracle_dround(_O_COS, 6)} AS cosine
+      FROM e CROSS JOIN q
+    ),
+    vtop AS (
+      SELECT doc_id, cosine, vec_rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+               AS vec_rank
+        FROM vscored
+      ) WHERE vec_rank <= {k_each}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             b.bm25, b.lex_rank, v.cosine, v.vec_rank,
+             {oracle_dround(
+                 f'COALESCE(1.0 / ({rrf_k} + b.lex_rank), 0.0)'
+                 f' + COALESCE(1.0 / ({rrf_k} + v.vec_rank), 0.0)', 9)} AS rrf
+      FROM blex b FULL OUTER JOIN vtop v ON b.doc_id = v.doc_id
+    )
+    SELECT doc_id, bm25, lex_rank, cosine, vec_rank, rrf, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= {k}
+    """
+
+
+@register("q_ext_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: BM25 top-50 for the
+    3-term lexical query fused with exact cosine top-50 for the query
+    embedding (vec_id 7, passed as a 1-row DataFrame — no collect), RRF
+    score 1/(60+rank) summed per side, fused top-10. Both arms are
+    top-k-bounded before the fusion join, so the fusion cost is O(k)
+    regardless of corpus size; the oracle replays both arms and the
+    fusion verbatim."""
+    from databricks_demo_feature_store_spark.textops.search import hybrid_topk_rrf
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return hybrid_topk_rrf(
+        docs, emb, _BM25_TERMS, emb.filter(F.col("vec_id") == 7), k=10, k_each=50
+    )

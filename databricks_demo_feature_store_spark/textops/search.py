@@ -160,3 +160,66 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= top_n)
         .select("doc_id", "term", "tfidf", "term_rank")
     )
+
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vec: DataFrame,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
+    (Cormack/Clarke/Büttcher, SIGIR'09): BM25 top-``k_each`` for the
+    bag-of-terms query and exact cosine top-``k_each`` for the query
+    vector are full-outer joined on the document id and scored
+    ``rrf = Σ_sides 1/(rrf_k + rank_side)`` (absent side contributes 0),
+    returning the fused top-``k`` with both per-side scores and ranks —
+    the standard production shape for RAG retrieval where neither pure
+    BM25 nor pure ANN dominates.
+
+    ``query_vec`` is a 1..few-row DataFrame carrying the query embedding
+    (no driver-side vector literal, no collect). Scale shape: both arms
+    are already top-k-bounded (term-pruned inverted index + broadcast
+    query), so the fusion join and final TakeOrdered touch ≤ 2·k_each
+    rows regardless of corpus size. Rank arithmetic on integers makes
+    the fusion engine-exact; the rrf column is decimal-rounded only for
+    cross-engine hash parity of the displayed score.
+    """
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+    )
+
+    lex = bm25_topk(
+        docs, list(terms), k=int(k_each), text_col=text_col, id_col=id_col
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("score").alias("bm25"),
+        F.col("rank").alias("lex_rank"),
+    )
+    vec = brute_force_topk(
+        embeddings, query_vec, k=int(k_each), id_col=vec_id_col, vec_col=vec_col
+    ).select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.col("cosine"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = lex.join(vec, on="doc_id", how="full_outer")
+    rrf = dround(
+        F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("vec_rank")), F.lit(0.0)),
+        9,
+    )
+    top = (
+        fused.select("doc_id", "bm25", "lex_rank", "cosine", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+    w = W.orderBy(F.desc("rrf"), F.asc("doc_id"))  # ≤ k rows (GlobalLimit)
+    return top.select("*", F.row_number().over(w).alias("rank"))

@@ -1261,3 +1261,43 @@ def test_cross_corpus_dedup_pairs(spark):
     assert 1 <= len(hits_902) <= 5                   # bounded witnesses...
     assert min(cid for _, cid in hits_902) == 100    # ...deterministic min-id first
     assert set(c) <= set(e)                          # cap only loses pairs
+
+
+def test_hybrid_topk_rrf(spark):
+    """RRF fusion: a doc ranked by BOTH arms outranks docs ranked by one;
+    one-armed docs carry NULL for the missing side's score/rank."""
+    from databricks_demo_feature_store_spark.textops.search import hybrid_topk_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark streaming join engine"),   # lexical hit
+            (2, "spark vector search index"),     # lexical hit + vector hit
+            (3, "cooking recipes and gardens"),   # neither
+            (4, "unrelated text entirely"),       # vector hit only
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.1]),
+            (3, [0.0, -1.0]),
+            (4, [0.9, 0.2]),
+            (7, [1.0, 0.0]),  # the query vector row
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_topk_rrf(
+        docs, emb, ["spark", "join", "vector"],
+        emb.filter("vec_id = 7"), k=4, k_each=3,
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert out[0]["doc_id"] == 2  # both arms → top fused rank
+    assert rows[2]["lex_rank"] is not None and rows[2]["vec_rank"] is not None
+    # vector-only doc: lexical side NULL, still present via its vec arm
+    assert rows[4]["bm25"] is None and rows[4]["vec_rank"] is not None
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    # rrf is exactly the two-term reciprocal sum
+    r2 = rows[2]
+    expect = 1.0 / (60 + r2["lex_rank"]) + 1.0 / (60 + r2["vec_rank"])
+    assert abs(r2["rrf"] - expect) < 1e-9
