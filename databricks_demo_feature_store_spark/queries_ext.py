@@ -2640,3 +2640,83 @@ def q_ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk_rrf(
         docs, emb, _BM25_TERMS, emb.filter(F.col("vec_id") == 7), k=10, k_each=50
     )
+
+
+def _minhash_recall_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.7, rate: float = 0.2
+) -> str:
+    from databricks_demo_feature_store_spark.textops.sampling import RESOLUTION
+
+    cut = int(round(rate * RESOLUTION))
+    bucket = f"({_o_hash('CAST(doc_id AS VARCHAR)', 'dedupeval')}) % {RESOLUTION}"
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band,
+            md5(concat_ws(',', {", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))})) AS band_key
+            FROM sigs"""
+        for b in range(bands)
+    )
+    return f"""
+    WITH samp AS (
+      SELECT doc_id, text FROM documents WHERE {bucket} < {cut}
+    ),
+    normed AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM samp
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(t) >= 3 THEN list_distinct(
+                 list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+               WHEN len(t) > 0 AND norm <> '' THEN [norm]
+               ELSE CAST([] AS VARCHAR[])
+             END AS sh
+      FROM (SELECT doc_id, norm, string_split(norm, ' ') AS t FROM normed)
+    ),
+    truth AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            >= {threshold} * len(list_distinct(list_concat(x.sh, y.sh)))
+    ),
+    {_minhash_sig_sql(num_hashes)},
+    bands AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+      FROM cands c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_docs_sampled,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM verified WHERE jaccard >= {threshold}) AS BIGINT)
+             AS n_found_pairs,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+             {oracle_dround(
+                 'CAST((SELECT COUNT(*) FROM verified WHERE jaccard >= ' + str(threshold) + ') AS DOUBLE)'
+                 ' / (SELECT COUNT(*) FROM truth)', 6)}
+           END AS recall
+    """
+
+
+@register("q_ext_minhash_recall", oracle=_minhash_recall_oracle())
+def q_ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure-before-deploy for the LSH geometry: on a deterministic 20%
+    hash sample, banding recall = verified-pair count / exact all-pairs
+    ground truth at the same Jaccard threshold (precision is 1 by
+    construction — candidates are exactly verified). The oracle replays
+    the sample, the quadratic ground truth, and the production banding
+    pipeline."""
+    from databricks_demo_feature_store_spark.textops.dedup import minhash_recall_eval
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_recall_eval(d, sample_rate=0.2)

@@ -1184,3 +1184,77 @@ def cross_corpus_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_batch", "id_corpus", "jaccard")
     )
+
+
+def minhash_recall_eval(
+    df: DataFrame,
+    sample_rate: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    seed: int | str = "dedupeval",
+) -> DataFrame:
+    """Self-evaluation of the MinHash-LSH geometry BEFORE deploying it on
+    a full corpus: on a deterministic hash sample, compare the banding's
+    verified pairs against the EXACT all-pairs ground truth at the same
+    Jaccard threshold. Returns one row
+    ``(n_docs_sampled, n_true_pairs, n_found_pairs, recall)``.
+
+    Precision is 1 by construction (candidates are verified with exact
+    Jaccard), so the one number that characterizes the geometry is
+    candidate RECALL — the S-curve miss rate ``1-(1-(1-s^r)^b)`` made
+    empirical on your actual similarity distribution. Run with a few
+    (num_hashes, bands) settings and pick the cheapest geometry whose
+    recall clears your bar — the same measure-first contract as
+    :func:`~databricks_demo_feature_store_spark.textops.similarity.ann_recall_at_k`.
+
+    Scale shape: the exact all-pairs ground truth is quadratic ONLY in
+    the sample (hash-bucket sampling keeps it a few thousand docs; the
+    pair join is shingle-hash arrays within the sample), and the
+    banding arm is the production pipeline run on the same sample.
+    """
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        RESOLUTION,
+        sample_bucket_col,
+    )
+
+    cut = int(round(float(sample_rate) * RESOLUTION))
+    sample = df.filter(
+        sample_bucket_col(F.col(id_col).cast("string"), seed) < cut
+    )
+    sh = with_shingle_hashes(sample, text_col, k, "__hs").select(
+        F.col(id_col).alias("id"), F.col("__hs").alias("hs")
+    )
+    a = sh.withColumnsRenamed({"id": "id_a", "hs": "hs_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "hs": "hs_b"})
+    true_pairs = (
+        a.crossJoin(F.broadcast(b))  # sample-bounded by construction
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            >= F.lit(float(threshold)) * F.size(F.array_union("hs_a", "hs_b"))
+        )
+        .select("id_a", "id_b")
+    )
+    found = minhash_dedup_pairs(
+        sample, text_col, id_col, k, num_hashes, bands, threshold
+    ).select("id_a", "id_b")
+    n_docs = sample.select(F.count(F.lit(1)).alias("n")).select("n")
+    stats = true_pairs.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        n_docs.crossJoin(stats)
+        .select(
+            F.col("n").cast("long").alias("n_docs_sampled"),
+            F.col("n_true").cast("long").alias("n_true_pairs"),
+            F.col("n_found").cast("long").alias("n_found_pairs"),
+            F.when(
+                F.col("n_true") > 0,
+                dround(F.col("n_found") / F.col("n_true"), 6),
+            ).alias("recall"),
+        )
+    )
