@@ -232,6 +232,42 @@ module import order. Selection policy:
   q_stream_sessionize (driver-green r2-r6; session-window semantics
   remain anchored by in-window q_stream_stateful_stats and the batch
   sessionize twin in the full local gate).
+* Round-7 final sweep (three more queries born this round rotate
+  straight in + five never-driver-checked, continuing the burn-down):
+  eight swaps. IN — q_stream_ingest_dedup (streaming corpus ingestion
+  with incremental dedup, new this round), q_ext_hybrid_rrf (lexical +
+  vector Reciprocal Rank Fusion, new this round), q_ext_minhash_recall
+  (LSH-geometry recall self-evaluation, new this round), and five
+  never-checked: q_ext_pq_adc_topk, q_ext_ngram_jaccard_cutoff,
+  q_feature_scaling, q_ext_line_clean, q_robust_outliers. OUT, each
+  driver-green in >= 1 round with transitive cover:
+  q_stream_enrich (r6-green; the broadcast static-dim join runs inside
+  every in-window pipeline; the streaming family keeps stateful,
+  interval-join, feature-store sink, psi-drift, count-anomalies,
+  distinct-sketch plus rotating-in q_stream_ingest_dedup in-window),
+  q_stream_sliding (r6-green; windowed-agg machinery anchored by
+  in-window q_stream_count_anomalies' tumbling counts and
+  q_stream_psi_drift; the overlap enumeration stays local-gated),
+  q_pit_join (driver-green r2-r6; the PIT as-of join runs verbatim
+  inside in-window q_training_set's feature lookups and is
+  hypothesis-property-tested), q_ext_ivfpq_topk (r5+r6-green; its ADC
+  fold is exactly what rotating-in q_ext_pq_adc_topk certifies and the
+  coarse IVF assignment stays exact-checked in the full local gate),
+  q_ext_minhash_dedup (driver-green r2-r6; the signature+banding arm is
+  replayed verbatim inside rotating-in q_ext_minhash_recall and the
+  incremental variant inside in-window q_ext_cross_corpus_dedup; the
+  exact-Jaccard verify is shared with rotating-in
+  q_ext_ngram_jaccard_cutoff), q_feature_chain (driver-green r2-r6; its
+  math/ratio/CASE scalar algebra runs inside every in-window
+  q_pipeline_* composite; the functions family gains rotating-in
+  q_feature_scaling), q_ext_substring_dedup (r5+r6-green; span-dedup
+  stays exact-checked by the full local gate + pytest, and the
+  shingle/fingerprint machinery is shared with in-window
+  q_ext_simhash_pairs and rotating-in q_ext_ngram_jaccard_cutoff),
+  q_layer_roundtrip (r6-green; the layered catalog read/write machinery
+  is exercised in-window by q_val_timetravel_crosscheck's versioned
+  reads and q_stream_feature_store's foreachBatch upsert through the
+  same writers, plus tests/test_catalog.py).
 """
 
 from __future__ import annotations
@@ -257,17 +293,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_stateful_stats",
     "q_pipeline_holdings_native",
     "q_stream_interval_join",
-    "q_stream_enrich",
-    "q_stream_sliding",
+    "q_stream_ingest_dedup",
+    "q_ext_hybrid_rrf",
     "q_stream_feature_store",
     # operator-family anchors
-    "q_pit_join",
-    "q_feature_chain",
-    "q_layer_roundtrip",
+    "q_ext_minhash_recall",
+    "q_feature_scaling",
+    "q_robust_outliers",
     # text / dedup / similarity / multimodal
     # q_ext_minhash_sig demoted: q_ext_minhash_dedup rebuilds the same
     # signatures before banding, so the signature math is still hash-checked
-    "q_ext_minhash_dedup",
+    "q_ext_ngram_jaccard_cutoff",
     "q_ext_simhash_pairs",
     "q_ext_dedup_clusters_twophase",
     "q_ext_multimodal_decode",
@@ -281,10 +317,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_contamination_bloom",
     "q_ext_domain_cap",
     # round-5 holdovers (see docstring)
-    "q_ext_substring_dedup",
+    "q_ext_line_clean",
     "q_ext_quality_classifier",
     "q_stream_distinct_sketch",
-    "q_ext_ivfpq_topk",
+    "q_ext_pq_adc_topk",
     # round-7 rotation (never-driver-checked families; see docstring)
     "q_val_roc_auc",
     "q_val_calibration",

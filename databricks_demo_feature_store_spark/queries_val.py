@@ -703,3 +703,105 @@ def q_val_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") <= 4).cast("int").alias("y"),
     )
     return decile_lift(e, "score", "y", "vec_id", n_bins=5)
+
+
+@register(
+    "q_val_pr_curve",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(embedding[2] AS DOUBLE) AS s,
+             CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+      WHERE embedding[2] IS NOT NULL
+    ),
+    per_score AS (
+      SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM base GROUP BY s
+    ),
+    cum AS (
+      SELECT s, np, nn,
+             SUM(np) OVER (ORDER BY s DESC) AS tp,
+             SUM(nn) OVER (ORDER BY s DESC) AS fp
+      FROM per_score
+    ),
+    t AS (SELECT SUM(np) AS P FROM per_score)
+    SELECT s AS threshold,
+           CAST(np + nn AS BIGINT) AS n_at,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(ROUND(CAST(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS precision,
+           CAST(ROUND(CAST(CASE WHEN P > 0 THEN CAST(tp AS DOUBLE) / CAST(P AS DOUBLE) END
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS recall
+    FROM cum CROSS JOIN t
+    """,
+)
+def q_val_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve for the embedding-coordinate scorer:
+    per-distinct-score collapse, then cumulative tp/fp in DESCENDING
+    score order via the distributed prefix sum (attach_global_cumsum —
+    no single-partition window); every emitted ratio is one division of
+    exact integers, bit-reproducible across engines. The oracle replays
+    the descending cumulative counts."""
+    from databricks_demo_feature_store_spark.validation.evaluation import pr_curve
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        (F.col("label") <= 4).cast("int").alias("y"),
+    )
+    return pr_curve(e, "score", "y")
+
+
+@register(
+    "q_val_pr_auc",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(embedding[2] AS DOUBLE) AS s,
+             CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+      WHERE embedding[2] IS NOT NULL
+    ),
+    per_score AS (
+      SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM base GROUP BY s
+    ),
+    cum AS (
+      SELECT s, np, nn,
+             SUM(np) OVER (ORDER BY s DESC) AS tp,
+             SUM(nn) OVER (ORDER BY s DESC) AS fp
+      FROM per_score
+    ),
+    t AS (SELECT SUM(np) AS P, SUM(nn) AS N FROM per_score),
+    terms AS (
+      SELECT P, N,
+             CAST(np AS HUGEINT) * CAST(tp AS HUGEINT)
+               * CAST(1000000000000 AS HUGEINT) AS a,
+             CAST(P AS HUGEINT) * CAST(tp + fp AS HUGEINT) AS b
+      FROM cum CROSS JOIN t
+    ),
+    agg AS (
+      SELECT P, N, SUM(CASE WHEN b > 0 THEN a // b ELSE CAST(0 AS HUGEINT) END) AS ap_units
+      FROM terms GROUP BY P, N
+    )
+    SELECT CAST(ROUND(CAST(CAST(ap_units AS DOUBLE) / 1000000000000.0
+             AS DECIMAL(38,10)), 6) AS DOUBLE) AS average_precision,
+           CAST(P AS BIGINT) AS n_pos,
+           CAST(N AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def q_val_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (step-wise threshold-sweep AP) of the
+    embedding-coordinate scorer: the same per-score prefix-sum shape as
+    q_val_roc_auc, with each group's precision term floored to integer
+    units of 1e-12 in pure DECIMAL(38) arithmetic ((a - a mod b) / b —
+    exact floor division in both engines) so the cross-partition sum is
+    an exact integer. The oracle replays the unit arithmetic in
+    HUGEINT."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        average_precision,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 2).cast("double").alias("score"),
+        (F.col("label") <= 4).cast("int").alias("y"),
+    )
+    return average_precision(e, "score", "y")

@@ -10,8 +10,10 @@ from databricks_demo_feature_store_spark.validation.schemas import (
     QUARTER_FORMAT,
 )
 from databricks_demo_feature_store_spark.validation.evaluation import (
+    average_precision,
     calibration_bins,
     decile_lift,
+    pr_curve,
     roc_auc,
     threshold_metrics,
 )
@@ -42,6 +44,7 @@ __all__ = [
     "count_anomalies", "dimension_drift",
     "ks_drift", "psi_by_group", "psi_drift", "psi_numeric", "roc_auc",
     "calibration_bins", "decile_lift", "threshold_metrics",
+    "average_precision", "pr_curve",
     "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

@@ -87,6 +87,123 @@ def roc_auc(
     )
 
 
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact precision–recall curve: one row per DISTINCT score
+    (descending-threshold order), ``(threshold, n_at, tp, fp, precision,
+    recall)`` where tp/fp are cumulative counts at ``score >=
+    threshold``. Collapses to per-score counts first (state = distinct
+    scores, never rows), then distributed prefix sums in descending
+    score order (`attach_global_cumsum` — no single-partition window).
+    Every emitted number is one division of exact integers, so both
+    engines reproduce it bit-for-bit. NULL scores/labels are dropped.
+    """
+    lab = F.col(label_col).cast("int")
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"), lab.alias("__y")
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per_score = base.groupBy("__s").agg(
+        F.sum("__y").alias("__np"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__nn"),
+    )
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_cumsum,
+    )
+
+    cum = attach_global_cumsum(
+        per_score, [F.col("__s").desc()], ["__np", "__nn"]
+    )
+    tp, fp = F.col("cum___np"), F.col("cum___nn")
+    # total positives via a broadcast 1-row aggregate (not an
+    # unpartitioned window over the data)
+    tot = per_score.agg(F.sum("__np").alias("__P"))
+    out = cum.crossJoin(F.broadcast(tot))
+    precision = tp.cast("double") / (tp + fp).cast("double")
+    recall = F.when(
+        F.col("__P") > 0, tp.cast("double") / F.col("__P").cast("double")
+    )
+    return out.select(
+        F.col("__s").alias("threshold"),
+        (F.col("__np") + F.col("__nn")).cast("long").alias("n_at"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        dround(precision, round_to).alias("precision"),
+        dround(recall, round_to).alias("recall"),
+    )
+
+
+#: Average precision is accumulated in integer units of 1e-12 so the
+#: cross-partition sum is exact (double addition order differs between
+#: partitions and engines); the quantization error is <= #distinct-scores
+#: x 1e-12, far below the reported rounding.
+_AP_UNITS = 10**12
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact average precision (area under the step-wise PR curve,
+    the standard threshold-sweep definition): ``AP = Σ_g (np_g / P) ·
+    precision_g`` over distinct-score groups g in descending order,
+    where ``precision_g = tp_g / (tp_g + fp_g)`` at the group boundary.
+    One row ``(average_precision, n_pos, n_neg)``.
+
+    Scale shape mirrors :func:`roc_auc`: per-score collapse, distributed
+    prefix sums, then ONE aggregation. Each group's term is floored to
+    integer units of 1e-12 with pure DECIMAL(38) arithmetic
+    (``(a − a mod b) / b`` — exact floor division in both engines), so
+    the final sum is an exact integer and the result reproduces
+    bit-for-bit across engines and partitionings.
+    """
+    lab = F.col(label_col).cast("int")
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"), lab.alias("__y")
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per_score = base.groupBy("__s").agg(
+        F.sum("__y").alias("__np"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__nn"),
+    )
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_cumsum,
+    )
+
+    cum = attach_global_cumsum(
+        per_score, [F.col("__s").desc()], ["__np", "__nn"]
+    )
+    tot = per_score.agg(
+        F.sum("__np").alias("__P"), F.sum("__nn").alias("__N")
+    )
+    dec = "decimal(38,0)"
+    tp = F.col("cum___np").cast(dec)
+    cum_tot = (F.col("cum___np") + F.col("cum___nn")).cast(dec)
+    # a / b in exact integer units: a = np·tp·UNITS, b = P·cum_tot
+    a = (
+        F.col("__np").cast(dec)
+        * tp
+        * F.lit(_AP_UNITS).cast(dec)
+    )
+    b = F.col("__P").cast(dec) * cum_tot
+    term = F.when(b > 0, (a - F.pmod(a, b)) / b).otherwise(F.lit(0).cast(dec))
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("__P", "__N")
+        .agg(F.sum(term.cast(dec)).alias("__ap_units"))
+    )
+    ap = F.col("__ap_units").cast("double") / F.lit(float(_AP_UNITS))
+    return agg.select(
+        dround(ap, round_to).alias("average_precision"),
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+    )
+
+
 def threshold_metrics(
     df: DataFrame,
     score_col: str,

@@ -429,3 +429,42 @@ def test_count_anomalies_zero_variance_baseline(spark):
            count_anomalies(df, "ts", trailing=5, grain="day").collect()}
     assert out[7]["is_anomaly"] is True and out[7]["zscore"] is None
     assert out[6]["is_anomaly"] is False  # flat and unchanged
+
+
+def test_pr_curve_and_average_precision(spark):
+    """Hand-computed step-wise AP with a tie; perfect scorer AP = 1.0;
+    curve rows carry exact cumulative tp/fp per distinct threshold."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        average_precision,
+        pr_curve,
+    )
+
+    # descending groups: 0.9 (1 pos), 0.5 (1 pos + 1 neg tie), 0.1 (1 neg)
+    # AP = (1/2)*(1/1) + (1/2)*(2/3) + 0 = 0.833333...
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0)], ["s", "y"]
+    )
+    curve = {r["threshold"]: r for r in pr_curve(df, "s", "y").collect()}
+    assert curve[0.9]["tp"] == 1 and curve[0.9]["fp"] == 0
+    assert curve[0.9]["precision"] == 1.0 and abs(curve[0.9]["recall"] - 0.5) < 1e-9
+    assert curve[0.5]["tp"] == 2 and curve[0.5]["fp"] == 1
+    assert abs(curve[0.5]["precision"] - 2 / 3) < 1e-6
+    assert curve[0.1]["tp"] == 2 and curve[0.1]["fp"] == 2
+
+    r = average_precision(df, "s", "y").collect()[0]
+    assert abs(r["average_precision"] - (0.5 + 0.5 * 2 / 3)) < 1e-6
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], ["s", "y"]
+    )
+    assert (
+        abs(average_precision(perfect, "s", "y").collect()[0]["average_precision"] - 1.0)
+        < 1e-6
+    )
+    # constant scorer: single group, AP = precision = base rate
+    const = spark.createDataFrame([(0.5, 1), (0.5, 0), (0.5, 0), (0.5, 0)], ["s", "y"])
+    assert (
+        abs(average_precision(const, "s", "y").collect()[0]["average_precision"] - 0.25)
+        < 1e-6
+    )
