@@ -50,6 +50,7 @@ HEADLINE = [
     "q_stream_hourly",
     "q_stream_sessionize",
     "q_stream_distinct_sketch",
+    "q_stream_ingest_dedup",
     "q_val_crosscheck",
     "q_val_expectations",
     "q_val_psi_drift",
@@ -65,6 +66,8 @@ HEADLINE = [
     "q_stream_count_anomalies",
     "q_key_skew_profile",
     "q_val_roc_auc",
+    "q_val_pr_curve",
+    "q_val_pr_auc",
     "q_val_calibration",
     "q_val_psi_numeric",
     "q_val_threshold_metrics",
