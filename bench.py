@@ -69,6 +69,8 @@ HEADLINE = [
     "q_val_pr_curve",
     "q_val_pr_auc",
     "q_val_calibration",
+    "q_val_pit_leakage",
+    "q_val_feature_screen",
     "q_val_psi_numeric",
     "q_val_threshold_metrics",
     "q_val_decile_lift",

@@ -2720,3 +2720,82 @@ def q_ext_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return minhash_recall_eval(d, sample_rate=0.2)
+
+
+def _ndcg_oracle(k: int = 10, n_queries: int = 16) -> str:
+    g9 = lambda expr: (  # noqa: E731
+        f"CAST({oracle_dround(expr, 9)} AS DECIMAL(38,9))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id % {n_queries} AS query_id, vec_id AS doc_id,
+             CAST(label % 4 AS INT) AS rel,
+             {oracle_dround('CAST(embedding[3] AS DOUBLE)', 6)} AS s
+      FROM embeddings
+    ),
+    runs AS (
+      SELECT query_id, doc_id, rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+             ) AS pos
+      FROM q
+    ),
+    dcg AS (
+      SELECT query_id,
+             SUM({g9('(pow(2.0, rel) - 1.0) / log2(pos + 1.0)')}) AS dcg
+      FROM runs WHERE pos <= {k} GROUP BY query_id
+    ),
+    ipos AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+             ) AS ip
+      FROM q WHERE rel > 0
+    ),
+    ideal AS (
+      SELECT query_id,
+             SUM({g9('(pow(2.0, rel) - 1.0) / log2(ip + 1.0)')}) AS idcg,
+             COUNT(*) AS nrel
+      FROM ipos WHERE ip <= {k} GROUP BY query_id
+    )
+    SELECT d.query_id,
+           {oracle_dround('CAST(d.dcg AS DOUBLE)', 6)} AS dcg,
+           {oracle_dround('CAST(COALESCE(i.idcg, 0) AS DOUBLE)', 6)} AS idcg,
+           CASE WHEN COALESCE(i.idcg, 0) > 0 THEN
+             {oracle_dround('CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)', 6)}
+           END AS ndcg,
+           CAST(COALESCE(i.nrel, 0) AS BIGINT) AS n_rel
+    FROM dcg d LEFT JOIN ideal i USING (query_id)
+    """
+
+
+@register("q_ext_ndcg_eval", oracle=_ndcg_oracle())
+def q_ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a deterministic retrieval run against graded judgments
+    (exponential-gain Järvelin–Kekäläinen form) — the ranking-quality
+    tier that closes the retrieval-evaluation loop next to recall@k
+    (`q_ext_ann_recall`) and the fused ranker (`q_ext_hybrid_rrf`).
+    Queries are the vec_id mod-16 classes, the run ranks docs by a
+    rounded embedding coordinate (rounding makes cross-engine ordering
+    exact; ties break on doc_id), judgments grade label mod 4. Gains are
+    rounded to 9 decimals and summed in DECIMAL(38,9), so the per-query
+    DCG/IDCG/NDCG hash-match DuckDB bit-for-bit."""
+    from databricks_demo_feature_store_spark.textops.search import ndcg_at_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrels = emb.select(
+        (F.col("vec_id") % 16).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") % 4).cast("int").alias("rel"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("doc_id"))
+    runs = (
+        emb.select(
+            (F.col("vec_id") % 16).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            dround(F.element_at("embedding", 3).cast("double"), 6).alias("__s"),
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 10)
+    )
+    return ndcg_at_k(runs, qrels, k=10)

@@ -805,3 +805,141 @@ def q_val_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") <= 4).cast("int").alias("y"),
     )
     return average_precision(e, "score", "y")
+
+
+@register(
+    "q_val_pit_leakage",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(epoch(o_orderdate) AS BIGINT) AS lab, o_orderkey AS k
+      FROM orders
+    ),
+    long AS (
+      SELECT 'f_asof' AS feature, lab,
+             lab + CASE WHEN k % 7 = 0 THEN 7200 ELSE -259200 END AS ft
+      FROM base
+      UNION ALL
+      SELECT 'f_daily' AS feature, lab,
+             CASE WHEN k % 11 <> 0 THEN lab - 86400 END AS ft
+      FROM base
+    ),
+    agg AS (
+      SELECT feature,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN ft IS NULL THEN 1 ELSE 0 END) AS n_null_ts,
+             SUM(CASE WHEN ft IS NOT NULL AND ft > lab - 3600
+                 THEN 1 ELSE 0 END) AS n_violations,
+             MAX(CASE WHEN ft IS NOT NULL AND ft > lab - 3600
+                 THEN ft - (lab - 3600) END) AS max_lookahead_sec
+      FROM long GROUP BY feature
+    )
+    SELECT feature,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null_ts AS BIGINT) AS n_null_ts,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(max_lookahead_sec AS BIGINT) AS max_lookahead_sec,
+           CASE WHEN n_rows - n_null_ts > 0 THEN
+             CAST(ROUND(CAST(CAST(n_violations AS DOUBLE)
+                  / (n_rows - n_null_ts) AS DECIMAL(38,10)), 6) AS DOUBLE)
+           END AS violation_share
+    FROM agg
+    """,
+)
+def q_val_pit_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time leakage audit of a synthetic training frame over
+    orders: `f_asof` lands 2h AFTER the label for every 7th order (a
+    planted pipeline bug) and 3 days before it otherwise; `f_daily` is
+    a clean T-1 feature with every 11th value missing. A 1-hour embargo
+    is enforced. The audit must flag exactly the planted rows, report
+    the worst peek in seconds, and count nulls separately — the oracle
+    replays the epoch arithmetic."""
+    from databricks_demo_feature_store_spark.validation.leakage import (
+        pit_leakage_audit,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    secs = F.unix_timestamp(F.col("o_orderdate"))
+    df = o.select(
+        F.col("o_orderdate").alias("label_ts"),
+        F.timestamp_seconds(
+            secs
+            + F.when(F.col("o_orderkey") % 7 == 0, F.lit(7200)).otherwise(
+                F.lit(-259200)
+            )
+        ).alias("f_asof"),
+        F.when(
+            F.col("o_orderkey") % 11 != 0, F.timestamp_seconds(secs - 86400)
+        ).alias("f_daily"),
+    )
+    return pit_leakage_audit(df, "label_ts", ["f_asof", "f_daily"], embargo_seconds=3600)
+
+
+@register(
+    "q_val_feature_screen",
+    oracle="""
+    WITH base AS (
+      SELECT feature, s, CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+      FROM (
+        SELECT 'f_dim1' AS feature, CAST(embedding[1] AS DOUBLE) AS s, label
+        FROM embeddings
+        UNION ALL
+        SELECT 'f_dim2', CAST(embedding[2] AS DOUBLE), label FROM embeddings
+        UNION ALL
+        SELECT 'f_mod', CAST(vec_id % 10 AS DOUBLE), label FROM embeddings
+      ) WHERE s IS NOT NULL
+    ),
+    per AS (
+      SELECT feature, s, SUM(y) AS np, SUM(1 - y) AS nn
+      FROM base GROUP BY feature, s
+    ),
+    cum AS (
+      SELECT feature, s, np, nn,
+             SUM(np) OVER (PARTITION BY feature ORDER BY s ASC) AS cnp,
+             SUM(nn) OVER (PARTITION BY feature ORDER BY s ASC) AS cnn
+      FROM per
+    ),
+    tot AS (
+      SELECT feature, SUM(np) AS P, SUM(nn) AS N FROM per GROUP BY feature
+    ),
+    terms AS (
+      SELECT c.feature, t.P, t.N,
+             CAST(np AS HUGEINT) * (
+               2 * (CAST(cnp AS HUGEINT) + CAST(cnn AS HUGEINT)
+                    - CAST(np + nn AS HUGEINT))
+               + CAST(np + nn AS HUGEINT) + 1
+             ) AS contrib
+      FROM cum c JOIN tot t ON c.feature = t.feature
+    ),
+    agg AS (
+      SELECT feature, P, N, SUM(contrib) AS r2 FROM terms
+      GROUP BY feature, P, N
+    )
+    SELECT feature,
+           CASE WHEN P > 0 AND N > 0 THEN
+             CAST(ROUND(CAST(
+               CAST(r2 - CAST(P AS HUGEINT) * (CAST(P AS HUGEINT) + 1) AS DOUBLE)
+               / (2.0 * P * N) AS DECIMAL(38,10)), 6) AS DOUBLE)
+           END AS auc,
+           CAST(P AS BIGINT) AS n_pos,
+           CAST(N AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def q_val_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate AUC screening of three candidate features (two
+    embedding coordinates + a synthetic mod-10 feature) against the
+    label, all in ONE shared plan — grouped Mann–Whitney rank AUC via a
+    single global prefix sum over (feature, value), never a per-feature
+    single-task sort. The oracle replays the doubled-rank integer
+    arithmetic per feature in HUGEINT."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        feature_auc_screen,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("f_dim1"),
+        F.element_at("embedding", 2).cast("double").alias("f_dim2"),
+        (F.col("vec_id") % 10).cast("double").alias("f_mod"),
+        (F.col("label") <= 4).cast("int").alias("y"),
+    )
+    return feature_auc_screen(e, ["f_dim1", "f_dim2", "f_mod"], "y")

@@ -223,3 +223,80 @@ def hybrid_topk_rrf(
     )
     w = W.orderBy(F.desc("rrf"), F.asc("doc_id"))  # ≤ k rows (GlobalLimit)
     return top.select("*", F.row_number().over(w).alias("rank"))
+
+
+def ndcg_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact NDCG@k of a ranked retrieval run against graded relevance
+    judgments (Järvelin & Kekäläinen, TOIS'02 — the exponential-gain
+    form standard in TREC): one row per query,
+    ``(query_id, dcg, idcg, ndcg, n_rel)`` with
+    ``DCG = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)`` over the run's rank
+    order and IDCG the same sum over the top-k judgments sorted by
+    grade. Unjudged retrieved documents score rel = 0 (TREC
+    convention); queries with no positive judgment emit ndcg = NULL
+    (0/0 is undefined, not zero).
+
+    Scale shape: the run is pre-bounded to k rows per query before the
+    join, so the qrels join moves ≤ k·|queries| rows; the ideal ranking
+    is a window PARTITIONED by query over the judged documents only
+    (bounded per query by the assessment-pool size, never corpus-sized).
+    Determinism: each position's gain is computed in IEEE double
+    (identical inputs → identical doubles in both engines), rounded to
+    9 decimals via DECIMAL, and SUMMED in DECIMAL(38,9) — accumulation
+    order can't change the hash; a last-ulp disagreement in ``log2``
+    would have to land within 5e-10 of a rounding boundary to matter.
+    """
+    if k < 1:
+        raise ValueError("ndcg_at_k requires k >= 1")
+    dec = "decimal(38,9)"
+    gain = lambda rel, pos: dround(  # noqa: E731
+        (F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0))
+        / F.log2(pos.cast("double") + F.lit(1.0)),
+        9,
+    ).cast(dec)
+
+    r = runs.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__pos"),
+    ).where(F.col("__pos") <= int(k))
+    j = qrels.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rel_col).cast("int").alias("__rel"),
+    )
+    hit = r.join(j, ["__q", "__d"], "left").select(
+        "__q", gain(F.coalesce(F.col("__rel"), F.lit(0)), F.col("__pos")).alias("__g")
+    )
+    dcg = hit.groupBy("__q").agg(F.sum("__g").alias("__dcg"))
+
+    w = W.partitionBy("__q").orderBy(F.desc("__rel"), F.asc("__d"))
+    ideal = (
+        j.where(F.col("__rel") > 0)
+        .select("__q", "__rel", "__d", F.row_number().over(w).alias("__ipos"))
+        .where(F.col("__ipos") <= int(k))
+        .select("__q", gain(F.col("__rel"), F.col("__ipos")).alias("__g"))
+        .groupBy("__q")
+        .agg(F.sum("__g").alias("__idcg"), F.count("*").alias("__nrel"))
+    )
+    out = dcg.join(ideal, "__q", "left")
+    idcg = F.coalesce(F.col("__idcg"), F.lit(0).cast(dec))
+    ndcg = F.when(
+        idcg > 0, F.col("__dcg").cast("double") / idcg.cast("double")
+    )
+    return out.select(
+        F.col("__q").alias(query_col),
+        dround(F.col("__dcg").cast("double"), round_to).alias("dcg"),
+        dround(idcg.cast("double"), round_to).alias("idcg"),
+        dround(ndcg, round_to).alias("ndcg"),
+        F.coalesce(F.col("__nrel"), F.lit(0)).cast("long").alias("n_rel"),
+    )

@@ -13,9 +13,13 @@ from databricks_demo_feature_store_spark.validation.evaluation import (
     average_precision,
     calibration_bins,
     decile_lift,
+    feature_auc_screen,
     pr_curve,
     roc_auc,
     threshold_metrics,
+)
+from databricks_demo_feature_store_spark.validation.leakage import (
+    pit_leakage_audit,
 )
 from databricks_demo_feature_store_spark.validation.drift import (
     anomalies_from_counts,
@@ -44,7 +48,8 @@ __all__ = [
     "count_anomalies", "dimension_drift",
     "ks_drift", "psi_by_group", "psi_drift", "psi_numeric", "roc_auc",
     "calibration_bins", "decile_lift", "threshold_metrics",
-    "average_precision", "pr_curve",
+    "average_precision", "pr_curve", "feature_auc_screen",
+    "pit_leakage_audit",
     "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

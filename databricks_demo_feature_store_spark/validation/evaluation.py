@@ -380,3 +380,80 @@ def calibration_bins(
             ).alias("positive_rate"),
         )
     )
+
+
+def feature_auc_screen(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Univariate feature screening: the exact ROC-AUC of EVERY feature
+    column against the label in one shared plan — one row per feature,
+    ``(feature, auc, n_pos, n_neg)``, the single-pass filter ranking a
+    feature-store user runs before training (|auc − 0.5| is the
+    screening signal; 0.5 = no ranking power).
+
+    Same Mann–Whitney rank formulation as :func:`roc_auc`, generalized
+    to grouped prefix sums WITHOUT a per-feature single-task sort: one
+    ``stack`` unpivot, per-(feature, value) count collapse, then ONE
+    `attach_global_cumsum` ordered by ``(feature, value)`` — the range
+    exchange interleaves every feature's distinct values across tasks,
+    so a single continuous feature with billions of distinct values
+    still spreads over the cluster. Per-feature cumulative = global
+    cumulative − the feature's start offset (a per-feature ``min(cum −
+    own)`` aggregation, exact integers). A window PARTITIONED BY
+    feature would put each feature's whole distinct-value set in one
+    task — the shape this avoids.
+    """
+    if not feature_cols:
+        raise ValueError("feature_auc_screen requires >= 1 feature column")
+    lab = F.col(label_col).cast("int")
+    stack_expr = "stack({n}, {args}) as (__f, __s)".format(
+        n=len(feature_cols),
+        args=", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in feature_cols),
+    )
+    base = df.select(lab.alias("__y"), F.expr(stack_expr)).where(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    per = base.groupBy("__f", "__s").agg(
+        F.sum("__y").alias("__np"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__nn"),
+    )
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_cumsum,
+    )
+
+    cum = attach_global_cumsum(
+        per, [F.col("__f").asc(), F.col("__s").asc()], ["__np", "__nn"]
+    )
+    # cumulative BEFORE each feature's first row = min over the feature
+    # of (inclusive cum − own count); subtracting localizes the ranks
+    offs = cum.groupBy("__f").agg(
+        F.min(F.col("cum___np") - F.col("__np")).alias("__onp"),
+        F.min(F.col("cum___nn") - F.col("__nn")).alias("__onn"),
+        F.sum("__np").alias("__P"),
+        F.sum("__nn").alias("__N"),
+    )
+    dec = "decimal(38,0)"
+    j = cum.join(offs, "__f")
+    lnp = (F.col("cum___np") - F.col("__onp")).cast(dec)
+    lnn = (F.col("cum___nn") - F.col("__onn")).cast(dec)
+    n_s = (F.col("__np") + F.col("__nn")).cast(dec)
+    ranks_before = lnp + lnn - n_s
+    dbl_avg_rank = F.lit(2).cast(dec) * ranks_before + n_s + F.lit(1).cast(dec)
+    contrib = F.col("__np").cast(dec) * dbl_avg_rank
+    agg = j.groupBy("__f", "__P", "__N").agg(F.sum(contrib).alias("__2R"))
+    p = F.col("__P").cast(dec)
+    numer = F.col("__2R") - p * (p + F.lit(1).cast(dec))
+    auc = F.when(
+        (F.col("__P") > 0) & (F.col("__N") > 0),
+        numer.cast("double")
+        / (F.lit(2.0) * F.col("__P").cast("double") * F.col("__N").cast("double")),
+    )
+    return agg.select(
+        F.col("__f").alias("feature"),
+        dround(auc, round_to).alias("auc"),
+        F.col("__P").cast("long").alias("n_pos"),
+        F.col("__N").cast("long").alias("n_neg"),
+    )

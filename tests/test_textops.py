@@ -1301,3 +1301,50 @@ def test_hybrid_topk_rrf(spark):
     r2 = rows[2]
     expect = 1.0 / (60 + r2["lex_rank"]) + 1.0 / (60 + r2["vec_rank"])
     assert abs(r2["rrf"] - expect) < 1e-9
+
+
+def test_ndcg_at_k_hand_computed(spark):
+    """NDCG against hand arithmetic: perfect ranking = 1.0; a swap
+    discounts by the position; unjudged docs gain 0; a query with no
+    positive judgment yields NULL ndcg."""
+    import math
+
+    from databricks_demo_feature_store_spark.textops.search import ndcg_at_k
+
+    runs = spark.createDataFrame(
+        [  # q1 ranks rel-3 first (ideal); q2 inverts; q3 retrieves junk
+            ("q1", "a", 1), ("q1", "b", 2), ("q1", "x", 3),
+            ("q2", "b", 1), ("q2", "a", 2),
+            ("q3", "x", 1), ("q3", "y", 2),
+        ],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 3), ("q1", "b", 1), ("q2", "a", 3), ("q2", "b", 1),
+         ("q3", "z", 0)],
+        ["query_id", "doc_id", "rel"],
+    )
+    out = {r["query_id"]: r for r in ndcg_at_k(runs, qrels, k=3).collect()}
+
+    ideal = 7.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert abs(out["q1"]["ndcg"] - 1.0) < 1e-6
+    assert abs(out["q1"]["dcg"] - ideal) < 1e-6
+    swapped = 1.0 / math.log2(2) + 7.0 / math.log2(3)
+    assert abs(out["q2"]["ndcg"] - swapped / ideal) < 1e-6
+    assert out["q3"]["ndcg"] is None and out["q3"]["n_rel"] == 0
+    assert out["q1"]["n_rel"] == 2
+
+
+def test_ndcg_at_k_truncation_and_unjudged(spark):
+    """Rank > k rows are ignored; IDCG uses only the top-k judgments."""
+    from databricks_demo_feature_store_spark.textops.search import ndcg_at_k
+
+    runs = spark.createDataFrame(
+        [("q", f"d{i}", i) for i in range(1, 6)], ["query_id", "doc_id", "rank"]
+    )
+    qrels = spark.createDataFrame(
+        [("q", f"d{i}", 1) for i in range(1, 6)], ["query_id", "doc_id", "rel"]
+    )
+    r = ndcg_at_k(runs, qrels, k=2).collect()[0]
+    # only ranks 1-2 counted on both sides -> perfect
+    assert abs(r["ndcg"] - 1.0) < 1e-6 and r["n_rel"] == 2

@@ -468,3 +468,72 @@ def test_pr_curve_and_average_precision(spark):
         abs(average_precision(const, "s", "y").collect()[0]["average_precision"] - 0.25)
         < 1e-6
     )
+
+
+def test_pit_leakage_audit(spark):
+    """Violations = feature ts strictly after label ts - embargo; NULL
+    feature ts counted apart; worst lookahead in seconds reported."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.validation.leakage import (
+        pit_leakage_audit,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # (label_ts, clean_ts, leaky_ts)
+        (t0, ts(-3600), ts(300)),    # leaky peeks 300s ahead
+        (t0, ts(-60), ts(-30)),      # clean under zero embargo
+        (t0, None, ts(7200)),        # null clean ts; big leak
+    ]
+    df = spark.createDataFrame(rows, ["label_ts", "f_clean", "f_leaky"])
+    out = {r["feature"]: r for r in
+           pit_leakage_audit(df, "label_ts", ["f_clean", "f_leaky"]).collect()}
+    assert out["f_clean"]["n_violations"] == 0
+    assert out["f_clean"]["n_null_ts"] == 1
+    assert out["f_clean"]["max_lookahead_sec"] is None
+    assert out["f_leaky"]["n_violations"] == 2
+    assert out["f_leaky"]["max_lookahead_sec"] == 7200
+    assert abs(out["f_leaky"]["violation_share"] - 2 / 3) < 1e-6
+
+    # embargo pulls the cutoff earlier: f_leaky's -30s row now violates
+    # too (cutoff = label - 60; boundary is STRICT, so f_clean's -60s
+    # row still passes), and every lookahead grows by the embargo
+    emb = {r["feature"]: r for r in
+           pit_leakage_audit(df, "label_ts", ["f_clean", "f_leaky"],
+                             embargo_seconds=60).collect()}
+    assert emb["f_clean"]["n_violations"] == 0
+    assert emb["f_leaky"]["n_violations"] == 3
+    assert emb["f_leaky"]["max_lookahead_sec"] == 7260
+
+
+def test_feature_auc_screen_matches_roc_auc(spark):
+    """Per-feature AUCs from the grouped screen equal the single-feature
+    roc_auc on each column, including tie handling and an
+    anti-predictive feature (auc < 0.5)."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        feature_auc_screen,
+        roc_auc,
+    )
+
+    rows = [
+        (0.9, 0.1, 0.5, 1),
+        (0.8, 0.2, 0.5, 1),
+        (0.4, 0.6, 0.5, 0),
+        (0.3, 0.9, 0.5, 0),
+        (0.8, 0.4, 0.5, 0),  # tie in f_good; f_flat all-tied
+    ]
+    df = spark.createDataFrame(rows, ["f_good", "f_anti", "f_flat", "y"])
+    out = {r["feature"]: r for r in
+           feature_auc_screen(df, ["f_good", "f_anti", "f_flat"], "y").collect()}
+    for c in ("f_good", "f_anti", "f_flat"):
+        solo = roc_auc(df.select(c, "y"), c, "y").collect()[0]
+        assert out[c]["auc"] == solo["auc"], c
+        assert out[c]["n_pos"] == solo["n_pos"] == 2
+    assert out["f_good"]["auc"] > 0.5
+    assert out["f_anti"]["auc"] < 0.5
+    assert out["f_flat"]["auc"] == 0.5
