@@ -80,6 +80,9 @@ HEADLINE = [
     "q_rank_normalize",
     "q_robust_outliers",
     "q_rsi",
+    "q_backtest_folds",
+    "q_val_cohens_kappa",
+    "q_pagerank",
 ]
 
 

@@ -687,3 +687,57 @@ def assign_bins(
         ),
     )
     return df.crossJoin(cuts).select(*df.columns, bin_expr.alias(out_col))
+
+
+def backtest_folds(
+    df: DataFrame,
+    ts_col: str,
+    cutoffs: Sequence[str],
+    horizon_days: int,
+    fold_col: str = "fold",
+    split_col: str = "split",
+) -> DataFrame:
+    """Rolling-origin backtest folds (time-series cross-validation): for
+    each cutoff i, rows at or before the cutoff are fold i's ``train``
+    split and rows inside ``(cutoff, cutoff + horizon_days]`` its
+    ``test`` split — the expanding-window evaluation protocol that
+    respects time (a random k-fold would train on the future). Returns
+    the long frame: one row per (fold, qualifying row), with rows
+    outside both windows dropped.
+
+    ``cutoffs`` are 'YYYY-MM-DD' (or full timestamp) literals — the
+    caller names the evaluation dates explicitly, so the plan needs NO
+    pre-scan of the data to place fold boundaries. Shape: explode of a
+    LITERAL fold array (narrow — no shuffle, no join; the scan is
+    re-read once per fold in the same stage) then a range predicate per
+    fold. Horizon arithmetic is fixed-duration seconds (day-time
+    interval), identical in any engine and timezone."""
+    if not cutoffs:
+        raise ValueError("backtest_folds requires >= 1 cutoff")
+    if horizon_days < 1:
+        raise ValueError("backtest_folds requires horizon_days >= 1")
+    folds = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("f"),
+                F.to_timestamp(F.lit(str(c))).alias("cut"),
+            )
+            for i, c in enumerate(cutoffs)
+        ]
+    )
+    ts = F.col(ts_col)
+    exploded = df.select("*", F.explode(folds).alias("__fold"))
+    cut = F.col("__fold.cut")
+    hi = cut + F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+    split = (
+        F.when(ts <= cut, F.lit("train"))
+        .when((ts > cut) & (ts <= hi), F.lit("test"))
+    )
+    return (
+        exploded.select(
+            *df.columns,
+            F.col("__fold.f").alias(fold_col),
+            split.alias(split_col),
+        )
+        .where(F.col(split_col).isNotNull())
+    )

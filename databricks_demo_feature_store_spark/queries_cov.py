@@ -1628,3 +1628,121 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
     )
     return robust_outlier_flags(c, "c_acctbal", ["c_mktsegment"])
+
+
+@register(
+    "q_backtest_folds",
+    oracle="""
+    WITH folds(f, cut) AS (
+      VALUES (0, TIMESTAMP '1996-01-01 00:00:00'),
+             (1, TIMESTAMP '1996-07-01 00:00:00'),
+             (2, TIMESTAMP '1997-01-01 00:00:00')
+    ),
+    long AS (
+      SELECT o.o_orderkey, f.f AS fold,
+             CASE
+               WHEN o.o_orderdate <= f.cut THEN 'train'
+               WHEN o.o_orderdate <= f.cut + INTERVAL 90 DAY THEN 'test'
+             END AS split
+      FROM orders o CROSS JOIN folds f
+    )
+    SELECT CAST(fold AS INT) AS fold, split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM long WHERE split IS NOT NULL
+    GROUP BY fold, split
+    """,
+)
+def q_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest folds over orders: three expanding-window
+    cutoffs, 90-day test horizons; the gate compares per-(fold, split)
+    row counts and key ranges. The fold boundaries are caller literals
+    (no data pre-scan) and the horizon is fixed-duration day arithmetic,
+    so the long frame is engine-exact."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        backtest_folds,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    long = backtest_folds(
+        o, "o_orderdate", ["1996-01-01", "1996-07-01", "1997-01-01"], 90
+    )
+    return long.groupBy("fold", "split").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    ).select(F.col("fold").cast("int").alias("fold"), "split", "n_rows", "min_key", "max_key")
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    d = repr(float(damping))
+    tele = repr(1.0 - float(damping))
+    r12 = lambda expr: (  # noqa: E731
+        f"CAST({oracle_dround(expr, 12)} AS DECIMAL(38,12))"
+    )
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node,
+             SUM({r12(f'CAST({prev}.rank AS DOUBLE) / CAST({prev}.d AS DOUBLE)')}) AS inm
+      FROM {prev} JOIN e ON {prev}.node = e.src
+      WHERE {prev}.d IS NOT NULL
+      GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT COALESCE(SUM(rank), CAST(0 AS DECIMAL(38,12))) AS dang
+      FROM {prev} WHERE d IS NULL
+    ),
+    r{i} AS (
+      SELECT b.node, b.d,
+             {r12(
+                 f"{tele} / CAST(nn.n AS DOUBLE) + {d} * ("
+                 f"CAST(COALESCE(c{i}.inm, 0) AS DOUBLE)"
+                 f" + CAST(d{i}.dang AS DOUBLE) / CAST(nn.n AS DOUBLE))"
+             )} AS rank
+      FROM {prev} b
+      LEFT JOIN c{i} ON b.node = c{i}.node
+      CROSS JOIN d{i} CROSS JOIN nn
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    base AS (
+      SELECT node, deg.d FROM nodes LEFT JOIN deg ON nodes.node = deg.src
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, d, {r12('1.0 / CAST(nn.n AS DOUBLE)')} AS rank
+      FROM base CROSS JOIN nn
+    ),{",".join(its)}
+    SELECT node, {oracle_dround(f'CAST({prev}.rank AS DOUBLE)', 6)} AS rank
+    FROM {prev}
+    """
+
+
+@register("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer shipment graph (distinct
+    (l_suppkey, o_custkey) pairs; customer ids offset into their own
+    node namespace), 5 synchronous iterations at d = 0.85 with uniform
+    dangling-mass redistribution — every customer node is dangling, so
+    the teleport+dangling path is exercised on most of the mass. The
+    oracle unrolls all five iterations in chained CTEs replaying the
+    identical 1e-12 DECIMAL rounding."""
+    from databricks_demo_feature_store_spark.operators.graph import pagerank
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1000000)).alias("dst"),
+    )
+    return pagerank(edges, iterations=5, damping=0.85)

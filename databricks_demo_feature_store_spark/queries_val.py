@@ -943,3 +943,59 @@ def q_val_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") <= 4).cast("int").alias("y"),
     )
     return feature_auc_screen(e, ["f_dim1", "f_dim2", "f_mod"], "y")
+
+
+@register(
+    "q_val_cohens_kappa",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(label % 3 AS VARCHAR) AS a,
+             CAST((label + CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) % 3
+                  AS VARCHAR) AS b
+      FROM embeddings
+    ),
+    cell AS (SELECT a, b, COUNT(*) AS c FROM base GROUP BY a, b),
+    tot AS (
+      SELECT SUM(c) AS n,
+             SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+      FROM cell
+    ),
+    ma AS (SELECT a, SUM(c) AS na FROM cell GROUP BY a),
+    mb AS (SELECT b, SUM(c) AS nb FROM cell GROUP BY b),
+    pe AS (
+      SELECT COALESCE(SUM(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)),
+                      CAST(0 AS HUGEINT)) AS pe_num
+      FROM ma JOIN mb ON ma.a = mb.b
+    )
+    SELECT
+      CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe_num > 0 THEN
+        CAST(ROUND(CAST(
+          CAST(CAST(agree AS HUGEINT) * CAST(n AS HUGEINT) - pe_num AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pe_num AS DOUBLE)
+          AS DECIMAL(38,10)), 6) AS DOUBLE)
+      END AS kappa,
+      CAST(ROUND(CAST(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+           AS DECIMAL(38,10)), 6) AS DOUBLE) AS p_observed,
+      CAST(ROUND(CAST(CAST(pe_num AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           AS DECIMAL(38,10)), 6) AS DOUBLE) AS p_expected,
+      CAST(n AS BIGINT) AS n
+    FROM tot CROSS JOIN pe
+    """,
+)
+def q_val_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two synthetic raters over embeddings (rater
+    B disagrees with rater A on exactly the vec_id mod-5 class, shifted
+    one label) — chance-corrected agreement with exact-integer p_o/p_e
+    arithmetic; the oracle replays the contingency algebra in HUGEINT."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        cohens_kappa,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 3).cast("string").alias("rater_a"),
+        (
+            (F.col("label") + (F.col("vec_id") % 5 == 0).cast("int")) % 3
+        ).cast("string").alias("rater_b"),
+    )
+    return cohens_kappa(e, "rater_a", "rater_b")

@@ -457,3 +457,64 @@ def feature_auc_screen(
         F.col("__P").cast("long").alias("n_pos"),
         F.col("__N").cast("long").alias("n_neg"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960) between two
+    label columns — one row ``(kappa, p_observed, p_expected, n)``. The
+    quality loop for human- or model-labeled training data: raw percent
+    agreement overstates consistency when the label distribution is
+    skewed; kappa subtracts the chance-agreement floor
+    (``κ = (p_o − p_e) / (1 − p_e)``).
+
+    One hash aggregation over (a, b) pairs — state is the label-pair
+    cross product, never rows. Marginals come from the same collapsed
+    frame; every statistic is one division of exact integer counts
+    (``p_e`` is Σ n_a·n_b over labels ÷ n², kept in DECIMAL(38)), so
+    the result is engine-exact. Rows where either label is NULL are
+    dropped (emit an explicit '__null__' category upstream to count
+    them). κ is NULL when p_e = 1 (both raters constant — undefined)."""
+    a, b = F.col(rater_a_col).cast("string"), F.col(rater_b_col).cast("string")
+    base = df.select(a.alias("__a"), b.alias("__b")).where(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    )
+    cell = base.groupBy("__a", "__b").agg(F.count("*").alias("__c"))
+    dec = "decimal(38,0)"
+    tot = cell.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(0)).alias(
+            "__agree"
+        ),
+    )
+    ma = cell.groupBy("__a").agg(F.sum("__c").alias("__na"))
+    mb = cell.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    # Σ_k n_a(k)·n_b(k): join the two marginal frames on the label value
+    pe_num = (
+        ma.join(mb, ma["__a"] == mb["__b"], "inner")
+        .select((F.col("__na").cast(dec) * F.col("__nb").cast(dec)).alias("__ab"))
+        .agg(F.coalesce(F.sum("__ab"), F.lit(0).cast(dec)).alias("__pe_num"))
+    )
+    j = tot.crossJoin(F.broadcast(pe_num))
+    n = F.col("__n").cast(dec)
+    po = F.col("__agree").cast("double") / F.col("__n").cast("double")
+    pe = F.col("__pe_num").cast("double") / (
+        F.col("__n").cast("double") * F.col("__n").cast("double")
+    )
+    # κ = (po − pe)/(1 − pe) with exact-integer numerators:
+    # (agree·n − pe_num) / (n² − pe_num)
+    kap_num = F.col("__agree").cast(dec) * n - F.col("__pe_num")
+    kap_den = n * n - F.col("__pe_num")
+    kappa = F.when(
+        kap_den > 0, kap_num.cast("double") / kap_den.cast("double")
+    )
+    return j.select(
+        dround(kappa, round_to).alias("kappa"),
+        dround(po, round_to).alias("p_observed"),
+        dround(pe, round_to).alias("p_expected"),
+        F.col("__n").cast("long").alias("n"),
+    )

@@ -399,3 +399,29 @@ def test_robust_outlier_flags(spark):
     # group b: median 5, MAD 0 → the 6.0 is a flat-break anomaly
     assert out[("b", 6.0)]["v_is_outlier"] is True
     assert out[("b", 5.0)]["v_is_outlier"] is False
+
+
+def test_backtest_folds_windows(spark):
+    """Each fold trains on everything at or before its cutoff and tests
+    on the horizon window only; out-of-window rows drop; a row can
+    appear in several folds."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        backtest_folds,
+    )
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    df = spark.createDataFrame(
+        [(1, t("2024-01-15")), (2, t("2024-02-10")), (3, t("2024-03-20")),
+         (4, t("2024-09-01"))],
+        ["id", "ts"],
+    )
+    out = backtest_folds(df, "ts", ["2024-02-01", "2024-03-01"], 30)
+    got = {(r["fold"], r["split"], r["id"]) for r in out.collect()}
+    assert got == {
+        (0, "train", 1), (0, "test", 2),          # fold 0: cutoff Feb 1
+        (1, "train", 1), (1, "train", 2), (1, "test", 3),  # fold 1: Mar 1
+    }  # id 4 is beyond every horizon -> absent everywhere

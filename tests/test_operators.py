@@ -866,3 +866,41 @@ def test_rank_normalize_per_group(spark):
     assert out[("a", 20.0)] == 0.5
     assert out[("b", 5.0)] == 0.0  # singleton group
     assert out[("b", None)] is None
+
+
+def test_pagerank_matches_exact_replay(spark):
+    """Ranks match a pure-Python power iteration replaying the identical
+    per-term HALF_UP 1e-12 rounding; mass stays ~1; a dangling node's
+    mass redistributes instead of leaking; duplicate edges collapse."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from databricks_demo_feature_store_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("c", "d"), ("a", "b")]  # duplicate a->b; d is dangling
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+
+    def r12(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+
+    uniq = sorted(set(edges))
+    nodes = sorted({s for s, _ in uniq} | {d for _, d in uniq})
+    deg = {}
+    for s, _ in uniq:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: r12(1.0 / n) for v in nodes}
+    d = 0.85
+    for _ in range(5):
+        inm = {v: 0.0 for v in nodes}
+        for s, t in uniq:
+            inm[t] += r12(rank[s] / deg[s])  # decimal sum of rounded terms
+        dang = sum(rank[v] for v in nodes if v not in deg)
+        rank = {
+            v: r12((1.0 - d) / n + d * (inm[v] + dang / n)) for v in nodes
+        }
+    for v in nodes:
+        assert abs(out[v] - round(rank[v], 6)) < 1e-9, (v, out[v], rank[v])
+    assert abs(sum(out.values()) - 1.0) < 1e-6  # mass conserved
+    assert out["c"] == max(out.values())  # two in-links + feeds the hub

@@ -537,3 +537,30 @@ def test_feature_auc_screen_matches_roc_auc(spark):
     assert out["f_good"]["auc"] > 0.5
     assert out["f_anti"]["auc"] < 0.5
     assert out["f_flat"]["auc"] == 0.5
+
+
+def test_cohens_kappa_hand_values(spark):
+    """Perfect agreement = 1; hand-computed 2x2 case; constant raters
+    with pe = 1 yield NULL kappa."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        cohens_kappa,
+    )
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], ["a", "b"]
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+
+    # po = 0.7; marginals a: 25/25, b: 30/20 -> pe = (25*30 + 25*20)/2500 = 0.5
+    rows = (
+        [("p", "p")] * 20 + [("p", "n")] * 5 + [("n", "p")] * 10
+        + [("n", "n")] * 15
+    )
+    r = cohens_kappa(spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    assert abs(r["p_observed"] - 0.7) < 1e-9
+    assert abs(r["p_expected"] - 0.5) < 1e-9
+    assert abs(r["kappa"] - 0.4) < 1e-6
+    assert r["n"] == 50
+
+    const = spark.createDataFrame([("x", "x"), ("x", "x")], ["a", "b"])
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None

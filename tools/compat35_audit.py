@@ -44,6 +44,7 @@ PYSPARK_35_FUNCTIONS_VERIFIED = {
     "add_months", "current_date", "date_add", "date_sub", "date_format",
     "date_trunc", "datediff", "dayofmonth", "months_between", "to_date",
     "to_timestamp", "trunc", "unix_micros", "timestamp_micros",  # 3.3.0
+    "unix_timestamp", "timestamp_seconds",  # 1.5.0 / 3.1.0
     # aggregates
     "avg", "sum", "min", "max", "count", "countDistinct", "count_distinct",
     "first", "last", "collect_list", "collect_set", "approx_count_distinct",
