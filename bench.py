@@ -83,6 +83,8 @@ HEADLINE = [
     "q_backtest_folds",
     "q_val_cohens_kappa",
     "q_pagerank",
+    "q_zorder_key",
+    "q_frequent_pairs",
 ]
 
 

@@ -1746,3 +1746,85 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") + F.lit(1000000)).alias("dst"),
     )
     return pagerank(edges, iterations=5, damping=0.85)
+
+
+def _zorder_oracle(bits: int = 6) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"((((p_size >> {j}) & 1)) << {j * 2})")
+        terms.append(f"((((p_partkey % 64) >> {j}) & 1) << {j * 2 + 1})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT p_partkey, CAST({z} AS BIGINT) AS zkey
+    FROM part
+    """
+
+
+@register("q_zorder_key", oracle=_zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton / Z-order clustering key over (p_size, p_partkey mod 64) at
+    6 bits per dimension — the space-filling-curve key behind
+    OPTIMIZE-ZORDER-style multi-column file clustering
+    (`operators/layout.py cluster_by_zorder` range-partitions and sorts
+    on it). Pure shift/and/or column algebra; the oracle replays every
+    bit placement."""
+    from databricks_demo_feature_store_spark.operators.layout import zorder_key
+
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        zorder_key(
+            [F.col("p_size"), F.pmod(F.col("p_partkey"), F.lit(64))], bits=6
+        ).alias("zkey"),
+    )
+
+
+@register(
+    "q_frequent_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+    sup AS (
+      SELECT it, COUNT(*) AS n_item FROM b GROUP BY it
+      HAVING COUNT(*) >= 25
+    ),
+    pruned AS (SELECT b.bk, b.it FROM b JOIN sup ON b.it = sup.it),
+    pairs AS (
+      SELECT l.it AS item_a, r.it AS item_b, COUNT(*) AS n_pair
+      FROM pruned l JOIN pruned r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY l.it, r.it
+      HAVING COUNT(*) >= 25
+    )
+    SELECT item_a, item_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(sa.n_item AS BIGINT) AS n_a,
+           CAST(sb.n_item AS BIGINT) AS n_b,
+           CAST(ROUND(CAST(CAST(n_pair AS DOUBLE) / nb.n
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS support,
+           CAST(ROUND(CAST(CAST(n_pair AS DOUBLE) / sa.n_item
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS confidence,
+           CAST(ROUND(CAST(CAST(n_pair AS DOUBLE) * nb.n
+                / (CAST(sa.n_item AS DOUBLE) * sb.n_item)
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS lift
+    FROM pairs
+    JOIN sup sa ON pairs.item_a = sa.it
+    JOIN sup sb ON pairs.item_b = sb.it
+    CROSS JOIN nb
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent supplier pairs across orders (A-priori-pruned
+    market-basket co-occurrence): pairs of suppliers that ship in the
+    same order at least 25 times, with support / confidence / lift. The
+    oracle replays the prune, the basket self-join, and the margin
+    arithmetic."""
+    from databricks_demo_feature_store_spark.operators.association import (
+        frequent_pairs,
+    )
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return frequent_pairs(
+        l, "l_orderkey", "l_suppkey", min_support_count=25
+    )

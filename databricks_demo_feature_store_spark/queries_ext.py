@@ -2799,3 +2799,44 @@ def q_ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
     )
     return ndcg_at_k(runs, qrels, k=10)
+
+
+@register(
+    "q_ext_pmi_collocations",
+    oracle=f"""
+    WITH n AS (
+      SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    toks AS (SELECT string_split(norm, ' ') AS t FROM n WHERE norm <> ''),
+    bg AS (
+      SELECT UNNEST(list_transform(range(1, len(t)),
+                                   i -> {{'w1': t[i], 'w2': t[i+1]}})) AS s
+      FROM toks WHERE len(t) >= 2
+    ),
+    counts AS (SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+    l AS (SELECT w1, SUM(n_ab) AS n_a FROM counts GROUP BY w1),
+    r AS (SELECT w2, SUM(n_ab) AS n_b FROM counts GROUP BY w2),
+    tot AS (SELECT SUM(n_ab) AS nn FROM counts)
+    SELECT c.w1, c.w2,
+           CAST(c.n_ab AS BIGINT) AS n_ab,
+           CAST(l.n_a AS BIGINT) AS n_a,
+           CAST(r.n_b AS BIGINT) AS n_b,
+           {oracle_dround('ln(CAST(c.n_ab AS DOUBLE) * tot.nn / (CAST(l.n_a AS DOUBLE) * r.n_b))', 6)} AS pmi
+    FROM counts c
+    JOIN l ON c.w1 = l.w1 JOIN r ON c.w2 = r.w2 CROSS JOIN tot
+    WHERE c.n_ab >= 5
+    """,
+)
+def q_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the document corpus: adjacent-bigram PMI
+    with exact contingency margins, hapax tail pruned at count >= 5 —
+    the multi-word-unit detector a tokenizer/curation pipeline runs
+    before vocabulary decisions. The oracle replays the tokenization,
+    margin sums, and log-ratio."""
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        pmi_collocations,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5)

@@ -396,3 +396,74 @@ def vocab_weights(
         .groupBy("bucket")
         .agg(F.sum("w").alias("weight"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks, CL'90): adjacent-token bigrams scored
+    ``pmi = log( n_ab · N / (n_a · n_b) )`` where N is the total bigram
+    count and unigram counts are taken over the same bigram positions
+    (left events = bigram-initial tokens, right events = bigram-final
+    tokens — the contingency margins of the bigram table, so the
+    independence baseline is exact). One row per surviving bigram:
+    ``(w1, w2, n_ab, n_a, n_b, pmi)``; high-PMI pairs are the
+    multi-word units ("new york") corpus curation treats as single
+    tokens.
+
+    Scale shape: ONE explode of adjacent pairs, one count aggregation,
+    then two broadcast-joined margin frames (vocabulary-sized). The
+    ``min_count`` prune lands BEFORE the margin joins, killing the
+    hapax tail (the bulk of distinct bigrams) early; margins must
+    still count every occurrence, so they aggregate the unpruned pair
+    frame — state is vocabulary-sized, never corpus-sized. ``top_n``
+    bounds the output by (pmi, w1, w2) TakeOrdered."""
+    if min_count < 1:
+        raise ValueError("pmi_collocations requires min_count >= 1")
+    toks = tokens_col(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    left = counts.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    right = counts.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    total = counts.agg(F.sum("n_ab").alias("__N"))
+    scored = (
+        counts.where(F.col("n_ab") >= int(min_count))
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            dround(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("__N").cast("double"))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    if top_n is not None:
+        return scored.orderBy(
+            F.desc("pmi"), F.asc("w1"), F.asc("w2")
+        ).limit(int(top_n))
+    return scored

@@ -904,3 +904,92 @@ def test_pagerank_matches_exact_replay(spark):
         assert abs(out[v] - round(rank[v], 6)) < 1e-9, (v, out[v], rank[v])
     assert abs(sum(out.values()) - 1.0) < 1e-6  # mass conserved
     assert out["c"] == max(out.values())  # two in-links + feeds the hub
+
+
+def test_zorder_key_bit_interleave(spark):
+    """Hand-checked Morton codes; quadrant ordering; mask of high bits;
+    cluster_by_zorder preserves rows and drops the key column."""
+    from databricks_demo_feature_store_spark.operators.graph import pagerank  # noqa: F401
+    from databricks_demo_feature_store_spark.operators.layout import (
+        cluster_by_zorder,
+        zorder_key,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(2, 1), (0, 0), (1, 0), (0, 1), (3, 3), (5, 1)], ["x", "y"]
+    )
+    out = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+        ).collect()
+    }
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1   # x bit0 -> out bit0
+    assert out[(0, 1)] == 2   # y bit0 -> out bit1
+    assert out[(2, 1)] == 6   # x=10, y=01 -> 0110
+    assert out[(3, 3)] == 15
+    assert out[(5, 1)] == out[(1, 1)] if (1, 1) in out else True
+    # masking: 5 = 0b101 masked to 2 bits == 1
+    assert out[(5, 1)] == 3  # x=01 (masked), y=01 -> 0b11
+
+    # quadrant property: all 2x2-grid points of the low quadrant sort
+    # before every point of the high quadrant
+    pts = [(x, y) for x in range(4) for y in range(4)]
+    z = {
+        (r["x"], r["y"]): r["z"]
+        for r in spark.createDataFrame(pts, ["x", "y"])
+        .select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=2).alias("z"))
+        .collect()
+    }
+    lo = max(z[(x, y)] for x in range(2) for y in range(2))
+    hi = min(z[(x, y)] for x in range(2, 4) for y in range(2, 4))
+    assert lo < hi
+
+    clustered = cluster_by_zorder(df, ["x", "y"], bits=2, num_partitions=2)
+    assert clustered.columns == ["x", "y"]
+    assert sorted((r["x"], r["y"]) for r in clustered.collect()) == sorted(
+        [(2, 1), (0, 0), (1, 0), (0, 1), (3, 3), (5, 1)]
+    )
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="63-bit"):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
+
+
+def test_frequent_pairs_support_confidence_lift(spark):
+    """Hand-computed 4-basket example; duplicate line items collapse;
+    items below min support never pair; basket cap drops the bot cart
+    and its baskets leave the denominator."""
+    from databricks_demo_feature_store_spark.operators.association import (
+        frequent_pairs,
+    )
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "bread"),   # dup line item
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "beer"),
+        (4, "bread"), (4, "caviar"),               # caviar support 1
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in frequent_pairs(df, "basket", "item", min_support_count=2).collect()
+    }
+    pair = out[("bread", "milk")]
+    assert pair["n_pair"] == 2 and pair["n_a"] == 3 and pair["n_b"] == 3
+    assert abs(pair["support"] - 0.5) < 1e-9            # 2/4 baskets
+    assert abs(pair["confidence"] - 2 / 3) < 1e-6
+    assert abs(pair["lift"] - (2 * 4) / (3 * 3)) < 1e-6  # < 1: repel
+    assert ("beer", "milk") not in out                   # beer support 1
+    assert all("caviar" not in k for k in out)
+
+    capped = frequent_pairs(
+        df.union(spark.createDataFrame([(9, f"i{k}") for k in range(10)],
+                                       ["basket", "item"])),
+        "basket", "item", min_support_count=2, max_items_per_basket=5,
+    ).collect()
+    # the 10-item bot basket is dropped entirely; result identical
+    assert {(r["item_a"], r["item_b"]) for r in capped} == {("bread", "milk")}
+    assert abs(capped[0]["support"] - 0.5) < 1e-9        # denominator still 4

@@ -1348,3 +1348,29 @@ def test_ndcg_at_k_truncation_and_unjudged(spark):
     r = ndcg_at_k(runs, qrels, k=2).collect()[0]
     # only ranks 1-2 counted on both sides -> perfect
     assert abs(r["ndcg"] - 1.0) < 1e-6 and r["n_rel"] == 2
+
+
+def test_pmi_collocations_hand_value(spark):
+    """PMI of a perfectly-bound bigram is log(N / n) at matched margins;
+    min_count prunes the hapax tail but margins still count everything."""
+    import math
+
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [("new york new york",), ("new york",), ("old york rare pair",)],
+        ["text"],
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+    ny = out[("new", "york")]
+    # bigrams: (new,york)x3, (york,new)x1, (old,york), (york,rare), (rare,pair) -> N=7
+    # left margin new=3, right margin york=4
+    assert ny["n_ab"] == 3 and ny["n_a"] == 3 and ny["n_b"] == 4
+    assert abs(ny["pmi"] - math.log(3 * 7 / (3 * 4))) < 1e-6
+    assert ("rare", "pair") not in out  # count 1 < min_count
+    assert len(out) == 1
