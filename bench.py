@@ -85,6 +85,7 @@ HEADLINE = [
     "q_pagerank",
     "q_zorder_key",
     "q_frequent_pairs",
+    "q_triangle_count",
 ]
 
 

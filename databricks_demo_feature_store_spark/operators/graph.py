@@ -146,3 +146,87 @@ def pagerank(
     return ranks.select(
         "node", dround(F.col("rank").cast("double"), round_to).alias("rank")
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph — ``(node,
+    n_triangles)`` for every node, zeros included. Triangles drive
+    clustering-coefficient / community diagnostics on co-occurrence
+    graphs (the dedup witness graph, the frequent-pair graph).
+
+    Degree-ordered orientation (Cohen's MapReduce algorithm / the MGT
+    compact-forward scheme): canonicalize + dedup edges, orient each
+    from the (degree, id)-smaller endpoint to the larger, so every
+    node's out-degree is O(√m) on any graph — the wedge self-join then
+    touches Σ deg_out² = O(m^1.5) pairs worst-case instead of the
+    Σ deg² blowup a hub would cause un-oriented. One wedge join on the
+    shared low endpoint + one semi-join against the oriented edge set
+    confirms each triangle exactly once; an explode + count credits the
+    three corners.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        # consumed by the degree frame AND the orientation — checkpoint
+        # so an expensive edge build (e.g. a co-occurrence join) runs once
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # orient from the (degree, id)-smaller endpoint to the larger
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # wedges at the low corner; (b, c) ordered by node id to emit each
+    # unordered pair once — the closing edge may be oriented either way,
+    # so probe it canonically
+    wedges = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+    ).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    closing = oriented.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("b") == F.col("x")) & (F.col("c") == F.col("y")),
+        "left_semi",
+    )
+    corner_counts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        deg.join(corner_counts, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

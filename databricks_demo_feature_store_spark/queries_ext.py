@@ -2840,3 +2840,90 @@ def q_ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return pmi_collocations(d, min_count=5)
+
+
+def _mmr_oracle(k: int = 5, k_each: int = 12, lam: float = 0.7) -> str:
+    l6 = repr(float(lam))
+    om = repr(1.0 - float(lam))
+    steps = []
+    prev_sel = "s1"
+    for t in range(2, k + 1):
+        sel_union = " UNION ALL ".join(f"SELECT q, id FROM s{j}" for j in range(1, t))
+        steps.append(f"""
+    rem{t} AS (
+      SELECT c.q, c.id, c.rel FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM ({sel_union}) s
+                        WHERE s.q = c.q AND s.id = c.id)
+    ),
+    pen{t} AS (
+      SELECT p.q, p.ida AS id, MAX(p.sim) AS pen
+      FROM psim p JOIN ({sel_union}) s ON p.q = s.q AND p.idb = s.id
+      GROUP BY p.q, p.ida
+    ),
+    sc{t} AS (
+      SELECT r.q, r.id, r.rel,
+             {l6} * r.rel - {om} * COALESCE(pen.pen, 0.0) AS mmr
+      FROM rem{t} r LEFT JOIN pen{t} pen ON r.q = pen.q AND r.id = pen.id
+    ),
+    s{t} AS (
+      SELECT q, id, rel, mmr, {t} AS step FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY mmr DESC, id ASC) AS rn
+        FROM sc{t}
+      ) WHERE rn = 1
+    )""")
+        prev_sel = f"s{t}"
+    all_steps = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, k + 1))
+    return f"""
+    WITH {_O_EMB},
+    qv AS (SELECT vec_id AS q, v AS qvec FROM e WHERE vec_id < 4),
+    cand AS (
+      SELECT q, vec_id AS id, rel FROM (
+        SELECT qv.q, e.vec_id,
+               {oracle_dround(_O_COS.replace('q.qv', 'qv.qvec'), 6)} AS rel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qv.q
+                 ORDER BY {oracle_dround(_O_COS.replace('q.qv', 'qv.qvec'), 6)} DESC,
+                          e.vec_id ASC
+               ) AS rnk
+        FROM e CROSS JOIN qv
+      ) WHERE rnk <= {k_each}
+    ),
+    cv AS (SELECT c.q, c.id, c.rel, e.v FROM cand c JOIN e ON c.id = e.vec_id),
+    psim AS (
+      SELECT a.q, a.id AS ida, b.id AS idb,
+             {oracle_dround(
+                 'COALESCE(list_inner_product(a.v, b.v) / '
+                 '(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 0.0)',
+                 6)} AS sim
+      FROM cv a JOIN cv b ON a.q = b.q AND a.id <> b.id
+    ),
+    s1 AS (
+      SELECT q, id, rel, {l6} * rel AS mmr, 1 AS step FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY q ORDER BY {l6} * rel DESC, id ASC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),{",".join(steps)}
+    SELECT q AS query_id, id AS vec_id, CAST(step AS INT) AS mmr_rank,
+           {oracle_dround('rel', 6)} AS relevance,
+           {oracle_dround('mmr', 6)} AS mmr_score
+    FROM ({all_steps})
+    """
+
+
+@register("q_ext_mmr_rerank", oracle=_mmr_oracle())
+def q_ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking of brute-force
+    cosine top-12 candidates for 4 queries (k = 5, λ = 0.7) — the
+    post-retrieval pass that keeps a RAG context window from filling
+    with paraphrases. The entire greedy trajectory (rounded pairwise
+    sims, penalty maxima, id tie-breaks) is replayed by the oracle as
+    five unrolled CTE steps."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cands = brute_force_topk(emb, emb.filter(F.col("vec_id") < 4), k=12)
+    return mmr_rerank(cands, emb, k=5, lam=0.7)

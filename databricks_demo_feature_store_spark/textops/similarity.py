@@ -1009,3 +1009,118 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, dround(F.col("__adc"), 6).alias("adc_dist"), "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cosine",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) of a per-query candidate list: greedily pick k items
+    maximizing ``mmr = λ·relevance − (1−λ)·max_sim_to_already_picked``
+    — the diversity pass a RAG retriever runs AFTER `brute_force_topk`
+    / `hybrid_topk_rrf` so the k results aren't k paraphrases. Returns
+    ``(query_id, vec_id, mmr_rank, relevance, mmr_score)`` with
+    ``mmr_score`` the criterion value at selection time (first pick's
+    penalty is 0 by definition of the empty set).
+
+    ``candidates`` must already be top-k'-bounded per query (the
+    retriever's output); the pairwise-similarity frame is therefore
+    ≤ k'² rows per query and the k greedy steps are UNROLLED into a
+    static plan over these bounded frames — no iterative driver loop
+    over unbounded data, no UDF. Ties (equal mmr) break on the smaller
+    id; similarities are decimal-rounded so selection order is
+    engine-exact and the whole greedy trajectory can be replayed by a
+    SQL oracle.
+    """
+    if k < 1:
+        raise ValueError("mmr_rerank requires k >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("mmr_rerank requires 0 <= lam <= 1")
+    from pyspark.sql import Window as W
+
+    lam = float(lam)
+    cand = candidates.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    ).localCheckpoint(eager=False)  # the retriever upstream (often a
+    # corpus-wide top-k) must not replay once per unrolled greedy step
+    vecs = vectors.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    )
+    withv = cand.join(vecs, cand["__id"] == vecs["__vid"]).select(
+        "__q", "__id", "__rel", "__v"
+    )
+    a, b = withv.alias("a"), withv.alias("b")
+    psim = (
+        a.join(b, (F.col("a.__q") == F.col("b.__q")) & (F.col("a.__id") != F.col("b.__id")))
+        .select(
+            F.col("a.__q").alias("__q"),
+            F.col("a.__id").alias("__ida"),
+            F.col("b.__id").alias("__idb"),
+            dround(
+                F.coalesce(
+                    cosine_col(F.col("a.__v"), F.col("b.__v")), F.lit(0.0)
+                ),
+                round_to,
+            ).alias("__sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    remaining = cand
+    picks = None
+    for step in range(1, int(k) + 1):
+        if step == 1:
+            scored = remaining.select(
+                "__q", "__id", "__rel", (F.lit(lam) * F.col("__rel")).alias("__mmr")
+            )
+        else:
+            pen = (
+                psim.join(
+                    picks.select("__q", F.col("__id").alias("__idb")),
+                    ["__q", "__idb"],
+                )
+                .groupBy("__q", F.col("__ida").alias("__id"))
+                .agg(F.max("__sim").alias("__pen"))
+            )
+            scored = (
+                remaining.join(pen, ["__q", "__id"], "left")
+                .select(
+                    "__q",
+                    "__id",
+                    "__rel",
+                    (
+                        F.lit(lam) * F.col("__rel")
+                        - F.lit(1.0 - lam)
+                        * F.coalesce(F.col("__pen"), F.lit(0.0))
+                    ).alias("__mmr"),
+                )
+            )
+        w = W.partitionBy("__q").orderBy(F.desc("__mmr"), F.asc("__id"))
+        pick = (
+            scored.select(
+                "*", F.row_number().over(w).alias("__rn")
+            )
+            .where(F.col("__rn") == 1)
+            .select("__q", "__id", "__rel", "__mmr", F.lit(step).alias("__step"))
+            .localCheckpoint(eager=False)
+        )
+        picks = pick if picks is None else picks.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("__q", "__id"), ["__q", "__id"], "left_anti"
+        )
+    return picks.select(
+        F.col("__q").alias(query_col),
+        F.col("__id").alias(id_col),
+        F.col("__step").cast("int").alias("mmr_rank"),
+        dround(F.col("__rel"), round_to).alias("relevance"),
+        dround(F.col("__mmr"), round_to).alias("mmr_score"),
+    )

@@ -993,3 +993,43 @@ def test_frequent_pairs_support_confidence_lift(spark):
     # the 10-item bot basket is dropped entirely; result identical
     assert {(r["item_a"], r["item_b"]) for r in capped} == {("bread", "milk")}
     assert abs(capped[0]["support"] - 0.5) < 1e-9        # denominator still 4
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 -> every node in 3 triangles; a square has none; duplicate and
+    reversed edges collapse; self-loops drop."""
+    from databricks_demo_feature_store_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    noisy = k4 + [("b", "a"), ("c", "c"), ("a", "b")]
+    out = {r["node"]: r["n_triangles"]
+           for r in triangle_count(spark.createDataFrame(noisy, ["src", "dst"])).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    square = [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")]
+    out2 = {r["node"]: r["n_triangles"]
+            for r in triangle_count(spark.createDataFrame(square, ["src", "dst"])).collect()}
+    assert set(out2.values()) == {0} and len(out2) == 4
+
+
+def test_mmr_rerank_diversity_greedy(spark):
+    """Hand-replayed greedy: the near-duplicate of pick 1 is deferred
+    behind a less-relevant but diverse candidate."""
+    from databricks_demo_feature_store_spark.textops.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 2, 0.85), ("q", 3, 0.5)],
+        ["query_id", "vec_id", "cosine"],
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["mmr_rank"]: r for r in
+           mmr_rerank(cands, vecs, k=3, lam=0.7).collect()}
+    assert [out[i]["vec_id"] for i in (1, 2, 3)] == [1, 3, 2]
+    assert abs(out[1]["mmr_score"] - 0.7 * 0.9) < 1e-9      # no penalty yet
+    assert abs(out[2]["mmr_score"] - 0.7 * 0.5) < 1e-9      # orthogonal
+    assert abs(out[3]["mmr_score"] - (0.7 * 0.85 - 0.3 * 1.0)) < 1e-6
+    # k beyond the candidate count: every candidate ranked, nothing extra
+    assert mmr_rerank(cands, vecs, k=10, lam=0.7).count() == 3
