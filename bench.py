@@ -86,6 +86,8 @@ HEADLINE = [
     "q_zorder_key",
     "q_frequent_pairs",
     "q_triangle_count",
+    "q_val_cusum",
+    "q_name_linkage",
 ]
 
 

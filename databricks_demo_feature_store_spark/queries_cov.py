@@ -1894,3 +1894,41 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, "l_orderkey", "l_suppkey", min_support_count=25
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return triangle_count(edges)
+
+
+@register(
+    "q_name_linkage",
+    oracle="""
+    WITH names AS (
+      SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS nm,
+             COUNT(*) AS n
+      FROM part GROUP BY 1
+    ),
+    k AS (
+      SELECT nm, n, substr(nm, 1, 3) AS blk, len(nm) AS ln FROM names
+      WHERE nm IS NOT NULL AND nm <> ''
+    ),
+    cand AS (
+      SELECT a.nm AS name_a, b.nm AS name_b,
+             levenshtein(a.nm, b.nm) AS distance,
+             GREATEST(a.ln, b.ln) AS mx, a.n AS n_a, b.n AS n_b
+      FROM k a JOIN k b
+        ON a.blk = b.blk AND a.nm < b.nm AND abs(a.ln - b.ln) <= 3
+    )
+    SELECT name_a, name_b, CAST(distance AS INT) AS distance,
+           CAST(ROUND(CAST(1.0 - CAST(distance AS DOUBLE) / mx
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS similarity,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM cand WHERE distance <= 3
+    """,
+)
+def q_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy name linkage over part names: distinct normalized
+    names, 3-char prefix blocks, edit distance <= 3 with the
+    length-difference lower-bound prune — the entity-resolution
+    candidate generator. The oracle replays the normalization, the
+    block join, and the exact Levenshtein scoring."""
+    from databricks_demo_feature_store_spark.operators.linkage import name_linkage
+
+    p = load(spark, sf_dir, "part")
+    return name_linkage(p, "p_partkey", "p_name", prefix_len=3, max_distance=3)

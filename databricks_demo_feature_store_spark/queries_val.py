@@ -999,3 +999,69 @@ def q_val_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("string").alias("rater_b"),
     )
     return cohens_kappa(e, "rater_a", "rater_b")
+
+
+@register(
+    "q_val_cusum",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS period, COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT COUNT(*) AS k, SUM(n_rows) AS s1,
+             SUM(n_rows * n_rows) AS s2
+      FROM counts
+    ),
+    z AS (
+      SELECT period, n_rows,
+             CASE WHEN k > 1 AND sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / k)) / (CAST(k AS DOUBLE) - 1.0)) > 0
+             THEN (CAST(n_rows AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+                  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / k)) / (CAST(k AS DOUBLE) - 1.0))
+             END AS zv
+      FROM counts CROSS JOIN st
+    ),
+    terms AS (
+      SELECT period, n_rows, zv,
+             CAST(ROUND(CAST(COALESCE(zv, 0) - 0.5 AS DECIMAL(38,10)), 9)
+                  AS DECIMAL(38,9)) AS up,
+             CAST(ROUND(CAST(-COALESCE(zv, 0) - 0.5 AS DECIMAL(38,10)), 9)
+                  AS DECIMAL(38,9)) AS dn
+      FROM z
+    ),
+    cum AS (
+      SELECT *, SUM(up) OVER (ORDER BY period) AS cu,
+                SUM(dn) OVER (ORDER BY period) AS cd
+      FROM terms
+    ),
+    mins AS (
+      SELECT *, LEAST(CAST(0 AS DECIMAL(38,9)), MIN(cu) OVER (ORDER BY period)) AS mu,
+                LEAST(CAST(0 AS DECIMAL(38,9)), MIN(cd) OVER (ORDER BY period)) AS md
+      FROM cum
+    )
+    SELECT period,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(zv AS DECIMAL(38,10)), 6) AS DOUBLE) AS zscore,
+           CAST(ROUND(CAST(CAST(cu - mu AS DOUBLE) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS cusum_pos,
+           CAST(ROUND(CAST(CAST(cd - md AS DOUBLE) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS cusum_neg,
+           (cu - mu > CAST(5.0 AS DECIMAL(38,9))
+            OR cd - md > CAST(5.0 AS DECIMAL(38,9))) AS is_changepoint
+    FROM mins
+    """,
+)
+def q_val_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift monitor over the daily event-count
+    series — the persistent-drift complement to the per-period z-test
+    (`q_val_count_anomalies`). The oracle replays the standardization
+    (exact integer sums), the 1e-9-rounded DECIMAL cumulative terms,
+    the running-min reset identity, and the alarm comparison."""
+    from databricks_demo_feature_store_spark.validation.drift import (
+        cusum_changepoints,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return cusum_changepoints(e, "ts", grain="day", slack=0.5, threshold=5.0)

@@ -356,3 +356,94 @@ def ks_drift(
             F.col("tot_ref").cast("long").alias("n_ref"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    grain: str = "day",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection on the period row-count
+    series (Page 1954): standardize each period's count against the
+    whole series, then track the one-sided cumulative sums
+    ``S⁺_t = max(0, S⁺_{t−1} + z_t − slack)`` and
+    ``S⁻_t = max(0, S⁻_{t−1} − z_t − slack)``; a period where either
+    exceeds ``threshold`` is a level-shift alarm. CUSUM accumulates
+    small persistent shifts that the per-period z-test
+    (:func:`count_anomalies`) never flags — the two are complementary
+    monitors. Returns ``(period, n_rows, zscore, cusum_pos, cusum_neg,
+    is_changepoint)``.
+
+    Scale shape: the raw table collapses to one row per period first
+    (map-side combined count); all recursions run on that tiny series
+    via the reset-free identity ``S_t = C_t − min(0, min_{j≤t} C_j)``
+    where C is the plain cumulative sum of ``(±z − slack)`` — windows
+    over the aggregated series only (the audit's aggregated-input
+    exemption, same as :func:`count_anomalies`). Mean/std come from
+    exact integer count sums; every per-period term is rounded to 9
+    decimals and cumulated in DECIMAL(38,9), so alarms are
+    engine-exact.
+    """
+    if grain not in ("month", "week", "day"):
+        raise ValueError(f"cusum_changepoints grain must be month|week|day, got {grain!r}")
+    from pyspark.sql import Window as W
+
+    period = (
+        F.trunc(F.col(ts_col).cast("date"), grain)
+        if grain != "day"
+        else F.col(ts_col).cast("date")
+    )
+    counts = df.groupBy(period.alias("period")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.count("*").alias("__k"),
+        F.sum("n_rows").alias("__s1"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).alias("__s2"),
+    )
+    dec = "decimal(38,9)"
+    k = F.col("__k").cast("double")
+    mean = F.col("__s1").cast("double") / k
+    var = F.when(
+        F.col("__k") > 1,
+        (F.col("__s2").cast("double") - F.col("__s1").cast("double") * mean)
+        / (k - F.lit(1.0)),
+    )
+    base = counts.crossJoin(F.broadcast(stats)).select(
+        "period",
+        "n_rows",
+        F.when(
+            F.sqrt(var) > 0, (F.col("n_rows").cast("double") - mean) / F.sqrt(var)
+        ).alias("__z"),
+    )
+    sl = float(slack)
+    up = dround(F.coalesce(F.col("__z"), F.lit(0.0)) - F.lit(sl), 9).cast(dec)
+    dn = dround(-F.coalesce(F.col("__z"), F.lit(0.0)) - F.lit(sl), 9).cast(dec)
+    w = W.orderBy("period").rowsBetween(W.unboundedPreceding, 0)
+    cum = base.select(
+        "*",
+        F.sum(up).over(w).alias("__cu"),
+        F.sum(dn).over(w).alias("__cd"),
+    )
+    zero = F.lit(0).cast(dec)
+    cum = cum.select(
+        "*",
+        F.least(zero, F.min("__cu").over(w)).alias("__mu"),
+        F.least(zero, F.min("__cd").over(w)).alias("__md"),
+    )
+    s_pos = (F.col("__cu") - F.col("__mu")).cast("double")
+    s_neg = (F.col("__cd") - F.col("__md")).cast("double")
+    return cum.select(
+        "period",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        dround(F.col("__z"), round_to).alias("zscore"),
+        dround(s_pos, round_to).alias("cusum_pos"),
+        dround(s_neg, round_to).alias("cusum_neg"),
+        (
+            (F.col("__cu") - F.col("__mu") > F.lit(float(threshold)).cast(dec))
+            | (F.col("__cd") - F.col("__md") > F.lit(float(threshold)).cast(dec))
+        ).alias("is_changepoint"),
+    )

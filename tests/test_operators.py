@@ -1033,3 +1033,24 @@ def test_mmr_rerank_diversity_greedy(spark):
     assert abs(out[3]["mmr_score"] - (0.7 * 0.85 - 0.3 * 1.0)) < 1e-6
     # k beyond the candidate count: every candidate ranked, nothing extra
     assert mmr_rerank(cands, vecs, k=10, lam=0.7).count() == 3
+
+
+def test_name_linkage_blocking_and_scoring(spark):
+    """Typos within the block and distance budget match; different
+    blocks or big edits don't; duplicates collapse to distinct names
+    with entity counts."""
+    from databricks_demo_feature_store_spark.operators.linkage import name_linkage
+
+    rows = [
+        (1, "Acme Corp"), (2, "acme  corp"), (3, "Acme Korp"),
+        (4, "Zenith Ltd"), (5, "acme corporation"), (6, "Bcme Corp"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = {(r["name_a"], r["name_b"]): r
+           for r in name_linkage(df, "id", "name", prefix_len=3, max_distance=2).collect()}
+    pair = out[("acme corp", "acme korp")]
+    assert pair["distance"] == 1
+    assert pair["n_a"] == 2 and pair["n_b"] == 1   # two ids share "acme corp"
+    assert abs(pair["similarity"] - (1 - 1 / 9)) < 1e-6
+    # "acme corporation": distance 6 > budget; "bcme corp": other block
+    assert len(out) == 1

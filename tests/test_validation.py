@@ -564,3 +564,46 @@ def test_cohens_kappa_hand_values(spark):
 
     const = spark.createDataFrame([("x", "x"), ("x", "x")], ["a", "b"])
     assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_cusum_changepoints_matches_recursion(spark):
+    """CUSUM via the running-min identity equals the direct
+    max(0, S+x) recursion; a sustained level shift alarms where the
+    per-period z-test would stay quiet."""
+    import datetime as dt
+    import math
+
+    from databricks_demo_feature_store_spark.validation.drift import (
+        cusum_changepoints,
+    )
+
+    # 10 quiet days at ~100 rows, then 10 days at ~115 (a +15% plateau)
+    day_counts = [100, 101, 99, 100, 102, 98, 100, 101, 99, 100,
+                  115, 114, 116, 115, 113, 115, 116, 114, 115, 115]
+    rows = []
+    for i, c in enumerate(day_counts):
+        d = dt.datetime(2024, 3, 1) + dt.timedelta(days=i)
+        rows += [(d,)] * c
+    df = spark.createDataFrame(rows, ["ts"])
+    out = {r["period"].isoformat(): r
+           for r in cusum_changepoints(df, "ts", slack=0.5, threshold=3.0).collect()}
+
+    k = len(day_counts)
+    mean = sum(day_counts) / k
+    var = (sum(c * c for c in day_counts) - sum(day_counts) * mean) / (k - 1)
+    sd = math.sqrt(var)
+    sp = sn = 0.0
+    expect_alarm = {}
+    for i, c in enumerate(day_counts):
+        z = (c - mean) / sd
+        sp = max(0.0, sp + round(z - 0.5, 9))
+        sn = max(0.0, sn + round(-z - 0.5, 9))
+        d = (dt.date(2024, 3, 1) + dt.timedelta(days=i)).isoformat()
+        expect_alarm[d] = sp > 3.0 or sn > 3.0
+        assert abs(out[d]["cusum_pos"] - sp) < 1e-6, d
+        assert abs(out[d]["cusum_neg"] - sn) < 1e-6, d
+    assert {d for d, r in out.items() if r["is_changepoint"]} == {
+        d for d, a in expect_alarm.items() if a
+    }
+    assert any(expect_alarm.values())          # the shift IS detected
+    assert max(abs(r["zscore"]) for r in out.values()) < 3.0  # z-test quiet

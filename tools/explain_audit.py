@@ -59,10 +59,46 @@ def _depth(line: str) -> int:
     return m.end()
 
 
+def _children(lines: list[str], i: int) -> list[int]:
+    """Indices of node i's immediate children in the plan-text tree
+    (first deeper indentation level below i, until depth returns)."""
+    d = _depth(lines[i])
+    out: list[int] = []
+    cd = None
+    for j in range(i + 1, len(lines)):
+        nd = _depth(lines[j])
+        if nd <= d:
+            break
+        if cd is None:
+            cd = nd
+        if nd == cd:
+            out.append(j)
+    return out
+
+
+def _subtree_bounded(lines: list[str], i: int) -> bool:
+    """True when the subtree rooted at line i produces an
+    aggregate-bounded frame: a bounded leaf, or benign nodes /
+    Windows / Joins ALL of whose inputs are themselves bounded (a
+    broadcast of a 1-row aggregate into an aggregated frame stays
+    tiny — the stats-attach pattern; any scan/generate below makes it
+    raw)."""
+    node = lines[i][_depth(lines[i]):]
+    if any(node.startswith(b) for b in _BOUNDED_LEAVES):
+        return True
+    m = re.match(r"[A-Za-z]+", node)
+    name = m.group(0) if m else ""
+    if name in _BENIGN_CHAIN or name in ("Window", "Join"):
+        kids = _children(lines, i)
+        return bool(kids) and all(_subtree_bounded(lines, k) for k in kids)
+    return False
+
+
 def unpartitioned_windows_over_raw(optimized_plan: str) -> list[str]:
     """Return the offending Window lines: unpartitioned (no partition
-    spec group in the node text) AND the first-child chain below them
-    never reaches a bounded node before a non-benign one."""
+    spec group in the node text) AND the input subtree never resolves
+    to aggregate-bounded frames (recursive — a join of bounded inputs
+    is bounded)."""
     lines = optimized_plan.splitlines()
     offenders = []
     for i, line in enumerate(lines):
@@ -81,22 +117,8 @@ def unpartitioned_windows_over_raw(optimized_plan: str) -> list[str]:
             tail = node.rsplit("], [", 1)[1]
             if " ASC" not in tail and " DESC" not in tail:
                 continue  # [funcs], [partitionSpec] — partitioned
-        d = _depth(line)
-        bounded = False
-        cur = d
-        for nxt in lines[i + 1:]:
-            nd = _depth(nxt)
-            if nd <= cur:
-                break  # left the first-child spine without resolution
-            name = re.match(r"[A-Za-z]+", nxt[nd:])
-            name = name.group(0) if name else ""
-            if any(nxt[nd:].startswith(b) for b in _BOUNDED_LEAVES):
-                bounded = True
-                break
-            if name in _BENIGN_CHAIN:
-                cur = nd
-                continue
-            break  # joins, generators, scans… → unbounded input
+        kids = _children(lines, i)
+        bounded = bool(kids) and all(_subtree_bounded(lines, k) for k in kids)
         if not bounded:
             offenders.append(node[:100])
     return offenders
