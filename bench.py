@@ -88,6 +88,7 @@ HEADLINE = [
     "q_triangle_count",
     "q_val_cusum",
     "q_name_linkage",
+    "q_stream_cusum",
 ]
 
 

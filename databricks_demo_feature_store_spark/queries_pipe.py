@@ -1498,3 +1498,80 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_ingest_corpus_dedup(spark, inbox, corpus, ckpt)
     q.awaitTermination()
     return spark.read.parquet(corpus).select("doc_id", "text")
+
+
+@register(
+    "q_stream_cusum",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS period,
+             COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT COUNT(*) AS k, SUM(n_rows) AS s1, SUM(n_rows * n_rows) AS s2
+      FROM counts
+    ),
+    z AS (
+      SELECT period, n_rows,
+             CASE WHEN k > 1 AND sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / k)) / (CAST(k AS DOUBLE) - 1.0)) > 0
+             THEN (CAST(n_rows AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+                  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / k)) / (CAST(k AS DOUBLE) - 1.0))
+             END AS zv
+      FROM counts CROSS JOIN st
+    ),
+    terms AS (
+      SELECT period, n_rows, zv,
+             CAST(ROUND(CAST(COALESCE(zv, 0) - 0.5 AS DECIMAL(38,10)), 9)
+                  AS DECIMAL(38,9)) AS up,
+             CAST(ROUND(CAST(-COALESCE(zv, 0) - 0.5 AS DECIMAL(38,10)), 9)
+                  AS DECIMAL(38,9)) AS dn
+      FROM z
+    ),
+    cum AS (
+      SELECT *, SUM(up) OVER (ORDER BY period) AS cu,
+                SUM(dn) OVER (ORDER BY period) AS cd
+      FROM terms
+    ),
+    mins AS (
+      SELECT *, LEAST(CAST(0 AS DECIMAL(38,9)), MIN(cu) OVER (ORDER BY period)) AS mu,
+                LEAST(CAST(0 AS DECIMAL(38,9)), MIN(cd) OVER (ORDER BY period)) AS md
+      FROM cum
+    )
+    SELECT period,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(zv AS DECIMAL(38,10)), 6) AS DOUBLE) AS zscore,
+           CAST(ROUND(CAST(CAST(cu - mu AS DOUBLE) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS cusum_pos,
+           CAST(ROUND(CAST(CAST(cd - md AS DOUBLE) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS cusum_neg,
+           (cu - mu > CAST(4.0 AS DECIMAL(38,9))
+            OR cd - md > CAST(4.0 AS DECIMAL(38,9))) AS is_changepoint
+    FROM mins
+    """,
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM level-shift monitor: the streaming engine
+    maintains hourly event counts (watermarked tumbling windows,
+    availableNow replay); the CUSUM finisher (`cusum_from_counts`) runs
+    over the completed windows — the same split-responsibility shape as
+    the streaming z-score and PSI monitors, detecting the persistent
+    small drifts the per-window z-test misses. The oracle replays the
+    windows and the full DECIMAL cumulative arithmetic."""
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        hourly_counts,
+        read_events_stream,
+        run_available_now,
+    )
+    from databricks_demo_feature_store_spark.validation.drift import (
+        cusum_from_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = run_available_now(hourly_counts(stream)).select(
+        F.col("hour_start").alias("period"),
+        F.col("n_events").alias("n_rows"),
+    )
+    return cusum_from_counts(counts, slack=0.5, threshold=4.0)

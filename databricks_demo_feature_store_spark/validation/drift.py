@@ -389,8 +389,6 @@ def cusum_changepoints(
     """
     if grain not in ("month", "week", "day"):
         raise ValueError(f"cusum_changepoints grain must be month|week|day, got {grain!r}")
-    from pyspark.sql import Window as W
-
     period = (
         F.trunc(F.col(ts_col).cast("date"), grain)
         if grain != "day"
@@ -398,6 +396,30 @@ def cusum_changepoints(
     )
     counts = df.groupBy(period.alias("period")).agg(
         F.count(F.lit(1)).alias("n_rows")
+    )
+    return cusum_from_counts(
+        counts, slack=slack, threshold=threshold, round_to=round_to
+    )
+
+
+def cusum_from_counts(
+    counts: DataFrame,
+    period_col: str = "period",
+    n_col: str = "n_rows",
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """The CUSUM statistic over an ALREADY-AGGREGATED period-count
+    series — the batch finisher behind :func:`cusum_changepoints`, and
+    the piece a streaming monitor reuses on top of engine-maintained
+    windowed counts (split responsibility: the stream keeps the counts,
+    this computes the alarm frame). Semantics as
+    :func:`cusum_changepoints`."""
+    from pyspark.sql import Window as W
+
+    counts = counts.select(
+        F.col(period_col).alias("period"), F.col(n_col).alias("n_rows")
     )
     stats = counts.agg(
         F.count("*").alias("__k"),
