@@ -268,6 +268,34 @@ module import order. Selection policy:
   is exercised in-window by q_val_timetravel_crosscheck's versioned
   reads and q_stream_feature_store's foreachBatch upsert through the
   same writers, plus tests/test_catalog.py).
+* Round-7 closing sweep (the eight operator families born AFTER the
+  final-sweep rotation go straight into their first gate): eight swaps.
+  IN - q_pagerank (iterative graph power iteration, checkpointed loop),
+  q_val_feature_screen (grouped Mann-Whitney over one global prefix
+  sum), q_ext_mmr_rerank (unrolled greedy diversity re-rank),
+  q_val_cusum (running-min reset identity, DECIMAL-exact alarms),
+  q_frequent_pairs (A-priori-pruned co-occurrence), q_ext_ndcg_eval
+  (exponential-gain ranking quality), q_name_linkage (blocked
+  Levenshtein linkage - first levenshtein() cross-engine parity check),
+  q_val_pr_auc (1e-12-unit DECIMAL floor-division AP). OUT, each
+  driver-green in >= 2 earlier rounds with transitive cover:
+  q_pipeline_supplier_risk + q_pipeline_product_holdings +
+  q_pipeline_demographic + q_pipeline_customer_tx (driver-green r2-r6;
+  their agg/pivot/spine/rolling machinery runs verbatim inside the
+  in-window native-schema supersets q_pipeline_credit_native /
+  q_pipeline_holdings_native plus q_pipeline_payment_behavior, and all
+  four stay exact-checked in the full local gate), q_stream_feature_store
+  (r6-green; the foreachBatch sink discipline is exercised in-window by
+  q_stream_ingest_dedup's batch-ingest upsert loop and merge_upsert is
+  exact-value pytest-covered), q_ext_curate_corpus (green r4-r6; a pure
+  composition of quality/lang/contamination scorers that remain
+  in-window via q_ext_contamination_bloom + q_ext_quality_classifier),
+  q_ext_dedup_clusters_twophase (green r6 + recursive-CTE oracle in the
+  local gate; the banding arm stays in-window via q_ext_minhash_recall
+  and the CC convergence property is pytest-anchored),
+  q_stream_distinct_sketch (green r5+r6; HLL sketch agg is a native
+  Spark function exact-checked against the DuckDB HLL twin in the local
+  gate).
 """
 
 from __future__ import annotations
@@ -275,10 +303,10 @@ from __future__ import annotations
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + end-to-end composites
     "q01_pricing_summary",
-    "q_pipeline_customer_tx",
-    "q_pipeline_demographic",
-    "q_pipeline_supplier_risk",
-    "q_pipeline_product_holdings",
+    "q_frequent_pairs",
+    "q_val_cusum",
+    "q_val_feature_screen",
+    "q_pagerank",
     "q_pipeline_payment_behavior",
     "q_training_set",
     "q_rolling_quantile",
@@ -295,7 +323,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_interval_join",
     "q_stream_ingest_dedup",
     "q_ext_hybrid_rrf",
-    "q_stream_feature_store",
+    "q_ext_mmr_rerank",
     # operator-family anchors
     "q_ext_minhash_recall",
     "q_feature_scaling",
@@ -305,21 +333,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # signatures before banding, so the signature math is still hash-checked
     "q_ext_ngram_jaccard_cutoff",
     "q_ext_simhash_pairs",
-    "q_ext_dedup_clusters_twophase",
+    "q_name_linkage",
     "q_ext_multimodal_decode",
     # q_ext_frame_sample demoted round 3 (multimodal family anchored by
     # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
     # round-4 family anchors (see module docstring rotation note)
     "q_ext_ann_multiprobe",
     "q_ext_tfidf_terms",
-    "q_ext_curate_corpus",
+    "q_ext_ndcg_eval",
     "q_val_freshness",
     "q_ext_contamination_bloom",
     "q_ext_domain_cap",
     # round-5 holdovers (see docstring)
     "q_ext_line_clean",
     "q_ext_quality_classifier",
-    "q_stream_distinct_sketch",
+    "q_val_pr_auc",
     "q_ext_pq_adc_topk",
     # round-7 rotation (never-driver-checked families; see docstring)
     "q_val_roc_auc",
