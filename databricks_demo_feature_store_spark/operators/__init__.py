@@ -34,6 +34,10 @@ from databricks_demo_feature_store_spark.operators.windows import (
     create_lags_ind,
 )
 from databricks_demo_feature_store_spark.operators.sets import union_dataframes
+from databricks_demo_feature_store_spark.operators.graph import pagerank, triangle_count
+from databricks_demo_feature_store_spark.operators.layout import zorder_key, cluster_by_zorder
+from databricks_demo_feature_store_spark.operators.association import frequent_pairs
+from databricks_demo_feature_store_spark.operators.linkage import name_linkage
 
 __all__ = [
     "select_columns",
@@ -56,4 +60,10 @@ __all__ = [
     "relative_strength_index",
     "create_lags_ind",
     "union_dataframes",
+    "pagerank",
+    "triangle_count",
+    "zorder_key",
+    "cluster_by_zorder",
+    "frequent_pairs",
+    "name_linkage",
 ]

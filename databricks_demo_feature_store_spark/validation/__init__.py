@@ -24,6 +24,8 @@ from databricks_demo_feature_store_spark.validation.leakage import (
 from databricks_demo_feature_store_spark.validation.drift import (
     anomalies_from_counts,
     count_anomalies,
+    cusum_changepoints,
+    cusum_from_counts,
     ks_drift,
     psi_by_group,
     psi_drift,
@@ -45,7 +47,8 @@ __all__ = [
     "schemas_validation", "quarter_to_date", "year_to_date", "cast_column",
     "missing_columns", "QUARTER_FORMAT",
     "monthly_counts", "cross_check", "anomalies_from_counts",
-    "count_anomalies", "dimension_drift",
+    "count_anomalies", "cusum_changepoints", "cusum_from_counts",
+    "dimension_drift",
     "ks_drift", "psi_by_group", "psi_drift", "psi_numeric", "roc_auc",
     "calibration_bins", "decile_lift", "threshold_metrics",
     "average_precision", "pr_curve", "feature_auc_screen",
