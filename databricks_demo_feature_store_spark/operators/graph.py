@@ -230,3 +230,53 @@ def triangle_count(
             F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected graph:
+    ``c(v) = 2·T(v) / (d(v)·(d(v)−1))`` with T from
+    :func:`triangle_count` — ``(node, degree, n_triangles,
+    clustering_coeff)``; NULL for degree-1 nodes (undefined, not 0).
+    The community-density diagnostic read next to PageRank centrality.
+    Cost = the triangle count plus one degree join; the ratio is one
+    exact-integer division."""
+    # both the triangle pass and the degree pass consume the edges —
+    # checkpoint so an expensive upstream edge build runs once
+    edges = edges.localCheckpoint(eager=False)
+    tri = triangle_count(edges, src_col=src_col, dst_col=dst_col)
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    d = F.col("degree").cast("double")
+    return tri.join(deg, "node").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        "n_triangles",
+        dround(
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0) * F.col("n_triangles").cast("double") / (d * (d - 1.0)),
+            ),
+            round_to,
+        ).alias("clustering_coeff"),
+    )

@@ -467,3 +467,58 @@ def pmi_collocations(
             F.desc("pmi"), F.asc("w1"), F.asc("w2")
         ).limit(int(top_n))
     return scored
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Vocabulary builder with coverage accounting: the ``top_n`` most
+    frequent tokens, each annotated with its frequency rank, count, and
+    the CUMULATIVE share of all token occurrences covered by the
+    vocabulary up to and including it —
+    ``(token, n, vocab_rank, cum_count, coverage)``. The last row's
+    ``1 − coverage`` is the OOV rate a ``top_n``-entry vocabulary
+    would leave; sweep ``top_n`` by reading the coverage column. The
+    sizing tool for tokenizer vocabularies and hashing-trick widths.
+
+    Scale shape: one explode + one hash aggregation collapse the corpus
+    to (token, count) — vocabulary-sized state, never corpus-sized —
+    then `attach_global_rank`/`attach_global_cumsum` order and
+    accumulate WITHOUT a single-task sort of the vocabulary (web-scale
+    vocabularies run to hundreds of millions of distinct tokens; a
+    global-ORDER-BY window there is the classic driver-killer).
+    Deterministic ties: equal counts order lexicographically."""
+    if top_n < 1:
+        raise ValueError("vocab_coverage requires top_n >= 1")
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_cumsum,
+        attach_global_rank,
+    )
+
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__tot"))
+    order = [F.col("n").desc(), F.col("token").asc()]
+    ranked = attach_global_rank(counts, order, rank_col="vocab_rank")
+    cum = attach_global_cumsum(ranked, order, ["n"], prefix="cum_")
+    return (
+        cum.where(F.col("vocab_rank") <= int(top_n))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.col("vocab_rank").cast("long").alias("vocab_rank"),
+            F.col("cum_n").cast("long").alias("cum_count"),
+            dround(
+                F.col("cum_n").cast("double") / F.col("__tot").cast("double"),
+                round_to,
+            ).alias("coverage"),
+        )
+    )
