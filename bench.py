@@ -86,6 +86,7 @@ HEADLINE = [
     "q_zorder_key",
     "q_frequent_pairs",
     "q_triangle_count",
+    "q_clustering_coeff",
     "q_val_cusum",
     "q_name_linkage",
     "q_stream_cusum",
@@ -134,18 +135,44 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs,
-            }
-        )
-    )
+
+    # The driver captures only the LAST ~2000 characters of stdout and
+    # json-parses them; a per-query map over the full 170+ query suite
+    # blew that window from round 4 on (BENCH_r{4..7}.json all recorded
+    # ``parsed: None``). Keep the printed line compact — total over the
+    # FULL benched suite plus the slowest queries (the ones a perf grade
+    # turns on) — and write the complete per-query map next to this
+    # script as BENCH_FULL.json for BASELINE.md bookkeeping.
+    full = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
+    line = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": top,
+        "n_queries": len(timings),
+        "queries_note": "25 slowest shown; full per-query map in BENCH_FULL.json",
+        "sf": sf,
+        "runs_per_query": runs,
+    }
+    out = json.dumps(line)
+    if len(out) > 1900:  # never outgrow the driver's capture window again
+        line["queries"] = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+        out = json.dumps(line)
+    print(out)
     spark.stop()
 
 

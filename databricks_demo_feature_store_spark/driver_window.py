@@ -296,6 +296,68 @@ module import order. Selection policy:
   q_stream_distinct_sketch (green r5+r6; HLL sketch agg is a native
   Spark function exact-checked against the DuckDB HLL twin in the local
   gate).
+* Round-8 rotation (burn the never-driver-checked debt to ZERO): the 19
+  remaining queries that have never appeared in a CORRECTNESS gate plus
+  the two operators gated this round per ADVICE r7 (q_clustering_coeff,
+  q_ext_vocab_coverage) all rotate IN — q_backtest_folds,
+  q_ext_chunk_documents, q_ext_curate_corpus,
+  q_ext_dedup_clusters_twophase, q_ext_exact_sample,
+  q_ext_frequent_items, q_ext_pmi_collocations, q_ext_quantization_error,
+  q_ext_random_projection, q_ext_shuffle_shards, q_semi_join_exists,
+  q_stream_cusum, q_triangle_count, q_val_cohens_kappa,
+  q_val_count_anomalies, q_val_pit_leakage, q_val_pr_curve,
+  q_val_psi_numeric, q_zorder_key. After this window runs green, every
+  registered query is driver-gate-certified in >= 1 round. OUT — all 21
+  are round-7 driver-green (CORRECTNESS_r07 was 50/50) and stay in the
+  full local gate + pytest; transitive cover: q_frequent_pairs (its
+  A-priori edge build is replayed VERBATIM as the graph construction of
+  rotating-in q_triangle_count and q_clustering_coeff), q_val_cusum (the
+  cusum_from_counts finisher is the batch half of rotating-in
+  q_stream_cusum), q_val_roc_auc (the exact Mann-Whitney prefix-sum
+  machinery is generalized by in-window q_val_feature_screen, which
+  computes per-feature AUCs through the same attach_global_cumsum
+  ranks), q_val_calibration + q_val_psi_numeric-style fixed-bin collapse
+  (rotating-in q_val_psi_numeric certifies the binning/EPS arithmetic;
+  calibration bin rates stay pytest+local), q_val_threshold_metrics
+  (one-scan conditional sums — the shape of every pipeline agg step;
+  family keeps q_val_feature_screen + q_val_decile_lift in-window),
+  q_val_pr_auc (rotating-in q_val_pr_curve replays the identical
+  per-score collapse + descending prefix sums; the 1e-12-unit AP floor
+  division stays pytest+local-gated), q_rolling_quantile (window family
+  keeps rolling stats inside three in-window pipelines; the exact
+  percentile-fit machinery is in-window q_winsorize's fit step),
+  q_ext_pack_sequences (the distributed prefix-sum chunk assignment is
+  rotating-in q_ext_chunk_documents' token-window machinery; the
+  concat-then-chunk trajectory stays pytest+local), q_salted_join (join
+  machinery in every in-window pipeline; the salt/explode rewrite is
+  pytest-gated and rotating-in q_semi_join_exists keeps a join-family
+  rotation anchor), q_ext_hybrid_rrf (lexical arm anchored in-window by
+  q_ext_tfidf_terms, vector arm by q_ext_ann_multiprobe; the RRF fold is
+  pytest+local), q_feature_scaling (fit-broadcast-assign standardization
+  = in-window q_robust_outliers' median/MAD attach; the scalar algebra
+  runs inside every pipeline), q_name_linkage (r7 proved levenshtein()
+  cross-engine parity; the blocked distinct-collapse self-join shape is
+  in-window q_ext_simhash_pairs' blocking), q_ext_line_clean (line-level
+  cleaning runs inside rotating-in q_ext_curate_corpus's composed
+  verdict), q_ext_ngram_jaccard_cutoff (the exact-Jaccard verify is the
+  ground-truth side of in-window q_ext_minhash_recall; the hot-shingle
+  cutoff stays pytest+local), q_stream_count_anomalies (hourly windowed
+  counts shared with rotating-in q_stream_cusum; the trailing z-score
+  finisher is rotating-in q_val_count_anomalies), q_stream_psi_drift
+  (the PSI binning/EPS math is rotating-in q_val_psi_numeric via
+  psi_by_group; streaming window machinery certified by rotating-in
+  q_stream_cusum), q_key_skew_profile (count-collapse diagnostics =
+  in-window q_join_size_estimate's exact pre-flight), q_scd2_intervals
+  (gaps-and-islands per-key sort pytest+local; history family keeps
+  q_table_diff in-window), q_rank_normalize (attach_global_rank/cumsum
+  are certified by rotating-in q_ext_vocab_coverage — rank + cumulative
+  share — and rotating-in q_ext_exact_sample's rank top-k; the
+  null-adjusted percent_rank stays pytest+local), q_val_freshness
+  (1-row max-timestamp agg; monitor family keeps
+  q_val_timetravel_crosscheck + q_table_diff in-window), q_ext_ndcg_eval
+  (DECIMAL-summed exponential gains pytest+local; retrieval family keeps
+  q_ext_tfidf_terms, q_ext_ann_multiprobe, q_ext_pq_adc_topk,
+  q_ext_mmr_rerank in-window).
 """
 
 from __future__ import annotations
@@ -303,67 +365,61 @@ from __future__ import annotations
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + end-to-end composites
     "q01_pricing_summary",
-    "q_frequent_pairs",
-    "q_val_cusum",
     "q_val_feature_screen",
     "q_pagerank",
     "q_pipeline_payment_behavior",
     "q_training_set",
-    "q_rolling_quantile",
-    "q_ext_pack_sequences",
-    "q_salted_join",
     "q_val_timetravel_crosscheck",
-    # streaming spread: windowed agg, session window, arbitrary state,
-    # dedup + (round 6) interval join, static enrich, sliding windows,
-    # foreachBatch feature-store sink
     "q_pipeline_credit_native",
-    "q_ext_cross_corpus_dedup",
-    "q_stream_stateful_stats",
     "q_pipeline_holdings_native",
+    # streaming spread: arbitrary state, interval join, foreachBatch
+    # ingest sink + (round 8) CUSUM monitor on engine windows
+    "q_stream_stateful_stats",
     "q_stream_interval_join",
     "q_stream_ingest_dedup",
-    "q_ext_hybrid_rrf",
-    "q_ext_mmr_rerank",
-    # operator-family anchors
+    "q_stream_cusum",
+    # text / dedup / similarity / multimodal anchors
+    "q_ext_cross_corpus_dedup",
     "q_ext_minhash_recall",
-    "q_feature_scaling",
-    "q_robust_outliers",
-    # text / dedup / similarity / multimodal
-    # q_ext_minhash_sig demoted: q_ext_minhash_dedup rebuilds the same
-    # signatures before banding, so the signature math is still hash-checked
-    "q_ext_ngram_jaccard_cutoff",
     "q_ext_simhash_pairs",
-    "q_name_linkage",
     "q_ext_multimodal_decode",
-    # q_ext_frame_sample demoted round 3 (multimodal family anchored by
-    # q_ext_multimodal_decode; slot given to the fifth pipeline composite)
-    # round-4 family anchors (see module docstring rotation note)
     "q_ext_ann_multiprobe",
     "q_ext_tfidf_terms",
-    "q_ext_ndcg_eval",
-    "q_val_freshness",
     "q_ext_contamination_bloom",
     "q_ext_domain_cap",
-    # round-5 holdovers (see docstring)
-    "q_ext_line_clean",
     "q_ext_quality_classifier",
-    "q_val_pr_auc",
     "q_ext_pq_adc_topk",
-    # round-7 rotation (never-driver-checked families; see docstring)
-    "q_val_roc_auc",
-    "q_val_calibration",
-    "q_val_threshold_metrics",
+    "q_ext_mmr_rerank",
+    # validation / diagnostics anchors
     "q_val_decile_lift",
-    "q_stream_psi_drift",
-    "q_stream_count_anomalies",
-    "q_key_skew_profile",
     "q_table_diff",
-    "q_scd2_intervals",
     "q_join_size_estimate",
     "q_mutual_information",
     "q_winsorize",
     "q_event_decay",
-    "q_rank_normalize",
+    "q_robust_outliers",
+    # round-8 rotation: the last 19 never-driver-checked queries + the
+    # two ADVICE-r7 gatings (see docstring) — debt to zero
+    "q_backtest_folds",
+    "q_ext_chunk_documents",
+    "q_ext_curate_corpus",
+    "q_ext_dedup_clusters_twophase",
+    "q_ext_exact_sample",
+    "q_ext_frequent_items",
+    "q_ext_pmi_collocations",
+    "q_ext_quantization_error",
+    "q_ext_random_projection",
+    "q_ext_shuffle_shards",
+    "q_semi_join_exists",
+    "q_triangle_count",
+    "q_clustering_coeff",
+    "q_val_cohens_kappa",
+    "q_val_count_anomalies",
+    "q_val_pit_leakage",
+    "q_val_pr_curve",
+    "q_val_psi_numeric",
+    "q_zorder_key",
+    "q_ext_vocab_coverage",
 )
 
 WINDOW_SIZE = 50

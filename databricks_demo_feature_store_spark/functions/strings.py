@@ -124,3 +124,17 @@ def concat_columns(
     else:
         expr = F.concat(*cols)
     return df.withColumn(new_column, expr)
+
+
+def sql_string_literal(value: str) -> str:
+    """Escape ``value`` for interpolation into a Spark SQL single-quoted
+    string literal (backslash-escape ``\\`` and ``'``). Use whenever a
+    caller-supplied name is spliced into an ``F.expr`` string — a column
+    named ``it's`` must not break the parse."""
+    return value.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def sql_identifier(name: str) -> str:
+    """Quote ``name`` as a backticked Spark SQL identifier, escaping
+    embedded backticks by doubling them (the Spark/Hive rule)."""
+    return "`" + name.replace("`", "``") + "`"

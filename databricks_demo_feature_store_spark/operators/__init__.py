@@ -34,7 +34,11 @@ from databricks_demo_feature_store_spark.operators.windows import (
     create_lags_ind,
 )
 from databricks_demo_feature_store_spark.operators.sets import union_dataframes
-from databricks_demo_feature_store_spark.operators.graph import pagerank, triangle_count
+from databricks_demo_feature_store_spark.operators.graph import (
+    clustering_coefficient,
+    pagerank,
+    triangle_count,
+)
 from databricks_demo_feature_store_spark.operators.layout import zorder_key, cluster_by_zorder
 from databricks_demo_feature_store_spark.operators.association import frequent_pairs
 from databricks_demo_feature_store_spark.operators.linkage import name_linkage
@@ -60,6 +64,7 @@ __all__ = [
     "relative_strength_index",
     "create_lags_ind",
     "union_dataframes",
+    "clustering_coefficient",
     "pagerank",
     "triangle_count",
     "zorder_key",

@@ -1897,6 +1897,82 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_clustering_coeff",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it FROM lineitem
+    ),
+    und AS (
+      SELECT l.it AS u, r.it AS v
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY l.it, r.it HAVING COUNT(*) >= 25
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und
+      JOIN deg du ON und.u = du.node
+      JOIN deg dv ON und.v = dv.node
+    ),
+    wedges AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM oriented e1 JOIN oriented e2
+        ON e1.a = e2.a AND e1.b < e2.b
+    ),
+    closing AS (
+      SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM oriented
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM closing WHERE x = w.b AND y = w.c)
+    ),
+    corners AS (
+      SELECT node, COUNT(*) AS n FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(corners.n, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+             CAST(ROUND(CAST(
+               2.0 * COALESCE(corners.n, 0)
+                 / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+               AS DECIMAL(38,10)), 6) AS DOUBLE)
+           END AS clustering_coeff
+    FROM deg LEFT JOIN corners ON deg.node = corners.node
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node over the
+    frequent-supplier-pair graph: ``2·T(v) / (d(v)·(d(v)−1))`` on top of
+    the oriented-wedge triangle count, NULL (undefined) for degree-1
+    nodes. The oracle replays the edge build, orientation, wedge close,
+    degree join, and the one exact IEEE division."""
+    from databricks_demo_feature_store_spark.operators.association import (
+        frequent_pairs,
+    )
+    from databricks_demo_feature_store_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = frequent_pairs(
+        l, "l_orderkey", "l_suppkey", min_support_count=25
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return clustering_coefficient(edges)
+
+
+@register(
     "q_name_linkage",
     oracle="""
     WITH names AS (

@@ -2927,3 +2927,47 @@ def q_ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cands = brute_force_topk(emb, emb.filter(F.col("vec_id") < 4), k=12)
     return mmr_rerank(cands, emb, k=5, lam=0.7)
+
+
+@register(
+    "q_ext_vocab_coverage",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS vocab_rank,
+             SUM(n) OVER (ORDER BY n DESC, token ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_n
+      FROM counts
+    )
+    SELECT token, CAST(n AS BIGINT) AS n,
+           CAST(vocab_rank AS BIGINT) AS vocab_rank,
+           CAST(cum_n AS BIGINT) AS cum_count,
+           {oracle_dround('CAST(cum_n AS DOUBLE) / tot.t', 6)} AS coverage
+    FROM ranked CROSS JOIN tot
+    WHERE vocab_rank <= 500
+    """,
+)
+def q_ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing with coverage accounting: the 500 most frequent
+    corpus tokens, each with its frequency rank and the cumulative share
+    of all token occurrences a vocabulary truncated there would cover —
+    the OOV-rate sweep behind tokenizer-vocabulary and hashing-width
+    decisions. Rank and cumulative sum run on the distributed
+    `attach_global_rank`/`attach_global_cumsum` primitives (no
+    single-task ORDER BY window); the oracle replays the tokenization,
+    the (count DESC, token ASC) total order, and the one exact-integer
+    division per row."""
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        vocab_coverage,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_coverage(d, top_n=500)

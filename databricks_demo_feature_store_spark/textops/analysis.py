@@ -495,7 +495,6 @@ def vocab_coverage(
         raise ValueError("vocab_coverage requires top_n >= 1")
     from databricks_demo_feature_store_spark.functions.feature_generation import (
         attach_global_cumsum,
-        attach_global_rank,
     )
 
     counts = (
@@ -506,8 +505,14 @@ def vocab_coverage(
     )
     total = counts.agg(F.sum("n").alias("__tot"))
     order = [F.col("n").desc(), F.col("token").asc()]
-    ranked = attach_global_rank(counts, order, rank_col="vocab_rank")
-    cum = attach_global_cumsum(ranked, order, ["n"], prefix="cum_")
+    # ONE prefix-sum pass attaches both outputs: the running sum of ``n``
+    # is the cumulative count, and the running sum of a constant 1 in the
+    # same total order IS the row number — half the exchanges of a
+    # rank-then-cumsum chain over the identical range partitioning
+    cum = attach_global_cumsum(
+        counts.withColumn("__one", F.lit(1).cast("long")), order, ["n", "__one"],
+        prefix="cum_",
+    ).withColumnRenamed("cum___one", "vocab_rank")
     return (
         cum.where(F.col("vocab_rank") <= int(top_n))
         .crossJoin(F.broadcast(total))

@@ -12,6 +12,7 @@ from databricks_demo_feature_store_spark.validation.schemas import (
 from databricks_demo_feature_store_spark.validation.evaluation import (
     average_precision,
     calibration_bins,
+    cohens_kappa,
     decile_lift,
     feature_auc_screen,
     pr_curve,
@@ -51,7 +52,7 @@ __all__ = [
     "dimension_drift",
     "ks_drift", "psi_by_group", "psi_drift", "psi_numeric", "roc_auc",
     "calibration_bins", "decile_lift", "threshold_metrics",
-    "average_precision", "pr_curve", "feature_auc_screen",
+    "average_precision", "pr_curve", "feature_auc_screen", "cohens_kappa",
     "pit_leakage_audit",
     "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",

@@ -196,7 +196,11 @@ def average_precision(
         .groupBy("__P", "__N")
         .agg(F.sum(term.cast(dec)).alias("__ap_units"))
     )
-    ap = F.col("__ap_units").cast("double") / F.lit(float(_AP_UNITS))
+    # no positive labels => AP is undefined (mirror roc_auc's NULL), not 0.0
+    ap = F.when(
+        F.col("__P") > 0,
+        F.col("__ap_units").cast("double") / F.lit(float(_AP_UNITS)),
+    )
     return agg.select(
         dround(ap, round_to).alias("average_precision"),
         F.col("__P").cast("long").alias("n_pos"),
@@ -409,9 +413,17 @@ def feature_auc_screen(
     if not feature_cols:
         raise ValueError("feature_auc_screen requires >= 1 feature column")
     lab = F.col(label_col).cast("int")
+    from databricks_demo_feature_store_spark.functions.strings import (
+        sql_identifier,
+        sql_string_literal,
+    )
+
     stack_expr = "stack({n}, {args}) as (__f, __s)".format(
         n=len(feature_cols),
-        args=", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in feature_cols),
+        args=", ".join(
+            f"'{sql_string_literal(c)}', CAST({sql_identifier(c)} AS DOUBLE)"
+            for c in feature_cols
+        ),
     )
     base = df.select(lab.alias("__y"), F.expr(stack_expr)).where(
         F.col("__s").isNotNull() & F.col("__y").isNotNull()

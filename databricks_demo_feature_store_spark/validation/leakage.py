@@ -51,9 +51,17 @@ def pit_leakage_audit(
         raise ValueError("pit_leakage_audit requires >= 1 feature ts column")
     embargo = int(embargo_seconds)
     lab = F.col("__lab")
+    from databricks_demo_feature_store_spark.functions.strings import (
+        sql_identifier,
+        sql_string_literal,
+    )
+
     stack_expr = "stack({n}, {args}) as (feature, __fts)".format(
         n=len(feature_ts_cols),
-        args=", ".join(f"'{c}', `{c}`" for c in feature_ts_cols),
+        args=", ".join(
+            f"'{sql_string_literal(c)}', {sql_identifier(c)}"
+            for c in feature_ts_cols
+        ),
     )
     long = df.select(
         F.unix_timestamp(F.col(label_ts_col)).alias("__lab"),

@@ -1054,3 +1054,26 @@ def test_name_linkage_blocking_and_scoring(spark):
     assert abs(pair["similarity"] - (1 - 1 / 9)) < 1e-6
     # "acme corporation": distance 6 > budget; "bcme corp": other block
     assert len(out) == 1
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """K4 -> coefficient 1.0 everywhere; a triangle with one pendant
+    vertex -> the hub drops to 1/3, the pendant is NULL (degree 1)."""
+    from databricks_demo_feature_store_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    out = {r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+           for r in clustering_coefficient(
+               spark.createDataFrame(k4, ["src", "dst"])).collect()}
+    assert out == {n: (3, 3, 1.0) for n in "abcd"}
+
+    # triangle a-b-c plus pendant d hanging off a
+    g = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    out2 = {r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+            for r in clustering_coefficient(
+                spark.createDataFrame(g, ["src", "dst"])).collect()}
+    assert out2["a"] == (3, 1, round(2.0 * 1 / (3 * 2), 6))
+    assert out2["b"] == (2, 1, 1.0) and out2["c"] == (2, 1, 1.0)
+    assert out2["d"] == (1, 0, None)  # undefined, not 0.0

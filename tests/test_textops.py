@@ -1374,3 +1374,27 @@ def test_pmi_collocations_hand_value(spark):
     assert abs(ny["pmi"] - math.log(3 * 7 / (3 * 4))) < 1e-6
     assert ("rare", "pair") not in out  # count 1 < min_count
     assert len(out) == 1
+
+
+def test_vocab_coverage_rank_and_cumulative_share(spark):
+    """Counts, deterministic (count DESC, token ASC) ranking, cumulative
+    coverage, and the top_n truncation — hand-checked on a tiny corpus."""
+    from databricks_demo_feature_store_spark.textops.analysis import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [("d1", "b a b c"), ("d2", "B b  a"), ("d3", "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["token"]: r for r in vocab_coverage(docs, top_n=2).collect()}
+    # counts: b=4, a=2, c=1 (7 total); top_n=2 keeps b, a
+    assert set(rows) == {"b", "a"}
+    assert (rows["b"]["n"], rows["b"]["vocab_rank"], rows["b"]["cum_count"]) == (4, 1, 4)
+    assert (rows["a"]["n"], rows["a"]["vocab_rank"], rows["a"]["cum_count"]) == (2, 2, 6)
+    assert rows["b"]["coverage"] == round(4 / 7, 6)
+    assert rows["a"]["coverage"] == round(6 / 7, 6)
+
+    # tie on count orders lexicographically
+    tied = spark.createDataFrame([("d", "z y")], ["doc_id", "text"])
+    got = [(r["token"], r["vocab_rank"]) for r in
+           vocab_coverage(tied, top_n=2).orderBy("vocab_rank").collect()]
+    assert got == [("y", 1), ("z", 2)]

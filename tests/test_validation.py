@@ -607,3 +607,46 @@ def test_cusum_changepoints_matches_recursion(spark):
     }
     assert any(expect_alarm.values())          # the shift IS detected
     assert max(abs(r["zscore"]) for r in out.values()) < 3.0  # z-test quiet
+
+
+def test_average_precision_no_positives_is_null(spark):
+    """n_pos = 0 must yield NULL AP (undefined), not 0.0 — mirroring
+    roc_auc's convention for the degenerate case."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, 0), (0.4, 0), (0.1, 0)], ["score", "label"]
+    )
+    row = average_precision(df, "score", "label").collect()[0]
+    assert row["average_precision"] is None
+    assert (row["n_pos"], row["n_neg"]) == (0, 3)
+
+
+def test_feature_screen_and_leakage_quoted_column_names(spark):
+    """Column names containing quotes/backticks must survive the stack()
+    interpolation (escaped, not parse-error or mislabeled)."""
+    from databricks_demo_feature_store_spark.validation.evaluation import (
+        feature_auc_screen,
+    )
+    from databricks_demo_feature_store_spark.validation.leakage import (
+        pit_leakage_audit,
+    )
+
+    weird = "it's `weird`"
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.0, 0), (0.5, 1), (0.2, 0)], ["x", "label"]
+    ).withColumnRenamed("x", weird)
+    out = {r["feature"]: r["auc"] for r in
+           feature_auc_screen(df, [weird], "label").collect()}
+    assert set(out) == {weird} and out[weird] == 1.0
+
+    ts = spark.createDataFrame(
+        [("2024-01-02 00:00:00", "2024-01-01 00:00:00"),
+         ("2024-01-02 00:00:00", "2024-01-03 00:00:00")],
+        ["label_ts", "x"],
+    ).withColumnRenamed("x", weird)
+    audit = {r["feature"]: r["n_violations"] for r in
+             pit_leakage_audit(ts, "label_ts", [weird]).collect()}
+    assert audit == {weird: 1}
