@@ -87,6 +87,9 @@ HEADLINE = [
     "q_frequent_pairs",
     "q_triangle_count",
     "q_clustering_coeff",
+    "q_grouping_sets",
+    "q_val_privacy",
+    "q_val_benford",
     "q_val_cusum",
     "q_name_linkage",
     "q_stream_cusum",

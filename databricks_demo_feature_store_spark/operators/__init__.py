@@ -22,6 +22,7 @@ from databricks_demo_feature_store_spark.operators.joins import (
 )
 from databricks_demo_feature_store_spark.operators.aggregation import (
     aggregation_operations,
+    grouping_sets_agg,
     window_operations,
     conditional_pivot,
 )
@@ -55,6 +56,7 @@ __all__ = [
     "month_spine",
     "interval_join",
     "aggregation_operations",
+    "grouping_sets_agg",
     "window_operations",
     "conditional_pivot",
     "generate_lags",

@@ -218,3 +218,94 @@ def unpivot_columns(
         f"stack({len(value_cols)}, {pairs}) AS (`{var_name}`, `{value_name}`)",
     )
     return stacked
+
+
+# SQL renderings for the grouping-sets aggregate allowlist (3.5-compatible
+# SQL path: GROUPING SETS has no DataFrame API before Spark 4.0).
+_SQL_AGG_FUNCS = {
+    "sum": "SUM", "avg": "AVG", "mean": "AVG", "min": "MIN", "max": "MAX",
+    "count": "COUNT", "count_distinct": "COUNT(DISTINCT {col})",
+    "stddev": "STDDEV_SAMP", "stddev_samp": "STDDEV_SAMP",
+    "stddev_pop": "STDDEV_POP", "variance": "VAR_SAMP",
+    "var_samp": "VAR_SAMP", "var_pop": "VAR_POP", "first": "FIRST",
+    "last": "LAST", "any_value": "ANY_VALUE",
+}
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    grouping_sets: Sequence[Sequence[str]],
+    operations: Sequence[Mapping[str, Any]],
+    grouping_id_col: str = "grouping_level",
+) -> DataFrame:
+    """Multi-level aggregation over EXPLICIT grouping sets — the general
+    form of :meth:`rollup`/:meth:`cube` (reference rollup twin:
+    ``q_rollup_hierarchy``): Catalyst plans ONE Expand + hash aggregate
+    for exactly the requested sets, instead of one job per level + a
+    union (N scans, N shuffles) or a full 2^n cube filtered down.
+
+    ``grouping_sets`` is a list of column-name lists; the empty list is
+    the grand total. ``operations`` uses the same ``[{column, operation,
+    alias?}]`` contract as :func:`aggregation_operations` restricted to
+    the SQL-renderable allowlist. ``grouping_id_col`` carries
+    ``grouping_id()`` so subtotal NULLs stay distinguishable from data
+    NULLs.
+
+    Scale shape: the Expand multiplies rows by the number of sets BEFORE
+    the exchange, but partial (map-side) aggregation collapses each
+    set's groups locally, so the shuffle carries |sets| × |groups| rows,
+    not |sets| × |input|. Implemented through a one-shot temp view +
+    ``spark.sql`` (GROUPING SETS has no DataFrame API on Spark 3.5);
+    the view is dropped as soon as the statement is analyzed.
+    """
+    from uuid import uuid4
+
+    from databricks_demo_feature_store_spark.functions.strings import (
+        sql_identifier,
+    )
+
+    sets = [list(s) for s in grouping_sets]
+    out_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in out_cols:
+                out_cols.append(c)
+    for c in out_cols:
+        if c not in df.columns:
+            raise ValueError(f"grouping column {c!r} not in DataFrame")
+    aggs: list[str] = []
+    for op in operations:
+        name = op["operation"]
+        if name not in _SQL_AGG_FUNCS:
+            raise ValueError(
+                f"Aggregate {name!r} is not in the grouping-sets allowlist"
+            )
+        tmpl = _SQL_AGG_FUNCS[name]
+        if op["column"] == "*":
+            if name != "count":
+                raise ValueError("'*' is only valid with operation 'count'")
+            col = "*"
+        else:
+            col = sql_identifier(op["column"])
+        rendered = (
+            tmpl.format(col=col) if "{col}" in tmpl else f"{tmpl}({col})"
+        )
+        alias = op.get("alias") or f"{op['column']}_{name}"
+        aggs.append(f"{rendered} AS {sql_identifier(alias)}")
+    view = f"__grouping_sets_{uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    try:
+        sets_sql = ", ".join(
+            "(" + ", ".join(sql_identifier(c) for c in s) + ")" for s in sets
+        )
+        select_cols = ", ".join(sql_identifier(c) for c in out_cols)
+        sql = (
+            f"SELECT {select_cols}, CAST(grouping_id() AS INT) AS "
+            f"{sql_identifier(grouping_id_col)}, {', '.join(aggs)} "
+            f"FROM {sql_identifier(view)} "
+            f"GROUP BY GROUPING SETS ({sets_sql})"
+        )
+        # spark.sql analyzes eagerly, so the plan no longer needs the view
+        return df.sparkSession.sql(sql)
+    finally:
+        df.sparkSession.catalog.dropTempView(view)

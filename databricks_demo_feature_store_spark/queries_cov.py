@@ -2008,3 +2008,49 @@ def q_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = load(spark, sf_dir, "part")
     return name_linkage(p, "p_partkey", "p_name", prefix_len=3, max_distance=3)
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INT) AS grouping_level,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS aggregation — per-type totals, per-day
+    totals, and the grand total in ONE Expand + hash aggregate (neither
+    a rollup nor a cube: the (type, day) cross level is deliberately NOT
+    computed). grouping_id disambiguates subtotal NULLs; the day is
+    yyyy-MM-dd text so subtotal NULLs survive dtype coercion on both
+    engines; the DECIMAL-routed sum keeps every level bit-identical."""
+    from databricks_demo_feature_store_spark.operators.aggregation import (
+        grouping_sets_agg,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("value_dec", F.col("value").cast("decimal(25,6)"))
+    )
+    out = grouping_sets_agg(
+        ev,
+        [["event_type"], ["day"], []],
+        [
+            {"column": "*", "operation": "count", "alias": "n_events"},
+            {"column": "value_dec", "operation": "sum", "alias": "sum_value"},
+        ],
+        grouping_id_col="grouping_level",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "grouping_level",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

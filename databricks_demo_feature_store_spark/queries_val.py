@@ -1065,3 +1065,103 @@ def q_val_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     return cusum_changepoints(e, "ts", grain="day", slack=0.5, threshold=5.0)
+
+
+@register(
+    "q_val_privacy",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS group_size,
+             COUNT(DISTINCT c_acctbal) AS n_sensitive
+      FROM customer GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT SUM(group_size) AS n_rows,
+             COUNT(*) AS n_groups,
+             MIN(group_size) AS min_group_size,
+             SUM(CASE WHEN group_size < 10 THEN 1 ELSE 0 END) AS n_k_violating_groups,
+             SUM(CASE WHEN group_size < 10 THEN group_size ELSE 0 END) AS rows_at_risk,
+             MIN(n_sensitive) AS min_l_diversity,
+             SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS n_l_violating_groups
+      FROM g
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(min_group_size AS BIGINT) AS min_group_size,
+           CAST(n_k_violating_groups AS BIGINT) AS n_k_violating_groups,
+           CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
+           CAST(ROUND(CAST(CAST(rows_at_risk AS DOUBLE) / n_rows
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS risk_share,
+           CAST(min_l_diversity AS BIGINT) AS min_l_diversity,
+           CAST(n_l_violating_groups AS BIGINT) AS n_l_violating_groups
+    FROM s
+    """,
+)
+def q_val_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table over the
+    (nation, market segment) quasi-identifier pair with account balance
+    as the sensitive attribute (k=10, l=3) — the re-identification-risk
+    gate a team runs before releasing training data. One hash
+    aggregation collapses rows to group counts; the summary aggregates
+    the group frame. The oracle replays both exactly."""
+    from databricks_demo_feature_store_spark.validation.integrity import (
+        privacy_audit,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    return privacy_audit(
+        c, ["c_nationkey", "c_mktsegment"], sensitive_col="c_acctbal", k=10, l=3
+    )
+
+
+_BENFORD_CASE = (
+    "CASE digit "
+    "WHEN 1 THEN 0.3010299956639812 "
+    "WHEN 2 THEN 0.17609125905568124 "
+    "WHEN 3 THEN 0.12493873660829992 "
+    "WHEN 4 THEN 0.09691001300805642 "
+    "WHEN 5 THEN 0.07918124604762482 "
+    "WHEN 6 THEN 0.06694678963061322 "
+    "WHEN 7 THEN 0.05799194697768673 "
+    "WHEN 8 THEN 0.05115252244738129 "
+    "WHEN 9 THEN 0.04575749056067514 END"
+)
+
+
+@register(
+    "q_val_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(NULLIF(regexp_extract(
+                    CAST(ABS(l_extendedprice) AS VARCHAR), '[1-9]'), '')
+                  AS INT) AS digit
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    ),
+    counts AS (
+      SELECT digit, COUNT(*) AS n FROM d WHERE digit IS NOT NULL GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT CAST(digit AS INT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           {oracle_dround('CAST(n AS DOUBLE) / tot.t', 6)} AS observed_share,
+           {oracle_dround(_BENFORD_CASE, 6)} AS expected_share,
+           {oracle_dround(
+               f"ABS({oracle_dround('CAST(n AS DOUBLE) / tot.t', 6)}"
+               f" - {oracle_dround(_BENFORD_CASE, 6)})", 6)} AS abs_deviation
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_val_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit deviation screen over lineitem extended
+    prices — the forensic check for fabricated or unit-mangled numeric
+    columns. Leading digits come from the DECIMAL's string form (engine-
+    exact, immune to the log10 power-of-ten ulp flip); expected shares
+    are the same Python-float literals on both sides."""
+    from databricks_demo_feature_store_spark.validation.integrity import (
+        benford_deviation,
+    )
+
+    l = load(spark, sf_dir, "lineitem")
+    return benford_deviation(l, "l_extendedprice")

@@ -22,6 +22,11 @@ from databricks_demo_feature_store_spark.validation.evaluation import (
 from databricks_demo_feature_store_spark.validation.leakage import (
     pit_leakage_audit,
 )
+from databricks_demo_feature_store_spark.validation.integrity import (
+    benford_deviation,
+    privacy_audit,
+    privacy_risk_groups,
+)
 from databricks_demo_feature_store_spark.validation.drift import (
     anomalies_from_counts,
     count_anomalies,
@@ -54,6 +59,7 @@ __all__ = [
     "calibration_bins", "decile_lift", "threshold_metrics",
     "average_precision", "pr_curve", "feature_auc_screen", "cohens_kappa",
     "pit_leakage_audit",
+    "benford_deviation", "privacy_audit", "privacy_risk_groups",
     "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",
 ]

@@ -1077,3 +1077,46 @@ def test_clustering_coefficient_known_graphs(spark):
     assert out2["a"] == (3, 1, round(2.0 * 1 / (3 * 2), 6))
     assert out2["b"] == (2, 1, 1.0) and out2["c"] == (2, 1, 1.0)
     assert out2["d"] == (1, 0, None)  # undefined, not 0.0
+
+
+def test_grouping_sets_agg_levels_and_escaping(spark):
+    """Exactly the requested sets (no cross level), grouping_id labels,
+    count(*), and a backtick-bearing column name surviving the SQL path."""
+    from databricks_demo_feature_store_spark.operators.aggregation import (
+        grouping_sets_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["t", "d", "v"]
+    ).withColumnRenamed("v", "va`l")
+    out = grouping_sets_agg(
+        df,
+        [["t"], ["d"], []],
+        [
+            {"column": "*", "operation": "count", "alias": "n"},
+            {"column": "va`l", "operation": "sum", "alias": "s"},
+        ],
+    ).collect()
+    got = {(r["t"], r["d"], r["grouping_level"]): (r["n"], r["s"]) for r in out}
+    assert got == {
+        ("a", None, 1): (2, 3), ("b", None, 1): (1, 4),      # per-t
+        (None, "x", 2): (2, 5), (None, "y", 2): (1, 2),      # per-d
+        (None, None, 3): (3, 7),                              # grand total
+    }
+    # the (t, d) cross level must NOT appear
+    assert not any(t is not None and d is not None for t, d, _ in got)
+
+
+def test_grouping_sets_agg_rejects_unknowns(spark):
+    from databricks_demo_feature_store_spark.operators.aggregation import (
+        grouping_sets_agg,
+    )
+
+    df = spark.createDataFrame([("a", 1)], ["t", "v"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        grouping_sets_agg(df, [["nope"]], [{"column": "v", "operation": "sum"}])
+    with _pytest.raises(ValueError, match="allowlist"):
+        grouping_sets_agg(df, [["t"]], [{"column": "v", "operation": "java_method"}])
+    with _pytest.raises(ValueError, match="only valid"):
+        grouping_sets_agg(df, [["t"]], [{"column": "*", "operation": "sum"}])

@@ -650,3 +650,53 @@ def test_feature_screen_and_leakage_quoted_column_names(spark):
     audit = {r["feature"]: r["n_violations"] for r in
              pit_leakage_audit(ts, "label_ts", [weird]).collect()}
     assert audit == {weird: 1}
+
+
+def test_privacy_audit_and_risk_groups(spark):
+    """Hand-built groups: k/l thresholds, rows_at_risk, and the violating
+    group listing."""
+    from databricks_demo_feature_store_spark.validation.integrity import (
+        privacy_audit,
+        privacy_risk_groups,
+    )
+
+    rows = (
+        [("30s", "NY", f"d{i}") for i in range(5)]       # size 5, 5 distinct
+        + [("40s", "SF", "flu"), ("40s", "SF", "flu")]   # size 2, 1 distinct
+        + [("50s", "LA", "ok")]                           # size 1, 1 distinct
+    )
+    df = spark.createDataFrame(rows, ["age", "city", "diagnosis"])
+    s = privacy_audit(df, ["age", "city"], "diagnosis", k=3, l=2).collect()[0]
+    assert (s["n_rows"], s["n_groups"], s["min_group_size"]) == (8, 3, 1)
+    assert (s["n_k_violating_groups"], s["rows_at_risk"]) == (2, 3)
+    assert s["risk_share"] == round(3 / 8, 6)
+    assert (s["min_l_diversity"], s["n_l_violating_groups"]) == (1, 2)
+
+    g = {(r["age"], r["city"]): (r["group_size"], r["n_sensitive"],
+                                 r["k_violation"], r["l_violation"])
+         for r in privacy_risk_groups(df, ["age", "city"], "diagnosis",
+                                      k=3, l=2).collect()}
+    assert g == {("40s", "SF"): (2, 1, True, True),
+                 ("50s", "LA"): (1, 1, True, True)}
+
+
+def test_benford_deviation_digits_and_shares(spark):
+    """Leading digits from the string form; zero/negative/null excluded;
+    shares sum the observed counts."""
+    from databricks_demo_feature_store_spark.validation.integrity import (
+        benford_deviation,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [(1.0,), (12.5,), (190.0,), (25.0,), (0.034,), (0.0,), (-7.0,), (None,)],
+        ["v"],
+    )
+    out = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    # 1.0, 12.5, 190.0 -> 1; 25.0 -> 2; 0.034 -> 3
+    assert {d: out[d]["n"] for d in out} == {1: 3, 2: 1, 3: 1}
+    assert out[1]["observed_share"] == round(3 / 5, 6)
+    assert out[1]["expected_share"] == round(math.log10(2.0), 6)
+    assert out[2]["abs_deviation"] == round(
+        abs(round(1 / 5, 6) - round(math.log10(1.5), 6)), 6
+    )
