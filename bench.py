@@ -81,6 +81,7 @@ HEADLINE = [
     "q_robust_outliers",
     "q_rsi",
     "q_backtest_folds",
+    "q_rfm_segments",
     "q_val_cohens_kappa",
     "q_pagerank",
     "q_zorder_key",
@@ -114,6 +115,15 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES] + [
         n for n in QUERIES if n.startswith("q_ext_") and n not in HEADLINE
     ]
+    # targeted re-measure (standing-record protocol): run only the named
+    # queries, e.g. SPARK_GRAFT_BENCH_ONLY=q_ext_dsir_weights,q_pagerank
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in wanted if n not in QUERIES]
+        if missing:
+            raise SystemExit(f"unknown bench queries: {missing}")
+        names = wanted
 
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not first-touch overheads
@@ -171,9 +181,20 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
     }
+    # never outgrow the driver's ~2000-char capture window: shrink the
+    # per-query map until the line fits, down to a totals-only line
     out = json.dumps(line)
-    if len(out) > 1900:  # never outgrow the driver's capture window again
-        line["queries"] = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    for n_top in (10, 5, 0):
+        if len(out) <= 1900:
+            break
+        line["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:n_top]
+        )
+        line["queries_note"] = (
+            f"{n_top} slowest shown; full per-query map in BENCH_FULL.json"
+            if n_top
+            else "totals only; full per-query map in BENCH_FULL.json"
+        )
         out = json.dumps(line)
     print(out)
     spark.stop()

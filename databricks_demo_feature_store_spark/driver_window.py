@@ -358,6 +358,22 @@ module import order. Selection policy:
   (DECIMAL-summed exponential gains pytest+local; retrieval family keeps
   q_ext_tfidf_terms, q_ext_ann_multiprobe, q_ext_pq_adc_topk,
   q_ext_mmr_rerank in-window).
+* Round-9 rotation (VERDICT r8 task 2: rotation debt to zero): the three
+  queries born in commit 31b629b after the round-8 gate ran — the only
+  registered queries never driver-checked — rotate IN: q_grouping_sets
+  (arbitrary GROUPING SETS, one Expand + hash agg), q_val_privacy
+  (k-anonymity / l-diversity audit), q_val_benford (first-digit Benford
+  screen). OUT — all three are round-8 driver-green (CORRECTNESS_r08)
+  and stay in the full local gate + pytest; transitive cover:
+  q_semi_join_exists (LEFT SEMI machinery is the core of in-window
+  q_ext_contamination_bloom's shingle semi-join, and join planning runs
+  inside every in-window pipeline), q_val_cohens_kappa (the exact-integer
+  agreement arithmetic stays pytest+local; the evaluation family keeps
+  q_val_feature_screen, q_val_decile_lift and q_val_pr_curve in-window),
+  q_zorder_key (pure bit-interleave column algebra, pytest+local; the
+  ops-diagnostics family keeps q_table_diff + q_join_size_estimate
+  in-window). After this window runs green, every registered query is
+  driver-gate-certified in >= 1 round and rotation debt is zero.
 """
 
 from __future__ import annotations
@@ -410,16 +426,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_quantization_error",
     "q_ext_random_projection",
     "q_ext_shuffle_shards",
-    "q_semi_join_exists",
     "q_triangle_count",
     "q_clustering_coeff",
-    "q_val_cohens_kappa",
     "q_val_count_anomalies",
     "q_val_pit_leakage",
     "q_val_pr_curve",
     "q_val_psi_numeric",
-    "q_zorder_key",
     "q_ext_vocab_coverage",
+    # round-9 rotation: the last 3 never-driver-checked queries (see
+    # docstring) — rotation debt to zero
+    "q_grouping_sets",
+    "q_val_privacy",
+    "q_val_benford",
 )
 
 WINDOW_SIZE = 50

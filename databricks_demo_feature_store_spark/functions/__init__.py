@@ -25,6 +25,7 @@ from databricks_demo_feature_store_spark.functions.feature_generation import (
     categorize_by_fixed_values,
     binarize,
     create_constant_column,
+    rfm_segments,
 )
 from databricks_demo_feature_store_spark.functions.quality import (
     standardize_na_values,
@@ -46,7 +47,7 @@ __all__ = [
     "preprocess_ingested_table", "standardize_column_names", "concat_columns",
     "math_operations", "calculate_ratios", "calculate_percentages",
     "choose_columns_as_value", "categorize_by_fixed_values", "binarize",
-    "create_constant_column",
+    "create_constant_column", "rfm_segments",
     "standardize_na_values", "drop_na", "drop_duplicates", "impute_dataframe",
     "rename_columns",
     "decimals_to_floats", "longs_to_integers", "apply_schema",

@@ -227,8 +227,11 @@ _SQL_AGG_FUNCS = {
     "count": "COUNT", "count_distinct": "COUNT(DISTINCT {col})",
     "stddev": "STDDEV_SAMP", "stddev_samp": "STDDEV_SAMP",
     "stddev_pop": "STDDEV_POP", "variance": "VAR_SAMP",
-    "var_samp": "VAR_SAMP", "var_pop": "VAR_POP", "first": "FIRST",
-    "last": "LAST", "any_value": "ANY_VALUE",
+    "var_samp": "VAR_SAMP", "var_pop": "VAR_POP",
+    # FIRST/LAST are deliberately NOT allowlisted: without an ORDER BY they
+    # are nondeterministic in Spark SQL and cannot reproduce across runs or
+    # against an oracle. ANY_VALUE stays for the explicit don't-care case.
+    "any_value": "ANY_VALUE",
 }
 
 

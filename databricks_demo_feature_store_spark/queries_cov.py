@@ -2054,3 +2054,54 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS entity,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                            DATE '2001-09-01') AS INTEGER) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS m
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT entity, recency_days, frequency, m,
+             NTILE(5) OVER (ORDER BY recency_days ASC, entity ASC) AS rbin,
+             NTILE(5) OVER (ORDER BY frequency ASC, entity ASC) AS f_score,
+             NTILE(5) OVER (ORDER BY m ASC, entity ASC) AS m_score
+      FROM base
+    )
+    SELECT entity AS o_custkey,
+           recency_days,
+           frequency,
+           CAST(m AS DOUBLE) AS monetary,
+           CAST(6 - rbin AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST((6 - rbin) * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+    FROM s
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: one hash agg collapses the
+    fact table to (recency, frequency, DECIMAL-exact monetary) per
+    customer, then three distributed-global-rank ntile scores 1..5 (ties
+    broken on the customer key) compose rfm_code. Recency is reversed so
+    5 = most recent on every axis. The oracle replays the as-of
+    date-diff, the exact decimal sum, and all three NTILE assignments.
+    Reference parity: the classic customer-value feature block the
+    reference's feature pipelines feed to churn models (cf.
+    src/packages/feature_generation/feature_operations.py aggregation +
+    binning steps)."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        rfm_segments,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    return rfm_segments(
+        o, "o_custkey", "o_orderdate", "o_totalprice", "2001-09-01", n_bins=5
+    )

@@ -2395,10 +2395,10 @@ def q_ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_ORACLE = f"""
     WITH {_O_EMB}
     SELECT vec_id,
-           [CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([-0.064113, -0.539127, -0.620158, -0.569755, -0.437852, 0.61256, -0.24038, -0.529875, 0.625046, -0.295765, 0.333412, -0.752215, -0.496563, 0.390374, -0.213188, 0.092528, 0.329603, -0.978485, -0.695153, -0.173355, -0.200237, 0.819493, -0.840855, 0.703475, -0.755122, 0.3379, -0.289847, 0.242299, 0.204507, -0.272478, 0.514454, 0.482399, -0.213308, -0.067969, -0.422501, 0.603418, 0.489533, -0.847143, -0.360862, -0.216764, -0.029191, 0.891881, 0.534924, 0.665285, 0.77717, 0.887236, 0.33438, -0.794415, 0.766987, 0.697363, -0.904101, 0.290417, -0.742368, 0.378102, -0.755625, 0.851998, 0.430252, -0.174234, -0.880308, 0.249107, -0.258191, 0.512569, 0.955036, -0.369498])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE),
-             CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([0.05604, 0.889333, 0.85842, -0.330686, -0.049243, -0.357802, 0.867421, -0.102364, -0.238208, -0.887434, -0.560235, 0.978981, 0.647856, -0.829176, -0.504167, 0.975673, -0.627938, 0.746442, 0.422507, -0.312166, 0.94562, -0.047667, 0.784596, 0.987821, -0.129188, 0.056537, 0.574885, 0.816647, -0.079191, -0.425647, 0.669717, 0.914127, 0.866242, -0.166026, -0.403765, -0.023744, -0.832129, 0.943708, 0.113227, -0.239719, -0.969648, -0.248542, 0.320343, 0.082448, -0.168758, 0.05245, 0.273396, 0.947011, -0.954262, 0.312623, -0.003977, 0.685901, -0.895667, 0.1585, -0.448145, 0.34967, 0.649381, -0.141731, 0.123696, -0.785469, 0.613568, 0.766729, -0.148632, 0.781866])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE),
-             CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([0.754309, -0.573216, 0.339286, 0.606362, -0.131759, 0.21667, -0.365564, 0.658278, 0.722004, 0.721943, 0.114378, -0.013933, 0.050017, -0.352027, -0.327113, 0.170287, 0.863397, -0.044443, -0.146346, -0.147029, -0.629848, 0.869322, 0.55633, -0.69794, -0.391054, -0.47581, -0.538222, -0.754144, 0.764134, -0.435583, 0.202133, 0.50689, -0.606307, 0.803888, -0.510706, 0.868849, -0.37175, -0.529745, -0.052808, -0.674009, 0.347464, 0.42117, 0.396561, -0.595353, 0.2585, -0.046551, 0.939787, 0.592396, 0.114283, -0.325747, 0.775326, 0.444584, 0.404695, 0.527198, 0.645191, 0.638497, -0.450251, -0.420168, -0.14032, -0.555066, 0.010412, 0.882112, 0.617091, -0.778775])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE),
-             CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([-0.23538, -0.65588, 0.639121, -0.479667, 0.36144, 0.297699, 0.245983, -0.277522, -0.247815, 0.039612, -0.26794, -0.27268, 0.607682, -0.949773, 0.324404, 0.99891, -0.604824, -0.942847, 0.388598, -0.921141, -0.759941, -0.097646, -0.561955, -0.498959, -0.398938, 0.58598, -0.601978, -0.977169, 0.251586, 0.461231, 0.017113, 0.382699, -0.664982, -0.51957, -0.746612, 0.769192, -0.17384, -0.271187, 0.17226, -0.920801, 0.27059, 0.103753, -0.798624, 0.315912, 0.5655, 0.673618, 0.767354, 0.145429, -0.989233, -0.710493, -0.341563, -0.876956, 0.231369, 0.688229, -0.155878, 0.241626, -0.63685, 0.185928, -0.609979, -0.899875, 0.444606, 0.450076, 0.017415, -0.850032])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE)] AS projected
+           CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([-0.064113, -0.539127, -0.620158, -0.569755, -0.437852, 0.61256, -0.24038, -0.529875, 0.625046, -0.295765, 0.333412, -0.752215, -0.496563, 0.390374, -0.213188, 0.092528, 0.329603, -0.978485, -0.695153, -0.173355, -0.200237, 0.819493, -0.840855, 0.703475, -0.755122, 0.3379, -0.289847, 0.242299, 0.204507, -0.272478, 0.514454, 0.482399, -0.213308, -0.067969, -0.422501, 0.603418, 0.489533, -0.847143, -0.360862, -0.216764, -0.029191, 0.891881, 0.534924, 0.665285, 0.77717, 0.887236, 0.33438, -0.794415, 0.766987, 0.697363, -0.904101, 0.290417, -0.742368, 0.378102, -0.755625, 0.851998, 0.430252, -0.174234, -0.880308, 0.249107, -0.258191, 0.512569, 0.955036, -0.369498])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE) AS p0,
+             CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([0.05604, 0.889333, 0.85842, -0.330686, -0.049243, -0.357802, 0.867421, -0.102364, -0.238208, -0.887434, -0.560235, 0.978981, 0.647856, -0.829176, -0.504167, 0.975673, -0.627938, 0.746442, 0.422507, -0.312166, 0.94562, -0.047667, 0.784596, 0.987821, -0.129188, 0.056537, 0.574885, 0.816647, -0.079191, -0.425647, 0.669717, 0.914127, 0.866242, -0.166026, -0.403765, -0.023744, -0.832129, 0.943708, 0.113227, -0.239719, -0.969648, -0.248542, 0.320343, 0.082448, -0.168758, 0.05245, 0.273396, 0.947011, -0.954262, 0.312623, -0.003977, 0.685901, -0.895667, 0.1585, -0.448145, 0.34967, 0.649381, -0.141731, 0.123696, -0.785469, 0.613568, 0.766729, -0.148632, 0.781866])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE) AS p1,
+             CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([0.754309, -0.573216, 0.339286, 0.606362, -0.131759, 0.21667, -0.365564, 0.658278, 0.722004, 0.721943, 0.114378, -0.013933, 0.050017, -0.352027, -0.327113, 0.170287, 0.863397, -0.044443, -0.146346, -0.147029, -0.629848, 0.869322, 0.55633, -0.69794, -0.391054, -0.47581, -0.538222, -0.754144, 0.764134, -0.435583, 0.202133, 0.50689, -0.606307, 0.803888, -0.510706, 0.868849, -0.37175, -0.529745, -0.052808, -0.674009, 0.347464, 0.42117, 0.396561, -0.595353, 0.2585, -0.046551, 0.939787, 0.592396, 0.114283, -0.325747, 0.775326, 0.444584, 0.404695, 0.527198, 0.645191, 0.638497, -0.450251, -0.420168, -0.14032, -0.555066, 0.010412, 0.882112, 0.617091, -0.778775])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE) AS p2,
+             CAST(ROUND(CAST(list_sum(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * ([-0.23538, -0.65588, 0.639121, -0.479667, 0.36144, 0.297699, 0.245983, -0.277522, -0.247815, 0.039612, -0.26794, -0.27268, 0.607682, -0.949773, 0.324404, 0.99891, -0.604824, -0.942847, 0.388598, -0.921141, -0.759941, -0.097646, -0.561955, -0.498959, -0.398938, 0.58598, -0.601978, -0.977169, 0.251586, 0.461231, 0.017113, 0.382699, -0.664982, -0.51957, -0.746612, 0.769192, -0.17384, -0.271187, 0.17226, -0.920801, 0.27059, 0.103753, -0.798624, 0.315912, 0.5655, 0.673618, 0.767354, 0.145429, -0.989233, -0.710493, -0.341563, -0.876956, 0.231369, 0.688229, -0.155878, 0.241626, -0.63685, 0.185928, -0.609979, -0.899875, 0.444606, 0.450076, 0.017415, -0.850032])[i])) * 0.5 AS DECIMAL(38,10)), 6) AS DOUBLE) AS p3
     FROM e
 """
 
@@ -2416,7 +2416,13 @@ def q_ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return random_projection(e, 4, dim=64).select("vec_id", "projected")
+    proj = random_projection(e, 4, dim=64)
+    # the driver gate canonicalizes with pandas sort_values, which cannot
+    # sort array cells — emit the four components as scalar columns
+    return proj.select(
+        "vec_id",
+        *[F.element_at("projected", j + 1).alias(f"p{j}") for j in range(4)],
+    )
 
 
 _PACK_L = 256

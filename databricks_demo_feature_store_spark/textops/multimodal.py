@@ -2,10 +2,14 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch iteration, partition sizing) is
-real and tested; the actual media decode is STUBBED — the decode libraries
-(Pillow/librosa/av) are not in this container. ``decode_fn=None`` uses a
-deterministic fake that "decodes" byte-length/checksum features so the
-pipeline shape is exercised end-to-end; pass a real decoder in production.
+real and tested. The third-party decode libraries (Pillow/librosa/av) are
+not in this container (install retried + network-blocked every round), so
+``decode_fn=None`` uses a deterministic fake that "decodes"
+byte-length/checksum features; pass a real decoder in production. PNG,
+however, needs only the stdlib — :func:`make_png_decode_fn` /
+:func:`decode_image_features` is a REAL decoder (IHDR parse, IDAT
+inflate, full RFC 2083 scanline un-filtering, exact pixel statistics)
+proving the Arrow batch contract with genuinely decoded bytes.
 
 Scale notes: binary payloads dominate partition size — ``media_repartition``
 sizes partitions by *bytes*, not rows, so a 100 TB image corpus doesn't
@@ -329,3 +333,151 @@ def resize_images(
 
     images = media.filter(F.col("media_type") == "image").select("media_id", "payload")
     return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("mean_intensity", StringType(), True),  # exact rational "sum/count"
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def make_png_decode_fn() -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """A REAL (non-stub) image decoder built from the stdlib only — the
+    container has no Pillow/librosa/av (retried and network-blocked every
+    round), but PNG needs nothing beyond ``zlib`` + ``struct``: parse the
+    signature and IHDR, inflate the IDAT stream, reverse the per-scanline
+    filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), and reduce the
+    recovered pixels to exact statistics. Emits ``IMAGE_DECODE_SCHEMA``;
+    ``mean_intensity`` is the exact rational ``"pixelsum/count"`` so the
+    test asserts bit-exact pixel recovery, not a float approximation.
+
+    Supports 8-bit greyscale (color type 0), RGB (2) and RGBA (6),
+    non-interlaced — enough to prove the Arrow ``mapInPandas`` batch
+    contract end-to-end with genuinely decoded bytes. Anything else
+    (16-bit, palette, interlaced, truncated) degrades to
+    ``decode_ok='unsupported'``/``'error'`` rather than failing the task:
+    on a 100 TB corpus a poison payload must never kill the stage.
+
+    Nested closure so cloudpickle ships it by value (executors need not
+    have this package importable)."""
+
+    def decode(batch: pd.DataFrame) -> pd.DataFrame:
+        import struct
+        import zlib
+
+        import pandas as _pd
+
+        _SIG = b"\x89PNG\r\n\x1a\n"
+        _NCH = {0: 1, 2: 3, 6: 4}
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def one(payload):
+            if payload is None or len(payload) < 8 or bytes(payload[:8]) != _SIG:
+                return None, None, None, None, None, "not_png"
+            data = bytes(payload)
+            pos, ihdr, idat = 8, None, []
+            try:
+                while pos + 8 <= len(data):
+                    (length,) = struct.unpack(">I", data[pos : pos + 4])
+                    ctype = data[pos + 4 : pos + 8]
+                    body = data[pos + 8 : pos + 8 + length]
+                    if ctype == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", body)
+                    elif ctype == b"IDAT":
+                        idat.append(body)
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + length  # length + type + crc
+                if ihdr is None or not idat:
+                    return None, None, None, None, None, "error"
+                w, h, depth, color, comp, filt, interlace = ihdr
+                if depth != 8 or color not in _NCH or interlace != 0 or comp != 0:
+                    return w, h, _NCH.get(color), depth, None, "unsupported"
+                nch = _NCH[color]
+                raw = zlib.decompress(b"".join(idat))
+                stride = w * nch
+                if len(raw) != h * (stride + 1):
+                    return w, h, nch, depth, None, "error"
+                prev = bytearray(stride)
+                total = 0
+                for row in range(h):
+                    off = row * (stride + 1)
+                    ftype = raw[off]
+                    line = bytearray(raw[off + 1 : off + 1 + stride])
+                    if ftype == 1:  # Sub
+                        for i in range(nch, stride):
+                            line[i] = (line[i] + line[i - nch]) & 0xFF
+                    elif ftype == 2:  # Up
+                        for i in range(stride):
+                            line[i] = (line[i] + prev[i]) & 0xFF
+                    elif ftype == 3:  # Average
+                        for i in range(stride):
+                            left = line[i - nch] if i >= nch else 0
+                            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+                    elif ftype == 4:  # Paeth
+                        for i in range(stride):
+                            left = line[i - nch] if i >= nch else 0
+                            cul = prev[i - nch] if i >= nch else 0
+                            line[i] = (line[i] + paeth(left, prev[i], cul)) & 0xFF
+                    elif ftype != 0:
+                        return w, h, nch, depth, None, "error"
+                    total += sum(line)
+                    prev = line
+                return w, h, nch, depth, f"{total}/{w * h * nch}", "ok"
+            except Exception:
+                return None, None, None, None, None, "error"
+
+        cols = {"media_id": batch["media_id"], "width": [], "height": [],
+                "channels": [], "bit_depth": [], "mean_intensity": [], "decode_ok": []}
+        for payload in batch["payload"]:
+            w, h, c, d, m, ok = one(payload)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["channels"].append(c)
+            cols["bit_depth"].append(d)
+            cols["mean_intensity"].append(m)
+            cols["decode_ok"].append(ok)
+        return _pd.DataFrame(
+            {
+                "media_id": _pd.Series(cols["media_id"], dtype="int64"),
+                "width": _pd.Series(cols["width"], dtype="Int32"),
+                "height": _pd.Series(cols["height"], dtype="Int32"),
+                "channels": _pd.Series(cols["channels"], dtype="Int32"),
+                "bit_depth": _pd.Series(cols["bit_depth"], dtype="Int32"),
+                "mean_intensity": _pd.Series(cols["mean_intensity"], dtype="object"),
+                "decode_ok": _pd.Series(cols["decode_ok"], dtype="object"),
+            }
+        )
+
+    return decode
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """Real-decode path: run :func:`make_png_decode_fn` over the image
+    rows via Arrow-batched ``mapInPandas`` — the same plumbing as
+    :func:`decode_features`, but with genuinely decoded pixels. Non-PNG
+    payloads come back ``decode_ok='not_png'`` instead of erroring (a
+    mixed-format corpus is the normal case)."""
+    images = media.filter(F.col("media_type") == "image").select(
+        "media_id", "payload"
+    )
+    fn = make_png_decode_fn()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return images.mapInPandas(run, schema=IMAGE_DECODE_SCHEMA)

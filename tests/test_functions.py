@@ -425,3 +425,55 @@ def test_backtest_folds_windows(spark):
         (0, "train", 1), (0, "test", 2),          # fold 0: cutoff Feb 1
         (1, "train", 1), (1, "train", 2), (1, "test", 3),  # fold 1: Mar 1
     }  # id 4 is beyond every horizon -> absent everywhere
+
+
+def test_rfm_segments_exact(spark):
+    """Hand-computed RFM on 5 customers x a tiny fact table: recency is
+    reversed (most recent = 5 -> here n_bins=2 so 2), frequency and
+    monetary are equal-frequency binned with entity-id tiebreaks, and
+    rfm_code composes r*100 + f*10 + m."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.functions import rfm_segments
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        # cust 1: 3 orders, latest Jun 30, total 300
+        (1, t("2024-06-30"), 100.0), (1, t("2024-01-01"), 100.0),
+        (1, t("2024-02-01"), 100.0),
+        # cust 2: 1 order, Jan 10, total 50
+        (2, t("2024-01-10"), 50.0),
+        # cust 3: 2 orders, latest May 1, total 500
+        (3, t("2024-05-01"), 400.0), (3, t("2024-02-01"), 100.0),
+        # cust 4: 1 order, Jun 1, total 10
+        (4, t("2024-06-01"), 10.0),
+        # NULL entity must be dropped, not become a segment
+        (None, t("2024-06-01"), 999.0),
+    ]
+    df = spark.createDataFrame(rows, ["cust", "ts", "amt"])
+    out = {r["cust"]: r for r in
+           rfm_segments(df, "cust", "ts", "amt", "2024-07-01", n_bins=2)
+           .collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # recency_days: 1->1, 2->173, 3->61, 4->30
+    assert out[1]["recency_days"] == 1
+    assert out[2]["recency_days"] == 173
+    assert out[3]["recency_days"] == 61
+    assert out[4]["recency_days"] == 30
+    # r ntile order (recency asc, cust asc): 1(1), 4(30) | 3(61), 2(173)
+    # reversed: bin1 -> r=2, bin2 -> r=1
+    assert out[1]["r_score"] == 2 and out[4]["r_score"] == 2
+    assert out[3]["r_score"] == 1 and out[2]["r_score"] == 1
+    # f ntile (freq asc, cust asc): 2(1), 4(1) | 3(2), 1(3)
+    assert out[2]["f_score"] == 1 and out[4]["f_score"] == 1
+    assert out[3]["f_score"] == 2 and out[1]["f_score"] == 2
+    # m ntile (sum asc, cust asc): 4(10), 2(50) | 1(300), 3(500)
+    assert out[4]["m_score"] == 1 and out[2]["m_score"] == 1
+    assert out[1]["m_score"] == 2 and out[3]["m_score"] == 2
+    assert out[1]["monetary"] == 300.0
+    assert out[1]["rfm_code"] == 222
+    assert out[2]["rfm_code"] == 111
+    assert out[3]["rfm_code"] == 122
+    assert out[4]["rfm_code"] == 211

@@ -1120,3 +1120,8 @@ def test_grouping_sets_agg_rejects_unknowns(spark):
         grouping_sets_agg(df, [["t"]], [{"column": "v", "operation": "java_method"}])
     with _pytest.raises(ValueError, match="only valid"):
         grouping_sets_agg(df, [["t"]], [{"column": "*", "operation": "sum"}])
+    # FIRST/LAST are nondeterministic without ORDER BY — excluded from the
+    # engine-exact allowlist (any_value is the explicit don't-care spelling)
+    for op in ("first", "last"):
+        with _pytest.raises(ValueError, match="allowlist"):
+            grouping_sets_agg(df, [["t"]], [{"column": "v", "operation": op}])

@@ -1398,3 +1398,98 @@ def test_vocab_coverage_rank_and_cumulative_share(spark):
     got = [(r["token"], r["vocab_rank"]) for r in
            vocab_coverage(tied, top_n=2).orderBy("vocab_rank").collect()]
     assert got == [("y", 1), ("z", 2)]
+
+
+def _encode_png(pixels, color_type, filters):
+    """Minimal stdlib PNG encoder for the decode test: ``pixels`` is a
+    list of rows, each row a list of per-channel byte tuples; ``filters``
+    gives the filter type to APPLY per scanline (0-4), so the decoder's
+    un-filtering of every RFC 2083 filter is exercised with real bytes."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    h = len(pixels)
+    w = len(pixels[0])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = bytearray(w * nch)
+    for row, ftype in zip(pixels, filters):
+        line = bytearray(v for px in row for v in px)
+        out = bytearray(len(line))
+        for i in range(len(line)):
+            left = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(left, up, ul)}[ftype]
+            out[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ftype]) + out
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_real_bytes(spark):
+    """NON-STUB decode path: real PNG payloads (every scanline filter
+    type) go through the Arrow mapInPandas contract and come back with
+    bit-exact dimensions and pixel sums."""
+    from databricks_demo_feature_store_spark.textops.multimodal import (
+        decode_image_features,
+    )
+
+    gray = _encode_png(
+        [[(10,), (20,), (30,)], [(40,), (50,), (60,)]], 0, [0, 2]
+    )  # 3x2 grayscale, sum 210
+    rgb_rows = [
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9), (250, 251, 252)],
+        [(9, 8, 7), (6, 5, 4), (3, 2, 1), (0, 128, 255)],
+        [(100, 100, 100), (0, 0, 0), (255, 255, 255), (42, 43, 44)],
+    ]
+    rgb = _encode_png(rgb_rows, 2, [1, 2, 4])  # 4x3 RGB, Sub/Up/Paeth
+    rgb_sum = sum(v for row in rgb_rows for px in row for v in px)
+    rgba = _encode_png(
+        [[(1, 2, 3, 4), (5, 6, 7, 8)], [(9, 10, 11, 12), (13, 14, 15, 16)]],
+        6,
+        [3, 3],
+    )  # 2x2 RGBA, Average filter, sum 136
+    rows = [
+        (1, "image", bytearray(gray)),
+        (2, "image", bytearray(rgb)),
+        (3, "image", bytearray(rgba)),
+        (4, "image", bytearray(b"not a png at all")),
+        (5, "audio", bytearray(gray)),  # filtered out: not an image row
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "media_type", "payload"])
+    out = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    g = out[1]
+    assert (g["width"], g["height"], g["channels"], g["bit_depth"]) == (3, 2, 1, 8)
+    assert g["mean_intensity"] == "210/6" and g["decode_ok"] == "ok"
+    r = out[2]
+    assert (r["width"], r["height"], r["channels"]) == (4, 3, 3)
+    assert r["mean_intensity"] == f"{rgb_sum}/36" and r["decode_ok"] == "ok"
+    a = out[3]
+    assert (a["width"], a["height"], a["channels"]) == (2, 2, 4)
+    assert a["mean_intensity"] == "136/16" and a["decode_ok"] == "ok"
+    assert out[4]["decode_ok"] == "not_png" and out[4]["width"] is None

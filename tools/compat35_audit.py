@@ -15,6 +15,14 @@ audit enforces compatibility STATICALLY, as a ratchet:
 2. Known 4.x-only APIs (``SPARK4_ONLY_APIS``) may appear ONLY at their
    documented, version-gated sites (``EXEMPT_SITES``), which must raise a
    loud error or fall back on 3.5.
+3. (round 9, VERDICT r8 task 7) Every METHOD the package calls on the
+   DataFrame / GroupedData / Column / SparkSession / Window / reader /
+   writer / streaming surface must appear in
+   ``PYSPARK_35_METHODS_VERIFIED`` — the same ratchet, extended from
+   ``F.*`` functions to the object-method surface. Candidate call names
+   are intersected with the INSTALLED (4.1.2) runtime's ``dir()`` of
+   those classes, so a newly-adopted 4.x-only method is caught the day
+   it is introduced.
 
 Usage: python tools/compat35_audit.py   (exit 0 = compatible surface)
 """
@@ -39,6 +47,8 @@ PYSPARK_35_FUNCTIONS_VERIFIED = {
     # string
     "ascii", "concat", "concat_ws", "length", "lower", "lpad", "trim",
     "regexp_replace", "regexp_extract_all",  # python wrapper added 3.5.0
+    "regexp_extract",  # 1.5.0
+    "levenshtein",  # 1.5.0 (two-arg form only; the `threshold` kwarg is 3.5+)
     "split", "substring", "translate", "md5", "xxhash64",
     # dates/timestamps
     "add_months", "current_date", "date_add", "date_sub", "date_format",
@@ -61,6 +71,7 @@ PYSPARK_35_FUNCTIONS_VERIFIED = {
     "transform", "filter", "zip_with", "flatten", "sequence", "slice",
     "size", "element_at", "explode", "explode_outer", "posexplode",
     "posexplode_outer", "struct", "map_from_entries",
+    "create_map",  # 2.0.0
     # bits
     "bit_count", "shiftleft", "shiftright",  # bit_count 3.5.0
     # misc
@@ -86,10 +97,77 @@ EXEMPT_SITES = {
     "streaming/stateful.py": {"transformWithStateInPandas"},
 }
 
+#: Every method the package calls on the DataFrame/GroupedData/Column/
+#: SparkSession/Window/reader/writer/streaming surface, verified present
+#: in the public PySpark 3.5 docs. Annotated entries are post-3.0
+#: additions (everything unannotated predates 3.0). Names that collide
+#: with package-level or pandas methods (e.g. ``exists``, ``replace``)
+#: are verified for their Spark meaning and harmless for the rest.
+PYSPARK_35_METHODS_VERIFIED = {
+    # DataFrame
+    "agg", "alias", "coalesce", "collect", "count", "createOrReplaceTempView",
+    "crossJoin", "distinct", "drop", "dropDuplicates",
+    "dropDuplicatesWithinWatermark",  # added 3.5.0
+    "dropna", "exceptAll", "filter", "first", "groupBy", "inputFiles",
+    "isEmpty",  # added 3.3.0
+    "join", "limit", "localCheckpoint", "mapInPandas",  # mapInPandas 3.0.0
+    "orderBy", "persist", "repartition", "repartitionByRange", "replace",
+    "rollup", "select", "selectExpr", "sortWithinPartitions", "stat",
+    "transform",  # DataFrame.transform 3.0.0
+    "unionAll", "unionByName", "unpersist", "where", "withColumn",
+    "withColumns",  # added 3.3.0
+    "withColumnRenamed",
+    "withColumnsRenamed",  # added 3.4.0
+    "withWatermark",
+    # GroupedData
+    "applyInPandas",  # 3.0.0
+    "applyInPandasWithState",  # added 3.4.0
+    "avg", "max", "min", "pivot", "sum",
+    # Column
+    "asc", "asc_nulls_first", "astype", "between", "bitwiseAND", "bitwiseOR",
+    "bitwiseXOR", "cast", "contains", "corr", "desc", "endswith",
+    "eqNullSafe", "getField", "isNotNull", "isNull", "isin", "otherwise",
+    "over", "rlike", "startswith", "substr", "when",
+    # SparkSession / catalog-ish
+    "createDataFrame", "range", "read", "sql", "table", "exists",
+    # Window
+    "partitionBy", "rowsBetween",
+    # reader / writer
+    "bucketBy", "csv", "format", "json", "load", "mode", "option",
+    "options", "parquet", "save", "saveAsTable", "schema", "sortBy", "text",
+    # structured streaming
+    "awaitTermination", "foreachBatch", "outputMode", "queryName", "start",
+    "trigger",
+}
+
+
+def _runtime_surface() -> set[str]:
+    """Public method names of the Spark classes whose API the package may
+    touch, taken from the INSTALLED runtime (4.1.2) — so the candidate
+    set automatically includes any 4.x-only method a future edit adopts."""
+    from pyspark.sql import (
+        Column, DataFrame, GroupedData, SparkSession, Window, WindowSpec,
+    )
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+    from pyspark.sql.streaming import (
+        DataStreamReader, DataStreamWriter, StreamingQuery,
+    )
+
+    surface: set[str] = set()
+    for cls in (
+        DataFrame, GroupedData, Column, SparkSession, Window, WindowSpec,
+        DataFrameReader, DataFrameWriter, DataStreamReader, DataStreamWriter,
+        StreamingQuery,
+    ):
+        surface |= {n for n in dir(cls) if not n.startswith("_")}
+    return surface
+
 
 def main() -> int:
     problems: list[str] = []
     used: dict[str, set[str]] = {}
+    surface = _runtime_surface()
+    methods_used: dict[str, set[str]] = {}
     for path in sorted(PACKAGE.rglob("*.py")):
         rel = str(path.relative_to(PACKAGE))
         src = path.read_text()
@@ -101,6 +179,12 @@ def main() -> int:
                 and node.value.id == "F"
             ):
                 used.setdefault(node.attr, set()).add(rel)
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in surface
+            ):
+                methods_used.setdefault(node.func.attr, set()).add(rel)
         for api in SPARK4_ONLY_APIS:
             # match actual invocation sites (.api( / F.api), not prose
             hit = f".{api}(" in src or f"F.{api}" in src
@@ -118,8 +202,22 @@ def main() -> int:
             "replace it with a 3.5-available form"
         )
 
+    exempt_methods = {m for v in EXEMPT_SITES.values() for m in v}
+    unknown_methods = sorted(
+        set(methods_used) - PYSPARK_35_METHODS_VERIFIED - exempt_methods
+    )
+    for name in unknown_methods:
+        problems.append(
+            f".{name}() (in {sorted(methods_used[name])[:3]}) is on the Spark "
+            "object surface but not in the verified PySpark-3.5 method "
+            "allowlist — check the 3.5 docs and add it, or replace it with a "
+            "3.5-available form"
+        )
+
     print(f"functions used: {len(used)}; verified allowlist: "
-          f"{len(PYSPARK_35_FUNCTIONS_VERIFIED)}; flags: {len(problems)}")
+          f"{len(PYSPARK_35_FUNCTIONS_VERIFIED)}; methods used: "
+          f"{len(methods_used)}; verified method allowlist: "
+          f"{len(PYSPARK_35_METHODS_VERIFIED)}; flags: {len(problems)}")
     for p in problems:
         print("FLAG", p)
     return 1 if problems else 0
