@@ -37,6 +37,7 @@ HEADLINE = [
     "q_pipeline_credit_native",
     "q_pipeline_holdings_native",
     "q_training_set",
+    "q_training_set_stress",
     "q_fs_online_snapshot",
     "q_unpivot_melt",
     "q_fill_gaps_interpolate",
@@ -51,6 +52,7 @@ HEADLINE = [
     "q_stream_sessionize",
     "q_stream_distinct_sketch",
     "q_stream_ingest_dedup",
+    "q_stream_ingest_multibatch",
     "q_val_crosscheck",
     "q_val_expectations",
     "q_val_psi_drift",

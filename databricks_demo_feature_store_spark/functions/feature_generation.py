@@ -762,13 +762,25 @@ def rfm_segments(
     ``asof_date`` is a literal (``yyyy-MM-dd``) so the plan needs no
     pre-scan of the data to anchor "today".
 
-    Scale shape: ONE hash aggregation collapses the fact table to the
-    entity frame (count + max + DECIMAL sum, map-side combined); the
-    three quantile scores run :func:`quantile_bin`'s distributed global
-    rank over that entity-sized frame — the fact table shuffles once,
-    the entity frame three more times (entity cardinality, not fact
-    cardinality). Ties break on the entity id, so every score is
-    deterministic and engine-reproducible.
+    Scale shape (single-rank form): ONE hash aggregation collapses the
+    fact table to the entity frame (count + max + DECIMAL sum, map-side
+    combined); the three ntile scores then share ONE
+    :func:`attach_global_rank` pass — the entity frame unpivots to a
+    (metric, value, entity) long frame (narrow, 3× entity rows, no
+    shuffle), one range exchange ranks all three metrics in a single
+    total order with the metric index as the leading key, per-metric
+    row counts (a 3-row aggregate) become broadcast offsets, and the
+    ntile bucket follows arithmetically (Spark's/DuckDB's
+    larger-groups-first definition). One final entity-keyed hash
+    aggregation pivots the three scores back — no join back, and the
+    fact aggregation is planned exactly once (the naive
+    three-×-``quantile_bin`` composition re-plans it six times and
+    costs 24 exchanges; this form audits at 8). Ties break on the
+    entity id, so every score is deterministic and engine-reproducible.
+
+    Metric values are compared as doubles inside the shared rank —
+    exact for day counts, activity counts and DECIMAL(25,2) sums below
+    2^53 (beyond that, add higher-precision tiebreaks).
     """
     ent = F.col(entity_col)
     base = (
@@ -783,14 +795,66 @@ def rfm_segments(
         )
     )
     q = int(n_bins)
-    scored = quantile_bin(base, "recency_days", q, out_col="__rbin",
-                          tiebreak_cols=["entity"])
-    scored = quantile_bin(scored, "frequency", q, out_col="f_score",
-                          tiebreak_cols=["entity"])
-    scored = quantile_bin(scored, "__m", q, out_col="m_score",
-                          tiebreak_cols=["entity"])
+    # Unpivot to (metric_idx, value) long rows carrying the full payload;
+    # NULL metric values drop (an absent metric scores NULL, matching
+    # assign_bins/quantile_bin semantics) — per-metric counts come from
+    # the same long frame, so the arithmetic stays exact under NULLs.
+    metrics = [
+        F.struct(F.lit(i).alias("__mi"), F.col(c).cast("double").alias("__v"))
+        for i, c in enumerate(("recency_days", "frequency", "__m"))
+    ]
+    long = base.select(
+        "entity", "recency_days", "frequency", "__m",
+        F.explode(F.array(*metrics)).alias("__metric"),
+    ).select(
+        "entity", "recency_days", "frequency", "__m",
+        F.col("__metric.__mi").alias("__mi"),
+        F.col("__metric.__v").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    ranked = attach_global_rank(
+        long,
+        [F.col("__mi").asc(), F.col("__v").asc(), F.col("entity").asc()],
+        rank_col="__grank",
+    )
+    counts = long.groupBy("__mi").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = counts.alias("__rf_a"), counts.alias("__rf_b")
+    offs = (
+        a.join(
+            F.broadcast(b),
+            F.col("__rf_b.__mi") < F.col("__rf_a.__mi"),
+            "left",
+        )
+        .groupBy(
+            F.col("__rf_a.__mi").alias("__mi"),
+            F.col("__rf_a.__n").alias("__n"),
+        )
+        .agg(F.coalesce(F.sum(F.col("__rf_b.__n")), F.lit(0)).alias("__off"))
+    )
+    scored = ranked.join(F.broadcast(offs), "__mi")
+    r = F.col("__grank") - F.col("__off")  # 1..n within the metric
+    n, k = F.col("__n"), F.lit(q).cast("long")
+    base_sz = F.floor(n / k).cast("long")
+    rem = n % k
+    threshold = rem * (base_sz + F.lit(1))
+    bucket = F.when(
+        r <= threshold,
+        F.floor((r + base_sz) / (base_sz + F.lit(1))),  # ceil(r / (base+1))
+    ).otherwise(
+        rem + F.floor((r - threshold + base_sz - F.lit(1)) / base_sz)
+    ).cast("int")
+    scores = scored.groupBy("entity").agg(
+        # payload columns are functionally dependent on entity (every long
+        # row of a group carries identical values); max is the visibly
+        # deterministic way to pick them back up
+        F.max("recency_days").alias("recency_days"),
+        F.max("frequency").alias("frequency"),
+        F.max("__m").alias("__m"),
+        F.max(F.when(F.col("__mi") == 0, bucket)).alias("__rbin"),
+        F.max(F.when(F.col("__mi") == 1, bucket)).alias("f_score"),
+        F.max(F.when(F.col("__mi") == 2, bucket)).alias("m_score"),
+    )
     r_score = (F.lit(q + 1) - F.col("__rbin")).cast("int")
-    return scored.select(
+    return scores.select(
         F.col("entity").alias(entity_col),
         "recency_days",
         "frequency",

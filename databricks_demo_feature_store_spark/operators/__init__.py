@@ -16,6 +16,7 @@ from databricks_demo_feature_store_spark.operators.filters import (
 from databricks_demo_feature_store_spark.operators.joins import (
     make_join,
     point_in_time_join,
+    point_in_time_multi_join,
     exclude_ids_anti_join,
     month_spine,
     interval_join,
@@ -52,6 +53,7 @@ __all__ = [
     "filter_dataframes",
     "make_join",
     "point_in_time_join",
+    "point_in_time_multi_join",
     "exclude_ids_anti_join",
     "month_spine",
     "interval_join",

@@ -188,6 +188,155 @@ def point_in_time_join(
     return result.select(*out_cols)
 
 
+def point_in_time_multi_join(
+    df_spine: DataFrame,
+    lookups: Sequence[Mapping],
+    keys: Sequence[str],
+    spine_time: str,
+) -> DataFrame:
+    """As-of join of MANY feature tables that share the same lookup
+    ``keys`` in ONE shuffle — the N-table generalization of
+    :func:`point_in_time_join`.
+
+    Each entry of ``lookups`` is a mapping with:
+
+    - ``features``: the feature DataFrame
+    - ``feature_time``: its as-of timestamp column
+    - ``feature_cols`` (optional): payload columns (default: all non-key,
+      non-time columns)
+    - ``tolerance_expr`` (optional): e.g. ``"INTERVAL 90 DAYS"`` — matches
+      older than ``spine_time - tolerance`` are NULLed for that lookup
+
+    Scale shape: the sequential composition shuffles the (progressively
+    wider) spine once PER TABLE — N range exchanges + N windows over N
+    copies of the spine. Here every feature table is tagged into ONE
+    union on the shared ``(keys, time)`` axis, ONE window partitioned by
+    ``keys`` carries each table's latest row forward as its own struct
+    (``last(ignorenulls)`` per struct — whole-row atomicity per table,
+    independent carries across tables), and spine rows project all N
+    matches out. The spine data moves through exactly ONE exchange
+    regardless of N — at 100 TB with a 5-table training set that is 5×
+    less spine shuffle I/O. Used by
+    ``featurestore/training.py create_training_set`` whenever all
+    lookups share identical lookup keys.
+
+    Ties (feature_time == spine_time) resolve to the feature row,
+    matching the reference's ``>=`` (``joins.py:213-215``). Payload
+    column names must be disjoint across lookups (validated).
+    """
+    keys = list(keys)
+    spine_cols = [c for c in df_spine.columns if c not in keys and c != spine_time]
+    looks = []
+    seen: set[str] = set()
+    for i, lk in enumerate(lookups):
+        features = lk["features"]
+        ftime = lk["feature_time"]
+        fcols = lk.get("feature_cols")
+        if fcols is None:
+            fcols = [c for c in features.columns if c not in keys and c != ftime]
+        fcols = list(fcols)
+        dup = seen.intersection(fcols)
+        if dup:
+            raise ValueError(
+                f"point_in_time_multi_join: duplicate feature columns across "
+                f"lookups: {sorted(dup)} — rename before joining"
+            )
+        seen.update(fcols)
+        looks.append(
+            {
+                "features": features,
+                "ftime": ftime,
+                "fcols": fcols,
+                "tol": lk.get("tolerance_expr"),
+                "slot": f"__feat{i}",
+            }
+        )
+
+    def feat_struct(lk) -> F.Column:
+        return F.struct(
+            F.col(lk["ftime"]).cast("timestamp").alias("__ft"),
+            *[F.col(c) for c in lk["fcols"]],
+        )
+
+    # one tagged frame per side, unioned on the shared (keys, time) axis
+    sides = []
+    spine_payload_t = None
+    left = df_spine.select(
+        *keys,
+        F.col(spine_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_spine"),
+        F.struct(*[F.col(c) for c in ([spine_time] + spine_cols)]).alias(
+            "__spine_payload"
+        ),
+    )
+    spine_payload_t = left.schema["__spine_payload"].dataType
+    slot_types = {}
+    for lk in looks:
+        probe = lk["features"].select(feat_struct(lk).alias(lk["slot"]))
+        slot_types[lk["slot"]] = probe.schema[lk["slot"]].dataType
+    left = left.select(
+        "*",
+        *[
+            F.lit(None).cast(slot_types[lk["slot"]]).alias(lk["slot"])
+            for lk in looks
+        ],
+    )
+    sides.append(left)
+    for lk in looks:
+        right = lk["features"].select(
+            *keys,
+            F.col(lk["ftime"]).cast("timestamp").alias("__t"),
+            F.lit(0).alias("__is_spine"),
+            F.lit(None).cast(spine_payload_t).alias("__spine_payload"),
+            *[
+                (feat_struct(lk) if other["slot"] == lk["slot"]
+                 else F.lit(None).cast(slot_types[other["slot"]]))
+                .alias(other["slot"])
+                for other in looks
+            ],
+        )
+        sides.append(right)
+    unioned = sides[0]
+    for s in sides[1:]:
+        unioned = unioned.unionByName(s)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_spine").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *keys,
+        "__is_spine",
+        "__spine_payload",
+        *[
+            F.last(lk["slot"], ignorenulls=True).over(w).alias(lk["slot"])
+            for lk in looks
+        ],
+    ).filter(F.col("__is_spine") == 1)
+
+    st = F.col("__spine_payload").getField(spine_time).cast("timestamp")
+    out_feature_cols = []
+    for lk in looks:
+        slot = F.col(lk["slot"])
+        cond = None
+        if lk["tol"] is not None:
+            cond = slot.getField("__ft") < (st - F.expr(lk["tol"]))
+        for c in lk["fcols"]:
+            v = slot.getField(c)
+            if cond is not None:
+                v = F.when(cond, F.lit(None)).otherwise(v)
+            out_feature_cols.append(v.alias(c))
+    return carried.select(
+        *keys,
+        F.col("__spine_payload").getField(spine_time).alias(spine_time),
+        *[
+            F.col("__spine_payload").getField(c).alias(c) for c in spine_cols
+        ],
+        *out_feature_cols,
+    )
+
+
 def exclude_ids_anti_join(
     df: DataFrame,
     df_exclude: DataFrame,

@@ -194,3 +194,75 @@ def test_latest_features_snapshot(spark):
     assert snap[1] == (dt.datetime(2024, 2, 1), 20.0)
     assert snap[2] == (dt.datetime(2024, 2, 15), 5.0)
     assert 3 not in snap
+
+
+def test_multi_lookup_pit_matches_sequential(spark, manager):
+    """The one-shuffle multi-table PIT join must be value-identical to
+    the sequential chain on every edge: ties (feature at the spine
+    instant wins), unmatched spine rows (NULL features), per-lookup
+    tolerance null-out, and tables with different release cadences."""
+    f_a = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), 10.0),
+            (1, dt.date(2024, 2, 1), 20.0),
+            (2, dt.date(2024, 2, 15), 5.0),  # exactly at a spine instant
+        ],
+        "pk_customer int, tpk_release_dt date, fa double",
+    )
+    f_b = spark.createDataFrame(
+        [
+            (1, dt.date(2023, 1, 1), 100),  # stale: killed by tolerance
+            (2, dt.date(2024, 2, 10), 200),
+        ],
+        "pk_customer int, tpk_release_dt date, fb int",
+    )
+    for name, frame in (("tbl_a", f_a), ("tbl_b", f_b)):
+        manager.save(
+            frame,
+            FeatureTableSpec(
+                name=name,
+                primary_keys=("pk_customer", "tpk_release_dt"),
+                timestamp_keys=("tpk_release_dt",),
+            ),
+            mode="overwrite",
+        )
+    labels = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 15), 1),
+            (1, dt.date(2024, 3, 1), 0),
+            (2, dt.date(2024, 2, 15), 1),  # tie with f_a's release
+            (3, dt.date(2024, 3, 1), 0),   # no history anywhere
+        ],
+        "pk_customer int, label_dt date, y int",
+    )
+    lookups = [
+        FeatureLookup(table="tbl_a", lookup_keys=("pk_customer",)),
+        FeatureLookup(
+            table="tbl_b",
+            lookup_keys=("pk_customer",),
+            tolerance="INTERVAL 90 DAYS",
+        ),
+    ]
+
+    def rows(strategy):
+        out = create_training_set(
+            manager, labels, lookups, spine_time="label_dt", strategy=strategy
+        )
+        return {
+            tuple(r[c] for c in sorted(out.columns)) for r in out.collect()
+        }
+
+    multi = rows("multi")
+    seq = rows("sequential")
+    assert multi == seq
+    # spot-check the semantics directly (fa, fb) per (customer, label_dt)
+    by_key = {}
+    out = create_training_set(
+        manager, labels, lookups, spine_time="label_dt", strategy="multi"
+    )
+    for r in out.collect():
+        by_key[(r["pk_customer"], str(r["label_dt"]))] = (r["fa"], r["fb"])
+    assert by_key[(1, "2024-01-15")] == (10.0, None)   # fb stale → tolerance NULL
+    assert by_key[(1, "2024-03-01")] == (20.0, None)
+    assert by_key[(2, "2024-02-15")] == (5.0, 200)     # tie resolves to feature
+    assert by_key[(3, "2024-03-01")] == (None, None)   # unmatched spine survives

@@ -476,3 +476,62 @@ def test_stream_ingest_corpus_dedup(spark, tmp_path):
     q3 = stream_ingest_corpus_dedup(spark, str(inbox), corpus, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_multibatch_ingest_stability(spark, tmp_path):
+    """Cluster stability across 3+ ingestion rounds: the corpus grows
+    MONOTONICALLY (survivors are never mutated or removed by later
+    rounds), near/exact re-arrivals of ROUND-1 survivors are still
+    rejected in round 3, and a full re-simulation into a fresh corpus
+    reproduces the identical (doc_id, text) set — the determinism that
+    makes a failed crawl day safely re-runnable."""
+    import json as _json
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        stream_ingest_corpus_dedup,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog tonight again ok"
+    a_near = "the quick brown fox jumps over the lazy dog tonight again now"
+    b = "completely different content about spark engines and data processing"
+    c = "feature stores serve point in time correct training data at scale"
+    c_near = "feature stores serve point in time correct training data at speed"
+    d = "streaming ingestion keeps the corpus fresh without quadratic cost"
+    waves = [
+        [a, a, b],           # round 0: exact dup inside the batch
+        [a_near, c],         # round 1: near-dup of a ROUND-0 survivor
+        [a, c_near, d],      # round 2: exact re-arrival of round 0 + near of round 1
+    ]
+
+    def simulate(tag):
+        inbox = tmp_path / f"inbox_{tag}"
+        inbox.mkdir()
+        corpus = str(tmp_path / f"corpus_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        snapshots = []
+        for i, texts in enumerate(waves):
+            (inbox / f"w{i}.jsonl").write_text(
+                "\n".join(_json.dumps({"text": t}) for t in texts)
+            )
+            q = stream_ingest_corpus_dedup(spark, str(inbox), corpus, ckpt)
+            q.awaitTermination(120)
+            snapshots.append(
+                {(r["doc_id"], r["text"])
+                 for r in spark.read.parquet(corpus).collect()}
+            )
+        return snapshots
+
+    s = simulate("one")
+    # monotone growth: every round's corpus contains the previous one
+    assert s[0] < s[1] < s[2]
+    texts2 = {t for _, t in s[2]}
+    # round-0 survivors stand; their re-arrivals never re-enter
+    assert a in texts2 and b in texts2
+    assert a_near not in texts2
+    # round-1 novel doc stands; its round-2 near-dup was rejected
+    assert c in texts2 and c_near not in texts2
+    # round-2 novel doc entered
+    assert d in texts2
+    assert len(s[2]) == 4  # a, b, c, d — nothing else
+    # determinism: a full re-simulation reproduces ids and texts exactly
+    assert simulate("two")[2] == s[2]

@@ -53,6 +53,14 @@ HEAVY = [
     "q_funnel_steps",
     "q_retention_cohorts",
     "q_quantile_bin",
+    # round-9 additions (VERDICT r8 task 4): the two round-8 families
+    # with super-constant risk — grouping-sets' Expand fan-out and the
+    # clustering coefficient's wedge join — plus the single-rank RFM
+    # rewrite and the 5-lookup training-set composite
+    "q_grouping_sets",
+    "q_clustering_coeff",
+    "q_rfm_segments",
+    "q_training_set_stress",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -124,7 +132,35 @@ def build_scaled_dir(spark, src: str, dst: str, factor: int) -> None:
         "o_orderpriority",
     ).write.mode("overwrite").parquet(os.path.join(dst, "orders.parquet"))
 
-    for name in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+    # lineitem: offsets CONSISTENT with orders (same 100M orderkey step)
+    # so order⋈lineitem families join across every copy; supplier/part
+    # keys offset too so graph families (supplier co-occurrence wedge
+    # join) get 10× nodes+edges, not a replayed 1× graph (round-9 fix:
+    # the as-is copy made q_clustering_coeff's 10× run vacuous)
+    li = _expand("lineitem")
+    li.select(
+        (F.col("l_orderkey") + F.col("__c").cast("long") * F.lit(100_000_000)).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("l_suppkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ).write.mode("overwrite").parquet(os.path.join(dst, "lineitem.parquet"))
+
+    # customer: custkey offset matches orders' o_custkey step so
+    # customer⋈orders families (static feature tables, spines) scale
+    c = _expand("customer")
+    c.select(
+        (F.col("c_custkey") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("c_custkey"),
+        *[col for col in c.columns if col not in ("c_custkey", "__c")],
+    ).write.mode("overwrite").parquet(os.path.join(dst, "customer.parquet"))
+
+    for name in ("region", "nation", "supplier", "part"):
         src_file = os.path.join(src, f"{name}.parquet")
         if os.path.exists(src_file):
             shutil.copy(src_file, os.path.join(dst, f"{name}.parquet"))
