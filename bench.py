@@ -38,6 +38,7 @@ HEADLINE = [
     "q_pipeline_holdings_native",
     "q_training_set",
     "q_training_set_stress",
+    "q_negative_samples",
     "q_fs_online_snapshot",
     "q_unpivot_melt",
     "q_fill_gaps_interpolate",
@@ -94,7 +95,9 @@ HEADLINE = [
     "q_val_privacy",
     "q_val_benford",
     "q_val_cusum",
+    "q_val_serving_skew",
     "q_name_linkage",
+    "q_golden_records",
     "q_stream_cusum",
 ]
 

@@ -6,7 +6,11 @@ from databricks_demo_feature_store_spark.featurestore.manager import (
     SchemaDiff,
     EvolutionPolicy,
 )
-from databricks_demo_feature_store_spark.featurestore.training import create_training_set
+from databricks_demo_feature_store_spark.featurestore.training import (
+    create_training_set,
+    latest_features,
+    negative_samples,
+)
 
 __all__ = [
     "FeatureStoreManager",
@@ -14,4 +18,6 @@ __all__ = [
     "SchemaDiff",
     "EvolutionPolicy",
     "create_training_set",
+    "latest_features",
+    "negative_samples",
 ]

@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from databricks_demo_feature_store_spark.featurestore.manager import FeatureStoreManager
 from databricks_demo_feature_store_spark.operators.joins import (
@@ -145,3 +145,89 @@ def latest_features(
         ).alias("__latest")
     )
     return agg.select(*pks, "__latest.*")
+
+
+def negative_samples(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    items: DataFrame,
+    k: int,
+    seed: int | str = "neg",
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic uniform NEGATIVE sampling for recommender / ranking
+    training pairs: for every user with at least one interaction, up to
+    ``k`` items the user has NOT interacted with, drawn uniformly from
+    the ``items`` dimension — the contrastive counterpart every implicit-
+    feedback trainer needs next to its positives. Returns
+    ``(user, item, slot)`` with ``slot`` the draw index that produced
+    the pair (stable, replayable ordering).
+
+    Scale shape — the naive form (user × item cartesian, anti-join, rank)
+    is O(U·I) and dead at any scale. Here each user gets
+    ``k·oversample`` hash-indexed DRAW SLOTS (a literal-array explode,
+    no shuffle): slot i draws item index ``hash60(seed, user, i) mod n``
+    — candidates are O(U·k), independent of item-dimension size. The
+    index joins the positionally-ranked item dimension (one shuffle, or
+    a broadcast when the dim is small), positives drop with one
+    anti-join, same-item re-draws collapse to their FIRST slot, and a
+    per-user window (k·oversample rows per user, never the item dim)
+    keeps the first ``k`` survivors in slot order. Deterministic across
+    runs, partitionings and engines (md5-based portable hash).
+
+    A user whose draws all collide with positives/other draws can emit
+    fewer than ``k`` negatives — raise ``oversample`` (the miss
+    probability decays geometrically in it).
+
+    The item count ``n`` is read with one ``count()`` of the item
+    dimension (metadata-scale action; the modulo needs a literal).
+    """
+    if k < 1:
+        raise ValueError("negative_samples requires k >= 1")
+    if oversample < 1:
+        raise ValueError("negative_samples requires oversample >= 1")
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        attach_global_rank,
+    )
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    n = items.select(item_col).distinct().count()
+    if n == 0:
+        raise ValueError("negative_samples: empty item dimension")
+    m = int(k) * int(oversample)
+    indexed = attach_global_rank(
+        items.select(item_col).distinct(),
+        [F.col(item_col).asc()],
+        rank_col="__rk",
+    ).select((F.col("__rk") - 1).alias("__idx"), F.col(item_col).alias("__item"))
+    users = interactions.select(F.col(user_col).alias("__u")).distinct()
+    cand = users.select(
+        "__u", F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("slot")
+    ).select(
+        "__u",
+        "slot",
+        F.pmod(
+            portable_hash_col(
+                F.concat(F.col("__u").cast("string"), F.lit(":"), F.col("slot").cast("string")),
+                seed=seed,
+            ),
+            F.lit(n),
+        ).alias("__idx"),
+    )
+    drawn = cand.join(F.broadcast(indexed) if n <= 1_000_000 else indexed, "__idx")
+    pos = interactions.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__item")
+    ).distinct()
+    neg = drawn.join(pos, ["__u", "__item"], "left_anti")
+    firsts = neg.groupBy("__u", "__item").agg(F.min("slot").alias("slot"))
+    w = Window.partitionBy("__u").orderBy(F.col("slot").asc())
+    return (
+        firsts.select("__u", "__item", "slot", F.row_number().over(w).alias("__rn"))
+        .where(F.col("__rn") <= int(k))
+        .select(
+            F.col("__u").alias(user_col),
+            F.col("__item").alias(item_col),
+            F.col("slot").cast("int").alias("slot"),
+        )
+    )

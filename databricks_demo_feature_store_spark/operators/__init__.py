@@ -43,7 +43,7 @@ from databricks_demo_feature_store_spark.operators.graph import (
 )
 from databricks_demo_feature_store_spark.operators.layout import zorder_key, cluster_by_zorder
 from databricks_demo_feature_store_spark.operators.association import frequent_pairs
-from databricks_demo_feature_store_spark.operators.linkage import name_linkage
+from databricks_demo_feature_store_spark.operators.linkage import golden_records, name_linkage
 
 __all__ = [
     "select_columns",
@@ -75,4 +75,5 @@ __all__ = [
     "cluster_by_zorder",
     "frequent_pairs",
     "name_linkage",
+    "golden_records",
 ]

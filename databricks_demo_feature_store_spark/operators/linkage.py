@@ -97,3 +97,106 @@ def name_linkage(
             "similarity", "n_a", "n_b",
         )
     )
+
+
+def golden_records(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    survivorship: dict,
+    prefix_len: int = 3,
+    max_distance: int = 3,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-name linkage → connected
+    components → ONE golden record per entity cluster with field-level
+    survivorship — the master-data step after :func:`name_linkage`
+    produces candidate pairs.
+
+    ``survivorship`` maps field → rule:
+
+    - ``"min"`` / ``"max"``: plain aggregates (NULLs ignored)
+    - ``"longest"``: the longest value, ties broken by the value itself
+      (deterministic; NULLs lose to any value)
+
+    Output: ``(cluster_id, n_members, canonical_name, <survived fields>)``
+    with ``cluster_id`` = MIN entity id of the cluster and
+    ``canonical_name`` the longest normalized name.
+
+    Scale shape: the CC graph's nodes are DISTINCT NORMALIZED NAMES, not
+    entity ids — entities sharing a name collapse into one node before
+    any propagation, so a million-row "JOHN SMITH" never fans out into
+    pairwise edges (the id-pair expansion would be quadratic per name
+    pair). Min-label propagation runs over the name graph
+    (`textops.dedup.dedup_clusters`, O(component diameter) rounds,
+    checkpointed); entities then map to their name's component with one
+    broadcast-friendly join and ONE hash aggregation survives every
+    field. Entities with NULL/empty names become singleton clusters.
+    """
+    allowed = {"min", "max", "longest"}
+    bad = {f: r for f, r in survivorship.items() if r not in allowed}
+    if bad:
+        raise ValueError(
+            f"golden_records: unknown survivorship rules {bad} — allowed: {sorted(allowed)}"
+        )
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    ents = df.select(
+        F.col(id_col).alias("__id"),
+        _norm(F.col(name_col)).alias("__nm"),
+        *[F.col(f) for f in survivorship],
+    )
+    named = ents.where(F.col("__nm").isNotNull() & (F.col("__nm") != ""))
+    name_pairs = name_linkage(
+        df, id_col, name_col, prefix_len=prefix_len, max_distance=max_distance
+    ).select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b"))
+    name_nodes = named.select(F.col("__nm").alias("name")).distinct()
+    comp = dedup_clusters(
+        name_nodes,
+        name_pairs,
+        id_col="name",
+        max_iterations=max_iterations,
+    )  # (name, component_id) — component_id is the MIN member name
+    clustered = named.join(
+        comp, named["__nm"] == comp["name"], "left"
+    ).select(
+        "__id", "__nm", F.coalesce("component_id", "__nm").alias("__comp"),
+        *survivorship,
+    )
+    # NULL/empty-name entities: singleton clusters keyed by their own id
+    loners = ents.where(F.col("__nm").isNull() | (F.col("__nm") == "")).select(
+        "__id",
+        "__nm",
+        F.col("__id").cast("string").alias("__comp"),
+        *survivorship,
+    )
+    full = clustered.unionByName(loners)
+
+    def survive(field: str, rule: str) -> F.Column:
+        c = F.col(field)
+        if rule == "min":
+            return F.min(c).alias(field)
+        if rule == "max":
+            return F.max(c).alias(field)
+        return F.max(F.struct(F.length(c).alias("l"), c.alias("v")))["v"].alias(
+            field
+        )
+
+    return (
+        full.groupBy("__comp")
+        .agg(
+            F.min("__id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.length("__nm").alias("l"), F.col("__nm").alias("v"))
+            )["v"].alias("canonical_name"),
+            *[survive(f, r) for f, r in survivorship.items()],
+        )
+        .drop("__comp")
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            "canonical_name",
+            *survivorship,
+        )
+    )

@@ -2105,3 +2105,88 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(
         o, "o_custkey", "o_orderdate", "o_totalprice", "2001-09-01", n_bins=5
     )
+
+
+@register(
+    "q_golden_records",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_partkey AS id,
+             regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS nm,
+             p_brand, p_type, p_size, p_retailprice
+      FROM part
+    ),
+    named AS (SELECT * FROM names WHERE nm IS NOT NULL AND nm <> ''),
+    k AS (SELECT DISTINCT nm, substr(nm, 1, 3) AS blk, len(nm) AS ln FROM named),
+    cand AS (
+      SELECT a.nm AS na, b.nm AS nb FROM k a JOIN k b
+        ON a.blk = b.blk AND a.nm < b.nm AND abs(a.ln - b.ln) <= 3
+      WHERE levenshtein(a.nm, b.nm) <= 3
+    ),
+    edges AS (SELECT na AS src, nb AS dst FROM cand
+              UNION SELECT nb, na FROM cand),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (
+      SELECT k.nm, LEAST(k.nm, COALESCE(MIN(r.b), k.nm)) AS comp
+      FROM k LEFT JOIN reach r ON r.a = k.nm GROUP BY k.nm
+    ),
+    ent AS (
+      SELECT n.id, n.nm, c.comp, n.p_brand, n.p_type, n.p_size, n.p_retailprice
+      FROM named n JOIN comp c ON n.nm = c.nm
+    ),
+    base AS (
+      SELECT comp, MIN(id) AS cluster_id, COUNT(*) AS n_members,
+             MAX(p_brand) AS p_brand, MIN(p_size) AS p_size,
+             MAX(p_retailprice) AS p_retailprice
+      FROM ent GROUP BY comp
+    ),
+    canon AS (
+      SELECT comp, nm AS canonical_name, p_type FROM (
+        SELECT comp, nm, p_type,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY len(nm) DESC, nm DESC) AS rn_name
+        FROM ent) WHERE rn_name = 1
+    ),
+    tlong AS (
+      SELECT comp, p_type FROM (
+        SELECT comp, p_type,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY len(p_type) DESC, p_type DESC) AS rn
+        FROM ent) WHERE rn = 1
+    )
+    SELECT b.cluster_id,
+           CAST(b.n_members AS BIGINT) AS n_members,
+           c.canonical_name,
+           b.p_brand,
+           CAST(b.p_size AS INT) AS p_size,
+           b.p_retailprice,
+           t.p_type
+    FROM base b JOIN canon c USING (comp) JOIN tlong t USING (comp)
+    """,
+)
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end over part names: fuzzy linkage
+    (3-char blocks, <=3 edits) → connected components over DISTINCT
+    normalized names (never entity-id pair expansion) → one golden
+    record per cluster with field survivorship (max brand/price, min
+    size, longest type, longest name as canonical). The oracle replays
+    normalization, the blocked Levenshtein pairs, the transitive
+    closure, and every survivorship pick."""
+    from databricks_demo_feature_store_spark.operators.linkage import golden_records
+
+    p = load(spark, sf_dir, "part")
+    return golden_records(
+        p,
+        "p_partkey",
+        "p_name",
+        {
+            "p_brand": "max",
+            "p_size": "min",
+            "p_retailprice": "max",
+            "p_type": "longest",
+        },
+    )

@@ -1957,3 +1957,68 @@ def q_stream_ingest_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_ingest_corpus_dedup(spark, inbox, corpus, ckpt)
         q.awaitTermination()
     return spark.read.parquet(corpus).select("doc_id", "text")
+
+
+@register(
+    "q_negative_samples",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    idx AS (
+      SELECT p_partkey AS it,
+             ROW_NUMBER() OVER (ORDER BY p_partkey ASC) - 1 AS i
+      FROM (SELECT DISTINCT p_partkey FROM part)
+    ),
+    n AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT p_partkey FROM part)),
+    users AS (SELECT DISTINCT u FROM pos),
+    cand AS (
+      SELECT u, CAST(s AS INT) AS slot,
+             CAST(concat('0x', substr(md5(concat('neg:',
+                  CAST(u AS VARCHAR), ':', CAST(s AS VARCHAR))), 1, 15))
+               AS BIGINT) % n.n AS i
+      FROM users CROSS JOIN (SELECT unnest(range(0, 20)) AS s) CROSS JOIN n
+    ),
+    drawn AS (SELECT c.u, c.slot, x.it FROM cand c JOIN idx x USING (i)),
+    neg AS (
+      SELECT d.u, d.it, MIN(d.slot) AS slot
+      FROM drawn d
+      WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.u = d.u AND p.it = d.it)
+      GROUP BY d.u, d.it
+    ),
+    ranked AS (
+      SELECT u, it, slot,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY slot ASC) AS rn
+      FROM neg
+    )
+    SELECT u AS o_custkey, it AS l_partkey, CAST(slot AS INT) AS slot
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    5 not-purchased parts per customer, drawn by hash-indexed slots
+    against the positionally-ranked part dimension (candidates O(U·k) —
+    never a customer×part cartesian), positives removed by anti-join,
+    re-draws collapsed to their first slot. The oracle replays the
+    portable hash, the modulo draw, the anti-join and the slot ranking."""
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        negative_samples,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_custkey", "l_partkey"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    return negative_samples(
+        inter,
+        "o_custkey",
+        "l_partkey",
+        p.select(F.col("p_partkey").alias("l_partkey")),
+        k=5,
+        seed="neg",
+        oversample=4,
+    )

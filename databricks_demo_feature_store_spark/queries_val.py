@@ -1165,3 +1165,105 @@ def q_val_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load(spark, sf_dir, "lineitem")
     return benford_deviation(l, "l_extendedprice")
+
+
+_SKEW_PSI_TERM = (
+    "((n_cur + 0.5) / (tot_cur + 0.5 * k) - (n_ref + 0.5) / (tot_ref + 0.5 * k))"
+    " * ln(((n_cur + 0.5) / (tot_cur + 0.5 * k)) / ((n_ref + 0.5) / (tot_ref + 0.5 * k)))"
+)
+
+
+@register(
+    "q_val_serving_skew",
+    oracle=f"""
+    WITH feat AS (
+      SELECT o_custkey AS ck,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS rd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend,
+             CAST(COUNT(*) AS BIGINT) AS order_cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    online AS (
+      SELECT ck, rd, total_spend, order_cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY rd DESC) AS rn
+        FROM feat
+      ) WHERE rn = 1
+    ),
+    offl AS (
+      SELECT 'total_spend' AS feature, total_spend AS v FROM feat
+      UNION ALL
+      SELECT 'order_cnt', CAST(order_cnt AS DOUBLE) FROM feat
+    ),
+    onl AS (
+      SELECT 'total_spend' AS feature, total_spend AS v FROM online
+      UNION ALL
+      SELECT 'order_cnt', CAST(order_cnt AS DOUBLE) FROM online
+    ),
+    cuts AS (
+      SELECT feature, list_sort(quantile_cont(v, [0.25, 0.5, 0.75])) AS qs
+      FROM offl GROUP BY feature
+    ),
+    binify AS (
+      SELECT 'cur' AS side, o.feature,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE 1 + (CASE WHEN v > qs[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[3] THEN 1 ELSE 0 END) END AS bin
+      FROM onl o JOIN cuts USING (feature)
+      UNION ALL
+      SELECT 'ref', o.feature,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE 1 + (CASE WHEN v > qs[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN v > qs[3] THEN 1 ELSE 0 END) END
+      FROM offl o JOIN cuts USING (feature)
+    ),
+    j AS (
+      SELECT feature, COALESCE(CAST(bin AS VARCHAR), '__null__') AS category,
+             SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur,
+             SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref
+      FROM binify GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT feature, COUNT(*) AS k, SUM(n_cur) AS tot_cur, SUM(n_ref) AS tot_ref
+      FROM j GROUP BY feature
+    )
+    SELECT j.feature,
+           {oracle_dround(f'SUM({_SKEW_PSI_TERM})', 6)} AS psi,
+           CAST(k AS INT) AS n_categories,
+           CAST(tot_cur AS BIGINT) AS n_online,
+           CAST(tot_ref AS BIGINT) AS n_offline
+    FROM j JOIN t USING (feature)
+    GROUP BY j.feature, k, tot_cur, tot_ref
+    """,
+)
+def q_val_serving_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training/serving skew audit: the online serving snapshot (latest
+    feature row per customer) PSI-scored per feature against the full
+    offline training history of the same monthly-spend feature table —
+    quartile bins fitted on the history, NULLs as their own bin, smoothed
+    PSI. One offline scan + one snapshot scan regardless of feature
+    count (stack unpivot + grouped percentile + broadcast-fold binning).
+    The oracle replays the snapshot, the per-feature quartile fit, the
+    binning and the PSI arithmetic."""
+    from databricks_demo_feature_store_spark.validation.skew import (
+        serving_skew_audit,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    feat = o.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("rd"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("total_spend"),
+        F.count(F.lit(1)).alias("order_cnt"),
+    )
+    return serving_skew_audit(
+        feat,
+        primary_keys=("ck", "rd"),
+        timestamp_key="rd",
+        feature_cols=("total_spend", "order_cnt"),
+        n_bins=4,
+    )

@@ -37,6 +37,9 @@ from databricks_demo_feature_store_spark.validation.drift import (
     psi_drift,
     psi_numeric,
 )
+from databricks_demo_feature_store_spark.validation.skew import (
+    serving_skew_audit,
+)
 from databricks_demo_feature_store_spark.validation.monitor import (
     monthly_counts,
     cross_check,
@@ -58,7 +61,7 @@ __all__ = [
     "ks_drift", "psi_by_group", "psi_drift", "psi_numeric", "roc_auc",
     "calibration_bins", "decile_lift", "threshold_metrics",
     "average_precision", "pr_curve", "feature_auc_screen", "cohens_kappa",
-    "pit_leakage_audit",
+    "pit_leakage_audit", "serving_skew_audit",
     "benford_deviation", "privacy_audit", "privacy_risk_groups",
     "outdateness", "profile_columns",
     "OutdatenessResult", "ValidationLog", "SUMMARY_SCHEMA", "DETAIL_SCHEMA",

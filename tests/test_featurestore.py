@@ -266,3 +266,39 @@ def test_multi_lookup_pit_matches_sequential(spark, manager):
     assert by_key[(1, "2024-03-01")] == (20.0, None)
     assert by_key[(2, "2024-02-15")] == (5.0, 200)     # tie resolves to feature
     assert by_key[(3, "2024-03-01")] == (None, None)   # unmatched spine survives
+
+
+def test_negative_samples_properties(spark):
+    """Negatives never collide with positives, at most k per user,
+    deterministic across invocations, and a user whose universe is
+    mostly positive yields fewer than k rather than looping."""
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 10), (3, 11), (3, 12), (3, 13)],
+        "u long, it long",
+    )
+    items = spark.createDataFrame([(i,) for i in (10, 11, 12, 13, 14)], "it long")
+
+    def run():
+        return {(r["u"], r["it"], r["slot"]) for r in
+                negative_samples(inter, "u", "it", items, k=2,
+                                 oversample=8).collect()}
+
+    got = run()
+    pos = {(1, 10), (1, 11), (2, 10), (3, 10), (3, 11), (3, 12), (3, 13)}
+    assert not {(u, i) for u, i, _ in got} & pos
+    per_user = {}
+    for u, i, _ in got:
+        per_user.setdefault(u, set()).add(i)
+    assert all(len(v) <= 2 for v in per_user.values())
+    assert len(per_user[1]) == 2 and len(per_user[2]) == 2
+    # user 3 has 4/5 items positive: only item 14 can ever be drawn
+    assert per_user[3] == {14}
+    assert run() == got  # deterministic replay
+
+    import pytest as _p
+    with _p.raises(ValueError, match="k >= 1"):
+        negative_samples(inter, "u", "it", items, k=0)

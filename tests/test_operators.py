@@ -1125,3 +1125,41 @@ def test_grouping_sets_agg_rejects_unknowns(spark):
     for op in ("first", "last"):
         with _pytest.raises(ValueError, match="allowlist"):
             grouping_sets_agg(df, [["t"]], [{"column": "v", "operation": op}])
+
+
+def test_golden_records_survivorship(spark):
+    """Fuzzy-linked entities collapse into one golden record per
+    cluster: exact-name duplicates and <=3-edit variants merge
+    (transitively), survivorship picks max/min/longest per field, the
+    canonical name is the longest member name, and NULL-name entities
+    stay singleton clusters."""
+    from databricks_demo_feature_store_spark.operators.linkage import golden_records
+
+    rows = [
+        # cluster 1: exact dup + fuzzy chain (acme corp ~ acme corpo ~ acme corpor)
+        (1, "Acme Corp", "b2", 10, 5.0),
+        (2, "acme corp", "b1", 20, 7.0),
+        (3, "Acme Corpo", "b3", 15, 6.0),
+        (4, "acme corpor", "b1", 5, 9.0),
+        # cluster 2: unrelated singleton name
+        (5, "zenith industries", "b9", 50, 1.0),
+        # NULL name → singleton
+        (6, None, "b4", 7, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string, brand string, size int, price double")
+    out = {r["cluster_id"]: r for r in golden_records(
+        df, "pid", "name",
+        {"brand": "max", "size": "min", "price": "max"},
+        prefix_len=3, max_distance=3,
+    ).collect()}
+    assert set(out) == {1, 5, 6}
+    g = out[1]
+    assert g["n_members"] == 4
+    assert g["canonical_name"] == "acme corpor"  # longest normalized name
+    assert g["brand"] == "b3" and g["size"] == 5 and g["price"] == 9.0
+    assert out[5]["n_members"] == 1 and out[5]["canonical_name"] == "zenith industries"
+    assert out[6]["n_members"] == 1 and out[6]["canonical_name"] is None
+    assert out[6]["brand"] == "b4"
+
+    with __import__("pytest").raises(ValueError, match="survivorship"):
+        golden_records(df, "pid", "name", {"brand": "mode"})

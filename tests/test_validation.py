@@ -700,3 +700,42 @@ def test_benford_deviation_digits_and_shares(spark):
     assert out[2]["abs_deviation"] == round(
         abs(round(1 / 5, 6) - round(math.log10(1.5), 6)), 6
     )
+
+
+def test_serving_skew_audit(spark):
+    """Identical snapshot/history distributions → PSI exactly 0 (each
+    entity has one row, so online == offline); a shifted history (old
+    rows much smaller than the latest) → positive PSI; NULLs form their
+    own category on both sides."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.validation import serving_skew_audit
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    # case 1: single row per entity — online IS offline
+    one = spark.createDataFrame(
+        [(i, t("2024-01-01"), float(i)) for i in range(1, 9)],
+        "ck long, rd timestamp, fx double",
+    )
+    r1 = {r["feature"]: r for r in serving_skew_audit(
+        one, ("ck", "rd"), "rd", ("fx",), n_bins=4).collect()}
+    assert r1["fx"]["psi"] == 0.0
+    assert r1["fx"]["n_online"] == 8 and r1["fx"]["n_offline"] == 8
+
+    # case 2: history has small values, snapshots are the large tail →
+    # the snapshot mass concentrates in the top bins, PSI > 0; one
+    # entity's latest fx is NULL → '__null__' category appears
+    rows = []
+    for i in range(1, 9):
+        rows.append((i, t("2024-01-01"), float(i)))          # old: 1..8
+        rows.append((i, t("2024-02-01"), float(i) + 100.0))  # latest: 101..108
+    rows.append((9, t("2024-02-01"), None))                  # latest NULL
+    hist = spark.createDataFrame(rows, "ck long, rd timestamp, fx double")
+    r2 = {r["feature"]: r for r in serving_skew_audit(
+        hist, ("ck", "rd"), "rd", ("fx",), n_bins=4).collect()}
+    fx = r2["fx"]
+    assert fx["n_online"] == 9 and fx["n_offline"] == 17
+    assert fx["psi"] > 0.5  # gross shift must score loudly
+    assert fx["n_categories"] == 5  # 4 bins + __null__
