@@ -374,6 +374,29 @@ module import order. Selection policy:
   ops-diagnostics family keeps q_table_diff + q_join_size_estimate
   in-window). After this window runs green, every registered query is
   driver-gate-certified in >= 1 round and rotation debt is zero.
+* Round-9 births rotate straight in (same-round certification, no new
+  debt): q_rfm_segments (single-shared-rank RFM segmentation),
+  q_training_set_stress (5-table multi-lookup PIT + embargoed leakage
+  audit — drives point_in_time_multi_join), q_stream_ingest_multibatch
+  (3-round incremental corpus ingestion incl. the cold-start path),
+  q_val_serving_skew (online-vs-offline per-feature PSI),
+  q_golden_records (name-graph CC + survivorship), q_negative_samples
+  (hash-slot negative sampling). OUT — all six are round-8 driver-green
+  and stay in the full local gate + pytest; transitive cover:
+  q_backtest_folds (literal-array explode + range predicates,
+  pytest+local; date machinery in every in-window pipeline),
+  q_triangle_count (in-window q_clustering_coeff replays the oriented
+  wedge-join triangle count as its numerator, and its frequent-pairs
+  edge build too), q_val_pr_curve (evaluation family keeps
+  q_val_feature_screen + q_val_decile_lift in-window; the descending
+  prefix sums stay pytest+local), q_ext_frequent_items (one agg +
+  filter; the A-priori machinery is q_clustering_coeff's in-window
+  edge build), q_ext_exact_sample (attach_global_rank top-k is
+  certified by rotating-in q_rfm_segments' shared rank and
+  q_negative_samples' dimension ranking; sampling family keeps
+  q_ext_domain_cap + q_ext_shuffle_shards in-window),
+  q_val_count_anomalies (trailing z-score pytest+local; the monitoring
+  family keeps q_stream_cusum + q_val_timetravel_crosscheck in-window).
 """
 
 from __future__ import annotations
@@ -416,21 +439,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_robust_outliers",
     # round-8 rotation: the last 19 never-driver-checked queries + the
     # two ADVICE-r7 gatings (see docstring) — debt to zero
-    "q_backtest_folds",
     "q_ext_chunk_documents",
     "q_ext_curate_corpus",
     "q_ext_dedup_clusters_twophase",
-    "q_ext_exact_sample",
-    "q_ext_frequent_items",
     "q_ext_pmi_collocations",
     "q_ext_quantization_error",
     "q_ext_random_projection",
     "q_ext_shuffle_shards",
-    "q_triangle_count",
     "q_clustering_coeff",
-    "q_val_count_anomalies",
     "q_val_pit_leakage",
-    "q_val_pr_curve",
     "q_val_psi_numeric",
     "q_ext_vocab_coverage",
     # round-9 rotation: the last 3 never-driver-checked queries (see
@@ -438,6 +455,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_grouping_sets",
     "q_val_privacy",
     "q_val_benford",
+    # round-9 births rotate straight in (see docstring)
+    "q_rfm_segments",
+    "q_training_set_stress",
+    "q_stream_ingest_multibatch",
+    "q_val_serving_skew",
+    "q_golden_records",
+    "q_negative_samples",
 )
 
 WINDOW_SIZE = 50
