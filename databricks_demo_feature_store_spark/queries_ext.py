@@ -2977,3 +2977,138 @@ def q_ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return vocab_coverage(d, top_n=500)
+
+
+@register(
+    "q_ext_group_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(concat('7:',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY hv ASC, doc_id ASC) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 3
+    """,
+)
+def q_ext_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-group exact-k sampling: exactly 3 documents per
+    language, the 3 smallest portable key-hashes winning per group —
+    the per-language eval-fixture builder (uniform within group, stable
+    across engines, prefix-composable as k grows). One partitioned
+    window, one shuffle on the group key. The oracle replays the hash
+    permutation and the per-group ranking."""
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        exact_k_per_group,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exact_k_per_group(d, "lang", 3, "doc_id", seed=7)
+
+
+@register(
+    "q_ext_matryoshka_recall",
+    oracle=f"""
+    WITH {_O_EMB},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    full_k AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {oracle_dround(_O_COS, 6)} DESC, e.vec_id ASC
+               ) AS rank
+        FROM e CROSS JOIN q
+      ) WHERE rank <= 5
+    ),
+    et AS (SELECT vec_id, v[1:16] AS v FROM e),
+    qt AS (SELECT vec_id AS query_id, v[1:16] AS qv FROM e WHERE vec_id < 8),
+    trunc_k AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {oracle_dround("list_inner_product(e.v, q.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))", 6)} DESC, e.vec_id ASC
+               ) AS rank
+        FROM et e CROSS JOIN qt q
+      ) WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           {oracle_dround('CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*)', 6)} AS recall
+    FROM full_k x
+    LEFT JOIN trunc_k a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """,
+)
+def q_ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: recall@5 of the exact ranking
+    on the first 16 of 64 embedding dims vs the full-dimension exact
+    ranking, for 8 sample queries — the measurement that justifies
+    serving a nested embedding's cheap prefix for first-stage retrieval
+    (4× cheaper distances) before a full-dim rerank. Both rankings are
+    deterministic; the oracle replays both and the intersection."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        truncated_dim_recall_at_k,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return truncated_dim_recall_at_k(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, trunc_dim=16
+    )
+
+
+@register(
+    "q_ext_two_stage_topk",
+    oracle=f"""
+    WITH {_O_EMB},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    et AS (SELECT vec_id, v[1:16] AS v FROM e),
+    qt AS (SELECT vec_id AS query_id, v[1:16] AS qv FROM e WHERE vec_id < 8),
+    stage1 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {oracle_dround("list_inner_product(e.v, q.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))", 6)} DESC, e.vec_id ASC
+               ) AS rank
+        FROM et e CROSS JOIN qt q
+      ) WHERE rank <= 20
+    ),
+    rerank AS (
+      SELECT s.query_id, e.vec_id,
+             {oracle_dround(_O_COS, 6)} AS cosine
+      FROM stage1 s
+      JOIN e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM rerank
+    ) WHERE rank <= 5
+    """,
+)
+def q_ext_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval end-to-end: 16-of-64-dim prefix scan keeps 20
+    candidates per query (4× cheaper distances over the corpus), the
+    full-dimension cosine reranks only those 20 and returns the top 5 —
+    the deployable cheap-retrieve/exact-rerank shape the Matryoshka
+    recall measurement justifies. The oracle replays both stages and
+    the final ranking."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        two_stage_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return two_stage_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, candidates=20, trunc_dim=16
+    )

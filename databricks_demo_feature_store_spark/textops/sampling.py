@@ -512,3 +512,40 @@ def pack_sequences(
         (hi - lo).cast("int").alias("slice_len"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    seed: int | str = 0,
+) -> DataFrame:
+    """EXACTLY ``min(k, group size)`` rows PER GROUP, sampled uniformly
+    and reproducibly — balanced eval fixtures, per-language labeling
+    budgets, per-source golden sets. Within each group the ``k``
+    smallest portable key-hashes win (a fixed random permutation per
+    group: uniform, stable across runs/engines/partitionings, and
+    prefix-composable — a (k+m)-per-group sample extends the k-per-group
+    sample without reshuffling it).
+
+    Scale shape: one ``row_number`` window PARTITIONED BY the group —
+    the data shuffles once on the group key and each task ranks only its
+    groups (this is the partitioned-window fast path, not the
+    single-task global window :func:`exact_k_sample` exists to avoid;
+    a skewed mega-group degrades to one task ranking that group — for a
+    heavy-tailed grouping, pre-split hot groups with a salt and take
+    ``k/salt`` per split). ``key_col`` must be unique per row for exact
+    group counts; duplicate keys keep or drop together.
+    """
+    if k < 1:
+        raise ValueError("exact_k_per_group requires k >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash_col(F.col(key_col).cast("string"), seed).asc(),
+        F.col(key_col).asc(),
+    )
+    return (
+        df.select("*", F.row_number().over(w).alias("__ekg_rank"))
+        .where(F.col("__ekg_rank") <= int(k))
+        .select(*df.columns)
+    )

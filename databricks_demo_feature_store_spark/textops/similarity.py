@@ -1124,3 +1124,105 @@ def mmr_rerank(
         dround(F.col("__rel"), round_to).alias("relevance"),
         dround(F.col("__mmr"), round_to).alias("mmr_score"),
     )
+
+
+def truncated_dim_recall_at_k(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    trunc_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@k of the exact
+    ranking computed on the FIRST ``trunc_dim`` coordinates against the
+    exact full-dimension ranking — the measurement that decides whether
+    a nested (MRL-trained) embedding can serve its cheap prefix for
+    first-stage retrieval (a d'/d cost cut on every distance) before a
+    full-dimension rerank. Same contract as :func:`ann_recall_at_k`:
+    per query, ``recall = |trunc top-k ∩ full top-k| / |full top-k|``,
+    denominator the achieved exact top-k size.
+
+    Scale shape: two broadcast-query corpus passes (one per dimension
+    budget) + a broadcast-size comparison join — run it on a SAMPLE of
+    queries, like every recall loop here.
+    """
+    full = brute_force_topk(corpus, query, k, id_col, vec_col, query_id_col)
+    t_corpus = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, int(trunc_dim)).alias(vec_col)
+    )
+    qid = query_id_col or id_col
+    t_query = query.select(
+        F.col(qid), F.slice(F.col(vec_col), 1, int(trunc_dim)).alias(vec_col)
+    )
+    trunc = brute_force_topk(t_corpus, t_query, k, id_col, vec_col, query_id_col)
+    hits = full.join(
+        trunc.select("query_id", id_col), on=["query_id", id_col], how="left_semi"
+    )
+    n_exact = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_exact.join(n_hits, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        "n_exact",
+        dround(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def two_stage_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    trunc_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Two-stage retrieval: stage 1 ranks the corpus on the FIRST
+    ``trunc_dim`` coordinates (a d'/d-cost scan — the Matryoshka prefix
+    :func:`truncated_dim_recall_at_k` measures) and keeps ``candidates``
+    per query; stage 2 reranks ONLY those candidates with the
+    full-dimension cosine and returns the top ``k`` — the standard
+    cheap-retrieve / exact-rerank serving shape. Output matches
+    :func:`brute_force_topk`: ``(query_id, id, cosine, rank)`` with the
+    full-dimension score.
+
+    Scale shape: the full-dimension vectors are touched for only
+    ``candidates`` rows per query (a semi-join-bounded rerank), so the
+    expensive distance runs on an O(q·candidates) frame, never the
+    corpus. Stage 1 is the same broadcast-query scan as brute force but
+    at trunc_dim/dim the arithmetic (swap in an IVF/LSH stage-1 for
+    sub-scan candidate generation).
+    """
+    qid = query_id_col or id_col
+    t_corpus = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, int(trunc_dim)).alias(vec_col)
+    )
+    t_query = query.select(
+        F.col(qid), F.slice(F.col(vec_col), 1, int(trunc_dim)).alias(vec_col)
+    )
+    stage1 = brute_force_topk(
+        t_corpus, t_query, int(candidates), id_col, vec_col, query_id_col
+    ).select("query_id", id_col)
+    q = query.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    cand_vecs = corpus.join(
+        stage1, on=id_col, how="inner"
+    )  # O(q·candidates) rows carry full vectors
+    scored = cand_vecs.join(F.broadcast(q), on="query_id").select(
+        "query_id",
+        F.col(id_col),
+        dround(cosine_col(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", id_col, "cosine", "rank")
+    )

@@ -1493,3 +1493,99 @@ def test_png_decode_real_bytes(spark):
     assert (a["width"], a["height"], a["channels"]) == (2, 2, 4)
     assert a["mean_intensity"] == "136/16" and a["decode_ok"] == "ok"
     assert out[4]["decode_ok"] == "not_png" and out[4]["width"] is None
+
+
+def test_exact_k_per_group(spark):
+    """Exactly min(k, group size) rows per group, deterministic, and
+    prefix-composable (the k=1 pick is contained in the k=2 pick)."""
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        exact_k_per_group,
+    )
+
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(3)] + [(200, "c")]
+    df = spark.createDataFrame(rows, "id long, g string")
+
+    def pick(k):
+        out = {}
+        for r in exact_k_per_group(df, "g", k, "id", seed=5).collect():
+            out.setdefault(r["g"], set()).add(r["id"])
+        return out
+
+    two = pick(2)
+    assert {g: len(v) for g, v in two.items()} == {"a": 2, "b": 2, "c": 1}
+    one = pick(1)
+    assert all(one[g] <= two[g] for g in one)  # prefix property
+    assert pick(2) == two  # deterministic replay
+
+
+def test_truncated_dim_recall(spark):
+    """Hand-built 4-dim vectors where the 2-dim prefix inverts the
+    ranking for one query: recall@1 must be 0 there and 1 where the
+    prefix preserves the winner."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        truncated_dim_recall_at_k,
+    )
+
+    # query 0 = [1,0,0,0]:
+    #   full cosine: doc 1 [1,0,0,0] = 1.0 wins over doc 2 [0.5,0,0,0.9]
+    #   2-dim prefix: doc 1 [1,0] = 1.0 still wins            -> recall 1
+    # query 10 = [0,1,0.9,0]:
+    #   full: doc 3 [0,1,0.9,0] = 1.0 beats doc 4 [0,1,-0.9,0]
+    #   2-dim prefix: both [0,1] tie at 1.0 -> id tiebreak -> doc 3 wins?
+    # make it a genuine inversion instead: query 10 full winner is doc 4,
+    # prefix winner is doc 3 (smaller prefix cosine for doc 4)
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.5, 0.0, 0.0, 0.9]),
+            (3, [0.1, 1.0, 0.0, 0.0]),
+            (4, [0.9, 1.0, 4.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),     # full + prefix winner: doc 1
+            (10, [0.0, 0.5, 2.0, 0.0]),    # full winner: doc 4; prefix [0,0.5] winner: doc 3
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["query_id"]: r for r in truncated_dim_recall_at_k(
+        corpus, queries, k=1, trunc_dim=2).collect()}
+    assert out[0]["recall"] == 1.0 and out[0]["n_exact"] == 1
+    assert out[10]["recall"] == 0.0 and out[10]["n_hits"] == 0
+
+
+def test_two_stage_topk_matches_bruteforce_when_candidates_cover(spark):
+    """With candidates >= corpus size the two-stage result must equal
+    exact brute force (the rerank sees everything); with a starved
+    candidate budget the stage-1 prefix can evict the true winner."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+        two_stage_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.5, 0.0, 0.0, 0.9]),
+            (3, [0.1, 1.0, 0.0, 0.0]),
+            (4, [0.9, 1.0, 4.0, 0.0]),  # prefix loser, full winner for q10
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [0.0, 0.5, 2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+
+    def rows(df):
+        return [(r["query_id"], r["vec_id"], r["rank"]) for r in
+                df.orderBy("query_id", "rank").collect()]
+
+    exact = rows(brute_force_topk(corpus, queries, k=2))
+    covered = rows(two_stage_topk(corpus, queries, k=2, candidates=4, trunc_dim=2))
+    assert covered == exact  # full candidate coverage → identical
+    starved = rows(two_stage_topk(corpus, queries, k=2, candidates=1, trunc_dim=2))
+    # stage-1 on [0, 0.5] prefix picks doc 3 (cos 1.0 on prefix); the
+    # true full-dim winner doc 4 never reaches the rerank
+    assert starved == [(10, 3, 1)]
