@@ -397,6 +397,16 @@ module import order. Selection policy:
   q_ext_domain_cap + q_ext_shuffle_shards in-window),
   q_val_count_anomalies (trailing z-score pytest+local; the monitoring
   family keeps q_stream_cusum + q_val_timetravel_crosscheck in-window).
+  Late round-9 births rotate straight in as well: q_ext_group_sample
+  (per-group exact-k sampling), q_ext_matryoshka_recall (prefix-dim
+  recall evaluation), q_ext_two_stage_topk (prefix-retrieve +
+  full-dim rerank). OUT with cover: q_val_pit_leakage (the identical
+  pit_leakage_audit runs INSIDE in-window q_training_set_stress, with
+  embargo, over a real PIT-join output), q_ext_quantization_error (PQ
+  family keeps q_ext_pq_adc_topk in-window; the int8 error math stays
+  pytest+local), q_ext_pmi_collocations (analysis family keeps
+  q_ext_quality_classifier + q_ext_vocab_coverage in-window; exact
+  contingency margins stay pytest+local).
 """
 
 from __future__ import annotations
@@ -442,12 +452,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_chunk_documents",
     "q_ext_curate_corpus",
     "q_ext_dedup_clusters_twophase",
-    "q_ext_pmi_collocations",
-    "q_ext_quantization_error",
     "q_ext_random_projection",
     "q_ext_shuffle_shards",
     "q_clustering_coeff",
-    "q_val_pit_leakage",
     "q_val_psi_numeric",
     "q_ext_vocab_coverage",
     # round-9 rotation: the last 3 never-driver-checked queries (see
@@ -462,6 +469,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_val_serving_skew",
     "q_golden_records",
     "q_negative_samples",
+    "q_ext_group_sample",
+    "q_ext_matryoshka_recall",
+    "q_ext_two_stage_topk",
 )
 
 WINDOW_SIZE = 50
