@@ -68,6 +68,7 @@ HEADLINE = [
     "q_stream_psi_drift",
     "q_stream_count_anomalies",
     "q_key_skew_profile",
+    "q_cms_frequencies",
     "q_val_roc_auc",
     "q_val_pr_curve",
     "q_val_pr_auc",

@@ -295,3 +295,103 @@ def bloom_might_contain_col(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Count–Min sketch of ``col``'s frequency distribution as a skinny
+    ``(row_idx, bucket, n)`` table — ``depth`` independent hash rows ×
+    ``width`` buckets, at most ``depth·width`` rows total regardless of
+    input size or cardinality. The streaming/mergeable frequency
+    structure: two sketches with the same geometry merge by summing
+    matching cells (it is just an aggregation), and a point estimate is
+    the MIN over the ``depth`` cells a key hashes to — always an
+    OVERestimate, within ``e·N/width`` of truth with probability
+    ``1 − e^−depth`` (Cormode & Muthukrishnan 2005).
+
+    Scale shape: one ``explode`` to ``depth`` narrow rows per input row
+    (no shuffle) and ONE map-side-combined hash aggregation onto the
+    bounded (row, bucket) grid — the exchange carries at most
+    ``depth·width`` rows per map partition. Portable md5 hashing keeps
+    the cells engine-reproducible.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("count_min_sketch requires depth >= 1 and width >= 2")
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                F.pmod(
+                    portable_hash_col(
+                        F.concat(F.lit(f"{i}:"), F.col(col).cast("string")),
+                        seed=seed,
+                    ),
+                    F.lit(int(width)),
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(int(depth))
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("__c"))
+        .groupBy(
+            F.col("__c.row_idx").alias("row_idx"),
+            F.col("__c.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Point-query the Count–Min sketch for every row of ``keys``:
+    ``(col, cms_count)`` with ``cms_count = min`` over the ``depth``
+    cells the key hashes to (missing cells read 0 — the key was never
+    seen by that row). Pass the SAME (depth, width, seed) the sketch was
+    built with. The sketch is broadcast-sized by construction
+    (≤ depth·width rows), so the probe is a broadcast join however
+    large the key list is."""
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        F.pmod(
+                            portable_hash_col(
+                                F.concat(
+                                    F.lit(f"{i}:"), F.col(col).cast("string")
+                                ),
+                                seed=seed,
+                            ),
+                            F.lit(int(width)),
+                        ).cast("int").alias("bucket"),
+                    )
+                    for i in range(int(depth))
+                ]
+            )
+        ).alias("__c"),
+    ).select(col, F.col("__c.row_idx").alias("row_idx"), F.col("__c.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+    return (
+        joined.groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
+        .select(col, F.col("cms_count").cast("long").alias("cms_count"))
+    )

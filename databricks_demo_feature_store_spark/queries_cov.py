@@ -2190,3 +2190,75 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type": "longest",
         },
     )
+
+
+def _cms_oracle(depth: int = 4, width: int = 64) -> str:
+    def h(i):
+        return (
+            f"CAST(concat('0x', substr(md5(concat('0:{i}:', "
+            f"CAST(l_suppkey AS VARCHAR))), 1, 15)) AS BIGINT) % {width}"
+        )
+
+    cell_union = "\n      UNION ALL ".join(
+        f"SELECT l_suppkey, {i} AS row_idx, CAST({h(i)} AS INT) AS bucket FROM src"
+        for i in range(depth)
+    )
+    return f"""
+    WITH src AS (
+      SELECT l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL
+    ),
+    hashed AS (
+      {cell_union}
+    ),
+    cells AS (
+      SELECT row_idx, bucket, COUNT(*) AS n FROM hashed GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT l_suppkey, COUNT(*) AS exact_count FROM src GROUP BY 1
+    ),
+    probes AS (
+      SELECT DISTINCT l_suppkey, row_idx, bucket FROM hashed
+    ),
+    est AS (
+      SELECT p.l_suppkey, MIN(COALESCE(c.n, 0)) AS cms_count
+      FROM probes p LEFT JOIN cells c USING (row_idx, bucket)
+      GROUP BY p.l_suppkey
+    )
+    SELECT e.l_suppkey,
+           CAST(x.exact_count AS BIGINT) AS exact_count,
+           CAST(e.cms_count AS BIGINT) AS cms_count,
+           e.cms_count >= x.exact_count AS is_overestimate
+    FROM est e JOIN exact x USING (l_suppkey)
+    """
+
+
+@register("q_cms_frequencies", oracle=_cms_oracle())
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, self-audited: a 4×64
+    sketch of supplier frequencies (deliberately narrow so collisions
+    actually occur), point-queried for every supplier and joined to the
+    exact counts — the is_overestimate column certifies the CMS
+    one-sided-error guarantee on every key. The sketch is ≤ depth·width
+    rows however big the fact table gets; estimates probe it with a
+    broadcast join. The oracle replays the hash cells, the min-read,
+    and the exact counts."""
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    sk = count_min_sketch(li, "l_suppkey", depth=4, width=64)
+    keys = li.where(F.col("l_suppkey").isNotNull()).distinct()
+    est = cms_estimate(sk, keys, "l_suppkey", depth=4, width=64)
+    exact = (
+        li.where(F.col("l_suppkey").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "l_suppkey").select(
+        "l_suppkey",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "cms_count",
+        (F.col("cms_count") >= F.col("exact_count")).alias("is_overestimate"),
+    )

@@ -122,3 +122,73 @@ def test_cc_both_algorithms_match_union_find(spark, edges, extra_nodes):
             for r in dedup_clusters(docs, pairs, algorithm=algo).collect()
         }
         assert got == expected, algo
+
+
+_feat_a = st.lists(
+    st.tuples(_keys, _hours, st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=15,
+)
+_feat_b = st.lists(
+    st.tuples(_keys, _hours, st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(spine=_spine_rows, fa=_feat_a, fb=_feat_b)
+def test_multi_pit_matches_sequential_chain(spark, spine, fa, fb):
+    """point_in_time_multi_join (one shuffle, N struct carries) must be
+    row-identical to the sequential point_in_time_join chain on
+    randomized spines and two feature tables — including key overlap,
+    timestamp ties between spine and features, duplicate feature rows,
+    empty histories, and per-lookup tolerance."""
+    from databricks_demo_feature_store_spark.operators.joins import (
+        point_in_time_multi_join,
+    )
+
+    spine_df = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(hours=h)) for i, (k, h) in enumerate(spine)],
+        ["row_id", "k", "ts"],
+    )
+
+    def fdf(rows, col):
+        # collapse duplicate (k, time) rows to one (max value) so both
+        # forms see identical inputs without needing a tiebreak column
+        # (multi-join's cross-table window has no per-table tiebreaks)
+        best = {}
+        for k, h, v in rows:
+            best[(k, h)] = max(v, best.get((k, h), v))
+        data = [(k, BASE + dt.timedelta(hours=h), v) for (k, h), v in best.items()]
+        schema = f"k long, fts_{col} timestamp, {col} long"
+        return (
+            spark.createDataFrame(data, ["k", f"fts_{col}", col])
+            if data
+            else spark.createDataFrame([], schema)
+        )
+
+    fa_df, fb_df = fdf(fa, "va"), fdf(fb, "vb")
+    lookups = [
+        {"features": fa_df, "feature_time": "fts_va"},
+        {"features": fb_df, "feature_time": "fts_vb", "tolerance_expr": "INTERVAL 10 HOURS"},
+    ]
+    multi = {
+        r["row_id"]: (r["va"], r["vb"])
+        for r in point_in_time_multi_join(
+            spine_df, lookups, keys=["k"], spine_time="ts"
+        ).collect()
+    }
+    seq_df = point_in_time_join(
+        spine_df, fa_df, keys=["k"], spine_time="ts", feature_time="fts_va"
+    )
+    seq_df = point_in_time_join(
+        seq_df, fb_df, keys=["k"], spine_time="ts", feature_time="fts_vb",
+        tolerance_expr="INTERVAL 10 HOURS",
+    )
+    seq = {r["row_id"]: (r["va"], r["vb"]) for r in seq_df.collect()}
+    assert multi == seq

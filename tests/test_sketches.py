@@ -183,3 +183,44 @@ def test_bloom_no_false_negatives_and_bounded_fpp(spark):
         .count()
     )
     assert fp / 2000 < 0.3
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS never underestimates, is exact when width has no collisions,
+    reads 0 for never-seen keys, and two sketches merge by cell-sum."""
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    # wide sketch: no collisions possible among 3 keys x depth 4
+    sk = count_min_sketch(df, "k", depth=4, width=1024)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("never",)], "k string")
+    got = {r["k"]: r["cms_count"] for r in
+           cms_estimate(sk, keys, "k", depth=4, width=1024).collect()}
+    assert got == {"a": 5, "b": 3, "c": 1, "never": 0}
+
+    # narrow sketch: collisions force overestimates, never underestimates
+    sk2 = count_min_sketch(df, "k", depth=2, width=2)
+    got2 = {r["k"]: r["cms_count"] for r in
+            cms_estimate(sk2, keys, "k", depth=2, width=2).collect()}
+    assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
+
+    # mergeability: sum of two half-sketches == sketch of the union
+    h1 = count_min_sketch(spark.createDataFrame(rows[:4], "k string"), "k", 4, 1024)
+    h2 = count_min_sketch(spark.createDataFrame(rows[4:], "k string"), "k", 4, 1024)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    gm = {r["k"]: r["cms_count"] for r in
+          cms_estimate(merged, keys, "k", depth=4, width=1024).collect()}
+    assert gm == got
+
+    import pytest as _p
+    with _p.raises(ValueError, match="depth"):
+        count_min_sketch(df, "k", depth=0)
