@@ -69,6 +69,8 @@ HEADLINE = [
     "q_stream_count_anomalies",
     "q_key_skew_profile",
     "q_cms_frequencies",
+    "q_stream_cms",
+    "q_name_linkage_multiblock",
     "q_val_roc_auc",
     "q_val_pr_curve",
     "q_val_pr_auc",

@@ -406,7 +406,18 @@ module import order. Selection policy:
   family keeps q_ext_pq_adc_topk in-window; the int8 error math stays
   pytest+local), q_ext_pmi_collocations (analysis family keeps
   q_ext_quality_classifier + q_ext_vocab_coverage in-window; exact
-  contingency margins stay pytest+local).
+  contingency margins stay pytest+local). Final round-9 births:
+  q_cms_frequencies (Count-Min build + broadcast point-query +
+  one-sided-error self-audit), q_stream_cms (the streaming cell-sum
+  merge twin — streamed state ≡ batch sketch), and
+  q_name_linkage_multiblock (prefix + reversed-prefix two-pass
+  blocking). OUT with cover: q_mutual_information (one contingency
+  collapse + log arithmetic, pytest+local; the screen family keeps
+  q_val_feature_screen in-window), q_event_decay (time-decay
+  aggregate, pytest+local; event analytics keep q_stream_cusum + the
+  stream windows in-window), q_winsorize (its exact percentile FIT is
+  the grouped-percentile machinery rotating-in q_val_serving_skew
+  certifies; the clamp algebra stays pytest+local).
 """
 
 from __future__ import annotations
@@ -443,9 +454,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_val_decile_lift",
     "q_table_diff",
     "q_join_size_estimate",
-    "q_mutual_information",
-    "q_winsorize",
-    "q_event_decay",
     "q_robust_outliers",
     # round-8 rotation: the last 19 never-driver-checked queries + the
     # two ADVICE-r7 gatings (see docstring) — debt to zero
@@ -472,6 +480,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_group_sample",
     "q_ext_matryoshka_recall",
     "q_ext_two_stage_topk",
+    "q_cms_frequencies",
+    "q_stream_cms",
+    "q_name_linkage_multiblock",
 )
 
 WINDOW_SIZE = 50

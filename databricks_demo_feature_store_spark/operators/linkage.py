@@ -34,6 +34,7 @@ def name_linkage(
     prefix_len: int = 3,
     max_distance: int = 3,
     round_to: int = 6,
+    blocks: tuple = ("prefix",),
 ) -> DataFrame:
     """Self-linkage of an entity table on a fuzzy name: one row per
     DISTINCT normalized-name pair within ``max_distance`` edits sharing
@@ -45,15 +46,30 @@ def name_linkage(
     pairs to `textops.dedup` connected components to form entity
     clusters.
 
-    Prefix blocking misses first-characters typos — the standard remedy
-    is a second pass with a different key (e.g. reversed-name prefix or
-    a token-sorted name); this function is one pass with an explicit
-    key, not a recall guarantee.
+    Prefix blocking misses first-characters typos — pass
+    ``blocks=("prefix", "rev_prefix")`` to ALSO block on the prefix of
+    the REVERSED name (the standard second pass): each block key is an
+    independent equi-join over the distinct-name frame and candidate
+    pairs union with a distinct, so recall grows at the cost of one more
+    dim-sized join — never a cross product. With the default single
+    pass this function is one blocked join with an explicit key, not a
+    recall guarantee.
     """
     if prefix_len < 1:
         raise ValueError("name_linkage requires prefix_len >= 1")
     if max_distance < 1:
         raise ValueError("name_linkage requires max_distance >= 1")
+    known_blocks = {"prefix", "rev_prefix"}
+    bad_blocks = set(blocks) - known_blocks
+    if not blocks or bad_blocks:
+        raise ValueError(
+            f"name_linkage blocks must be a non-empty subset of "
+            f"{sorted(known_blocks)}, got {blocks!r}"
+        )
+    key_exprs = {
+        "prefix": F.substring("__nm", 1, int(prefix_len)),
+        "rev_prefix": F.substring(F.reverse(F.col("__nm")), 1, int(prefix_len)),
+    }
     names = (
         df.select(_norm(F.col(name_col)).alias("__nm"), F.col(id_col).alias("__id"))
         .where(F.col("__nm").isNotNull() & (F.col("__nm") != ""))
@@ -62,33 +78,43 @@ def name_linkage(
         .select(
             "__nm",
             "__n",
-            F.substring("__nm", 1, int(prefix_len)).alias("__blk"),
             F.length("__nm").alias("__len"),
+            *[key_exprs[blk].alias(f"__blk_{blk}") for blk in blocks],
         )
     )
-    a, b = names.alias("a"), names.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.__blk") == F.col("b.__blk"))
-        & (F.col("a.__nm") < F.col("b.__nm"))
-        & (
-            F.abs(F.col("a.__len") - F.col("b.__len")) <= int(max_distance)
-        ),
-    )
-    dist = F.levenshtein(F.col("a.__nm"), F.col("b.__nm"))
+    cand = None
+    for blk in blocks:
+        a, b = names.alias("a"), names.alias("b")
+        one = a.join(
+            b,
+            (F.col(f"a.__blk_{blk}") == F.col(f"b.__blk_{blk}"))
+            & (F.col("a.__nm") < F.col("b.__nm"))
+            & (
+                F.abs(F.col("a.__len") - F.col("b.__len")) <= int(max_distance)
+            ),
+        ).select(
+            F.col("a.__nm").alias("__nm_a"), F.col("b.__nm").alias("__nm_b"),
+            F.col("a.__n").alias("__n_a"), F.col("b.__n").alias("__n_b"),
+            F.col("a.__len").alias("__len_a"), F.col("b.__len").alias("__len_b"),
+        )
+        cand = one if cand is None else cand.unionByName(one)
+    if len(blocks) > 1:
+        cand = cand.dropDuplicates(["__nm_a", "__nm_b"])
+    a_nm, b_nm = F.col("__nm_a"), F.col("__nm_b")
+    dist = F.levenshtein(a_nm, b_nm)
     return (
         cand.select(
-            F.col("a.__nm").alias("name_a"),
-            F.col("b.__nm").alias("name_b"),
+            a_nm.alias("name_a"),
+            b_nm.alias("name_b"),
             dist.alias("distance"),
             dround(
                 F.lit(1.0)
                 - dist.cast("double")
-                / F.greatest(F.col("a.__len"), F.col("b.__len")).cast("double"),
+                / F.greatest(F.col("__len_a"), F.col("__len_b")).cast("double"),
                 round_to,
             ).alias("similarity"),
-            F.col("a.__n").cast("long").alias("n_a"),
-            F.col("b.__n").cast("long").alias("n_b"),
+            F.col("__n_a").cast("long").alias("n_a"),
+            F.col("__n_b").cast("long").alias("n_b"),
         )
         .where(F.col("distance") <= int(max_distance))
         .select(

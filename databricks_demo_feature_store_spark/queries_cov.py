@@ -2262,3 +2262,54 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_count",
         (F.col("cms_count") >= F.col("exact_count")).alias("is_overestimate"),
     )
+
+
+@register(
+    "q_name_linkage_multiblock",
+    oracle="""
+    WITH names AS (
+      SELECT regexp_replace(trim(lower(p_name)), '\\s+', ' ', 'g') AS nm,
+             COUNT(*) AS n
+      FROM part GROUP BY 1
+    ),
+    k AS (
+      SELECT nm, n, substr(nm, 1, 3) AS blk,
+             substr(reverse(nm), 1, 3) AS rblk, len(nm) AS ln
+      FROM names WHERE nm IS NOT NULL AND nm <> ''
+    ),
+    cand AS (
+      SELECT a.nm AS name_a, b.nm AS name_b,
+             GREATEST(a.ln, b.ln) AS mx, a.n AS n_a, b.n AS n_b
+      FROM k a JOIN k b
+        ON a.blk = b.blk AND a.nm < b.nm AND abs(a.ln - b.ln) <= 3
+      UNION
+      SELECT a.nm, b.nm, GREATEST(a.ln, b.ln), a.n, b.n
+      FROM k a JOIN k b
+        ON a.rblk = b.rblk AND a.nm < b.nm AND abs(a.ln - b.ln) <= 3
+    ),
+    scored AS (
+      SELECT name_a, name_b, levenshtein(name_a, name_b) AS distance,
+             mx, n_a, n_b
+      FROM cand
+    )
+    SELECT name_a, name_b, CAST(distance AS INT) AS distance,
+           CAST(ROUND(CAST(1.0 - CAST(distance AS DOUBLE) / mx
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS similarity,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM scored WHERE distance <= 3
+    """,
+)
+def q_name_linkage_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass blocked fuzzy linkage: the prefix block PLUS the
+    reversed-name-prefix block (the standard recall fix for
+    first-character typos that single-prefix blocking structurally
+    misses) — candidate pairs union with a distinct, each pass stays an
+    equi-join over the distinct-name frame. The oracle replays both
+    block joins, the union, and the exact Levenshtein scoring."""
+    from databricks_demo_feature_store_spark.operators.linkage import name_linkage
+
+    p = load(spark, sf_dir, "part")
+    return name_linkage(
+        p, "p_partkey", "p_name", prefix_len=3, max_distance=3,
+        blocks=("prefix", "rev_prefix"),
+    )

@@ -2022,3 +2022,79 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="neg",
         oversample=4,
     )
+
+
+def _stream_cms_oracle(depth: int = 4, width: int = 8) -> str:
+    def h(i):
+        return (
+            f"CAST(concat('0x', substr(md5(concat('0:{i}:', source)), 1, 15)) "
+            f"AS BIGINT) % {width}"
+        )
+
+    cell_union = "\n      UNION ALL ".join(
+        f"SELECT source, {i} AS row_idx, CAST({h(i)} AS INT) AS bucket FROM src"
+        for i in range(depth)
+    )
+    return f"""
+    WITH src AS (SELECT source FROM documents WHERE source IS NOT NULL),
+    hashed AS (
+      {cell_union}
+    ),
+    cells AS (SELECT row_idx, bucket, COUNT(*) AS n FROM hashed GROUP BY 1, 2),
+    exact AS (SELECT source, COUNT(*) AS exact_count FROM src GROUP BY 1),
+    probes AS (SELECT DISTINCT source, row_idx, bucket FROM hashed),
+    est AS (
+      SELECT p.source, MIN(COALESCE(c.n, 0)) AS cms_count
+      FROM probes p LEFT JOIN cells c USING (row_idx, bucket)
+      GROUP BY p.source
+    )
+    SELECT e.source,
+           CAST(x.exact_count AS BIGINT) AS exact_count,
+           CAST(e.cms_count AS BIGINT) AS cms_count,
+           e.cms_count >= x.exact_count AS is_overestimate
+    FROM est e JOIN exact x USING (source)
+    """
+
+
+@register("q_stream_cms", oracle=_stream_cms_oracle())
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min accumulation: the documents table arrives as
+    THREE sequential crawl drops; each micro-batch's 4×8 cell counts
+    MERGE into the standing sketch by cell-sum (CMS mergeability), so
+    the on-disk state never exceeds 32 rows while summarizing the whole
+    stream. The final sketch is point-queried per source and joined to
+    exact counts — and because merge is exact, the streamed sketch must
+    equal the BATCH sketch over all data, which is exactly what the
+    oracle computes (is_overestimate certifies the one-sided error on
+    every key)."""
+    from databricks_demo_feature_store_spark.operators.sketches import cms_estimate
+    from databricks_demo_feature_store_spark.streaming.ops import stream_count_min
+
+    root = scratch_dir("stream_cms")
+    inbox = os.path.join(root, "inbox")
+    sketch = os.path.join(root, "sketch")
+    ckpt = os.path.join(root, "ckpt")
+    docs = load(spark, sf_dir, "documents")
+    for r in range(3):
+        docs.filter(F.col("doc_id") % 3 == r).select("source").coalesce(
+            1
+        ).write.mode("append").json(inbox)
+        q = stream_count_min(
+            spark, inbox, sketch, ckpt,
+            col="source", schema="source string", depth=4, width=8,
+        )
+        q.awaitTermination()
+    sk = spark.read.parquet(sketch)
+    keys = docs.where(F.col("source").isNotNull()).select("source").distinct()
+    est = cms_estimate(sk, keys, "source", depth=4, width=8)
+    exact = (
+        docs.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, "source").select(
+        "source",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "cms_count",
+        (F.col("cms_count") >= F.col("exact_count")).alias("is_overestimate"),
+    )

@@ -440,3 +440,70 @@ def stream_ingest_corpus_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_count_min(
+    spark: SparkSession,
+    input_path: str,
+    sketch_path: str,
+    checkpoint: str,
+    col: str = "text",
+    schema: str = "text string",
+    depth: int = 4,
+    width: int = 256,
+    seed: int | str = 0,
+):
+    """Continuously maintain a Count–Min frequency sketch over a file
+    stream of arriving records: per micro-batch, the batch's cell counts
+    MERGE into the standing sketch by cell-sum (the CMS mergeability
+    property — `operators/sketches.py count_min_sketch`), so the state
+    on disk stays ≤ depth·width rows forever while summarizing an
+    unbounded stream. The always-overestimate point-query guarantee
+    holds at every instant.
+
+    foreachBatch read-merge-overwrite on a ≤ depth·width-row parquet —
+    the rewrite cost is CONSTANT per batch regardless of history (this
+    is the smallest possible streaming state: the sketch IS the
+    aggregate). Exactly-once via the checkpoint: each input file merges
+    exactly once; a replayed batch after a crash re-runs the same merge
+    from the pre-batch sketch (the overwrite is atomic through a staging
+    rename in `save_table`-style writers; here a plain overwrite is used
+    and the checkpoint serializes batches). availableNow drains the
+    backlog in one call; returns the StreamingQuery.
+    """
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        count_min_sketch,
+    )
+
+    stream = spark.readStream.schema(schema).json(input_path)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cells = count_min_sketch(
+            batch_df, col, depth=depth, width=width, seed=seed
+        )
+        try:
+            standing = batch_df.sparkSession.read.parquet(sketch_path)
+            cells = (
+                standing.unionByName(cells)
+                .groupBy("row_idx", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        except Exception:
+            pass  # first batch: the batch cells ARE the sketch
+        # the sketch is tiny (<= depth*width rows): collect-free single
+        # -file overwrite via coalesce(1), then replace
+        cells.coalesce(1).write.mode("overwrite").parquet(sketch_path + "_next")
+        import shutil
+
+        shutil.rmtree(sketch_path, ignore_errors=True)
+        shutil.move(sketch_path + "_next", sketch_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1163,3 +1163,27 @@ def test_golden_records_survivorship(spark):
 
     with __import__("pytest").raises(ValueError, match="survivorship"):
         golden_records(df, "pid", "name", {"brand": "mode"})
+
+
+def test_name_linkage_rev_prefix_recall(spark):
+    """A first-character typo shares NO name prefix — the single-pass
+    block misses it; the reversed-prefix second pass recovers it."""
+    from databricks_demo_feature_store_spark.operators.linkage import name_linkage
+
+    df = spark.createDataFrame(
+        [(1, "karlsson industries"), (2, "carlsson industries"),
+         (3, "zzz unrelated co")],
+        "pid long, name string",
+    )
+    single = name_linkage(df, "pid", "name", prefix_len=3, max_distance=2)
+    assert single.count() == 0  # 'kar' vs 'car' blocks never meet
+    both = name_linkage(
+        df, "pid", "name", prefix_len=3, max_distance=2,
+        blocks=("prefix", "rev_prefix"),
+    ).collect()
+    assert {(r["name_a"], r["name_b"], r["distance"]) for r in both} == {
+        ("carlsson industries", "karlsson industries", 1)
+    }
+    import pytest as _p
+    with _p.raises(ValueError, match="blocks"):
+        name_linkage(df, "pid", "name", blocks=("soundex",))
