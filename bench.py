@@ -38,6 +38,7 @@ HEADLINE = [
     "q_pipeline_holdings_native",
     "q_training_set",
     "q_training_set_stress",
+    "q_training_set_refresh",
     "q_negative_samples",
     "q_fs_online_snapshot",
     "q_unpivot_melt",

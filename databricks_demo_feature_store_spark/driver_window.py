@@ -417,7 +417,12 @@ module import order. Selection policy:
   aggregate, pytest+local; event analytics keep q_stream_cusum + the
   stream windows in-window), q_winsorize (its exact percentile FIT is
   the grouped-percentile machinery rotating-in q_val_serving_skew
-  certifies; the clamp algebra stays pytest+local).
+  certifies; the clamp algebra stays pytest+local). And
+  q_training_set_refresh (incremental refresh proven equal to full
+  reassembly) rotates in for q_ext_chunk_documents (OUT with cover:
+  the token-window chunk assignment stays pytest+local; the
+  sampling/sharding family keeps q_ext_domain_cap, q_ext_shuffle_shards
+  and q_ext_group_sample in-window).
 """
 
 from __future__ import annotations
@@ -457,7 +462,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_robust_outliers",
     # round-8 rotation: the last 19 never-driver-checked queries + the
     # two ADVICE-r7 gatings (see docstring) — debt to zero
-    "q_ext_chunk_documents",
     "q_ext_curate_corpus",
     "q_ext_dedup_clusters_twophase",
     "q_ext_random_projection",
@@ -483,6 +487,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_cms_frequencies",
     "q_stream_cms",
     "q_name_linkage_multiblock",
+    "q_training_set_refresh",
 )
 
 WINDOW_SIZE = 50

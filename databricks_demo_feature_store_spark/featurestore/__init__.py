@@ -10,6 +10,7 @@ from databricks_demo_feature_store_spark.featurestore.training import (
     create_training_set,
     latest_features,
     negative_samples,
+    refresh_training_set,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "create_training_set",
     "latest_features",
     "negative_samples",
+    "refresh_training_set",
 ]

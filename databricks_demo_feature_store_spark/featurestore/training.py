@@ -231,3 +231,66 @@ def negative_samples(
             F.col("slot").cast("int").alias("slot"),
         )
     )
+
+
+def refresh_training_set(
+    spine: DataFrame,
+    old_training: DataFrame,
+    features_old: DataFrame,
+    features_new: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    feature_time: str,
+    feature_cols: Sequence[str] | None = None,
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """Incrementally refresh an assembled training set after a feature
+    table changes version: spine rows whose entity's feature HISTORY
+    differs between ``features_old`` and ``features_new`` get their PIT
+    lookup recomputed against the new version; every other row of
+    ``old_training`` is kept untouched. The PIT lookup is per-entity
+    decomposable (an entity's as-of match depends only on that entity's
+    history), so the result equals a full reassembly — the driver gate
+    proves that equality against a full-recompute oracle rather than
+    assuming it.
+
+    Changed entities are found with a symmetric row difference
+    (``exceptAll`` both ways) over (keys, time, payload) — the parquet
+    twin of reading a Delta CDF — then collapsed to a distinct key set.
+    Scale shape: the diff touches the two feature versions (each one
+    hash shuffle), the recompute runs the union+last_value PIT on the
+    CHANGED SLICE of the spine only (broadcast-semi-join pruned, so scan
+    and shuffle scale with the change set), and the kept rows move
+    through an anti-join — at a typical daily change rate the refresh
+    is a small fraction of reassembly.
+    """
+    keys = list(keys)
+    from databricks_demo_feature_store_spark.operators.joins import (
+        point_in_time_join,
+    )
+
+    cols = (
+        [*keys, feature_time, *(feature_cols or [])]
+        if feature_cols is not None
+        else None
+    )
+    old_rows = features_old.select(*cols) if cols else features_old
+    new_rows = features_new.select(*cols) if cols else features_new
+    changed = (
+        old_rows.exceptAll(new_rows)
+        .unionByName(new_rows.exceptAll(old_rows))
+        .select(*keys)
+        .distinct()
+    )
+    spine_changed = spine.join(F.broadcast(changed), on=keys, how="left_semi")
+    recomputed = point_in_time_join(
+        spine_changed,
+        features_new,
+        keys=keys,
+        spine_time=spine_time,
+        feature_time=feature_time,
+        feature_cols=list(feature_cols) if feature_cols else None,
+        tolerance_expr=tolerance_expr,
+    )
+    kept = old_training.join(F.broadcast(changed), on=keys, how="left_anti")
+    return kept.unionByName(recomputed.select(*old_training.columns))

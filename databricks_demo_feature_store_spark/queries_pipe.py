@@ -2098,3 +2098,80 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_count",
         (F.col("cms_count") >= F.col("exact_count")).alias("is_overestimate"),
     )
+
+
+@register(
+    "q_training_set_refresh",
+    oracle="""
+    WITH fnew AS (
+      SELECT o_custkey AS custkey,
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                  + INTERVAL 1 MONTH AS TIMESTAMP) AS release_dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend,
+             COUNT(*) AS order_cnt
+      FROM orders WHERE o_orderkey % 13 <> 0
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT o_orderkey AS label_id, o_custkey AS custkey,
+             CAST(o_orderdate AS TIMESTAMP) AS label_ts
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT s.custkey, s.label_ts, s.label_id,
+           f.total_spend, f.order_cnt
+    FROM spine s
+    ASOF LEFT JOIN fnew f
+      ON s.custkey = f.custkey AND s.label_ts >= f.release_dt
+    """,
+)
+def q_training_set_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental training-set refresh proven equal to full reassembly:
+    v2 of the monthly-spend feature table voids every 13th order (a
+    late-arriving correction touching ~half the customers' histories);
+    refresh_training_set diffs the two versions (exceptAll both ways),
+    recomputes the PIT lookup ONLY for spine rows of changed customers,
+    and keeps every other row of the v1 training set untouched. The
+    oracle is the FULL reassembly against v2 — the driver row certifies
+    the per-entity decomposition instead of assuming it."""
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        refresh_training_set,
+    )
+    from databricks_demo_feature_store_spark.operators.joins import (
+        point_in_time_join,
+    )
+
+    o = load(spark, sf_dir, "orders")
+
+    def monthly(src):
+        return src.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.add_months(F.trunc(F.col("o_orderdate").cast("date"), "month"), 1)
+            .cast("timestamp")
+            .alias("release_dt"),
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+
+    f_old = monthly(o)
+    f_new = monthly(o.where(F.col("o_orderkey") % 13 != 0))
+    spine = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("label_id"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("label_ts"),
+    )
+    old_training = point_in_time_join(
+        spine, f_old, keys=["custkey"], spine_time="label_ts",
+        feature_time="release_dt",
+    )
+    return refresh_training_set(
+        spine,
+        old_training,
+        f_old,
+        f_new,
+        keys=["custkey"],
+        spine_time="label_ts",
+        feature_time="release_dt",
+    )

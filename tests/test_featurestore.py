@@ -302,3 +302,41 @@ def test_negative_samples_properties(spark):
     import pytest as _p
     with _p.raises(ValueError, match="k >= 1"):
         negative_samples(inter, "u", "it", items, k=0)
+
+
+def test_refresh_training_set_touches_only_changed_entities(spark):
+    """The refresh must (a) recompute changed entities against v2 and
+    (b) pass untouched entities' OLD rows through verbatim — proven by
+    planting a sentinel in the old training frame for an unchanged
+    entity: a lazy full recompute would 'fix' it, the incremental path
+    must preserve it."""
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        refresh_training_set,
+    )
+
+    f_old = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10.0), (2, dt.datetime(2024, 1, 1), 20.0)],
+        "k long, ft timestamp, v double",
+    )
+    # v2: entity 1's history changes, entity 2 untouched
+    f_new = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 99.0), (2, dt.datetime(2024, 1, 1), 20.0)],
+        "k long, ft timestamp, v double",
+    )
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 2, 1), 100), (2, dt.datetime(2024, 2, 1), 200)],
+        "k long, ts timestamp, label int",
+    )
+    # old training with a SENTINEL for entity 2 (not what a recompute
+    # would produce) — must survive the refresh untouched
+    old_training = spark.createDataFrame(
+        [(1, dt.datetime(2024, 2, 1), 100, 10.0),
+         (2, dt.datetime(2024, 2, 1), 200, -777.0)],
+        "k long, ts timestamp, label int, v double",
+    )
+    got = {r["k"]: r["v"] for r in refresh_training_set(
+        spine, old_training, f_old, f_new,
+        keys=["k"], spine_time="ts", feature_time="ft",
+    ).collect()}
+    assert got[1] == 99.0    # changed entity recomputed against v2
+    assert got[2] == -777.0  # unchanged entity: old row verbatim

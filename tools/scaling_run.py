@@ -61,6 +61,13 @@ HEAVY = [
     "q_clustering_coeff",
     "q_rfm_segments",
     "q_training_set_stress",
+    # late round-9 families with super-constant risk: transitive-closure
+    # linkage, hash-slot negatives vs a 10× item dim, the version-diff
+    # refresh, and the per-feature skew audit
+    "q_golden_records",
+    "q_negative_samples",
+    "q_training_set_refresh",
+    "q_val_serving_skew",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -160,7 +167,28 @@ def build_scaled_dir(spark, src: str, dst: str, factor: int) -> None:
         *[col for col in c.columns if col not in ("c_custkey", "__c")],
     ).write.mode("overwrite").parquet(os.path.join(dst, "customer.parquet"))
 
-    for name in ("region", "nation", "supplier", "part"):
+    # part: key offset + per-copy alphabet-rotated names (same trick as
+    # documents) so name-linkage / golden-record / negative-sampling
+    # families see 10× entities with 10 disjoint name spaces, not a
+    # replayed 1× dimension (round-9 fix)
+    p = _expand("part")
+    pname = F.col("p_name")
+    for i in range(1, factor):
+        pname = F.when(
+            F.col("__c") == i,
+            F.translate(F.col("p_name"), ALPHA + ALPHA.upper(),
+                        rotations[i] + rotations[i].upper()),
+        ).otherwise(pname)
+    p.select(
+        (F.col("p_partkey") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("p_partkey"),
+        pname.alias("p_name"),
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    ).write.mode("overwrite").parquet(os.path.join(dst, "part.parquet"))
+
+    for name in ("region", "nation", "supplier"):
         src_file = os.path.join(src, f"{name}.parquet")
         if os.path.exists(src_file):
             shutil.copy(src_file, os.path.join(dst, f"{name}.parquet"))
