@@ -72,6 +72,8 @@ HEADLINE = [
     "q_cms_frequencies",
     "q_stream_cms",
     "q_name_linkage_multiblock",
+    "q_json_extract",
+    "q_json_key_profile",
     "q_val_roc_auc",
     "q_val_pr_curve",
     "q_val_pr_auc",

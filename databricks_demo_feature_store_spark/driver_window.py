@@ -422,7 +422,15 @@ module import order. Selection policy:
   reassembly) rotates in for q_ext_chunk_documents (OUT with cover:
   the token-window chunk assignment stays pytest+local; the
   sampling/sharding family keeps q_ext_domain_cap, q_ext_shuffle_shards
-  and q_ext_group_sample in-window).
+  and q_ext_group_sample in-window). Last: the JSON payload pair
+  q_json_extract (typed try_cast extraction, pure projection) +
+  q_json_key_profile (key discovery) rotate in for
+  q_ext_shuffle_shards (OUT — deterministic hash-bucket sharding,
+  pytest+local; the portable-hash assignment machinery is in-window
+  via q_ext_group_sample and q_cms_frequencies) and q_val_decile_lift
+  (OUT — rank-bucket lift aggregation, pytest+local; the evaluation
+  family keeps q_val_feature_screen in-window and the rank-bucket
+  machinery is in-window q_rfm_segments' shared ntile).
 """
 
 from __future__ import annotations
@@ -456,7 +464,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_pq_adc_topk",
     "q_ext_mmr_rerank",
     # validation / diagnostics anchors
-    "q_val_decile_lift",
     "q_table_diff",
     "q_join_size_estimate",
     "q_robust_outliers",
@@ -465,7 +472,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_curate_corpus",
     "q_ext_dedup_clusters_twophase",
     "q_ext_random_projection",
-    "q_ext_shuffle_shards",
     "q_clustering_coeff",
     "q_val_psi_numeric",
     "q_ext_vocab_coverage",
@@ -488,6 +494,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_cms",
     "q_name_linkage_multiblock",
     "q_training_set_refresh",
+    "q_json_extract",
+    "q_json_key_profile",
 )
 
 WINDOW_SIZE = 50

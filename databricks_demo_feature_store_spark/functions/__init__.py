@@ -34,6 +34,10 @@ from databricks_demo_feature_store_spark.functions.quality import (
     impute_dataframe,
     rename_columns,
 )
+from databricks_demo_feature_store_spark.functions.semistructured import (
+    json_extract_typed,
+    json_key_profile,
+)
 from databricks_demo_feature_store_spark.functions.types import (
     decimals_to_floats,
     longs_to_integers,
@@ -50,5 +54,6 @@ __all__ = [
     "create_constant_column", "rfm_segments",
     "standardize_na_values", "drop_na", "drop_duplicates", "impute_dataframe",
     "rename_columns",
+    "json_extract_typed", "json_key_profile",
     "decimals_to_floats", "longs_to_integers", "apply_schema",
 ]

@@ -2313,3 +2313,67 @@ def q_name_linkage_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         p, "p_partkey", "p_name", prefix_len=3, max_distance=3,
         blocks=("prefix", "rev_prefix"),
     )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    WITH ex AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           CAST(ROUND(CAST(AVG(k) AS DECIMAL(38,10)), 6) AS DOUBLE) AS avg_k
+    FROM ex GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction feeding an aggregate: props.k pulled as an
+    int (pure projection — no shuffle, no Python, NULL on missing or
+    malformed), then per-event-type counts and mean. The oracle replays
+    the JSON path extraction and the arithmetic."""
+    from databricks_demo_feature_store_spark.functions.semistructured import (
+        json_extract_typed,
+    )
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+
+    ev = load(spark, sf_dir, "events").select("event_type", "props")
+    ex = json_extract_typed(ev, "props", {"k": "int"})
+    return ex.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("k").isNotNull().cast("long")).cast("long").alias("n_with_k"),
+        dround(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+@register(
+    "q_json_key_profile",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS t FROM events),
+    k AS (
+      SELECT unnest(json_keys(props)) AS key FROM events
+      WHERE props IS NOT NULL AND json_valid(props)
+    ),
+    c AS (SELECT key, COUNT(*) AS n_present FROM k GROUP BY key)
+    SELECT key,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(ROUND(CAST(CAST(n_present AS DOUBLE) / tot.t
+                AS DECIMAL(38,10)), 6) AS DOUBLE) AS present_share
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON key discovery over the raw event payloads: one row per
+    top-level key with its presence count and share over all rows —
+    the profile that drives extraction configs. One explode + one hash
+    agg, output bounded by distinct keys. The oracle replays key
+    enumeration and the share arithmetic."""
+    from databricks_demo_feature_store_spark.functions.semistructured import (
+        json_key_profile,
+    )
+
+    ev = load(spark, sf_dir, "events").select("props")
+    return json_key_profile(ev, "props")

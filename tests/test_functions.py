@@ -477,3 +477,39 @@ def test_rfm_segments_exact(spark):
     assert out[2]["rfm_code"] == 111
     assert out[3]["rfm_code"] == 122
     assert out[4]["rfm_code"] == 211
+
+
+def test_json_extract_and_profile(spark):
+    """Typed extraction yields NULL on missing keys, failed casts and
+    malformed documents (never a task error); the key profile counts
+    presence over ALL rows including malformed ones."""
+    from databricks_demo_feature_store_spark.functions.semistructured import (
+        json_extract_typed,
+        json_key_profile,
+    )
+
+    rows = [
+        (1, '{"k": 7, "tag": "a"}'),
+        (2, '{"k": "not_an_int", "extra": true}'),
+        (3, '{"tag": "b"}'),
+        (4, "{broken json"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    ex = {r["id"]: (r["k"], r["tag"]) for r in json_extract_typed(
+        df, "props", {"k": "int", "tag": "string"}).collect()}
+    assert ex[1] == (7, "a")
+    assert ex[2] == (None, None)  # cast failure → NULL, no error
+    assert ex[3] == (None, "b")
+    assert ex[4] == (None, None)  # malformed → NULL
+    assert ex[5] == (None, None)
+
+    prof = {r["key"]: (r["n_present"], r["present_share"]) for r in
+            json_key_profile(df, "props").collect()}
+    assert prof["k"] == (2, 0.4)      # 2 of 5 rows
+    assert prof["tag"] == (2, 0.4)
+    assert prof["extra"] == (1, 0.2)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="allowlist"):
+        json_extract_typed(df, "props", {"k": "map<string,string>"})

@@ -50,6 +50,10 @@ PYSPARK_35_FUNCTIONS_VERIFIED = {
     "regexp_extract",  # 1.5.0
     "levenshtein",  # 1.5.0 (two-arg form only; the `threshold` kwarg is 3.5+)
     "split", "substring", "translate", "md5", "xxhash64",
+    "reverse",  # 1.5.0 (string) / 2.4.0 (array)
+    "get_json_object",  # 1.6.0
+    "json_object_keys",  # python wrapper added 3.5.0
+
     # dates/timestamps
     "add_months", "current_date", "date_add", "date_sub", "date_format",
     "date_trunc", "datediff", "dayofmonth", "months_between", "to_date",
@@ -128,6 +132,7 @@ PYSPARK_35_METHODS_VERIFIED = {
     "bitwiseXOR", "cast", "contains", "corr", "desc", "endswith",
     "eqNullSafe", "getField", "isNotNull", "isNull", "isin", "otherwise",
     "over", "rlike", "startswith", "substr", "when",
+    "try_cast",  # Column.try_cast added 3.5.0
     # SparkSession / catalog-ish
     "createDataFrame", "range", "read", "sql", "table", "exists",
     # Window
