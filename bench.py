@@ -167,18 +167,29 @@ def main() -> None:
     # FULL benched suite plus the slowest queries (the ones a perf grade
     # turns on) — and write the complete per-query map next to this
     # script as BENCH_FULL.json for BASELINE.md bookkeeping.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    full_timings = dict(timings)
+    if only:
+        # targeted re-measure: MERGE into the standing full map instead of
+        # clobbering it with a partial one (same sf only)
+        try:
+            with open(full_path) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf:
+                full_timings = {**prev.get("queries", {}), **timings}
+        except Exception:
+            pass
     full = {
         "metric": "headline_queries_wall_sec",
-        "value": total,
+        "value": round(sum(full_timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": full_timings,
         "sf": sf,
         "runs_per_query": runs,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as fh:
+    with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
