@@ -74,6 +74,7 @@ HEADLINE = [
     "q_name_linkage_multiblock",
     "q_json_extract",
     "q_json_key_profile",
+    "q_json_schema_drift",
     "q_val_roc_auc",
     "q_val_pr_curve",
     "q_val_pr_auc",

@@ -430,7 +430,12 @@ module import order. Selection policy:
   via q_ext_group_sample and q_cms_frequencies) and q_val_decile_lift
   (OUT — rank-bucket lift aggregation, pytest+local; the evaluation
   family keeps q_val_feature_screen in-window and the rank-bucket
-  machinery is in-window q_rfm_segments' shared ntile).
+  machinery is in-window q_rfm_segments' shared ntile). And
+  q_json_schema_drift (payload schema drift: added/removed/present keys
+  + presence-share deltas) rotates in for q_val_psi_numeric (OUT — the
+  identical quartile-cutpoint binned-PSI arithmetic runs TWICE per
+  feature inside in-window q_val_serving_skew; the numeric binning
+  stays pytest+local).
 """
 
 from __future__ import annotations
@@ -473,7 +478,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_dedup_clusters_twophase",
     "q_ext_random_projection",
     "q_clustering_coeff",
-    "q_val_psi_numeric",
     "q_ext_vocab_coverage",
     # round-9 rotation: the last 3 never-driver-checked queries (see
     # docstring) — rotation debt to zero
@@ -496,6 +500,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_training_set_refresh",
     "q_json_extract",
     "q_json_key_profile",
+    "q_json_schema_drift",
 )
 
 WINDOW_SIZE = 50

@@ -37,6 +37,7 @@ from databricks_demo_feature_store_spark.functions.quality import (
 from databricks_demo_feature_store_spark.functions.semistructured import (
     json_extract_typed,
     json_key_profile,
+    json_schema_drift,
 )
 from databricks_demo_feature_store_spark.functions.types import (
     decimals_to_floats,
@@ -54,6 +55,6 @@ __all__ = [
     "create_constant_column", "rfm_segments",
     "standardize_na_values", "drop_na", "drop_duplicates", "impute_dataframe",
     "rename_columns",
-    "json_extract_typed", "json_key_profile",
+    "json_extract_typed", "json_key_profile", "json_schema_drift",
     "decimals_to_floats", "longs_to_integers", "apply_schema",
 ]

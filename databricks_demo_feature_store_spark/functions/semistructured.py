@@ -91,3 +91,48 @@ def json_key_profile(
             F.col("n_present").cast("double") / F.col("__total"), round_to
         ).alias("present_share"),
     )
+
+
+def json_schema_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    json_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Schema drift between two snapshots of a JSON payload column: one
+    row per key seen in EITHER side — ``(key, cur_share, ref_share,
+    share_delta, status)`` with status ``added`` (key only in current),
+    ``removed`` (only in reference), or ``present``. The semi-structured
+    counterpart of dimension drift: upstream producers add/drop/rename
+    payload fields without warning, and a key whose presence share moves
+    is an extraction config about to silently NULL out.
+
+    Scale shape: one explode + hash agg per side (bounded by distinct
+    keys), a full-outer join of two key-sized frames, and broadcast
+    1-row totals — nothing scales with row count after the profiles.
+    """
+    def prof(df, n_name, s_name):
+        p = json_key_profile(df, json_col, round_to=round_to)
+        return p.select(
+            "key",
+            F.col("n_present").alias(n_name),
+            F.col("present_share").alias(s_name),
+        )
+
+    c = prof(cur, "n_cur", "cur_share")
+    r = prof(ref, "n_ref", "ref_share")
+    j = c.join(r, on="key", how="full_outer")
+    cur_share = F.coalesce(F.col("cur_share"), F.lit(0.0))
+    ref_share = F.coalesce(F.col("ref_share"), F.lit(0.0))
+    status = (
+        F.when(F.col("n_ref").isNull(), F.lit("added"))
+        .when(F.col("n_cur").isNull(), F.lit("removed"))
+        .otherwise(F.lit("present"))
+    )
+    return j.select(
+        "key",
+        dround(cur_share, round_to).alias("cur_share"),
+        dround(ref_share, round_to).alias("ref_share"),
+        dround(cur_share - ref_share, round_to).alias("share_delta"),
+        status.alias("status"),
+    )

@@ -2377,3 +2377,82 @@ def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("props")
     return json_key_profile(ev, "props")
+
+
+@register(
+    "q_json_schema_drift",
+    oracle="""
+    WITH ref0 AS (
+      SELECT CASE WHEN event_id % 5 = 0
+                  THEN concat(substr(props, 1, len(props) - 1), ', "old": 2}')
+                  ELSE props END AS props
+      FROM events
+    ),
+    cur0 AS (
+      SELECT CASE WHEN event_id % 4 = 0 THEN '{"z": 1}' ELSE props END AS props
+      FROM events
+    ),
+    rt AS (SELECT COUNT(*) AS t FROM ref0),
+    ct AS (SELECT COUNT(*) AS t FROM cur0),
+    rk AS (
+      SELECT key, COUNT(*) AS n FROM (
+        SELECT unnest(json_keys(props)) AS key FROM ref0
+        WHERE props IS NOT NULL AND json_valid(props)
+      ) GROUP BY key
+    ),
+    ck AS (
+      SELECT key, COUNT(*) AS n FROM (
+        SELECT unnest(json_keys(props)) AS key FROM cur0
+        WHERE props IS NOT NULL AND json_valid(props)
+      ) GROUP BY key
+    ),
+    j AS (
+      SELECT COALESCE(ck.key, rk.key) AS key, ck.n AS n_cur, rk.n AS n_ref
+      FROM ck FULL OUTER JOIN rk ON ck.key = rk.key
+    ),
+    shares AS (
+      SELECT key,
+             CAST(ROUND(CAST(COALESCE(CAST(n_cur AS DOUBLE) / ct.t, 0)
+                  AS DECIMAL(38,10)), 6) AS DOUBLE) AS cur_share,
+             CAST(ROUND(CAST(COALESCE(CAST(n_ref AS DOUBLE) / rt.t, 0)
+                  AS DECIMAL(38,10)), 6) AS DOUBLE) AS ref_share,
+             n_cur, n_ref
+      FROM j CROSS JOIN rt CROSS JOIN ct
+    )
+    SELECT key, cur_share, ref_share,
+           CAST(ROUND(CAST(cur_share - ref_share AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS share_delta,
+           CASE WHEN n_ref IS NULL THEN 'added'
+                WHEN n_cur IS NULL THEN 'removed'
+                ELSE 'present' END AS status
+    FROM shares
+    """,
+)
+def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload schema drift between two event snapshots: the reference
+    side carries a legacy key on every 5th event (string-surgery twin on
+    both engines), the current side replaces every 4th payload with a
+    new-producer shape — the audit must report the legacy key as
+    removed, the new key as added, and the shared key's presence-share
+    delta. All arithmetic on key-bounded frames; the oracle replays the
+    synthetic versions, the key profiles, and the full-outer diff."""
+    from databricks_demo_feature_store_spark.functions.semistructured import (
+        json_schema_drift,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    ref = ev.select(
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.expr("substring(props, 1, length(props) - 1)"),
+                F.lit(', "old": 2}'),
+            ),
+        ).otherwise(F.col("props")).alias("props")
+    )
+    cur = ev.select(
+        F.when(F.col("event_id") % 4 == 0, F.lit('{"z": 1}'))
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    return json_schema_drift(cur, ref, "props")

@@ -513,3 +513,26 @@ def test_json_extract_and_profile(spark):
     import pytest as _p
     with _p.raises(ValueError, match="allowlist"):
         json_extract_typed(df, "props", {"k": "map<string,string>"})
+
+
+def test_json_schema_drift_statuses(spark):
+    """added / removed / present statuses and exact share deltas."""
+    from databricks_demo_feature_store_spark.functions.semistructured import (
+        json_schema_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [('{"a": 1, "legacy": 1}',), ('{"a": 2}',), ('{"a": 3}',), (None,)],
+        "props string",
+    )
+    cur = spark.createDataFrame(
+        [('{"a": 1, "fresh": 9}',), ('{"a": 2}',), ('{"fresh": 1}',), ("{bad",)],
+        "props string",
+    )
+    got = {r["key"]: r for r in json_schema_drift(cur, ref, "props").collect()}
+    assert got["legacy"]["status"] == "removed" and got["legacy"]["cur_share"] == 0.0
+    assert got["fresh"]["status"] == "added" and got["fresh"]["cur_share"] == 0.5
+    a = got["a"]
+    assert a["status"] == "present"
+    assert a["cur_share"] == 0.5 and a["ref_share"] == 0.75
+    assert a["share_delta"] == -0.25

@@ -192,3 +192,85 @@ def test_multi_pit_matches_sequential_chain(spark, spine, fa, fb):
     )
     seq = {r["row_id"]: (r["va"], r["vb"]) for r in seq_df.collect()}
     assert multi == seq
+
+
+_surv_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["ann", "anna", "annb", "bob", "bobb", "carol", ""]),
+        st.integers(min_value=-50, max_value=50),        # value field
+    ),
+    min_size=1,
+    max_size=20,
+).map(lambda rs: [(i, n, v) for i, (n, v) in enumerate(rs)])  # unique ids
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_surv_rows)
+def test_golden_records_matches_bruteforce_union_find(spark, rows):
+    """golden_records' name-graph CC + survivorship must match a Python
+    union-find over the same blocked-Levenshtein pairs, on randomized
+    entity tables with duplicate ids, shared names, near-names and
+    empty names (singletons)."""
+    import itertools
+
+    from databricks_demo_feature_store_spark.operators.linkage import golden_records
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            curr = [i]
+            for j, cb in enumerate(b, 1):
+                curr.append(min(prev[j] + 1, curr[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = curr
+        return prev[-1]
+
+    # brute force: normalize = lower/strip (inputs are already clean),
+    # pairs = same 2-char block and distance <= 2, union-find, then
+    # survivorship min(id)/count/longest-name/max(value)
+    named = [(i, n, v) for i, n, v in rows if n]
+    names = sorted({n for _, n, _ in named})
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(names, 2):
+        if a[:2] == b[:2] and abs(len(a) - len(b)) <= 2 and lev(a, b) <= 2:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    clusters = {}
+    for i, n, v in named:
+        clusters.setdefault(find(n), []).append((i, n, v))
+    for members in clusters.values():
+        cid = min(i for i, _, _ in members)
+        expected[cid] = (
+            len(members),
+            max((n for _, n, _ in members), key=lambda x: (len(x), x)),
+            max(v for _, _, v in members),
+        )
+    # empty names become singleton clusters keyed by their own (unique) id
+    for i, n, v in rows:
+        if not n:
+            expected[i] = (1, None, v)
+
+    df = spark.createDataFrame(
+        [(i, n if n else None, v) for i, n, v in rows],
+        "pid long, name string, val int",
+    )
+    got = {
+        r["cluster_id"]: (r["n_members"], r["canonical_name"], r["val"])
+        for r in golden_records(
+            df, "pid", "name", {"val": "max"}, prefix_len=2, max_distance=2
+        ).collect()
+    }
+    assert got == expected  # ids are unique, so the comparison is total
