@@ -5,11 +5,14 @@ The Spark-side machinery (schemas, batch iteration, partition sizing) is
 real and tested. The third-party decode libraries (Pillow/librosa/av) are
 not in this container (install retried + network-blocked every round), so
 ``decode_fn=None`` uses a deterministic fake that "decodes"
-byte-length/checksum features; pass a real decoder in production. PNG,
-however, needs only the stdlib — :func:`make_png_decode_fn` /
-:func:`decode_image_features` is a REAL decoder (IHDR parse, IDAT
-inflate, full RFC 2083 scanline un-filtering, exact pixel statistics)
-proving the Arrow batch contract with genuinely decoded bytes.
+byte-length/checksum features; pass a real decoder in production. PNG
+and WAV, however, need only the stdlib — :func:`make_png_decode_fn` /
+:func:`decode_image_features` (IHDR parse, IDAT inflate, full RFC 2083
+scanline un-filtering, exact pixel statistics) and
+:func:`make_wav_decode_fn` / :func:`decode_audio_features` (RIFF/PCM
+parse, exact sample statistics) are REAL decoders proving the Arrow
+batch contract with genuinely decoded bytes; only video demux still
+needs external codecs and stays stubbed.
 
 Scale notes: binary payloads dominate partition size — ``media_repartition``
 sizes partitions by *bytes*, not rows, so a 100 TB image corpus doesn't
@@ -481,3 +484,104 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             yield fn(pdf)
 
     return images.mapInPandas(run, schema=IMAGE_DECODE_SCHEMA)
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sum_abs", StringType(), True),  # exact integer sum of |samples|
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def make_wav_decode_fn() -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """A REAL (non-stub) audio decoder built from the stdlib only — the
+    WAV sibling of :func:`make_png_decode_fn`: parse the RIFF container
+    (fmt chunk → sample rate / channels / bit depth, data chunk → PCM
+    frames) and reduce the recovered samples to exact statistics
+    (``sum_abs`` is the exact integer sum of absolute sample values, so
+    tests assert bit-exact PCM recovery). Supports 8-bit unsigned and
+    16-bit signed little-endian PCM (format tag 1), mono or multi-
+    channel. Compressed/float formats degrade to
+    ``decode_ok='unsupported'``, torn containers to ``'error'``,
+    non-WAV payloads to ``'not_wav'`` — a poison byte-string never
+    kills the stage. Nested closure so cloudpickle ships it by value."""
+
+    def decode(batch: pd.DataFrame) -> pd.DataFrame:
+        import struct
+
+        import pandas as _pd
+
+        def one(payload):
+            if payload is None or len(payload) < 12:
+                return (None,) * 6 + ("not_wav",)
+            data = bytes(payload)
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                return (None,) * 6 + ("not_wav",)
+            try:
+                pos, fmt, pcm = 12, None, None
+                while pos + 8 <= len(data):
+                    cid = data[pos : pos + 4]
+                    (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+                    body = data[pos + 8 : pos + 8 + ln]
+                    if cid == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        pcm = body
+                    pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+                if fmt is None or pcm is None:
+                    return (None,) * 6 + ("error",)
+                tag, nch, rate, _byterate, _align, depth = fmt
+                if tag != 1 or depth not in (8, 16) or nch < 1:
+                    return (rate, nch, depth, None, None, None, "unsupported")
+                if depth == 16:
+                    n = len(pcm) // 2
+                    samples = struct.unpack(f"<{n}h", pcm[: n * 2])
+                    total = sum(abs(s) for s in samples)
+                else:
+                    samples = pcm  # unsigned bytes, center at 128
+                    total = sum(abs(s - 128) for s in samples)
+                    n = len(samples)
+                frames = n // nch
+                dur_ms = (frames * 1000) // rate if rate else None
+                return (rate, nch, depth, frames, dur_ms, str(total), "ok")
+            except Exception:
+                return (None,) * 6 + ("error",)
+
+        out = [one(p) for p in batch["payload"]]
+        return _pd.DataFrame(
+            {
+                "media_id": _pd.Series(batch["media_id"], dtype="int64"),
+                "sample_rate": _pd.Series([o[0] for o in out], dtype="Int32"),
+                "channels": _pd.Series([o[1] for o in out], dtype="Int32"),
+                "bit_depth": _pd.Series([o[2] for o in out], dtype="Int32"),
+                "n_frames": _pd.Series([o[3] for o in out], dtype="Int64"),
+                "duration_ms": _pd.Series([o[4] for o in out], dtype="Int64"),
+                "sum_abs": _pd.Series([o[5] for o in out], dtype="object"),
+                "decode_ok": _pd.Series([o[6] for o in out], dtype="object"),
+            }
+        )
+
+    return decode
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """Real-decode path for audio: :func:`make_wav_decode_fn` over the
+    audio rows via Arrow-batched ``mapInPandas`` — same plumbing as
+    :func:`decode_features` / :func:`decode_image_features`."""
+    audio = media.filter(F.col("media_type") == "audio").select(
+        "media_id", "payload"
+    )
+    fn = make_wav_decode_fn()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return audio.mapInPandas(run, schema=AUDIO_DECODE_SCHEMA)

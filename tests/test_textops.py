@@ -1589,3 +1589,67 @@ def test_two_stage_topk_matches_bruteforce_when_candidates_cover(spark):
     # stage-1 on [0, 0.5] prefix picks doc 3 (cos 1.0 on prefix); the
     # true full-dim winner doc 4 never reaches the rerank
     assert starved == [(10, 3, 1)]
+
+
+def _encode_wav(samples, sample_rate=8000, channels=1, depth=16):
+    """Minimal stdlib WAV encoder for the decode test: interleaved
+    sample tuples → RIFF/fmt/data container."""
+    import struct
+
+    flat = [v for frame in samples for v in frame]
+    if depth == 16:
+        pcm = struct.pack(f"<{len(flat)}h", *flat)
+    else:
+        pcm = bytes((v + 128) & 0xFF for v in flat)
+    block = channels * depth // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, depth
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_real_bytes(spark):
+    """NON-STUB audio decode: real RIFF/PCM WAV payloads through the
+    Arrow mapInPandas contract, with bit-exact sample-sum recovery for
+    16-bit stereo and 8-bit mono; non-WAV and compressed payloads
+    degrade to status values."""
+    import struct
+
+    from databricks_demo_feature_store_spark.textops.multimodal import (
+        decode_audio_features,
+    )
+
+    stereo = _encode_wav(
+        [(1000, -1000), (32767, -32768), (0, 5)], sample_rate=16000, channels=2
+    )  # sum_abs = 1000+1000+32767+32768+0+5 = 67540, 3 frames
+    mono8 = _encode_wav([(100,), (-100,), (0,)], sample_rate=8000,
+                        channels=1, depth=8)  # sum_abs = 200
+    # format tag 3 (float) → unsupported
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    floatwav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 0))
+    rows = [
+        (1, "audio", bytearray(stereo)),
+        (2, "audio", bytearray(mono8)),
+        (3, "audio", bytearray(floatwav)),
+        (4, "audio", bytearray(b"ID3 not a wav")),
+        (5, "image", bytearray(stereo)),  # filtered: not an audio row
+    ]
+    media = spark.createDataFrame(rows, ["media_id", "media_type", "payload"])
+    out = {r["media_id"]: r for r in decode_audio_features(media).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    s = out[1]
+    assert (s["sample_rate"], s["channels"], s["bit_depth"]) == (16000, 2, 16)
+    assert s["n_frames"] == 3 and s["sum_abs"] == "67540"
+    assert s["duration_ms"] == 0 and s["decode_ok"] == "ok"  # 3/16000 s
+    m = out[2]
+    assert (m["sample_rate"], m["channels"], m["bit_depth"]) == (8000, 1, 8)
+    assert m["sum_abs"] == "200" and m["decode_ok"] == "ok"
+    assert out[3]["decode_ok"] == "unsupported" and out[3]["sample_rate"] == 8000
+    assert out[4]["decode_ok"] == "not_wav"
