@@ -190,8 +190,12 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
     }
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    # BENCH_FULL.json is the standing-record bookkeeping for BASELINE.md
+    # and is only meaningful at the benchmark scale — a sf0.001 smoke run
+    # (tools/gate.py step 4) must not clobber it
+    if sf == 0.1:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
 
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     line = {

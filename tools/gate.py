@@ -13,7 +13,10 @@ JVM/session and one step's config can't mask another's failure):
    events-table query on a bare ``local[8]`` session (catches configs
    that only exist in our ``get_spark()``).
 4. ``bench.py`` smoke at sf0.001 — asserts exactly one JSON line with
-   the driver's contract keys.
+   the driver's contract keys (BENCH_FULL.json is untouched: bench.py
+   only persists the standing-record map at sf0.1).
+5. ``tools/compat35_audit.py`` — the PySpark-3.5 surface ratchet
+   (functions + object methods); fails on any unratcheted usage.
 
 Usage::
 
@@ -105,6 +108,12 @@ def main() -> int:
         failures.append("bench")
     if not ok:
         failures.append("bench-exit")
+
+    ok, out = run("3.5 compat ratchet", [PY, f"{REPO}/tools/compat35_audit.py"])
+    last = out.strip().splitlines()[-1] if out.strip() else "(no output)"
+    print(last)
+    if not ok:
+        failures.append("compat35")
 
     print(f"\nGATE {'OK' if not failures else 'FAILED: ' + ', '.join(failures)}")
     return 1 if failures else 0
