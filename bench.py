@@ -91,6 +91,7 @@ HEADLINE = [
     "q_robust_outliers",
     "q_rsi",
     "q_backtest_folds",
+    "q_purged_folds",
     "q_rfm_segments",
     "q_val_cohens_kappa",
     "q_pagerank",

@@ -435,7 +435,13 @@ module import order. Selection policy:
   + presence-share deltas) rotates in for q_val_psi_numeric (OUT — the
   identical quartile-cutpoint binned-PSI arithmetic runs TWICE per
   feature inside in-window q_val_serving_skew; the numeric binning
-  stays pytest+local).
+  stays pytest+local). And q_purged_folds (purged + embargoed CV — the
+  leakage-safe split for forward-horizon labels) rotates in for
+  q_ext_curate_corpus (OUT — its composed verdict runs the SAME
+  cleaning / quality-classifier / dedup machinery the in-window
+  q_ext_quality_classifier, q_ext_contamination_bloom and
+  q_ext_cross_corpus_dedup anchors certify; the verdict fold stays
+  pytest+local).
 """
 
 from __future__ import annotations
@@ -474,7 +480,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_robust_outliers",
     # round-8 rotation: the last 19 never-driver-checked queries + the
     # two ADVICE-r7 gatings (see docstring) — debt to zero
-    "q_ext_curate_corpus",
     "q_ext_dedup_clusters_twophase",
     "q_ext_random_projection",
     "q_clustering_coeff",
@@ -501,6 +506,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_json_extract",
     "q_json_key_profile",
     "q_json_schema_drift",
+    "q_purged_folds",
 )
 
 WINDOW_SIZE = 50

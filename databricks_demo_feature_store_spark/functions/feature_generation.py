@@ -866,3 +866,70 @@ def rfm_segments(
             r_score * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("rfm_code"),
     )
+
+
+def purged_backtest_folds(
+    df: DataFrame,
+    ts_col: str,
+    cutoffs: Sequence[str],
+    horizon_days: int,
+    label_horizon_days: int,
+    embargo_days: int = 0,
+    fold_col: str = "fold",
+    split_col: str = "split",
+) -> DataFrame:
+    """Purged + embargoed rolling-origin folds (the leakage-safe CV for
+    labels computed over a FORWARD horizon — de Prado, *Advances in
+    Financial ML* ch.7): like :func:`backtest_folds`, but train rows
+    whose ``label_horizon_days`` evaluation window crosses the cutoff
+    are PURGED (their label peeks into the test period — the subtle
+    leak plain time splits miss), and the test window starts after an
+    ``embargo_days`` gap (serial correlation immediately after the
+    cutoff leaks backward through overlapping features).
+
+    Per fold i with cutoff c:
+
+    - ``train``: ``ts <= c − label_horizon_days`` (every kept train
+      row's label window closes at or before the cutoff)
+    - ``test``: ``c + embargo_days < ts <= c + horizon_days``
+    - rows in the purge gap / embargo gap / beyond the horizon drop.
+
+    Same scale shape as the unpurged form: one literal fold-array
+    explode, range predicates, no shuffle, no data pre-scan.
+    """
+    if not cutoffs:
+        raise ValueError("purged_backtest_folds requires >= 1 cutoff")
+    if horizon_days < 1 or label_horizon_days < 0 or embargo_days < 0:
+        raise ValueError(
+            "purged_backtest_folds requires horizon_days >= 1, "
+            "label_horizon_days >= 0, embargo_days >= 0"
+        )
+    if embargo_days >= horizon_days:
+        raise ValueError("embargo_days must be < horizon_days (empty test window)")
+    folds = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("f"),
+                F.to_timestamp(F.lit(str(c))).alias("cut"),
+            )
+            for i, c in enumerate(cutoffs)
+        ]
+    )
+    ts = F.col(ts_col)
+    exploded = df.select("*", F.explode(folds).alias("__fold"))
+    cut = F.col("__fold.cut")
+    train_hi = cut - F.expr(f"INTERVAL {int(label_horizon_days)} DAYS")
+    test_lo = cut + F.expr(f"INTERVAL {int(embargo_days)} DAYS")
+    test_hi = cut + F.expr(f"INTERVAL {int(horizon_days)} DAYS")
+    split = (
+        F.when(ts <= train_hi, F.lit("train"))
+        .when((ts > test_lo) & (ts <= test_hi), F.lit("test"))
+    )
+    return (
+        exploded.select(
+            *df.columns,
+            F.col("__fold.f").alias(fold_col),
+            split.alias(split_col),
+        )
+        .where(F.col(split_col).isNotNull())
+    )

@@ -2456,3 +2456,50 @@ def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("props")
     )
     return json_schema_drift(cur, ref, "props")
+
+
+@register(
+    "q_purged_folds",
+    oracle="""
+    WITH folds(f, cut) AS (
+      VALUES (0, TIMESTAMP '1996-01-01 00:00:00'),
+             (1, TIMESTAMP '1997-01-01 00:00:00')
+    ),
+    long AS (
+      SELECT o.o_orderkey, f.f AS fold,
+             CASE
+               WHEN o.o_orderdate <= f.cut - INTERVAL 30 DAY THEN 'train'
+               WHEN o.o_orderdate > f.cut + INTERVAL 7 DAY
+                AND o.o_orderdate <= f.cut + INTERVAL 90 DAY THEN 'test'
+             END AS split
+      FROM orders o CROSS JOIN folds f
+    )
+    SELECT CAST(fold AS INT) AS fold, split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM long WHERE split IS NOT NULL
+    GROUP BY fold, split
+    """,
+)
+def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged + embargoed CV folds: 30-day label horizons are purged
+    from the train side (a label window crossing the cutoff peeks into
+    the test period) and a 7-day embargo trims the test side — the
+    leakage-safe split for forward-horizon labels. Gate compares
+    per-(fold, split) counts and key ranges; literal cutoffs, pure range
+    predicates, no shuffle."""
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        purged_backtest_folds,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    long = purged_backtest_folds(
+        o, "o_orderdate", ["1996-01-01", "1997-01-01"],
+        horizon_days=90, label_horizon_days=30, embargo_days=7,
+    )
+    return long.groupBy("fold", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -536,3 +536,39 @@ def test_json_schema_drift_statuses(spark):
     assert a["status"] == "present"
     assert a["cur_share"] == 0.5 and a["ref_share"] == 0.75
     assert a["share_delta"] == -0.25
+
+
+def test_purged_backtest_folds(spark):
+    """Train rows inside the label-horizon purge gap drop; test rows
+    inside the embargo drop; boundaries are inclusive on train/test
+    highs and exclusive on the embargo low."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        purged_backtest_folds,
+    )
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        (1, t("2024-01-01")),  # train (well before)
+        (2, t("2024-01-21")),  # exactly cutoff-10d -> train (inclusive)
+        (3, t("2024-01-25")),  # purge gap (label window crosses cutoff)
+        (4, t("2024-01-31")),  # cutoff itself: purged too
+        (5, t("2024-02-02")),  # embargo (<= cutoff+3d) -> dropped
+        (6, t("2024-02-04")),  # test (> cutoff+3d)
+        (7, t("2024-03-01")),  # test (<= cutoff+30d)
+        (8, t("2024-03-03")),  # beyond horizon -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = {(r["id"], r["split"]) for r in purged_backtest_folds(
+        df, "ts", ["2024-01-31"], horizon_days=30,
+        label_horizon_days=10, embargo_days=3,
+    ).collect()}
+    assert out == {(1, "train"), (2, "train"), (6, "test"), (7, "test")}
+
+    import pytest as _p
+    with _p.raises(ValueError, match="empty test"):
+        purged_backtest_folds(df, "ts", ["2024-01-31"], 5,
+                              label_horizon_days=1, embargo_days=5)
