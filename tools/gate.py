@@ -3,7 +3,7 @@
 Runs, in order (each in its own subprocess so every step gets a clean
 JVM/session and one step's config can't mask another's failure):
 
-1. ``tools/check_correctness.py`` — the 78-query differential gate vs
+1. ``tools/check_correctness.py`` — the full differential gate (every registered query) vs
    DuckDB at sf0.01 (mirrors the driver's CORRECTNESS_r{N}.json check).
 2. ``tools/explain_audit.py`` — physical-plan scan of every query for
    scale red flags (row-at-a-time PythonUDF, CartesianProduct); fails on
