@@ -441,7 +441,11 @@ module import order. Selection policy:
   cleaning / quality-classifier / dedup machinery the in-window
   q_ext_quality_classifier, q_ext_contamination_bloom and
   q_ext_cross_corpus_dedup anchors certify; the verdict fold stays
-  pytest+local).
+  pytest+local). And q_store_lineage (registry lineage edges +
+  checkpointed frontier-BFS transitive closure with min hop depths)
+  rotates in for q_join_size_estimate (OUT — the exact count-collapse
+  pre-flight is one agg + one broadcast join, pytest+local; the
+  ops-diagnostics family keeps q_table_diff in-window).
 """
 
 from __future__ import annotations
@@ -476,7 +480,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_mmr_rerank",
     # validation / diagnostics anchors
     "q_table_diff",
-    "q_join_size_estimate",
     "q_robust_outliers",
     # round-8 rotation: the last 19 never-driver-checked queries + the
     # two ADVICE-r7 gatings (see docstring) — debt to zero
@@ -507,6 +510,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_json_key_profile",
     "q_json_schema_drift",
     "q_purged_folds",
+    "q_store_lineage",
 )
 
 WINDOW_SIZE = 50

@@ -5,6 +5,7 @@ from databricks_demo_feature_store_spark.featurestore.manager import (
     FeatureTableSpec,
     SchemaDiff,
     EvolutionPolicy,
+    store_lineage,
 )
 from databricks_demo_feature_store_spark.featurestore.training import (
     create_training_set,
@@ -18,6 +19,7 @@ __all__ = [
     "FeatureTableSpec",
     "SchemaDiff",
     "EvolutionPolicy",
+    "store_lineage",
     "create_training_set",
     "latest_features",
     "negative_samples",

@@ -183,3 +183,21 @@ class FeatureStoreManager:
             )
         self._update_metadata(spec)
         return diff
+
+
+def store_lineage(manager: "FeatureStoreManager"):
+    """Lineage edges of a feature store from its registry metadata: one
+    row per ``(source_table, feature_table)`` dependency declared via
+    ``FeatureTableSpec.source_tables``. Feed the result to
+    ``operators.graph.transitive_closure`` for impact analysis ("which
+    feature tables move if `orders` changes?"). Metadata-scale: one row
+    per declared edge, no data scan."""
+    rows = []
+    for name in manager.list_tables():
+        meta = manager.get_metadata(name)
+        for src in meta.get("source_tables") or []:
+            rows.append((src, name))
+    schema = "src string, dst string"
+    if not rows:
+        return manager.spark.createDataFrame([], schema)
+    return manager.spark.createDataFrame(rows, schema)

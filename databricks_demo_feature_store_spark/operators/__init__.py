@@ -44,6 +44,7 @@ from databricks_demo_feature_store_spark.operators.graph import (
 from databricks_demo_feature_store_spark.operators.layout import zorder_key, cluster_by_zorder
 from databricks_demo_feature_store_spark.operators.association import frequent_pairs
 from databricks_demo_feature_store_spark.operators.linkage import golden_records, name_linkage
+from databricks_demo_feature_store_spark.operators.graph import transitive_closure
 
 __all__ = [
     "select_columns",
@@ -76,4 +77,5 @@ __all__ = [
     "frequent_pairs",
     "name_linkage",
     "golden_records",
+    "transitive_closure",
 ]

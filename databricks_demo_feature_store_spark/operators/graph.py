@@ -280,3 +280,67 @@ def clustering_coefficient(
             round_to,
         ).alias("clustering_coeff"),
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Bounded transitive closure with shortest hop-distance: one row per
+    reachable ``(src, dst)`` pair with ``depth`` = minimum number of
+    edges — lineage impact analysis ("everything downstream of this
+    source"), dependency ordering, ancestor queries.
+
+    Frontier BFS: depth-d pairs join the edge frame once per round
+    (hash-partitioned on the frontier's dst), new pairs union in, known
+    pairs prune via anti-join so a cycle terminates instead of looping;
+    ``localCheckpoint`` per round keeps plans constant-size (the
+    PageRank/CC discipline). Rounds = closure diameter, capped at
+    ``max_depth`` — raises if the cap is hit with the frontier still
+    growing (a silently-truncated closure would be wrong data). For
+    lineage/dependency DAGs the diameter is the pipeline depth (a
+    handful); this is NOT the operator for deep social graphs.
+    """
+    if max_depth < 1:
+        raise ValueError("transitive_closure requires max_depth >= 1")
+    base = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closure = base.select("src", "dst", F.lit(1).alias("depth"))
+    frontier = closure
+    for _ in range(max_depth):
+        nxt = (
+            frontier.alias("f")
+            .join(base.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("f.depth") + 1).alias("depth"),
+            )
+            .where(F.col("src") != F.col("dst"))  # cycles fold to self-pairs: drop
+            .join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return closure
+        # the frontier is checkpointed each round (bounded plans); the
+        # closure stays a logical union of those checkpointed levels —
+        # checkpointing the union itself trips Catalyst's union
+        # constraint rewrite on 4.1 (NoSuchElementException on the
+        # checkpointed attributes) and buys nothing: each level is
+        # already materialized
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    raise RuntimeError(
+        f"transitive_closure did not close within max_depth={max_depth} — "
+        "the graph is deeper than the budget; raise max_depth"
+    )

@@ -2175,3 +2175,64 @@ def q_training_set_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine_time="label_ts",
         feature_time="release_dt",
     )
+
+
+@register(
+    "q_store_lineage",
+    oracle="""
+    WITH RECURSIVE e(src, dst) AS (
+      VALUES ('orders', 't_monthly'),
+             ('t_monthly', 't_features'),
+             ('customer', 't_features'),
+             ('t_features', 't_training')
+    ),
+    r(src, dst, depth) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT r.src, e.dst, r.depth + 1
+      FROM r JOIN e ON r.dst = e.src WHERE r.depth < 10
+    )
+    SELECT src, dst, CAST(MIN(depth) AS INT) AS depth
+    FROM r GROUP BY src, dst
+    """,
+)
+def q_store_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store lineage impact analysis end-to-end: three feature
+    tables register through the manager with declared source tables
+    (raw → monthly → features → training, plus a second raw parent);
+    store_lineage reads the registry edges and transitive_closure
+    returns every (ancestor, descendant) pair with its minimum hop
+    depth — "what moves if `orders` changes". The closure is the
+    checkpointed frontier-BFS (anti-join pruning, cycle-safe); the
+    oracle replays the declared edges with a recursive CTE."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        store_lineage,
+    )
+    from databricks_demo_feature_store_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    root = scratch_dir("lineage_store")
+    manager = FeatureStoreManager(spark, root)
+    tiny = spark.range(3).select(
+        F.col("id").alias("k"), F.lit("2024-01-01").cast("timestamp").alias("ts")
+    )
+    for name, sources in (
+        ("t_monthly", ("orders",)),
+        ("t_features", ("t_monthly", "customer")),
+        ("t_training", ("t_features",)),
+    ):
+        manager.save(
+            tiny,
+            FeatureTableSpec(
+                name=name,
+                primary_keys=("k", "ts"),
+                timestamp_keys=("ts",),
+                source_tables=sources,
+            ),
+            mode="overwrite",
+        )
+    edges = store_lineage(manager)
+    return transitive_closure(edges).select(
+        "src", "dst", F.col("depth").cast("int").alias("depth")
+    )

@@ -1187,3 +1187,39 @@ def test_name_linkage_rev_prefix_recall(spark):
     import pytest as _p
     with _p.raises(ValueError, match="blocks"):
         name_linkage(df, "pid", "name", blocks=("soundex",))
+
+
+def test_transitive_closure_depths_and_cycles(spark):
+    """Minimum hop depths on a diamond DAG; a cycle terminates instead
+    of looping (self-pairs dropped); the depth cap raises loudly."""
+    from databricks_demo_feature_store_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    # diamond with a shortcut: a->b->d, a->c->d, a->d direct
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("a", "d")],
+        "src string, dst string",
+    )
+    got = {(r["src"], r["dst"]): r["depth"] for r in
+           transitive_closure(edges).collect()}
+    assert got[("a", "d")] == 1  # direct edge wins over 2-hop paths
+    assert got[("a", "b")] == 1 and got[("b", "d")] == 1
+    assert len(got) == 5
+
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string"
+    )
+    gc = {(r["src"], r["dst"]): r["depth"] for r in
+          transitive_closure(cyc).collect()}
+    # every ordered pair reachable, self-pairs dropped
+    assert set(gc) == {("x", "y"), ("y", "z"), ("z", "x"),
+                       ("x", "z"), ("y", "x"), ("z", "y")}
+    assert gc[("x", "z")] == 2
+
+    import pytest as _pt
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src int, dst int"
+    )
+    with _pt.raises(RuntimeError, match="max_depth"):
+        transitive_closure(chain, max_depth=2)
