@@ -40,6 +40,7 @@ HEADLINE = [
     "q_training_set_stress",
     "q_training_set_refresh",
     "q_store_lineage",
+    "q_store_doctor",
     "q_negative_samples",
     "q_fs_online_snapshot",
     "q_unpivot_melt",

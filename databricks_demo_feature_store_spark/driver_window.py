@@ -445,7 +445,13 @@ module import order. Selection policy:
   checkpointed frontier-BFS transitive closure with min hop depths)
   rotates in for q_join_size_estimate (OUT — the exact count-collapse
   pre-flight is one agg + one broadcast join, pytest+local; the
-  ops-diagnostics family keeps q_table_diff in-window).
+  ops-diagnostics family keeps q_table_diff in-window). And
+  q_store_doctor (registry-driven PK-contract + freshness audit — the
+  uniqueness invariant every PIT lookup and merge-upsert assumes)
+  rotates in for q_robust_outliers (OUT — the median/MAD
+  fit-broadcast-assign shape is the grouped-percentile machinery
+  in-window q_val_serving_skew certifies; the flag algebra stays
+  pytest+local).
 """
 
 from __future__ import annotations
@@ -480,7 +486,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_mmr_rerank",
     # validation / diagnostics anchors
     "q_table_diff",
-    "q_robust_outliers",
     # round-8 rotation: the last 19 never-driver-checked queries + the
     # two ADVICE-r7 gatings (see docstring) — debt to zero
     "q_ext_dedup_clusters_twophase",
@@ -511,6 +516,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_json_schema_drift",
     "q_purged_folds",
     "q_store_lineage",
+    "q_store_doctor",
 )
 
 WINDOW_SIZE = 50

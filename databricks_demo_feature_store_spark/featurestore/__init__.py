@@ -6,6 +6,7 @@ from databricks_demo_feature_store_spark.featurestore.manager import (
     SchemaDiff,
     EvolutionPolicy,
     store_lineage,
+    store_doctor,
 )
 from databricks_demo_feature_store_spark.featurestore.training import (
     create_training_set,
@@ -20,6 +21,7 @@ __all__ = [
     "SchemaDiff",
     "EvolutionPolicy",
     "store_lineage",
+    "store_doctor",
     "create_training_set",
     "latest_features",
     "negative_samples",

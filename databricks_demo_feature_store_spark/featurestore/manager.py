@@ -201,3 +201,62 @@ def store_lineage(manager: "FeatureStoreManager"):
     if not rows:
         return manager.spark.createDataFrame([], schema)
     return manager.spark.createDataFrame(rows, schema)
+
+
+def store_doctor(manager: "FeatureStoreManager"):
+    """Store-wide integrity audit, driven by the registry: one row per
+    registered table — ``(table, n_rows, n_pk_violations, n_null_pk,
+    max_ts)`` where ``n_pk_violations`` counts primary-key groups with
+    MORE than one row (the uniqueness contract every PIT lookup and
+    merge-upsert silently assumes — a violated PK makes as-of matches
+    and upserts nondeterministic, which is exactly why it must be a
+    monitored invariant, not an assumption), ``n_null_pk`` counts rows
+    with any NULL key component, and ``max_ts`` is the freshness
+    watermark (NULL when the table declares no timestamp key).
+
+    Scale shape: per table ONE hash aggregation keyed by the PK
+    (map-side combined; the violation count is a count over the
+    aggregated group frame) — no window, no sort; results union into a
+    table-count-sized frame.
+    """
+    from pyspark.sql import functions as F
+
+    out = None
+    for name in manager.list_tables():
+        meta = manager.get_metadata(name)
+        pks = meta.get("primary_keys") or []
+        ts_keys = meta.get("timestamp_keys") or []
+        df = manager.read(name)
+        if not pks:
+            continue
+        null_pk = None
+        for k in pks:
+            cond = F.col(k).isNull()
+            null_pk = cond if null_pk is None else (null_pk | cond)
+        groups = df.groupBy(*pks).agg(F.count(F.lit(1)).alias("__n"))
+        gstats = groups.agg(
+            F.sum("__n").alias("__rows"),
+            F.sum((F.col("__n") > 1).cast("long")).alias("__viol"),
+        )
+        extras = df.agg(
+            F.sum(null_pk.cast("long")).alias("__nullpk"),
+            (
+                F.max(F.col(ts_keys[0]).cast("timestamp"))
+                if ts_keys
+                else F.lit(None).cast("timestamp")
+            ).alias("__maxts"),
+        )
+        row = gstats.crossJoin(extras).select(
+            F.lit(name).alias("table"),
+            F.col("__rows").cast("long").alias("n_rows"),
+            F.col("__viol").cast("long").alias("n_pk_violations"),
+            F.col("__nullpk").cast("long").alias("n_null_pk"),
+            F.col("__maxts").alias("max_ts"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        return manager.spark.createDataFrame(
+            [], "table string, n_rows long, n_pk_violations long, "
+                "n_null_pk long, max_ts timestamp"
+        )
+    return out

@@ -2236,3 +2236,79 @@ def q_store_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transitive_closure(edges).select(
         "src", "dst", F.col("depth").cast("int").alias("depth")
     )
+
+
+@register(
+    "q_store_doctor",
+    oracle="""
+    WITH clean AS (
+      SELECT o_custkey AS ck,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS rd,
+             SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS spend
+      FROM orders GROUP BY 1, 2
+    ),
+    dirty AS (
+      SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END AS ck,
+             CAST(o_orderdate AS TIMESTAMP) AS ts
+      FROM orders
+    ),
+    clean_groups AS (SELECT ck, rd, COUNT(*) AS n FROM clean GROUP BY ck, rd),
+    clean_row AS (
+      SELECT 't_clean' AS "table",
+             CAST((SELECT SUM(n) FROM clean_groups) AS BIGINT) AS n_rows,
+             CAST((SELECT SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+                   FROM clean_groups) AS BIGINT) AS n_pk_violations,
+             CAST(0 AS BIGINT) AS n_null_pk,
+             (SELECT MAX(rd) FROM clean) AS max_ts
+    ),
+    dirty_groups AS (SELECT ck, COUNT(*) AS n FROM dirty GROUP BY ck),
+    dirty_row AS (
+      SELECT 't_dirty' AS "table",
+             CAST((SELECT COUNT(*) FROM dirty) AS BIGINT) AS n_rows,
+             CAST((SELECT SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) FROM dirty_groups) AS BIGINT) AS n_pk_violations,
+             CAST((SELECT COUNT(*) FROM dirty WHERE ck IS NULL) AS BIGINT) AS n_null_pk,
+             (SELECT MAX(ts) FROM dirty) AS max_ts
+    )
+    SELECT * FROM clean_row
+    UNION ALL
+    SELECT * FROM dirty_row
+    """,
+)
+def q_store_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-wide integrity doctor: two registered tables — a clean
+    monthly-spend table whose (entity, month) key is unique by
+    construction, and a deliberately dirty per-order table keyed on the
+    customer alone (massive PK-group violations) with every 997th key
+    NULLed — audited in one pass per table for the uniqueness contract
+    every PIT lookup and merge-upsert assumes. The oracle replays both
+    constructions and every audit aggregate."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        store_doctor,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    clean = o.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("rd"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("spend"))
+    dirty = o.select(
+        F.when(F.col("o_orderkey") % 997 != 0, F.col("o_custkey")).alias("ck"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    root = scratch_dir("doctor_store")
+    manager = FeatureStoreManager(spark, root)
+    manager.save(
+        clean,
+        FeatureTableSpec(
+            name="t_clean", primary_keys=("ck", "rd"), timestamp_keys=("rd",)
+        ),
+        mode="overwrite",
+    )
+    manager.save(
+        dirty,
+        FeatureTableSpec(
+            name="t_dirty", primary_keys=("ck",), timestamp_keys=("ts",)
+        ),
+        mode="overwrite",
+    )
+    return store_doctor(manager)

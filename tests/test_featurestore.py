@@ -340,3 +340,35 @@ def test_refresh_training_set_touches_only_changed_entities(spark):
     ).collect()}
     assert got[1] == 99.0    # changed entity recomputed against v2
     assert got[2] == -777.0  # unchanged entity: old row verbatim
+
+
+def test_store_doctor_flags_pk_violations(spark, manager):
+    """One audit row per table: duplicate-PK groups counted (not rows),
+    NULL key components counted separately, freshness from the declared
+    timestamp key, NULL max_ts when no timestamp key is declared."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        store_doctor,
+    )
+
+    good = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 1.0), (2, dt.date(2024, 1, 1), 2.0)],
+        "pk_customer int, tpk_release_dt date, f1 double",
+    )
+    manager.save(good, SPEC, mode="overwrite")
+    bad = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (1, 12.0), (2, 20.0), (None, 30.0)],
+        "k int, v double",
+    )
+    manager.save(
+        bad,
+        FeatureTableSpec(name="dirty", primary_keys=("k",)),
+        mode="overwrite",
+    )
+    got = {r["table"]: r for r in store_doctor(manager).collect()}
+    g = got["cust_features"]
+    assert (g["n_rows"], g["n_pk_violations"], g["n_null_pk"]) == (2, 0, 0)
+    assert g["max_ts"] is not None
+    d = got["dirty"]
+    # k=1 appears 3x -> ONE violating group; NULL key row counted once
+    assert (d["n_rows"], d["n_pk_violations"], d["n_null_pk"]) == (5, 1, 1)
+    assert d["max_ts"] is None  # no timestamp key declared
