@@ -62,6 +62,7 @@ HEADLINE = [
     "q_val_psi_drift",
     "q_val_ks_drift",
     "q_event_attribution",
+    "q_position_attribution",
     "q_event_transitions",
     "q_chi2_association",
     "q_mutual_information",

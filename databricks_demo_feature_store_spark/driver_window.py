@@ -451,7 +451,12 @@ module import order. Selection policy:
   rotates in for q_robust_outliers (OUT — the median/MAD
   fit-broadcast-assign shape is the grouped-percentile machinery
   in-window q_val_serving_skew certifies; the flag algebra stays
-  pytest+local).
+  pytest+local). Finally q_position_attribution (U-shaped multi-touch
+  credit — the corrective to last-touch bias) rotates in for
+  q_ext_dedup_clusters_twophase (OUT — the two-phase large/small-star
+  CC is pytest+property-tested and the CC family keeps rotating-in
+  q_golden_records' min-label closure plus q_ext_cross_corpus_dedup
+  in-window; the two-phase variant stays in the full local gate).
 """
 
 from __future__ import annotations
@@ -488,7 +493,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_table_diff",
     # round-8 rotation: the last 19 never-driver-checked queries + the
     # two ADVICE-r7 gatings (see docstring) — debt to zero
-    "q_ext_dedup_clusters_twophase",
     "q_ext_random_projection",
     "q_clustering_coeff",
     "q_ext_vocab_coverage",
@@ -517,6 +521,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_purged_folds",
     "q_store_lineage",
     "q_store_doctor",
+    "q_position_attribution",
 )
 
 WINDOW_SIZE = 50

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from databricks_demo_feature_store_spark.functions.rounding import dround
 
@@ -334,4 +334,95 @@ def retention_cohorts(
         dround(
             F.col("n_active").cast("double") / F.col("__size").cast("double"), 6
         ).alias("retained_fraction"),
+    )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    first_weight: float = 0.4,
+    last_weight: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """U-shaped (position-based) MULTI-touch attribution: every
+    conversion's value splits across ALL the user's touches since the
+    previous conversion — first touch ``first_weight``, last touch
+    ``last_weight``, the remainder evenly across the middle (a single
+    touch takes 1.0; exactly two split 50/50) — the standard corrective
+    to last-touch's winner-takes-all bias. Output: one row per channel
+    — ``(channel, n_touches, credited_value)``.
+
+    Semantics: a touch belongs to the nearest conversion strictly after
+    it in the deterministic (ts, id) order; touches after the user's
+    final conversion earn nothing; NULL event types form the
+    ``__null__`` channel (never silently dropped).
+
+    Scale shape: ONE descending per-user window carries the next
+    conversion back onto each touch (the reversed twin of last-touch's
+    carry), one (user, conversion) window ranks the touch run (runs are
+    inter-conversion gaps — bounded by user activity, never the table),
+    and one hash aggregation rolls channels up. Credit terms round to 9
+    decimals and sum as DECIMAL so the total is order-independent and
+    engine-exact.
+    """
+    u, t, ts, eid = (
+        F.col(user_col), F.col(type_col), F.col(ts_col), F.col(id_col)
+    )
+    is_conv = F.coalesce(t == F.lit(conversion_type), F.lit(False))
+    w_desc = (
+        Window.partitionBy(user_col)
+        .orderBy(ts.desc(), eid.desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.select(
+        u.alias("__u"),
+        F.coalesce(t.cast("string"), F.lit("__null__")).alias("channel"),
+        ts.alias("__ts"),
+        eid.alias("__id"),
+        is_conv.alias("__is_conv"),
+        F.last(
+            F.when(
+                is_conv,
+                F.struct(
+                    eid.alias("__cid"), F.col(value_col).alias("__cval")
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w_desc).alias("__conv"),
+    )
+    touches = tagged.where(
+        (~F.col("__is_conv")) & F.col("__conv").isNotNull()
+    ).select(
+        "__u", "channel", "__ts", "__id",
+        F.col("__conv.__cid").alias("__cid"),
+        F.col("__conv.__cval").alias("__cval"),
+    )
+    w_run = Window.partitionBy("__u", "__cid")
+    w_rank = w_run.orderBy(F.col("__ts").asc(), F.col("__id").asc())
+    n = F.count(F.lit(1)).over(
+        w_run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn = F.row_number().over(w_rank)
+    fw, lw = F.lit(float(first_weight)), F.lit(float(last_weight))
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(rn == 1, fw)
+        .when(rn == n, lw)
+        .otherwise((F.lit(1.0) - fw - lw) / (n - F.lit(2)))
+    )
+    credited = touches.select(
+        "channel",
+        dround(weight * F.col("__cval"), 9).alias("__credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(F.col("__credit").cast("decimal(25,9)"))
+        .cast("double")
+        .alias("credited_value"),
     )

@@ -2503,3 +2503,67 @@ def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "q_position_attribution",
+    oracle="""
+    WITH typed AS (
+      SELECT user_id,
+             COALESCE(CAST(event_type AS VARCHAR), '__null__') AS channel,
+             COALESCE(event_type = 'purchase', FALSE) AS is_conv,
+             ts, event_id, value
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, channel, ts, event_id, is_conv,
+             LAST_VALUE(CASE WHEN is_conv THEN event_id END IGNORE NULLS)
+               OVER w AS cid,
+             LAST_VALUE(CASE WHEN is_conv THEN value END IGNORE NULLS)
+               OVER w AS cval
+      FROM typed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    touch AS (
+      SELECT user_id, channel, ts, event_id, cid, cval
+      FROM t WHERE NOT is_conv AND cid IS NOT NULL
+    ),
+    ranked AS (
+      SELECT channel, cval,
+             COUNT(*) OVER (PARTITION BY user_id, cid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id, cid
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM touch
+    ),
+    credited AS (
+      SELECT channel,
+             CAST(ROUND(CAST(
+               (CASE WHEN n = 1 THEN 1.0
+                     WHEN n = 2 THEN 0.5
+                     WHEN rn = 1 THEN 0.4
+                     WHEN rn = n THEN 0.4
+                     ELSE (1.0 - 0.4 - 0.4) / (n - 2) END) * cval
+               AS DECIMAL(38,10)), 9) AS DOUBLE) AS credit
+      FROM ranked
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CAST(credit AS DECIMAL(25,9))) AS DOUBLE) AS credited_value
+    FROM credited GROUP BY channel
+    """,
+)
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution over the event stream: each
+    purchase's value splits 40/20/40 across the touch run since the
+    user's previous purchase (single touch 1.0, pair 50/50), rolled up
+    per channel. One descending carry window + one run-ranking window +
+    one hash agg; credit terms round at 9 decimals and sum as DECIMAL so
+    the totals are order-independent. The oracle replays the carry, the
+    run ranking, the weight CASE and the exact sum."""
+    from databricks_demo_feature_store_spark.operators.events import (
+        position_attribution,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return position_attribution(ev, "purchase")

@@ -1223,3 +1223,45 @@ def test_transitive_closure_depths_and_cycles(spark):
     )
     with _pt.raises(RuntimeError, match="max_depth"):
         transitive_closure(chain, max_depth=2)
+
+
+def test_position_attribution_weights(spark):
+    """Hand-computed U-shape: 40/20/40 for a 3-touch run, 1.0 for a
+    single touch, 50/50 for a pair; touches after the last conversion
+    earn nothing; NULL-type touches keep the __null__ channel."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import (
+        position_attribution,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: view, click, view -> purchase(10); then a dangling view
+        (1, 1, "view", t(1), 0.0),
+        (2, 1, "click", t(2), 0.0),
+        (3, 1, "view", t(3), 0.0),
+        (4, 1, "purchase", t(4), 10.0),
+        (5, 1, "view", t(5), 0.0),
+        # user 2: one NULL-type touch -> purchase(8)
+        (6, 2, None, t(1), 0.0),
+        (7, 2, "purchase", t(2), 8.0),
+        # user 3: two clicks -> purchase(6)
+        (8, 3, "click", t(1), 0.0),
+        (9, 3, "click", t(2), 0.0),
+        (10, 3, "purchase", t(3), 6.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = {r["channel"]: (r["n_touches"], r["credited_value"]) for r in
+           position_attribution(ev, "purchase").collect()}
+    # user1: view 4.0 (first) + 4.0? no — first=view(1) 0.4*10, middle=click 0.2*10,
+    # last=view(3) 0.4*10 → view channel = 4+4=8, click = 2
+    # user3: two clicks 3+3=6 → click total 2+6=8
+    assert got["view"] == (2, 8.0)
+    assert got["click"] == (3, 8.0)
+    assert got["__null__"] == (1, 8.0)
+    assert set(got) == {"view", "click", "__null__"}
