@@ -63,6 +63,7 @@ HEADLINE = [
     "q_val_ks_drift",
     "q_event_attribution",
     "q_position_attribution",
+    "q_conversion_lags",
     "q_event_transitions",
     "q_chi2_association",
     "q_mutual_information",

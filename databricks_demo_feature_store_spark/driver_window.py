@@ -456,7 +456,13 @@ module import order. Selection policy:
   q_ext_dedup_clusters_twophase (OUT — the two-phase large/small-star
   CC is pytest+property-tested and the CC family keeps rotating-in
   q_golden_records' min-label closure plus q_ext_cross_corpus_dedup
-  in-window; the two-phase variant stays in the full local gate).
+  in-window; the two-phase variant stays in the full local gate). And
+  q_conversion_lags (time-to-conversion percentiles per first-touch
+  channel) rotates in for q_ext_mmr_rerank (OUT — driver-green in two
+  rounds; the retrieval family keeps q_ext_two_stage_topk,
+  q_ext_pq_adc_topk, q_ext_ann_multiprobe and q_ext_tfidf_terms
+  in-window; the unrolled greedy MMR trajectory stays pytest + full
+  local gate).
 """
 
 from __future__ import annotations
@@ -488,7 +494,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_domain_cap",
     "q_ext_quality_classifier",
     "q_ext_pq_adc_topk",
-    "q_ext_mmr_rerank",
     # validation / diagnostics anchors
     "q_table_diff",
     # round-8 rotation: the last 19 never-driver-checked queries + the
@@ -522,6 +527,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_store_lineage",
     "q_store_doctor",
     "q_position_attribution",
+    "q_conversion_lags",
 )
 
 WINDOW_SIZE = 50

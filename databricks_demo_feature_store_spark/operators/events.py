@@ -426,3 +426,84 @@ def position_attribution(
         .cast("double")
         .alias("credited_value"),
     )
+
+
+def conversion_lag_stats(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-to-conversion distribution per FIRST-touch channel: for each
+    conversion, the lag in seconds from the first touch of its run (the
+    same run definition as :func:`position_attribution` — touches since
+    the user's previous conversion), aggregated per channel of that
+    first touch: ``(channel, n_conversions, median_lag_sec,
+    p90_lag_sec)``. The funnel-latency metric that tells a campaign how
+    long its first click takes to pay off. Conversions with no
+    preceding touch are excluded (no lag exists).
+
+    Scale shape: the descending carry window assigns touches to their
+    conversion, ONE (user, conversion) aggregation takes the min touch
+    (first = earliest (ts, id)) — map-side combined — and one grouped
+    exact-percentile aggregation collapses channels.
+    """
+    u, t, ts, eid = (
+        F.col(user_col), F.col(type_col), F.col(ts_col), F.col(id_col)
+    )
+    is_conv = F.coalesce(t == F.lit(conversion_type), F.lit(False))
+    w_desc = (
+        Window.partitionBy(user_col)
+        .orderBy(ts.desc(), eid.desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.select(
+        u.alias("__u"),
+        F.coalesce(t.cast("string"), F.lit("__null__")).alias("channel"),
+        ts.alias("__ts"),
+        eid.alias("__id"),
+        is_conv.alias("__is_conv"),
+        F.last(
+            F.when(
+                is_conv,
+                F.struct(eid.alias("__cid"), ts.alias("__cts")),
+            ),
+            ignorenulls=True,
+        ).over(w_desc).alias("__conv"),
+    )
+    touches = tagged.where(
+        (~F.col("__is_conv")) & F.col("__conv").isNotNull()
+    )
+    firsts = touches.groupBy(
+        "__u", F.col("__conv.__cid").alias("__cid")
+    ).agg(
+        F.min(F.struct(F.col("__ts"), F.col("__id"), F.col("channel"))).alias(
+            "__first"
+        ),
+        F.max(F.col("__conv.__cts")).alias("__cts"),
+    )
+    lags = firsts.select(
+        F.col("__first.channel").alias("channel"),
+        # microsecond integers, then one IEEE division — sub-second
+        # precision preserved and identical in any engine (unix_timestamp
+        # would TRUNCATE to seconds and silently disagree with epoch math)
+        (
+            (
+                F.unix_micros(F.col("__cts"))
+                - F.unix_micros(F.col("__first.__ts"))
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("__lag"),
+    )
+    return lags.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        dround(F.percentile(F.col("__lag"), F.lit(0.5)), round_to).alias(
+            "median_lag_sec"
+        ),
+        dround(F.percentile(F.col("__lag"), F.lit(0.9)), round_to).alias(
+            "p90_lag_sec"
+        ),
+    )

@@ -2567,3 +2567,63 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return position_attribution(ev, "purchase")
+
+
+@register(
+    "q_conversion_lags",
+    oracle="""
+    WITH typed AS (
+      SELECT user_id,
+             COALESCE(CAST(event_type AS VARCHAR), '__null__') AS channel,
+             COALESCE(event_type = 'purchase', FALSE) AS is_conv,
+             ts, event_id
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, channel, ts, event_id, is_conv,
+             LAST_VALUE(CASE WHEN is_conv THEN event_id END IGNORE NULLS)
+               OVER w AS cid,
+             LAST_VALUE(CASE WHEN is_conv THEN ts END IGNORE NULLS)
+               OVER w AS cts
+      FROM typed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    touch AS (
+      SELECT user_id, channel, ts, event_id, cid, cts
+      FROM t WHERE NOT is_conv AND cid IS NOT NULL
+    ),
+    firsts AS (
+      SELECT user_id, cid,
+             MIN(struct_pack(ts := ts, event_id := event_id, channel := channel)) AS fst,
+             MAX(cts) AS cts
+      FROM touch GROUP BY user_id, cid
+    ),
+    lags AS (
+      SELECT (fst).channel AS channel,
+             CAST(epoch_us(cts) - epoch_us((fst).ts) AS DOUBLE)
+               / 1000000.0 AS lag
+      FROM firsts
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(ROUND(CAST(quantile_cont(lag, 0.5) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS median_lag_sec,
+           CAST(ROUND(CAST(quantile_cont(lag, 0.9) AS DECIMAL(38,10)), 6)
+                AS DOUBLE) AS p90_lag_sec
+    FROM lags GROUP BY channel
+    """,
+)
+def q_conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion latency per first-touch channel: lag from the
+    first touch of each purchase's run to the purchase, exact median and
+    p90 per channel — one carry window, one map-combined (user,
+    conversion) min-struct aggregation, one grouped exact percentile.
+    The oracle replays the carry, the struct-min first-touch pick and
+    the percentiles."""
+    from databricks_demo_feature_store_spark.operators.events import (
+        conversion_lag_stats,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return conversion_lag_stats(ev, "purchase")

@@ -1265,3 +1265,34 @@ def test_position_attribution_weights(spark):
     assert got["click"] == (3, 8.0)
     assert got["__null__"] == (1, 8.0)
     assert set(got) == {"view", "click", "__null__"}
+
+
+def test_conversion_lag_stats(spark):
+    """Lag measured from the FIRST touch of each run; channel taken from
+    that first touch; conversions without touches excluded."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import (
+        conversion_lag_stats,
+    )
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 1, 0, m, s)
+
+    rows = [
+        (1, 1, "view", t(0), 0.0),       # first touch of run 1
+        (2, 1, "click", t(5), 0.0),
+        (3, 1, "purchase", t(10), 1.0),  # lag = 600s, channel 'view'
+        (4, 1, "click", t(20), 0.0),     # first touch of run 2
+        (5, 1, "purchase", t(25), 1.0),  # lag = 300s, channel 'click'
+        (6, 2, "purchase", t(1), 1.0),   # no touches -> excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = {r["channel"]: r for r in conversion_lag_stats(ev, "purchase").collect()}
+    assert set(got) == {"view", "click"}
+    assert got["view"]["n_conversions"] == 1
+    assert got["view"]["median_lag_sec"] == 600.0
+    assert got["click"]["median_lag_sec"] == 300.0
+    assert got["view"]["p90_lag_sec"] == 600.0
