@@ -55,9 +55,15 @@ def create_training_set(
       a 5-table training set). Mixed keys fall back to the sequential
       chain per key.
     - ``"sequential"``: always chain single-table PIT joins (one
-      shuffle per table) — the shape to force when payload column names
-      collide across tables.
+      shuffle per table) — useful to compare plans or to stage
+      per-table tolerances during debugging.
     - ``"multi"``: require the one-shuffle form (raises on mixed keys).
+
+    Payload column names must be disjoint across lookups AND from the
+    spine's own columns under EVERY strategy — a collision is validated
+    up front and raises (the sequential chain would otherwise emit a
+    duplicate output column name, an ambiguous frame downstream, not a
+    usable result). Rename feature columns before assembling.
     """
     if strategy not in ("auto", "sequential", "multi"):
         raise ValueError(f"strategy must be auto|sequential|multi, got {strategy!r}")
@@ -76,18 +82,40 @@ def create_training_set(
         raise ValueError(
             "strategy='multi' requires every lookup to share the same lookup_keys"
         )
+
+    resolved = []
+    for lk in lookups:
+        features, ftime = resolve(lk)
+        fcols = list(lk.feature_names) or [
+            c for c in features.columns if c not in lk.lookup_keys and c != ftime
+        ]
+        resolved.append((lk, features, ftime, fcols))
+
+    # validate payload-name disjointness up front for EVERY strategy: the
+    # sequential chain would otherwise emit duplicate output column names
+    # (both the spine-carried copy and the new feature copy), an ambiguous
+    # frame downstream — not a usable result
+    seen: dict[str, str] = {c: "the spine" for c in spine.columns}
+    for lk, _features, _ftime, fcols in resolved:
+        for c in fcols:
+            if c in seen:
+                raise ValueError(
+                    f"create_training_set: feature column {c!r} from table "
+                    f"{lk.table!r} collides with {seen[c]} — rename before "
+                    "assembling"
+                )
+            seen[c] = f"table {lk.table!r}"
+
     if same_keys and len(lookups) > 1 and strategy in ("auto", "multi"):
-        entries = []
-        for lk in lookups:
-            features, ftime = resolve(lk)
-            entries.append(
-                {
-                    "features": features,
-                    "feature_time": ftime,
-                    "feature_cols": list(lk.feature_names) or None,
-                    "tolerance_expr": lk.tolerance,
-                }
-            )
+        entries = [
+            {
+                "features": features,
+                "feature_time": ftime,
+                "feature_cols": fcols,
+                "tolerance_expr": lk.tolerance,
+            }
+            for lk, features, ftime, fcols in resolved
+        ]
         return point_in_time_multi_join(
             spine,
             entries,
@@ -96,15 +124,14 @@ def create_training_set(
         )
 
     out = spine
-    for lk in lookups:
-        features, ftime = resolve(lk)
+    for lk, features, ftime, fcols in resolved:
         out = point_in_time_join(
             out,
             features,
             keys=list(lk.lookup_keys),
             spine_time=spine_time,
             feature_time=ftime,
-            feature_cols=list(lk.feature_names) or None,
+            feature_cols=fcols,
             tolerance_expr=lk.tolerance,
         )
     return out
@@ -259,8 +286,11 @@ def refresh_training_set(
     twin of reading a Delta CDF — then collapsed to a distinct key set.
     Scale shape: the diff touches the two feature versions (each one
     hash shuffle), the recompute runs the union+last_value PIT on the
-    CHANGED SLICE of the spine only (broadcast-semi-join pruned, so scan
-    and shuffle scale with the change set), and the kept rows move
+    CHANGED SLICE of the spine only (semi-join pruned; AQE turns the
+    prune and the keep-side anti-join into broadcasts when the change
+    set is small — no explicit hint, because a backfill touching most
+    entities must degrade to a shuffle join instead of OOMing the
+    driver on an entity-cardinality broadcast), and the kept rows move
     through an anti-join — at a typical daily change rate the refresh
     is a small fraction of reassembly.
     """
@@ -282,7 +312,7 @@ def refresh_training_set(
         .select(*keys)
         .distinct()
     )
-    spine_changed = spine.join(F.broadcast(changed), on=keys, how="left_semi")
+    spine_changed = spine.join(changed, on=keys, how="left_semi")
     recomputed = point_in_time_join(
         spine_changed,
         features_new,
@@ -292,5 +322,5 @@ def refresh_training_set(
         feature_cols=list(feature_cols) if feature_cols else None,
         tolerance_expr=tolerance_expr,
     )
-    kept = old_training.join(F.broadcast(changed), on=keys, how="left_anti")
+    kept = old_training.join(changed, on=keys, how="left_anti")
     return kept.unionByName(recomputed.select(*old_training.columns))

@@ -227,7 +227,10 @@ def point_in_time_multi_join(
     keys = list(keys)
     spine_cols = [c for c in df_spine.columns if c not in keys and c != spine_time]
     looks = []
-    seen: set[str] = set()
+    # seed with the spine's own output columns (keys, spine_time, payload):
+    # a feature column named like any of them would silently yield a
+    # duplicate output column name — later select-by-name becomes ambiguous
+    seen: set[str] = set(df_spine.columns) | set(keys) | {spine_time}
     for i, lk in enumerate(lookups):
         features = lk["features"]
         ftime = lk["feature_time"]
@@ -238,8 +241,9 @@ def point_in_time_multi_join(
         dup = seen.intersection(fcols)
         if dup:
             raise ValueError(
-                f"point_in_time_multi_join: duplicate feature columns across "
-                f"lookups: {sorted(dup)} — rename before joining"
+                f"point_in_time_multi_join: feature columns {sorted(dup)} "
+                "collide with the spine's columns/keys or another lookup — "
+                "rename before joining"
             )
         seen.update(fcols)
         looks.append(

@@ -2068,7 +2068,10 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes (is_overestimate certifies the one-sided error on
     every key)."""
     from databricks_demo_feature_store_spark.operators.sketches import cms_estimate
-    from databricks_demo_feature_store_spark.streaming.ops import stream_count_min
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_count_min_sketch,
+        stream_count_min,
+    )
 
     root = scratch_dir("stream_cms")
     inbox = os.path.join(root, "inbox")
@@ -2084,7 +2087,7 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             col="source", schema="source string", depth=4, width=8,
         )
         q.awaitTermination()
-    sk = spark.read.parquet(sketch)
+    sk = read_count_min_sketch(spark, sketch)
     keys = docs.where(F.col("source").isNotNull()).select("source").distinct()
     est = cms_estimate(sk, keys, "source", depth=4, width=8)
     exact = (

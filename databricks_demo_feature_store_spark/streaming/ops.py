@@ -27,6 +27,7 @@ are high-cardinality and uniform.
 from __future__ import annotations
 
 import itertools
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -359,6 +360,7 @@ def stream_ingest_corpus_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_witnesses: int | None = 64,
+    after_append_hook=None,
 ):
     """Continuous-crawl ingestion with INCREMENTAL dedup: a file stream
     of newly arrived JSONL documents where each micro-batch is deduplicated
@@ -382,13 +384,23 @@ def stream_ingest_corpus_dedup(
        deterministic per-bucket witness cap); flagged docs drop.
     4. Survivors append to ``corpus_path`` (parquet).
 
-    Exactly-once: the checkpoint tracks processed input files; content
-    hashes make replays idempotent at the exact-dup level. At warehouse
-    scale, persist the corpus MinHash band table alongside the corpus
-    and feed it to the cross step instead of re-deriving signatures from
-    text (the operator reads the corpus per batch here for
-    self-containedness). Runs with ``availableNow`` so a backlog drains
-    in one call; returns the StreamingQuery (caller owns its lifecycle).
+    Exactly-once UNDER CRASH, not just under replay: the checkpoint
+    tracks processed input files, and a batch replayed after a crash
+    between the corpus append and the checkpoint commit is neutralized
+    by an EXPLICIT exact ``doc_id`` anti-join against the standing
+    corpus (step 3a below) — the near-dup banding alone would usually
+    catch the re-arrival too, but its deterministic per-bucket witness
+    cap can exclude the exact twin on a hot bucket, so idempotence must
+    not depend on it. ``after_append_hook(batch_id)``, when given, runs
+    after the corpus append and before foreachBatch returns (i.e.
+    before the checkpoint commit) — the fault-injection point the
+    crash-recovery test uses; production callers leave it None. At
+    warehouse scale, persist the corpus MinHash band table alongside
+    the corpus and feed it to the cross step instead of re-deriving
+    signatures from text (the operator reads the corpus per batch here
+    for self-containedness). Runs with ``availableNow`` so a backlog
+    drains in one call; returns the StreamingQuery (caller owns its
+    lifecycle).
     """
     from databricks_demo_feature_store_spark.textops.dedup import (
         cross_corpus_dedup_pairs,
@@ -422,6 +434,12 @@ def stream_ingest_corpus_dedup(
         except Exception:
             have_corpus = False  # first batch: nothing to compare against
         if have_corpus:
+            # 3a: exact re-arrivals (incl. a crash-replayed batch's own
+            # earlier append) drop by id — idempotence never rides on the
+            # witness-capped near-dup path
+            batch = batch.join(
+                corpus.select("doc_id"), on="doc_id", how="left_anti"
+            )
             flagged = cross_corpus_dedup_pairs(
                 batch,
                 corpus,
@@ -432,6 +450,8 @@ def stream_ingest_corpus_dedup(
             ).select(F.col("id_batch").alias("doc_id")).distinct()
             batch = batch.join(flagged, on="doc_id", how="left_anti")
         batch.write.mode("append").parquet(corpus_path)
+        if after_append_hook is not None:
+            after_append_hook(batch_id)
 
     return (
         stream.writeStream.foreachBatch(ingest)
@@ -440,6 +460,84 @@ def stream_ingest_corpus_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _latest_cms_version(sketch_path: str) -> int | None:
+    """Highest committed sketch version (``v<batch_id>`` subdirectory)
+    under ``sketch_path``, or ``None`` when no batch has committed yet."""
+    import re as _re
+
+    try:
+        names = os.listdir(sketch_path)
+    except FileNotFoundError:
+        return None
+    versions = [int(n[1:]) for n in names if _re.fullmatch(r"v\d+", n)]
+    return max(versions) if versions else None
+
+
+def read_count_min_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Read the latest committed sketch maintained by
+    :func:`stream_count_min` (the highest ``v<batch_id>`` subdirectory —
+    partially-written ``_tmp_*`` staging dirs are never visible here)."""
+    latest = _latest_cms_version(sketch_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed sketch under {sketch_path}")
+    return spark.read.parquet(os.path.join(sketch_path, f"v{latest}"))
+
+
+def _merge_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch_path: str,
+    col: str,
+    depth: int,
+    width: int,
+    seed: int | str,
+) -> bool:
+    """Idempotently merge one micro-batch's cell counts into the standing
+    sketch. Returns ``True`` if the batch was applied, ``False`` if it was
+    skipped because version ``batch_id`` (or later) is already committed —
+    the crash-replay case (crash between commit-rename and checkpoint
+    commit must NOT double-count the batch).
+
+    Commit protocol: write the merged sketch to a staging dir, then one
+    atomic ``os.rename`` to ``v<batch_id>`` (the destination never exists
+    when we get here, so the rename either fully lands or fully doesn't —
+    no window where the sketch is missing or half-written), then
+    best-effort delete of superseded versions (readers always resolve the
+    MAX committed version, so leftover old dirs are harmless).
+    """
+    import shutil
+
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        count_min_sketch,
+    )
+
+    latest = _latest_cms_version(sketch_path)
+    if latest is not None and latest >= batch_id:
+        return False  # already merged: replay after a post-commit crash
+    if batch_df.isEmpty():
+        return False
+    cells = count_min_sketch(batch_df, col, depth=depth, width=width, seed=seed)
+    if latest is not None:
+        standing = batch_df.sparkSession.read.parquet(
+            os.path.join(sketch_path, f"v{latest}")
+        )
+        cells = (
+            standing.unionByName(cells)
+            .groupBy("row_idx", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    # the sketch is tiny (<= depth*width rows): collect-free single-file
+    # write via coalesce(1) into staging (overwrite clears a staging dir
+    # left by a pre-rename crash), then the atomic commit rename
+    os.makedirs(sketch_path, exist_ok=True)
+    staging = os.path.join(sketch_path, f"_tmp_v{batch_id}")
+    cells.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.rename(staging, os.path.join(sketch_path, f"v{batch_id}"))
+    if latest is not None:
+        shutil.rmtree(os.path.join(sketch_path, f"v{latest}"), ignore_errors=True)
+    return True
 
 
 def stream_count_min(
@@ -461,44 +559,26 @@ def stream_count_min(
     unbounded stream. The always-overestimate point-query guarantee
     holds at every instant.
 
-    foreachBatch read-merge-overwrite on a ≤ depth·width-row parquet —
-    the rewrite cost is CONSTANT per batch regardless of history (this
-    is the smallest possible streaming state: the sketch IS the
-    aggregate). Exactly-once via the checkpoint: each input file merges
-    exactly once; a replayed batch after a crash re-runs the same merge
-    from the pre-batch sketch (the overwrite is atomic through a staging
-    rename in `save_table`-style writers; here a plain overwrite is used
-    and the checkpoint serializes batches). availableNow drains the
-    backlog in one call; returns the StreamingQuery.
+    foreachBatch read-merge-commit on a ≤ depth·width-row parquet — the
+    rewrite cost is CONSTANT per batch regardless of history (this is
+    the smallest possible streaming state: the sketch IS the aggregate).
+    Exactly-once under crash, not just under replay: each committed
+    sketch lives in a ``v<batch_id>`` subdirectory landed by ONE atomic
+    rename, and the merge SKIPS any batch_id at or below the committed
+    version (:func:`_merge_cms_batch`), so a batch replayed after a
+    crash between the sketch commit and the checkpoint commit is a
+    no-op instead of a double count. Read the standing sketch with
+    :func:`read_count_min_sketch` (it resolves the latest committed
+    version). The sketch directory and the checkpoint share a lifetime —
+    restarting with a FRESH checkpoint (batch ids reset to 0) against an
+    old sketch directory would wrongly skip; start both empty together.
+    availableNow drains the backlog in one call; returns the
+    StreamingQuery.
     """
-    from databricks_demo_feature_store_spark.operators.sketches import (
-        count_min_sketch,
-    )
-
     stream = spark.readStream.schema(schema).json(input_path)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        cells = count_min_sketch(
-            batch_df, col, depth=depth, width=width, seed=seed
-        )
-        try:
-            standing = batch_df.sparkSession.read.parquet(sketch_path)
-            cells = (
-                standing.unionByName(cells)
-                .groupBy("row_idx", "bucket")
-                .agg(F.sum("n").alias("n"))
-            )
-        except Exception:
-            pass  # first batch: the batch cells ARE the sketch
-        # the sketch is tiny (<= depth*width rows): collect-free single
-        # -file overwrite via coalesce(1), then replace
-        cells.coalesce(1).write.mode("overwrite").parquet(sketch_path + "_next")
-        import shutil
-
-        shutil.rmtree(sketch_path, ignore_errors=True)
-        shutil.move(sketch_path + "_next", sketch_path)
+        _merge_cms_batch(batch_df, batch_id, sketch_path, col, depth, width, seed)
 
     return (
         stream.writeStream.foreachBatch(merge)

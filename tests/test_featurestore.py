@@ -372,3 +372,78 @@ def test_store_doctor_flags_pk_violations(spark, manager):
     # k=1 appears 3x -> ONE violating group; NULL key row counted once
     assert (d["n_rows"], d["n_pk_violations"], d["n_null_pk"]) == (5, 1, 1)
     assert d["max_ts"] is None  # no timestamp key declared
+
+
+def test_training_set_payload_collisions_raise_every_strategy(spark, manager):
+    """A feature column colliding with the spine's columns or with another
+    lookup must raise up front under EVERY strategy — the sequential chain
+    would otherwise emit duplicate output column names (an ambiguous
+    frame), not a usable result."""
+    import pytest
+
+    f_a = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 10.0)],
+        "pk_customer int, tpk_release_dt date, f1 double",
+    )
+    f_b = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 7.0)],
+        "pk_customer int, tpk_release_dt date, f1 double",  # collides with f_a
+    )
+    for name, frame in (("coll_a", f_a), ("coll_b", f_b)):
+        manager.save(
+            frame,
+            FeatureTableSpec(
+                name=name,
+                primary_keys=("pk_customer", "tpk_release_dt"),
+                timestamp_keys=("tpk_release_dt",),
+            ),
+            mode="overwrite",
+        )
+    labels = spark.createDataFrame(
+        [(1, dt.date(2024, 2, 1), 1)], "pk_customer int, label_dt date, y int"
+    )
+    lookups = [
+        FeatureLookup(table="coll_a", lookup_keys=("pk_customer",)),
+        FeatureLookup(table="coll_b", lookup_keys=("pk_customer",)),
+    ]
+    for strategy in ("auto", "sequential", "multi"):
+        with pytest.raises(ValueError, match="collides"):
+            create_training_set(
+                manager, labels, lookups, spine_time="label_dt", strategy=strategy
+            )
+    # collision with a SPINE column (the label itself) raises too
+    spine_coll = [
+        FeatureLookup(table="coll_a", lookup_keys=("pk_customer",),
+                      feature_names=("f1",)),
+    ]
+    labels_y = labels.withColumnRenamed("y", "f1")
+    for strategy in ("auto", "sequential"):
+        with pytest.raises(ValueError, match="collides"):
+            create_training_set(
+                manager, labels_y, spine_coll, spine_time="label_dt",
+                strategy=strategy,
+            )
+
+
+def test_multi_join_rejects_spine_column_collision(spark):
+    """point_in_time_multi_join validates payload names against the
+    spine's own columns and keys, not just across lookups."""
+    import pytest
+
+    from databricks_demo_feature_store_spark.operators.joins import (
+        point_in_time_multi_join,
+    )
+
+    spine = spark.createDataFrame(
+        [(1, dt.date(2024, 2, 1), 1)], "k int, ts date, y int"
+    )
+    feats = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 5.0)], "k int, ft date, y double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        point_in_time_multi_join(
+            spine,
+            [{"features": feats, "feature_time": "ft"}],
+            keys=["k"],
+            spine_time="ts",
+        )

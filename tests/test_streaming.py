@@ -535,3 +535,128 @@ def test_multibatch_ingest_stability(spark, tmp_path):
     assert len(s[2]) == 4  # a, b, c, d — nothing else
     # determinism: a full re-simulation reproduces ids and texts exactly
     assert simulate("two")[2] == s[2]
+
+
+def test_ingest_crash_recovery_exactly_once(spark, tmp_path):
+    """Kill the ingestion stream MID-BATCH — after the corpus append,
+    before the checkpoint commit — restart from the same checkpoint, and
+    assert the final corpus is identical to an uninterrupted run. This is
+    exactly-once under CRASH, not just under replay: the replayed batch's
+    own pre-crash append must not double-count (the exact doc_id
+    anti-join neutralizes it), and nothing the crashed batch legitimately
+    admitted may be lost."""
+    import json as _json
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        stream_ingest_corpus_dedup,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog tonight again ok"
+    a_near = "the quick brown fox jumps over the lazy dog tonight again now"
+    b = "completely different content about spark engines and data processing"
+    c = "feature stores serve point in time correct training data at scale"
+    waves = [[a, b], [a, a_near, c]]  # wave 2: exact + near re-arrival + novel
+
+    def arrive(inbox, i, texts):
+        (inbox / f"w{i}.jsonl").write_text(
+            "\n".join(_json.dumps({"text": t}) for t in texts)
+        )
+
+    def corpus_rows(path):
+        return sorted(
+            (r["doc_id"], r["text"]) for r in spark.read.parquet(path).collect()
+        )
+
+    # reference: uninterrupted two-wave run
+    ref_inbox = tmp_path / "inbox_ref"
+    ref_inbox.mkdir()
+    ref_corpus = str(tmp_path / "corpus_ref")
+    ref_ckpt = str(tmp_path / "ckpt_ref")
+    for i, texts in enumerate(waves):
+        arrive(ref_inbox, i, texts)
+        stream_ingest_corpus_dedup(
+            spark, str(ref_inbox), ref_corpus, ref_ckpt
+        ).awaitTermination(120)
+    ref = corpus_rows(ref_corpus)
+
+    # crashed run: wave 1 clean, wave 2 dies AFTER the corpus append
+    inbox = tmp_path / "inbox_crash"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus_crash")
+    ckpt = str(tmp_path / "ckpt_crash")
+    arrive(inbox, 0, waves[0])
+    stream_ingest_corpus_dedup(spark, str(inbox), corpus, ckpt).awaitTermination(120)
+
+    def die_after_append(batch_id):
+        raise RuntimeError("injected crash between append and checkpoint commit")
+
+    arrive(inbox, 1, waves[1])
+    q = stream_ingest_corpus_dedup(
+        spark, str(inbox), corpus, ckpt, after_append_hook=die_after_append
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    # the run PROVABLY died mid-batch: the wave-2 survivor is already on
+    # disk even though the checkpoint never committed the batch
+    mid = corpus_rows(corpus)
+    assert c in {t for _, t in mid}, "crash landed before the append — not mid-batch"
+
+    # restart from the same checkpoint, no fault: the batch replays
+    stream_ingest_corpus_dedup(spark, str(inbox), corpus, ckpt).awaitTermination(120)
+    got = corpus_rows(corpus)
+    assert got == ref  # identical content, no double-counted survivor
+    # and the replay really was a second processing of wave 2, not a no-op
+    assert len(got) == len(set(got)) == 3
+
+
+def test_stream_cms_merge_idempotent_and_atomic(spark, tmp_path):
+    """The CMS merge skips already-committed batch ids (crash between the
+    sketch commit and the checkpoint commit must not double-count), lands
+    each version by one atomic rename, and survives a staging dir left by
+    a pre-rename crash."""
+    import os
+
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        count_min_sketch,
+    )
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        _merge_cms_batch,
+        read_count_min_sketch,
+    )
+
+    sketch = str(tmp_path / "sketch")
+    b0 = spark.createDataFrame([("x",), ("y",), ("x",)], "k string")
+    b1 = spark.createDataFrame([("x",), ("z",)], "k string")
+
+    def cells(path):
+        return {
+            (r["row_idx"], r["bucket"]): r["n"]
+            for r in read_count_min_sketch(spark, path).collect()
+        }
+
+    assert _merge_cms_batch(b0, 0, sketch, "k", 4, 8, 0) is True
+    after0 = cells(sketch)
+    # replayed batch 0: skipped, sketch unchanged
+    assert _merge_cms_batch(b0, 0, sketch, "k", 4, 8, 0) is False
+    assert cells(sketch) == after0
+
+    # a staging dir left by a pre-rename crash does not block the retry
+    os.makedirs(os.path.join(sketch, "_tmp_v1"), exist_ok=True)
+    assert _merge_cms_batch(b1, 1, sketch, "k", 4, 8, 0) is True
+
+    # merged state == one batch sketch over ALL the data (mergeability)
+    batch_all = {
+        (r["row_idx"], r["bucket"]): r["n"]
+        for r in count_min_sketch(
+            b0.unionByName(b1), "k", depth=4, width=8, seed=0
+        ).collect()
+    }
+    assert cells(sketch) == batch_all
+    # superseded version cleaned up; reader resolves the latest commit
+    assert not os.path.exists(os.path.join(sketch, "v0"))
+    assert os.path.exists(os.path.join(sketch, "v1"))
+    # late replay of batch 0 against the newer sketch: still a no-op
+    assert _merge_cms_batch(b0, 0, sketch, "k", 4, 8, 0) is False
+    assert cells(sketch) == batch_all

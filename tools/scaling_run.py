@@ -140,10 +140,13 @@ def build_scaled_dir(spark, src: str, dst: str, factor: int) -> None:
     ).write.mode("overwrite").parquet(os.path.join(dst, "orders.parquet"))
 
     # lineitem: offsets CONSISTENT with orders (same 100M orderkey step)
-    # so order⋈lineitem families join across every copy; supplier/part
-    # keys offset too so graph families (supplier co-occurrence wedge
-    # join) get 10× nodes+edges, not a replayed 1× graph (round-9 fix:
-    # the as-is copy made q_clustering_coeff's 10× run vacuous)
+    # so order⋈lineitem families join across every copy; part AND
+    # supplier dimension keys offset with the same 10M step below so
+    # lineitem⋈part / lineitem⋈supplier joins keep their 1× match rate
+    # (round-10 fix: supplier used to be copied as-is, silently losing
+    # (factor-1)/factor of supplier-dim matches) and graph families
+    # (supplier co-occurrence wedge join) get 10× nodes+edges, not a
+    # replayed 1× graph (round-9 fix)
     li = _expand("lineitem")
     li.select(
         (F.col("l_orderkey") + F.col("__c").cast("long") * F.lit(100_000_000)).alias("l_orderkey"),
@@ -188,7 +191,17 @@ def build_scaled_dir(spark, src: str, dst: str, factor: int) -> None:
         "p_retailprice",
     ).write.mode("overwrite").parquet(os.path.join(dst, "part.parquet"))
 
-    for name in ("region", "nation", "supplier"):
+    # supplier: s_suppkey offset matches lineitem's l_suppkey step (and
+    # s_nationkey stays as-is — nation/region are fixed reference dims)
+    s = _expand("supplier")
+    s.select(
+        (F.col("s_suppkey") + F.col("__c").cast("long") * F.lit(10_000_000)).alias("s_suppkey"),
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+    ).write.mode("overwrite").parquet(os.path.join(dst, "supplier.parquet"))
+
+    for name in ("region", "nation"):
         src_file = os.path.join(src, f"{name}.parquet")
         if os.path.exists(src_file):
             shutil.copy(src_file, os.path.join(dst, f"{name}.parquet"))
