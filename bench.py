@@ -23,6 +23,12 @@ HEADLINE = [
     "q03_unshipped_revenue",
     "q06_forecast_revenue",
     "q05_region_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q_cdc_apply_changes",
+    "q_asof_nearest",
+    "q_scd2_dim_join",
     "q_equi_join_left_wins",
     "q_conditional_pivot",
     "q_monthly_lags",

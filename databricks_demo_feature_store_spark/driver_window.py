@@ -463,71 +463,106 @@ module import order. Selection policy:
   q_ext_pq_adc_topk, q_ext_ann_multiprobe and q_ext_tfidf_terms
   in-window; the unrolled greedy MMR trajectory stays pytest + full
   local gate).
+* Round-10 rotation (VERDICT r9 task 1: freshness — re-certify the
+  oldest driver-gated queries on current code, oldest-first). IN: all
+  26 queries last driver-certified in rounds 1–3 (r1: q03/q05/q06,
+  q_categorize_binarize, q_ext_minhash_sig, q_ext_token_shards,
+  q_lag_diff_roc, q_monthly_lags, q_months_between, q_na_standardize,
+  q_ratios_pct, q_rolling_stats, q_select_distinct, q_shift_date,
+  q_string_normalize, q_top1_latest; r2: q_ext_frame_sample; r3:
+  q_ext_cosine_topk, q_ext_quality_score, q_ext_sessionize,
+  q_filter_dict, q_filter_max_value, q_lags_ind, q_month_spine,
+  q_native_pivot, q_union_by_name) plus the five judge-named priority
+  re-certs whose implementing modules were re-planned since their last
+  driver row (q_ext_minhash_dedup, q_ext_dedup_clusters,
+  q_ext_ngram_jaccard — textops/dedup.py gained the round-7 capped
+  candidate generation; q_pit_join — joins.py gained the multi-join +
+  collision validation; q_conditional_pivot —
+  functions/feature_generation.py round-5/6 rewrites). KEPT in-window
+  (13): q01_pricing_summary (flagship) and the three native pipelines,
+  plus EVERY query over code changed THIS round — q_training_set /
+  q_training_set_stress / q_training_set_refresh
+  (featurestore/training.py collision validation + AQE-gated
+  broadcasts), q_stream_cms (streaming/ops.py idempotent versioned CMS
+  commit), q_stream_ingest_dedup + q_stream_ingest_multibatch
+  (exact-id replay anti-join + crash hook) — plus family anchors
+  q_stream_stateful_stats (arbitrary state),
+  q_ext_multimodal_decode (the one Python-UDF surface),
+  q_ext_cross_corpus_dedup (banded dedup composite). OUT: the other 37
+  of the round-9 window — every one of them is round-9 driver-green
+  (CORRECTNESS_r09 was 50/50 on current code, the freshest possible
+  certification) and stays in the full local differential gate
+  (`tools/check_correctness.py`, ALL-OK/198 rerun by the round-9
+  judge) + pytest; rotating the FRESHEST-certified queries out for the
+  stalest is exactly the freshness policy this rotation implements.
+  Round-10 births rotate straight in as they land (no new debt):
+  q07_volume_shipping / q08_market_share / q09_product_profit (TPC-H
+  planner-stress trio — 5-6 table joins, mixed broadcast/shuffle,
+  pushed date+dim filters), q_cdc_apply_changes (sequence-ordered
+  upsert/delete change-stream apply), q_asof_nearest
+  (direction-aware as-of join: backward/forward/nearest + tolerance),
+  q_scd2_dim_join (fact⋈SCD2-dimension temporal join).
 """
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship + end-to-end composites
+    # kept anchors: flagship, the three native pipeline composites, and
+    # every query over code changed THIS round (see round-10 docstring)
     "q01_pricing_summary",
-    "q_val_feature_screen",
-    "q_pagerank",
     "q_pipeline_payment_behavior",
-    "q_training_set",
-    "q_val_timetravel_crosscheck",
     "q_pipeline_credit_native",
     "q_pipeline_holdings_native",
-    # streaming spread: arbitrary state, interval join, foreachBatch
-    # ingest sink + (round 8) CUSUM monitor on engine windows
-    "q_stream_stateful_stats",
-    "q_stream_interval_join",
-    "q_stream_ingest_dedup",
-    "q_stream_cusum",
-    # text / dedup / similarity / multimodal anchors
-    "q_ext_cross_corpus_dedup",
-    "q_ext_minhash_recall",
-    "q_ext_simhash_pairs",
-    "q_ext_multimodal_decode",
-    "q_ext_ann_multiprobe",
-    "q_ext_tfidf_terms",
-    "q_ext_contamination_bloom",
-    "q_ext_domain_cap",
-    "q_ext_quality_classifier",
-    "q_ext_pq_adc_topk",
-    # validation / diagnostics anchors
-    "q_table_diff",
-    # round-8 rotation: the last 19 never-driver-checked queries + the
-    # two ADVICE-r7 gatings (see docstring) — debt to zero
-    "q_ext_random_projection",
-    "q_clustering_coeff",
-    "q_ext_vocab_coverage",
-    # round-9 rotation: the last 3 never-driver-checked queries (see
-    # docstring) — rotation debt to zero
-    "q_grouping_sets",
-    "q_val_privacy",
-    "q_val_benford",
-    # round-9 births rotate straight in (see docstring)
-    "q_rfm_segments",
+    "q_training_set",
     "q_training_set_stress",
-    "q_stream_ingest_multibatch",
-    "q_val_serving_skew",
-    "q_golden_records",
-    "q_negative_samples",
-    "q_ext_group_sample",
-    "q_ext_matryoshka_recall",
-    "q_ext_two_stage_topk",
-    "q_cms_frequencies",
-    "q_stream_cms",
-    "q_name_linkage_multiblock",
     "q_training_set_refresh",
-    "q_json_extract",
-    "q_json_key_profile",
-    "q_json_schema_drift",
-    "q_purged_folds",
-    "q_store_lineage",
-    "q_store_doctor",
-    "q_position_attribution",
-    "q_conversion_lags",
+    "q_stream_cms",
+    "q_stream_ingest_dedup",
+    "q_stream_ingest_multibatch",
+    "q_stream_stateful_stats",
+    "q_ext_multimodal_decode",
+    "q_ext_cross_corpus_dedup",
+    # round-10 freshness rotation: the 26 queries last driver-certified
+    # in rounds 1-3, oldest debt first (VERDICT r9 task 1)
+    "q03_unshipped_revenue",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_categorize_binarize",
+    "q_ext_minhash_sig",
+    "q_ext_token_shards",
+    "q_lag_diff_roc",
+    "q_monthly_lags",
+    "q_months_between",
+    "q_na_standardize",
+    "q_ratios_pct",
+    "q_rolling_stats",
+    "q_select_distinct",
+    "q_shift_date",
+    "q_string_normalize",
+    "q_top1_latest",
+    "q_ext_frame_sample",
+    "q_ext_cosine_topk",
+    "q_ext_quality_score",
+    "q_ext_sessionize",
+    "q_filter_dict",
+    "q_filter_max_value",
+    "q_lags_ind",
+    "q_month_spine",
+    "q_native_pivot",
+    "q_union_by_name",
+    # judge-named priority re-certs (modules re-planned since last row)
+    "q_ext_minhash_dedup",
+    "q_ext_dedup_clusters",
+    "q_ext_ngram_jaccard",
+    "q_pit_join",
+    "q_conditional_pivot",
+    # round-10 births (rotate straight in as they land — no new debt)
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q_cdc_apply_changes",
+    "q_asof_nearest",
+    "q_scd2_dim_join",
 )
 
 WINDOW_SIZE = 50

@@ -500,3 +500,202 @@ def interval_join(
         )
         .drop("__bkt")
     )
+
+
+def asof_join(
+    df_spine: DataFrame,
+    df_features: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    feature_time: str,
+    direction: str = "backward",
+    feature_cols: Sequence[str] | None = None,
+    tolerance_expr: str | None = None,
+    matched_time_col: str | None = None,
+) -> DataFrame:
+    """Direction-aware as-of join — the pandas ``merge_asof`` surface on
+    the engine's linear union+carry machinery.
+
+    ``direction``:
+
+    - ``"backward"``: latest feature row at-or-before the spine time
+      (delegates to :func:`point_in_time_join` — identical semantics).
+    - ``"forward"``: EARLIEST feature row at-or-after the spine time
+      (the mirror carry: same one-shuffle union, window ordered time-
+      DESCENDING so the next-following feature row flows backward to
+      each spine row).
+    - ``"nearest"``: whichever of the two is closer in absolute time;
+      exact ties resolve to the backward match (deterministic). Both
+      carries come out of ONE union and ONE exchange — the two window
+      sorts share the same hash partitioning, so the spine still moves
+      through a single shuffle.
+
+    ``tolerance_expr`` (e.g. ``"INTERVAL 2 HOURS"``) bounds the match
+    distance on EACH side before the nearest choice is made — an
+    out-of-tolerance backward match never shadows an in-tolerance
+    forward match. Unmatched spine rows keep NULL features.
+    ``matched_time_col`` optionally emits the matched feature timestamp.
+
+    Determinism contract: (keys, feature_time) must be unique in the
+    feature table (several feature rows at one instant would make the
+    carried row order-dependent) — same contract as ``merge_asof`` needs
+    for reproducibility; pre-dedup with a tiebreak when in doubt.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "backward" and matched_time_col is None:
+        return point_in_time_join(
+            df_spine,
+            df_features,
+            keys=keys,
+            spine_time=spine_time,
+            feature_time=feature_time,
+            feature_cols=feature_cols,
+            tolerance_expr=tolerance_expr,
+        )
+    keys = list(keys)
+    if feature_cols is None:
+        feature_cols = [
+            c for c in df_features.columns if c not in keys and c != feature_time
+        ]
+    feature_cols = list(feature_cols)
+    spine_cols = [c for c in df_spine.columns if c not in keys and c != spine_time]
+
+    right = df_features.select(
+        *keys,
+        F.col(feature_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__is_spine"),
+        F.struct(
+            F.col(feature_time).cast("timestamp").alias("__ft"),
+            *[F.col(c) for c in feature_cols],
+        ).alias("__feat"),
+    )
+    left = df_spine.select(
+        *keys,
+        F.col(spine_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__is_spine"),
+        F.struct(*[F.col(c) for c in ([spine_time] + spine_cols)]).alias(
+            "__spine_payload"
+        ),
+        F.lit(None).cast(right.schema["__feat"].dataType).alias("__feat"),
+    )
+    right = right.withColumn(
+        "__spine_payload",
+        F.lit(None).cast(left.schema["__spine_payload"].dataType),
+    )
+    unioned = left.unionByName(right)
+
+    # same-instant feature rows must be visible to the spine row in BOTH
+    # carries (>= / <= inclusive): features sort before spine at equal __t
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_spine").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").desc(), F.col("__is_spine").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carries = []
+    if direction in ("backward", "nearest"):
+        carries.append(F.last("__feat", ignorenulls=True).over(w_back).alias("__back"))
+    if direction in ("forward", "nearest"):
+        carries.append(F.last("__feat", ignorenulls=True).over(w_fwd).alias("__fwd"))
+    carried = (
+        unioned.select(*keys, "__is_spine", "__spine_payload", *carries)
+        .filter(F.col("__is_spine") == 1)
+    )
+
+    st = F.col("__spine_payload").getField(spine_time).cast("timestamp")
+
+    def _tol_null(side: F.Column, is_back: bool) -> F.Column:
+        if tolerance_expr is None:
+            return side
+        ft = side.getField("__ft")
+        out_of_tol = (
+            ft < (st - F.expr(tolerance_expr))
+            if is_back
+            else ft > (st + F.expr(tolerance_expr))
+        )
+        return F.when(side.isNull() | out_of_tol, F.lit(None)).otherwise(side)
+
+    if direction == "backward":
+        chosen = _tol_null(F.col("__back"), True)
+    elif direction == "forward":
+        chosen = _tol_null(F.col("__fwd"), False)
+    else:
+        back = _tol_null(F.col("__back"), True)
+        fwd = _tol_null(F.col("__fwd"), False)
+        d_back = F.unix_micros(st) - F.unix_micros(back.getField("__ft"))
+        d_fwd = F.unix_micros(fwd.getField("__ft")) - F.unix_micros(st)
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_back <= d_fwd, back)  # exact tie -> backward
+            .otherwise(fwd)
+        )
+    picked = carried.select(*keys, "__spine_payload", chosen.alias("__chosen"))
+    out_cols = (
+        keys
+        + [F.col("__spine_payload").getField(spine_time).alias(spine_time)]
+        + [F.col("__spine_payload").getField(c).alias(c) for c in spine_cols]
+        + [F.col("__chosen").getField(c).alias(c) for c in feature_cols]
+    )
+    if matched_time_col is not None:
+        out_cols.append(F.col("__chosen").getField("__ft").alias(matched_time_col))
+    return picked.select(*out_cols)
+
+
+def scd2_dim_join(
+    df_facts: DataFrame,
+    df_dim: DataFrame,
+    keys: Sequence[str],
+    fact_time: str,
+    valid_from: str = "effective_from",
+    valid_to: str = "effective_to",
+    dim_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Temporal fact⋈SCD2-dimension join: attach the dimension version
+    whose validity interval ``[valid_from, valid_to)`` contains each
+    fact's timestamp (``valid_to`` NULL = current/open version, the
+    :func:`databricks_demo_feature_store_spark.operators.history.build_scd2` output shape).
+    Facts in a coverage GAP (no version active at their instant) keep
+    NULL dimension attributes — the honest answer, not the stale row.
+
+    Scale shape: a direct theta join (``key equal AND from <= ts < to``)
+    degrades to a per-key version scan. Instead this rides the linear
+    as-of carry (:func:`point_in_time_join`) on ``valid_from`` — one
+    hash shuffle of facts + versions, per-key history never multiplies —
+    and then applies the ``valid_to`` residual row-locally, nulling the
+    carried attributes where the matched version had already expired.
+    Non-overlap of versions per key is the SCD2 contract the builder
+    (`build_scd2`) guarantees by construction.
+    """
+    keys = list(keys)
+    if dim_cols is None:
+        dim_cols = [
+            c
+            for c in df_dim.columns
+            if c not in keys and c not in (valid_from, valid_to)
+        ]
+    dim_cols = list(dim_cols)
+    joined = point_in_time_join(
+        df_facts,
+        df_dim,
+        keys=keys,
+        spine_time=fact_time,
+        feature_time=valid_from,
+        feature_cols=[*dim_cols, valid_to],
+    )
+    ts = F.col(fact_time).cast("timestamp")
+    expired = F.col(valid_to).isNotNull() & (ts >= F.col(valid_to).cast("timestamp"))
+    return joined.select(
+        *[c for c in df_facts.columns],
+        *[
+            F.when(expired, F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in dim_cols
+        ],
+    )

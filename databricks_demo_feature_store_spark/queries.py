@@ -345,6 +345,209 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q07_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           {_o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join with a DISJUNCTIVE cross-dimension
+    predicate (nation pair in either direction) — the planner-stress case
+    where naive plans can't push the filter below the joins because the
+    OR spans two different join branches.
+
+    The rewrite that keeps pushdown: each nation dim is pre-filtered to
+    the two-name set (a pushable IN on the scan), joined into its fact
+    side EARLY — supplier⋈n1 makes a tiny broadcast side that prunes
+    lineitem BEFORE the big shuffles; customer⋈n2 prunes orders' build
+    side the same way — and the residual of the original OR collapses to
+    ``supp_nation != cust_nation`` (given both ends are restricted to the
+    same two names, "either direction" ≡ "different"). Date filter pushes
+    to the lineitem scan. One shuffle join on l_orderkey carries only
+    pre-pruned rows.
+    """
+    pair = ["NATION_1", "NATION_2"]
+    cutlo = F.lit("1996-01-01").cast("timestamp")
+    cuthi = F.lit("1998-01-01").cast("timestamp")
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), "s_nationkey")
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), "c_nationkey")
+        .select("c_custkey", "cust_nation")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= cutlo) & (F.col("l_shipdate") < cuthi)
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+    WITH all_orders AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {_o_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             / {_o_dsum('volume')} AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM all_orders
+    GROUP BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: EIGHT-table join (part, lineitem, supplier, orders,
+    customer, nation×2, region) feeding a conditional market-share ratio —
+    the deepest join-ordering stress in the suite.
+
+    Plan discipline: the selective part filter (p_type) broadcasts into
+    lineitem FIRST (strongest pruner), the customer→nation→region chain
+    folds into one small broadcast dim before touching orders, and the
+    supplier→nation lookup broadcasts at the end onto the already-pruned
+    rows. Only the lineitem⋈orders join shuffles. The share is two
+    exact DECIMAL sums and ONE double division (cross-engine bit-exact).
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), "c_nationkey")
+        .select("c_custkey")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), "s_nationkey")
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _dsum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
+                / _dsum(volume)
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           {_o_dsum('l.l_extendedprice * (1 - l.l_discount) - 0.4 * p.p_retailprice * l.l_quantity')} AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over a
+    part-name substring filter — 5-table join where the ONLY selective
+    predicate is a LIKE on a dimension attribute (no date pruning), so
+    the plan must broadcast the filtered part dim into the fact scan or
+    pay a full-lineitem shuffle.
+
+    The cost side substitutes ``0.4 × p_retailprice × l_quantity`` for
+    TPC-H's partsupp.ps_supplycost (the testdata has no partsupp table);
+    the join/agg shape is unchanged. Profit terms are IEEE
+    multiply/subtract (bit-exact cross-engine) summed through DECIMAL.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.4) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(amount).alias("sum_profit"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projection / filter / distinct operators
 # ---------------------------------------------------------------------------

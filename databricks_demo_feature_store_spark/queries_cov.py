@@ -2627,3 +2627,214 @@ def q_conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return conversion_lag_stats(ev, "purchase")
+
+
+@register(
+    "q_cdc_apply_changes",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+             concat('cust_', CAST(o_orderkey AS VARCHAR)) AS c_name,
+             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+             o_totalprice AS c_acctbal,
+             o_orderpriority AS c_mktsegment
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_custkey + 1000000, o_orderkey, 'U',
+             concat('new_', CAST(o_custkey AS VARCHAR)),
+             CAST(o_orderkey % 25 AS INT), o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 3
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT c_custkey, op, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+    FROM customer s ANTI JOIN final f ON s.c_custkey = f.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM final WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: a sequence-ordered change stream (updates,
+    deletes, inserts of brand-new keys — synthesized deterministically
+    from the orders table) folds into the customer snapshot; per key only
+    the HIGHEST-sequence change applies ("apply changes into" semantics).
+    One max_by hash agg picks final changes (map-side combine, no per-key
+    sort), one anti-join + union splices the snapshot. The oracle replays
+    the fold with ROW_NUMBER + anti join."""
+    from databricks_demo_feature_store_spark.operators.cdc import apply_changes
+
+    snapshot = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    upd = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("cust_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    ins = o.where(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_custkey") + 1000000).alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("new_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return apply_changes(
+        snapshot, upd.unionByName(ins), keys=["c_custkey"], sequence_col="seq"
+    )
+
+
+@register(
+    "q_asof_nearest",
+    oracle="""
+    WITH spine AS (
+      SELECT event_id, user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS cts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT s.event_id, c.cts AS b_ts, c.click_value AS b_val
+      FROM spine s ASOF LEFT JOIN clicks c
+        ON s.user_id = c.user_id AND s.ts >= c.cts
+    ),
+    fw AS (
+      SELECT s.event_id, c.cts AS f_ts, c.click_value AS f_val
+      FROM spine s ASOF LEFT JOIN clicks c
+        ON s.user_id = c.user_id AND s.ts <= c.cts
+    ),
+    tol AS (
+      SELECT s.event_id, s.user_id, s.ts, s.purchase_value,
+             CASE WHEN b.b_ts IS NOT NULL AND b.b_ts >= s.ts - INTERVAL 2 HOUR
+                  THEN b.b_ts END AS b_ts,
+             b.b_val,
+             CASE WHEN fw.f_ts IS NOT NULL AND fw.f_ts <= s.ts + INTERVAL 2 HOUR
+                  THEN fw.f_ts END AS f_ts,
+             fw.f_val
+      FROM spine s JOIN b USING (event_id) JOIN fw USING (event_id)
+    )
+    SELECT event_id, user_id, ts, purchase_value,
+           CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                WHEN f_ts IS NULL THEN b_val
+                WHEN b_ts IS NULL THEN f_val
+                WHEN (ts - b_ts) <= (f_ts - ts) THEN b_val
+                ELSE f_val END AS click_value,
+           CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                WHEN f_ts IS NULL THEN b_ts
+                WHEN b_ts IS NULL THEN f_ts
+                WHEN (ts - b_ts) <= (f_ts - ts) THEN b_ts
+                ELSE f_ts END AS click_ts
+    FROM tol
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction-aware as-of join, NEAREST mode with a 2-hour tolerance:
+    each purchase matches its closest click (before or after) by the same
+    user; exact ties resolve backward; an out-of-tolerance side never
+    shadows an in-tolerance one. Both carries ride ONE union + ONE
+    exchange (two window sorts share the hash partitioning). The oracle
+    cross-checks with two DuckDB ASOF joins + the same nearest/tolerance
+    CASE fold."""
+    from databricks_demo_feature_store_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("click_value")
+    )
+    return asof_join(
+        spine,
+        clicks,
+        keys=["user_id"],
+        spine_time="ts",
+        feature_time="cts",
+        direction="nearest",
+        tolerance_expr="INTERVAL 2 HOURS",
+        matched_time_col="click_ts",
+    )
+
+
+@register(
+    "q_scd2_dim_join",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, CAST(ts AS DATE) AS snap_day,
+             MAX(event_type) AS state
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT user_id, snap_day, state,
+             CASE WHEN LAG(snap_day) OVER w IS NULL
+                  OR state IS DISTINCT FROM LAG(state) OVER w
+                  THEN 1 ELSE 0 END AS new_run
+      FROM snaps
+      WINDOW w AS (PARTITION BY user_id ORDER BY snap_day ASC)
+    ),
+    runs AS (
+      SELECT user_id, snap_day, state,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY snap_day ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM flagged
+    ),
+    per_run AS (
+      SELECT user_id, run, MIN(snap_day) AS effective_from,
+             MIN(state) AS state
+      FROM runs GROUP BY 1, 2
+    ),
+    intervals AS (
+      SELECT user_id, state,
+             CAST(effective_from AS TIMESTAMP) AS vf,
+             CAST(LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from ASC) AS TIMESTAMP) AS vt
+      FROM per_run
+    ),
+    facts AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           CASE WHEN i.vt IS NOT NULL AND f.ts >= i.vt THEN NULL
+                ELSE i.state END AS state
+    FROM facts f ASOF LEFT JOIN intervals i
+      ON f.user_id = i.user_id AND f.ts >= i.vf
+    """,
+)
+def q_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact⋈SCD2-dimension join: purchases attach the per-user
+    state VERSION active at their instant (dimension built by build_scd2
+    over daily state snapshots — the q_scd2_intervals machinery); facts
+    before a user's first version keep NULL state. Rides the linear
+    as-of carry on effective_from with the effective_to residual applied
+    row-locally — per-key version history never multiplies the fact
+    side. The oracle replays the interval build and cross-checks with a
+    DuckDB ASOF join + expiry CASE."""
+    from databricks_demo_feature_store_spark.operators.history import build_scd2
+    from databricks_demo_feature_store_spark.operators.joins import scd2_dim_join
+
+    ev = load(spark, sf_dir, "events")
+    snaps = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("snap_day")
+    ).agg(F.max("event_type").alias("state"))
+    dim = build_scd2(snaps, ["user_id"], ["state"], "snap_day")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return scd2_dim_join(
+        facts, dim, keys=["user_id"], fact_time="ts",
+        valid_from="effective_from", valid_to="effective_to",
+        dim_cols=["state"],
+    )

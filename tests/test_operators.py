@@ -1296,3 +1296,160 @@ def test_conversion_lag_stats(spark):
     assert got["view"]["median_lag_sec"] == 600.0
     assert got["click"]["median_lag_sec"] == 300.0
     assert got["view"]["p90_lag_sec"] == 600.0
+
+
+# ---------------------------------------------------------------------------
+# asof_join (direction-aware) / scd2_dim_join / apply_changes
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    spine = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 10, 12, 0)),   # between features
+            (1, dt.datetime(2024, 1, 1, 0, 0)),     # before all features
+            (1, dt.datetime(2024, 1, 20, 0, 0)),    # after all features
+            (2, dt.datetime(2024, 1, 5, 0, 0)),     # exact tie with feature
+            (3, dt.datetime(2024, 1, 5, 0, 0)),     # no features at all
+        ],
+        "k int, ts timestamp",
+    )
+    feats = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 10, 11, 0), 10.0),  # 1h before first spine
+            (1, dt.datetime(2024, 1, 10, 14, 0), 20.0),  # 2h after  first spine
+            (2, dt.datetime(2024, 1, 5, 0, 0), 99.0),    # exactly at spine ts
+        ],
+        "k int, ft timestamp, v double",
+    )
+    return spine, feats
+
+
+def test_asof_join_directions(spark):
+    from databricks_demo_feature_store_spark.operators.joins import asof_join
+
+    spine, feats = _asof_fixture(spark)
+
+    def got(direction, tol=None):
+        out = asof_join(
+            spine, feats, keys=["k"], spine_time="ts", feature_time="ft",
+            direction=direction, tolerance_expr=tol, matched_time_col="mft",
+        )
+        return {(r.k, r.ts): (r.v, r.mft) for r in out.collect()}
+
+    back = got("backward")
+    # latest at-or-before; tie matches; leading spine rows unmatched
+    assert back[(1, dt.datetime(2024, 1, 10, 12, 0))][0] == 10.0
+    assert back[(1, dt.datetime(2024, 1, 1, 0, 0))] == (None, None)
+    assert back[(1, dt.datetime(2024, 1, 20, 0, 0))][0] == 20.0
+    assert back[(2, dt.datetime(2024, 1, 5, 0, 0))][0] == 99.0
+    assert back[(3, dt.datetime(2024, 1, 5, 0, 0))] == (None, None)
+
+    fwd = got("forward")
+    # earliest at-or-after; trailing spine rows unmatched; tie matches
+    assert fwd[(1, dt.datetime(2024, 1, 10, 12, 0))][0] == 20.0
+    assert fwd[(1, dt.datetime(2024, 1, 1, 0, 0))][0] == 10.0
+    assert fwd[(1, dt.datetime(2024, 1, 20, 0, 0))] == (None, None)
+    assert fwd[(2, dt.datetime(2024, 1, 5, 0, 0))][0] == 99.0
+
+    near = got("nearest")
+    # 1h-before beats 2h-after; one-sided rows take the available side
+    assert near[(1, dt.datetime(2024, 1, 10, 12, 0))][0] == 10.0
+    assert near[(1, dt.datetime(2024, 1, 1, 0, 0))][0] == 10.0
+    assert near[(1, dt.datetime(2024, 1, 20, 0, 0))][0] == 20.0
+    assert near[(2, dt.datetime(2024, 1, 5, 0, 0))][0] == 99.0
+    assert near[(3, dt.datetime(2024, 1, 5, 0, 0))] == (None, None)
+
+    # tolerance: a 90-minute bound kills the backward (1h is in, so keep)
+    # vs a 30-minute bound killing BOTH sides of the middle row
+    near_tight = got("nearest", tol="INTERVAL 30 MINUTES")
+    assert near_tight[(1, dt.datetime(2024, 1, 10, 12, 0))] == (None, None)
+    # out-of-tolerance backward must not shadow an in-tolerance forward:
+    # 10:45 spine -> backward 11:00? (future) no; use 13:45: back=11:00
+    # (2h45 out), fwd=14:00 (15min in) under 1h tolerance
+    probe = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 13, 45))], "k int, ts timestamp"
+    )
+    out = asof_join(
+        probe, feats, keys=["k"], spine_time="ts", feature_time="ft",
+        direction="nearest", tolerance_expr="INTERVAL 1 HOUR",
+    )
+    assert out.collect()[0].v == 20.0
+
+    # exact equidistance resolves backward (deterministic)
+    equi = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 12, 30))], "k int, ts timestamp"
+    )
+    out = asof_join(
+        equi, feats, keys=["k"], spine_time="ts", feature_time="ft",
+        direction="nearest",
+    )
+    assert out.collect()[0].v == 10.0
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(spine, feats, keys=["k"], spine_time="ts",
+                  feature_time="ft", direction="sideways")
+
+
+def test_scd2_dim_join_versions_and_gaps(spark):
+    from databricks_demo_feature_store_spark.operators.joins import scd2_dim_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)),
+            (1, "silver", dt.datetime(2024, 2, 1), dt.datetime(2024, 3, 1)),
+            (1, "gold", dt.datetime(2024, 4, 1), None),  # gap in March
+        ],
+        "k int, tier string, effective_from timestamp, effective_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2024, 1, 15)),  # bronze
+            (101, 1, dt.datetime(2024, 2, 1)),   # boundary: silver starts
+            (102, 1, dt.datetime(2024, 3, 15)),  # gap -> NULL
+            (103, 1, dt.datetime(2024, 5, 1)),   # open current version
+            (104, 1, dt.datetime(2023, 12, 1)),  # before history -> NULL
+            (105, 2, dt.datetime(2024, 1, 1)),   # unknown key -> NULL
+        ],
+        "fid int, k int, ts timestamp",
+    )
+    out = scd2_dim_join(facts, dim, keys=["k"], fact_time="ts")
+    got = {r.fid: r.tier for r in out.collect()}
+    assert got == {
+        100: "bronze", 101: "silver", 102: None,
+        103: "gold", 104: None, 105: None,
+    }
+    assert out.count() == facts.count()  # left semantics: no fact lost
+
+
+def test_apply_changes_semantics_and_dup_guard(spark):
+    from databricks_demo_feature_store_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k int, name string, val double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "U", "a1", 1.5),   # superseded by seq 20
+            (1, 20, "U", "a2", 1.9),   # final for k=1
+            (2, 5, "D", None, None),   # delete k=2
+            (4, 7, "U", "d", 4.0),     # insert new key
+            (5, 1, "U", "e", 5.0),     # insert then delete: final is D
+            (5, 2, "D", None, None),
+        ],
+        "k int, seq int, op string, name string, val double",
+    )
+    out = apply_changes(snap, changes, keys=["k"], sequence_col="seq")
+    got = {r.k: (r.name, r.val) for r in out.collect()}
+    assert got == {1: ("a2", 1.9), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+    dup = spark.createDataFrame(
+        [(1, 10, "U", "x", 0.0), (1, 10, "U", "y", 0.0)],
+        "k int, seq int, op string, name string, val double",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        apply_changes(snap, dup, keys=["k"], sequence_col="seq").collect()
+
+    with pytest.raises(ValueError, match="missing payload"):
+        apply_changes(snap, changes.drop("val"), keys=["k"], sequence_col="seq")
