@@ -29,6 +29,7 @@ HEADLINE = [
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",
+    "q_trailing_features",
     "q_equi_join_left_wins",
     "q_conditional_pivot",
     "q_monthly_lags",

@@ -501,7 +501,13 @@ module import order. Selection policy:
   pushed date+dim filters), q_cdc_apply_changes (sequence-ordered
   upsert/delete change-stream apply), q_asof_nearest
   (direction-aware as-of join: backward/forward/nearest + tolerance),
-  q_scd2_dim_join (fact⋈SCD2-dimension temporal join).
+  q_scd2_dim_join (fact⋈SCD2-dimension temporal join). Mid-round birth
+  q_trailing_features (trailing-window aggregate features via
+  prefix-sum + exclusive anchor carries, ONE shuffle) rotates in for
+  q_ext_cross_corpus_dedup (OUT with cover: r9 driver-green, and the
+  incremental cross-corpus band join runs VERBATIM inside in-window
+  q_stream_ingest_dedup and q_stream_ingest_multibatch's per-batch
+  dedup step; stays in the full local gate + pytest).
 """
 
 from __future__ import annotations
@@ -521,7 +527,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_ingest_multibatch",
     "q_stream_stateful_stats",
     "q_ext_multimodal_decode",
-    "q_ext_cross_corpus_dedup",
     # round-10 freshness rotation: the 26 queries last driver-certified
     # in rounds 1-3, oldest debt first (VERDICT r9 task 1)
     "q03_unshipped_revenue",
@@ -563,6 +568,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",
+    "q_trailing_features",
 )
 
 WINDOW_SIZE = 50

@@ -1453,3 +1453,42 @@ def test_apply_changes_semantics_and_dup_guard(spark):
 
     with pytest.raises(ValueError, match="missing payload"):
         apply_changes(snap, changes.drop("val"), keys=["k"], sequence_col="seq")
+
+
+def test_trailing_window_features_boundaries(spark):
+    """Half-open [t-w, t): an event AT the label instant is excluded, an
+    event exactly at t-w is included; empty windows give 0 not NULL;
+    duplicate spine rows keep their multiplicity."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_window_features,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 10.0),   # exactly at t-w for t=Jan31, w=30d
+            (1, dt.datetime(2024, 1, 15), 5.0),
+            (1, dt.datetime(2024, 1, 31), 100.0),  # exactly at a label: excluded
+            (2, dt.datetime(2023, 1, 1), 7.0),     # far outside any window
+        ],
+        "k int, et timestamp, v double",
+    )
+    spine = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 31), "a"),
+            (1, dt.datetime(2024, 1, 31), "b"),  # duplicate instant, kept
+            (2, dt.datetime(2024, 1, 31), "c"),  # empty window
+            (3, dt.datetime(2024, 1, 31), "d"),  # unknown key
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    out = trailing_window_features(
+        spine, events, keys=["k"], spine_time="ts", event_time="et",
+        window_expr="INTERVAL 30 DAYS",
+        sum_cols=[("spend", "v")], count_col="n",
+    )
+    rows = {(r.k, r.tag): (r.spend, r.n) for r in out.collect()}
+    assert out.count() == 4
+    assert rows[(1, "a")] == (15.0, 2)   # 10 (at t-w, in) + 5; 100 (at t) out
+    assert rows[(1, "b")] == (15.0, 2)
+    assert rows[(2, "c")] == (0.0, 0)
+    assert rows[(3, "d")] == (0.0, 0)

@@ -59,6 +59,8 @@ PYSPARK_35_FUNCTIONS_VERIFIED = {
     "date_trunc", "datediff", "dayofmonth", "months_between", "to_date",
     "to_timestamp", "trunc", "unix_micros", "timestamp_micros",  # 3.3.0
     "unix_timestamp", "timestamp_seconds",  # 1.5.0 / 3.1.0
+    "year",  # 1.5.0
+    "raise_error",  # 3.1.0
     # aggregates
     "avg", "sum", "min", "max", "count", "countDistinct", "count_distinct",
     "first", "last", "collect_list", "collect_set", "approx_count_distinct",
@@ -132,6 +134,7 @@ PYSPARK_35_METHODS_VERIFIED = {
     "bitwiseXOR", "cast", "contains", "corr", "desc", "endswith",
     "eqNullSafe", "getField", "isNotNull", "isNull", "isin", "otherwise",
     "over", "rlike", "startswith", "substr", "when",
+    "like",  # Column.like, 1.3
     "try_cast",  # Column.try_cast added 3.5.0
     # SparkSession / catalog-ish
     "createDataFrame", "range", "read", "sql", "table", "exists",
@@ -143,6 +146,49 @@ PYSPARK_35_METHODS_VERIFIED = {
     # structured streaming
     "awaitTermination", "foreachBatch", "outputMode", "queryName", "start",
     "trigger",
+}
+
+#: (round 10, VERDICT r9 task 8) The option-STRING surface — the one part
+#: of the reader/writer/streaming API the method ratchet can't see: a
+#: misspelled or 4.x-only option key fails silently at runtime, never at
+#: import. Each entry hand-verified against the PySpark 3.5 docs.
+PYSPARK_35_OPTION_KEYS_VERIFIED = {
+    "checkpointLocation",  # structured streaming, 2.0
+    "path",                # all readers/writers, 1.x
+    "mergeSchema",         # parquet reader option, 1.5
+    "maxFilesPerTrigger",  # file stream source, 2.0
+}
+PYSPARK_35_SAVE_MODES_VERIFIED = {"append", "overwrite", "errorifexists", "ignore", "error"}
+PYSPARK_35_FORMATS_VERIFIED = {
+    "parquet", "json", "csv", "text", "memory",
+    "noop",  # noop sink added 3.0.0
+}
+PYSPARK_35_TRIGGER_KWARGS_VERIFIED = {
+    "availableNow",   # added 3.3.0
+    "processingTime",  # 2.0
+    "once",            # 2.2 (deprecated in 3.4, still present in 3.5)
+}
+#: spark.* config keys the package sets, verified present (or harmlessly
+#: ignored) in a 3.5 runtime. Keys unknown to a Spark version are inert
+#: strings, but a key whose BEHAVIOR the code depends on must exist in
+#: 3.5 — all of these do.
+PYSPARK_35_CONF_KEYS_VERIFIED = {
+    "spark.driver.extraJavaOptions",
+    "spark.driver.memory",
+    "spark.sql.adaptive.coalescePartitions.enabled",   # 3.0
+    "spark.sql.adaptive.enabled",                      # 1.6/3.0 semantics
+    "spark.sql.adaptive.skewJoin.enabled",             # 3.0
+    "spark.sql.autoBroadcastJoinThreshold",            # 1.1
+    "spark.sql.execution.arrow.pyspark.enabled",       # 3.0
+    "spark.sql.files.maxPartitionBytes",               # 2.0
+    "spark.sql.legacy.parquet.nanosAsLong",            # 3.2
+    "spark.sql.legacy.timeParserPolicy",               # 3.0
+    "spark.sql.session.timeZone",                      # 2.2
+    "spark.sql.shuffle.partitions",                    # 1.1
+    "spark.sql.sources.partitionOverwriteMode",        # 2.3
+    "spark.sql.warehouse.dir",                         # 2.0
+    "spark.ui.enabled",
+    "spark.ui.showConsoleProgress",
 }
 
 
@@ -173,6 +219,15 @@ def main() -> int:
     used: dict[str, set[str]] = {}
     surface = _runtime_surface()
     methods_used: dict[str, set[str]] = {}
+    strings_used: dict[tuple[str, str], set[str]] = {}
+
+    def _first_str_arg(call: ast.Call) -> str | None:
+        if call.args and isinstance(call.args[0], ast.Constant) and isinstance(
+            call.args[0].value, str
+        ):
+            return call.args[0].value
+        return None
+
     for path in sorted(PACKAGE.rglob("*.py")):
         rel = str(path.relative_to(PACKAGE))
         src = path.read_text()
@@ -190,6 +245,26 @@ def main() -> int:
                 and node.func.attr in surface
             ):
                 methods_used.setdefault(node.func.attr, set()).add(rel)
+            # option-string ratchet (reader/writer/streaming/conf surface)
+            if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+                a = node.func.attr
+                s = _first_str_arg(node)
+                if a == "option" and s is not None:
+                    strings_used.setdefault(("option", s), set()).add(rel)
+                elif a == "options":
+                    for kw in node.keywords:
+                        if kw.arg:
+                            strings_used.setdefault(("option", kw.arg), set()).add(rel)
+                elif a == "mode" and s is not None:
+                    strings_used.setdefault(("mode", s), set()).add(rel)
+                elif a == "format" and s is not None:
+                    strings_used.setdefault(("format", s), set()).add(rel)
+                elif a == "trigger":
+                    for kw in node.keywords:
+                        if kw.arg:
+                            strings_used.setdefault(("trigger", kw.arg), set()).add(rel)
+                elif a in ("set", "config") and s is not None and s.startswith("spark."):
+                    strings_used.setdefault(("conf", s), set()).add(rel)
         for api in SPARK4_ONLY_APIS:
             # match actual invocation sites (.api( / F.api), not prose
             hit = f".{api}(" in src or f"F.{api}" in src
@@ -219,10 +294,26 @@ def main() -> int:
             "3.5-available form"
         )
 
+    string_allowlists = {
+        "option": PYSPARK_35_OPTION_KEYS_VERIFIED,
+        "mode": PYSPARK_35_SAVE_MODES_VERIFIED,
+        "format": PYSPARK_35_FORMATS_VERIFIED,
+        "trigger": PYSPARK_35_TRIGGER_KWARGS_VERIFIED,
+        "conf": PYSPARK_35_CONF_KEYS_VERIFIED,
+    }
+    for (kind, value), sites in sorted(strings_used.items()):
+        if value not in string_allowlists[kind]:
+            problems.append(
+                f"{kind}={value!r} (in {sorted(sites)[:3]}) is not in the "
+                "verified PySpark-3.5 option-string allowlist — check the "
+                "3.5 docs and add it, or replace it"
+            )
+
     print(f"functions used: {len(used)}; verified allowlist: "
           f"{len(PYSPARK_35_FUNCTIONS_VERIFIED)}; methods used: "
           f"{len(methods_used)}; verified method allowlist: "
-          f"{len(PYSPARK_35_METHODS_VERIFIED)}; flags: {len(problems)}")
+          f"{len(PYSPARK_35_METHODS_VERIFIED)}; option-strings used: "
+          f"{len(strings_used)}; flags: {len(problems)}")
     for p in problems:
         print("FLAG", p)
     return 1 if problems else 0

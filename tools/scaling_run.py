@@ -68,6 +68,26 @@ HEAVY = [
     "q_negative_samples",
     "q_training_set_refresh",
     "q_val_serving_skew",
+    # round-10 additions (VERDICT r9 task 4): the late-round-9 families
+    # that had exchange budgets but no exponent rows...
+    "q_cms_frequencies",
+    "q_stream_cms",
+    "q_store_doctor",
+    "q_store_lineage",
+    "q_position_attribution",
+    "q_conversion_lags",
+    "q_json_extract",
+    "q_json_schema_drift",
+    "q_purged_folds",
+    "q_stream_ingest_multibatch",
+    # ...and the round-10 births (TPC-H planner trio joins the scaled
+    # supplier dim; CDC / as-of / SCD2 are new machinery)
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q_cdc_apply_changes",
+    "q_asof_nearest",
+    "q_scd2_dim_join",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
