@@ -507,7 +507,34 @@ module import order. Selection policy:
   q_ext_cross_corpus_dedup (OUT with cover: r9 driver-green, and the
   incremental cross-corpus band join runs VERBATIM inside in-window
   q_stream_ingest_dedup and q_stream_ingest_multibatch's per-batch
-  dedup step; stays in the full local gate + pytest).
+  dedup step; stays in the full local gate + pytest). Two more births:
+  q_incr_agg_refresh (mergeable moment state proven ≡ full recompute)
+  rotates in for q_pipeline_payment_behavior (OUT with cover: r9
+  driver-green; the pipeline family keeps the two native-schema
+  supersets q_pipeline_credit_native + q_pipeline_holdings_native
+  in-window, and its rolling/agg machinery is theirs), and
+  q_stream_cdc_apply (streaming MERGE INTO — versioned commits,
+  sequence watermarks, tombstones) rotates in for
+  q_stream_stateful_stats (OUT with cover: r9 driver-green; the
+  applyInPandasWithState machinery keeps exact-value pytest twins
+  `test_stateful_user_stats_matches_batch` / `test_tws_*`, and the
+  streaming family keeps interval-join, CMS, ingest ×2 and the new
+  CDC apply in-window). And q_label_window (forward outcome-window
+  labels — the (t, t+h] mirror of q_trailing_features on the same
+  anchor-carry core) rotates in for q_pipeline_credit_native (OUT with
+  cover: r9 driver-green; its lag / rolling-stats / RSI window
+  machinery is certified THIS round by the rotating-in micro-anchors
+  q_monthly_lags, q_lag_diff_roc, q_rolling_stats and q_rsi's family,
+  and the pipeline composition by in-window
+  q_pipeline_holdings_native; stays in the full local gate + pytest).
+  Last birth: q_ext_filtered_ann (metadata-filtered vector search —
+  predicate pushed below scoring, exact strategy gated, IVF variant
+  recall-tested) rotates in for q_stream_ingest_dedup (OUT with cover:
+  r9 driver-green, and its ENTIRE per-batch path — including this
+  round's exact-id replay anti-join — runs verbatim inside in-window
+  q_stream_ingest_multibatch's three checkpointed rounds; the
+  crash-recovery pytest `test_ingest_crash_recovery_exactly_once`
+  interrupts and replays the same code).
 """
 
 from __future__ import annotations
@@ -516,16 +543,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # kept anchors: flagship, the three native pipeline composites, and
     # every query over code changed THIS round (see round-10 docstring)
     "q01_pricing_summary",
-    "q_pipeline_payment_behavior",
-    "q_pipeline_credit_native",
     "q_pipeline_holdings_native",
     "q_training_set",
     "q_training_set_stress",
     "q_training_set_refresh",
     "q_stream_cms",
-    "q_stream_ingest_dedup",
     "q_stream_ingest_multibatch",
-    "q_stream_stateful_stats",
     "q_ext_multimodal_decode",
     # round-10 freshness rotation: the 26 queries last driver-certified
     # in rounds 1-3, oldest debt first (VERDICT r9 task 1)
@@ -569,6 +592,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_asof_nearest",
     "q_scd2_dim_join",
     "q_trailing_features",
+    "q_incr_agg_refresh",
+    "q_stream_cdc_apply",
+    "q_label_window",
+    "q_ext_filtered_ann",
 )
 
 WINDOW_SIZE = 50

@@ -417,6 +417,152 @@ def rank_normalize(
     return df.select("*", *out_cols)
 
 
+def _anchor_window_features(
+    df_spine: DataFrame,
+    df_events: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    event_time: str,
+    lo_offset_expr: str | None,
+    hi_offset_expr: str | None,
+    anchor_tag: int,
+    sum_cols: Sequence[tuple[str, str]],
+    count_col: str | None,
+    scale: int,
+) -> DataFrame:
+    """Shared prefix-sum + anchor-carry core for
+    :func:`trailing_window_features` (anchors at ``t-w`` / ``t``,
+    ``anchor_tag=0`` → anchors sort BEFORE events at equal time, both
+    bounds exclusive-of-anchor-instant) and
+    :func:`label_window_features` (anchors at ``t`` / ``t+h``,
+    ``anchor_tag=2`` → anchors sort AFTER events, both bounds
+    inclusive-of-anchor-instant). Events always carry sort tag 1; the
+    window is ``cum(hi anchor) − cum(lo anchor)`` either way.
+    ``lo/hi_offset_expr`` are interval strings added to the spine time
+    (None = the spine time itself)."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    spine_cols = [c for c in df_spine.columns if c not in keys]
+
+    ev = df_events.select(
+        *keys,
+        F.col(event_time).cast("timestamp").alias("__t"),
+        *[
+            F.col(src).cast(f"decimal(25,{scale})").alias(f"__m{i}")
+            for i, (_out, src) in enumerate(sum_cols)
+        ],
+        F.lit(1).cast("long").alias("__c"),
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the physically-last row of an equal-time run carries the run's full
+    # total (sum is commutative), and every anchor sorts after the whole
+    # run or before all of it — intermediate intra-run order never shows
+    cum = ev.select(
+        *keys,
+        "__t",
+        F.lit(1).alias("__is_event"),
+        *[
+            F.sum(f"__m{i}").over(w_cum).alias(f"__cum{i}")
+            for i in range(len(sum_cols))
+        ],
+        F.sum("__c").over(w_cum).alias("__cumc"),
+    )
+
+    spine = df_spine.select(
+        F.monotonically_increasing_id().alias("__uid"), "*"
+    )
+    payload_struct = F.struct(*[F.col(c) for c in ([*keys, *spine_cols])])
+    ts = F.col(spine_time).cast("timestamp")
+    lo_t = ts + F.expr(lo_offset_expr) if lo_offset_expr is not None else ts
+    hi_t = ts + F.expr(hi_offset_expr) if hi_offset_expr is not None else ts
+    # the HI anchor carries the spine payload through the pipeline so the
+    # collapse needs no join back to the spine (one fewer exchange)
+    anchors = spine.select(
+        "__uid",
+        *keys,
+        payload_struct.alias("__p"),
+        F.explode(
+            F.array(
+                F.struct(hi_t.alias("__t"), F.lit(1).alias("__hi")),
+                F.struct(lo_t.alias("__t"), F.lit(0).alias("__hi")),
+            )
+        ).alias("__a"),
+    ).select(
+        "__uid",
+        *keys,
+        F.col("__a.__t").alias("__t"),
+        F.col("__a.__hi").alias("__hi"),
+        F.lit(anchor_tag).alias("__is_event"),
+        F.when(F.col("__a.__hi") == 1, F.col("__p")).alias("__p"),
+    )
+
+    cum_cols = [f"__cum{i}" for i in range(len(sum_cols))] + ["__cumc"]
+    anchors_shaped = anchors.select(
+        *keys,
+        "__t",
+        "__is_event",
+        *[F.lit(None).cast(cum.schema[c].dataType).alias(c) for c in cum_cols],
+        "__uid",
+        "__hi",
+        "__p",
+    )
+    cum_shaped = cum.select(
+        *keys, "__t", "__is_event", *cum_cols,
+        F.lit(None).cast("long").alias("__uid"),
+        F.lit(None).cast("int").alias("__hi"),
+        F.lit(None).cast(anchors.schema["__p"].dataType).alias("__p"),
+    )
+    unioned = cum_shaped.unionByName(anchors_shaped)
+
+    # anchor_tag=0: anchors sort BEFORE events at equal time — carried
+    # prefix is STRICTLY-before (trailing's half-open [t-w, t)).
+    # anchor_tag=2: anchors sort AFTER events — carried prefix is
+    # inclusive (label's half-open (t, t+h]). One ordering rule each.
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_event").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__uid",
+        "__hi",
+        "__p",
+        F.col("__is_event"),
+        *[
+            F.last(c, ignorenulls=True).over(w_carry).alias(c) for c in cum_cols
+        ],
+    ).filter(F.col("__is_event") == F.lit(anchor_tag))
+
+    zero = [F.lit(0).cast(f"decimal(25,{scale})")] * len(sum_cols)
+    hi_lo = carried.groupBy("__uid").agg(
+        # exactly one non-null __p per group (the hi anchor) — first() is
+        # deterministic here and, unlike max(), needs no orderable struct
+        F.first("__p", ignorenulls=True).alias("__p"),
+        *[
+            (
+                F.max(F.when(F.col("__hi") == 1, F.coalesce(F.col(f"__cum{i}"), z)))
+                - F.max(F.when(F.col("__hi") == 0, F.coalesce(F.col(f"__cum{i}"), z)))
+            ).cast("double").alias(out)
+            for i, ((out, _src), z) in enumerate(zip(sum_cols, zero))
+        ],
+        (
+            F.max(F.when(F.col("__hi") == 1, F.coalesce(F.col("__cumc"), F.lit(0))))
+            - F.max(F.when(F.col("__hi") == 0, F.coalesce(F.col("__cumc"), F.lit(0))))
+        ).alias("__nev"),
+    )
+    result_cols = [
+        *[F.col("__p").getField(c).alias(c) for c in [*keys, *spine_cols]],
+        *[F.col(out_name) for out_name, _ in sum_cols],
+    ]
+    if count_col is not None:
+        result_cols.append(F.col("__nev").alias(count_col))
+    return hi_lo.select(*result_cols)
+
+
 def trailing_window_features(
     df_spine: DataFrame,
     df_events: DataFrame,
@@ -461,128 +607,58 @@ def trailing_window_features(
     anchors are exploded) purely as a grouping handle — duplicate spine
     rows keep their multiplicity; the id never reaches the output.
     """
-    keys = list(keys)
-    sum_cols = list(sum_cols)
-    spine_cols = [c for c in df_spine.columns if c not in keys]
-
-    ev = df_events.select(
-        *keys,
-        F.col(event_time).cast("timestamp").alias("__t"),
-        *[
-            F.col(src).cast(f"decimal(25,{scale})").alias(f"__m{i}")
-            for i, (_out, src) in enumerate(sum_cols)
-        ],
-        F.lit(1).cast("long").alias("__c"),
-    )
-    w_cum = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # the physically-last row of an equal-time run carries the run's full
-    # total (sum is commutative), and every anchor sorts after the whole
-    # run or before all of it — intermediate intra-run order never shows
-    cum = ev.select(
-        *keys,
-        "__t",
-        F.lit(1).alias("__is_event"),
-        *[
-            F.sum(f"__m{i}").over(w_cum).alias(f"__cum{i}")
-            for i in range(len(sum_cols))
-        ],
-        F.sum("__c").over(w_cum).alias("__cumc"),
+    return _anchor_window_features(
+        df_spine,
+        df_events,
+        keys,
+        spine_time,
+        event_time,
+        lo_offset_expr=f"- ({window_expr})",
+        hi_offset_expr=None,
+        anchor_tag=0,
+        sum_cols=sum_cols,
+        count_col=count_col,
+        scale=scale,
     )
 
-    spine = df_spine.select(
-        F.monotonically_increasing_id().alias("__uid"), "*"
-    )
-    payload_struct = F.struct(*[F.col(c) for c in ([*keys, *spine_cols])])
-    # the HI anchor carries the spine payload through the pipeline so the
-    # collapse needs no join back to the spine (one fewer exchange)
-    anchors = spine.select(
-        "__uid",
-        *keys,
-        payload_struct.alias("__p"),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col(spine_time).cast("timestamp").alias("__t"),
-                    F.lit(1).alias("__hi"),
-                ),
-                F.struct(
-                    (
-                        F.col(spine_time).cast("timestamp") - F.expr(window_expr)
-                    ).alias("__t"),
-                    F.lit(0).alias("__hi"),
-                ),
-            )
-        ).alias("__a"),
-    ).select(
-        "__uid",
-        *keys,
-        F.col("__a.__t").alias("__t"),
-        F.col("__a.__hi").alias("__hi"),
-        F.lit(0).alias("__is_event"),
-        F.when(F.col("__a.__hi") == 1, F.col("__p")).alias("__p"),
-    )
 
-    cum_cols = [f"__cum{i}" for i in range(len(sum_cols))] + ["__cumc"]
-    anchors_shaped = anchors.select(
-        *keys,
-        "__t",
-        "__is_event",
-        *[F.lit(None).cast(cum.schema[c].dataType).alias(c) for c in cum_cols],
-        "__uid",
-        "__hi",
-        "__p",
-    )
-    cum_shaped = cum.select(
-        *keys, "__t", "__is_event", *cum_cols,
-        F.lit(None).cast("long").alias("__uid"),
-        F.lit(None).cast("int").alias("__hi"),
-        F.lit(None).cast(anchors.schema["__p"].dataType).alias("__p"),
-    )
-    unioned = cum_shaped.unionByName(anchors_shaped)
+def label_window_features(
+    df_spine: DataFrame,
+    df_events: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    event_time: str,
+    horizon_expr: str,
+    sum_cols: Sequence[tuple[str, str]] = (),
+    count_col: str | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """FORWARD outcome-window aggregates for label generation: per spine
+    row, the sum/count of events in ``(spine_time, spine_time + horizon]``
+    per key — "did the customer churn / how much did they spend in the
+    next 90 days", the label side of every forward-horizon training set.
+    The window opens STRICTLY AFTER the spine instant (an event at the
+    decision time is a feature, not an outcome) and closes inclusively
+    at the horizon.
 
-    # anchors (is_event=0) sort BEFORE events at equal time: the carried
-    # prefix is STRICTLY-before — the half-open [t-w, t) boundary on both
-    # ends in one ordering rule
-    w_carry = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__is_event").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    The mirror of :func:`trailing_window_features` on the same
+    prefix-sum + anchor-carry core (anchors at ``t`` and ``t+h`` with
+    INCLUSIVE carries — events sort before anchors at equal time), so
+    it shares its scale shape: one shuffle, linear in events, exact
+    DECIMAL arithmetic. Pair with ``validation/integrity.py``'s
+    purged/embargoed folds: labels built here need exactly that split
+    discipline.
+    """
+    return _anchor_window_features(
+        df_spine,
+        df_events,
+        keys,
+        spine_time,
+        event_time,
+        lo_offset_expr=None,
+        hi_offset_expr=f"+ ({horizon_expr})",
+        anchor_tag=2,
+        sum_cols=sum_cols,
+        count_col=count_col,
+        scale=scale,
     )
-    carried = unioned.select(
-        "__uid",
-        "__hi",
-        "__p",
-        F.col("__is_event"),
-        *[
-            F.last(c, ignorenulls=True).over(w_carry).alias(c) for c in cum_cols
-        ],
-    ).filter(F.col("__is_event") == 0)
-
-    zero = [F.lit(0).cast(f"decimal(25,{scale})")] * len(sum_cols)
-    hi_lo = carried.groupBy("__uid").agg(
-        # exactly one non-null __p per group (the hi anchor) — first() is
-        # deterministic here and, unlike max(), needs no orderable struct
-        F.first("__p", ignorenulls=True).alias("__p"),
-        *[
-            (
-                F.max(F.when(F.col("__hi") == 1, F.coalesce(F.col(f"__cum{i}"), z)))
-                - F.max(F.when(F.col("__hi") == 0, F.coalesce(F.col(f"__cum{i}"), z)))
-            ).cast("double").alias(out)
-            for i, ((out, _src), z) in enumerate(zip(sum_cols, zero))
-        ],
-        (
-            F.max(F.when(F.col("__hi") == 1, F.coalesce(F.col("__cumc"), F.lit(0))))
-            - F.max(F.when(F.col("__hi") == 0, F.coalesce(F.col("__cumc"), F.lit(0))))
-        ).alias("__nev"),
-    )
-    result_cols = [
-        *[F.col("__p").getField(c).alias(c) for c in [*keys, *spine_cols]],
-        *[F.col(out_name) for out_name, _ in sum_cols],
-    ]
-    if count_col is not None:
-        result_cols.append(F.col("__nev").alias(count_col))
-    return hi_lo.select(*result_cols)

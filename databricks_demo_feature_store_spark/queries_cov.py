@@ -2891,3 +2891,101 @@ def q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols=[("spend_90d", "o_totalprice")],
         count_col="orders_90d",
     )
+
+
+@register(
+    "q_incr_agg_refresh",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(o_totalprice) AS spend_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(COUNT(o_totalprice) AS DOUBLE) AS spend_mean,
+           SQRT(GREATEST(
+             (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+              - (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE))
+                / CAST(COUNT(o_totalprice) AS DOUBLE))
+             / CAST(COUNT(o_totalprice) AS DOUBLE), 0.0)) AS spend_std
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-feature maintenance proven equal to full
+    recompute: the per-customer spend moments (count / exact DECIMAL sum
+    / sum-of-squares) are built from TWO disjoint slices of orders (the
+    'stored state' and the 'new day's batch'), cell-sum MERGED, and
+    finalized into count/sum/mean/std — and because each moment is a
+    commutative monoid the merged state is bit-identical to a single
+    full-scan aggregation, which is exactly what the oracle computes.
+    At 100 TB the daily refresh touches O(day's data), never history."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        finalize_aggregates,
+        merge_aggregate_state,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    hist = o.where(F.col("o_orderkey") % 3 != 0)
+    batch = o.where(F.col("o_orderkey") % 3 == 0)
+    state = merge_aggregate_state(
+        aggregate_state(hist, ["custkey"], "o_totalprice"),
+        aggregate_state(batch, ["custkey"], "o_totalprice"),
+        keys=["custkey"],
+    )
+    return finalize_aggregates(state, ["custkey"], prefix="spend")
+
+
+@register(
+    "q_label_window",
+    oracle="""
+    WITH spine AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    outc AS (
+      SELECT user_id, ts AS ot, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.event_id, s.user_id, s.ts,
+           CAST(COALESCE(SUM(CAST(o.value AS DECIMAL(25,2))), 0)
+                AS DOUBLE) AS spend_30d,
+           COUNT(o.ot) AS purchases_30d
+    FROM spine s LEFT JOIN outc o
+      ON o.user_id = s.user_id
+     AND o.ot >  s.ts
+     AND o.ot <= s.ts + INTERVAL 30 DAY
+    GROUP BY s.event_id, s.user_id, s.ts
+    """,
+)
+def q_label_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward outcome-window labels: per signup event, the user's
+    purchase spend and count in the NEXT 30 days, window open strictly
+    after the decision instant — (t, t+h], the leakage-safe label side
+    of a forward-horizon training set. Same prefix-sum + anchor-carry
+    core as the trailing features (mirrored to inclusive carries), one
+    shuffle, linear in events; the oracle is the theta-join form."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        label_window_features,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    outcomes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ot"), "value"
+    )
+    return label_window_features(
+        spine,
+        outcomes,
+        keys=["user_id"],
+        spine_time="ts",
+        event_time="ot",
+        horizon_expr="INTERVAL 30 DAYS",
+        sum_cols=[("spend_30d", "value")],
+        count_col="purchases_30d",
+    )

@@ -3112,3 +3112,47 @@ def q_ext_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_stage_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, candidates=20, trunc_dim=16
     )
+
+
+@register(
+    "q_ext_filtered_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+    survivors AS (SELECT * FROM e WHERE label IN (1, 3, 5)),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {oracle_dround(_O_COS, 6)} AS cosine
+      FROM survivors e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ext_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-5 by cosine among vectors whose
+    label is in {1,3,5}, for 4 query vectors — the vector-database
+    metadata-filter staple. The predicate is row-local, so it pushes into
+    the corpus scan (row-group pruning at scale) BEFORE any scoring; the
+    IVF variant of the same operator additionally prunes by probed
+    cluster partition (recall-vs-oversample measured in pytest)."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        filtered_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return filtered_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 4),
+        predicate=F.col("label").isin(1, 3, 5),
+        k=5,
+        strategy="exact",
+    )

@@ -2315,3 +2315,84 @@ def q_store_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="overwrite",
     )
     return store_doctor(manager)
+
+
+@register(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+             concat('cust_', CAST(o_orderkey AS VARCHAR)) AS c_name,
+             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+             o_totalprice AS c_acctbal,
+             o_orderpriority AS c_mktsegment
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT c_custkey, op, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    )
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+    FROM customer s ANTI JOIN final f ON s.c_custkey = f.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM final WHERE op <> 'D'
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO: the q_cdc_apply_changes change set arrives
+    as TWO interleaved crawl drops (split by orderkey parity, so the
+    second batch carries sequences OLDER than ones already applied —
+    out-of-order ACROSS batches for real), maintained into a snapshot
+    table through atomic versioned commits with per-row sequence
+    watermarks and delete tombstones. The final table must equal the
+    one-shot batch apply over ALL changes — exactly what the oracle
+    computes; a stale update can never overwrite newer state, and a
+    delete holds against late stale updates."""
+    from databricks_demo_feature_store_spark.queries import load as _load
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        init_cdc_table,
+        read_cdc_table,
+        stream_apply_changes,
+    )
+
+    root = scratch_dir("stream_cdc")
+    inbox = os.path.join(root, "inbox")
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(inbox, exist_ok=True)
+
+    snapshot = _load(spark, sf_dir, "customer")
+    init_cdc_table(snapshot, table)
+    o = _load(spark, sf_dir, "orders")
+    changes = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("cust_"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    schema = (
+        "c_custkey long, seq long, op string, c_name string, "
+        "c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    # two interleaved drops: drop 2's sequences are NOT all newer than
+    # drop 1's — the cross-batch out-of-order case the watermark handles
+    for r, parity in enumerate((0, 1)):
+        changes.where((F.col("seq") / 5) % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).json(inbox)
+        q = stream_apply_changes(
+            spark, inbox, table, ckpt,
+            keys=["c_custkey"], sequence_col="seq", schema=schema,
+        )
+        q.awaitTermination()
+    return read_cdc_table(spark, table).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )

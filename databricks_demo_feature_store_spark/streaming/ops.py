@@ -587,3 +587,160 @@ def stream_count_min(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _latest_cdc_version(table_path: str) -> int | None:
+    import re as _re
+
+    try:
+        names = os.listdir(table_path)
+    except FileNotFoundError:
+        return None
+    versions = [int(n[1:]) for n in names if _re.fullmatch(r"v\d+", n)]
+    return max(versions) if versions else None
+
+
+def init_cdc_table(snapshot: DataFrame, table_path: str) -> None:
+    """Bootstrap a CDC-maintained table from an initial snapshot (stored
+    as version ``v0``; batches land as ``v<batch_id+1>``). Initial rows
+    get sequence −1 — every real change (sequences must be ≥ 0)
+    supersedes them."""
+    os.makedirs(table_path, exist_ok=True)
+    staging = os.path.join(table_path, "_tmp_v0")
+    snapshot.select(
+        "*",
+        F.lit(-1).cast("long").alias("__seq"),
+        F.lit(False).alias("__deleted"),
+    ).write.mode("overwrite").parquet(staging)
+    os.rename(staging, os.path.join(table_path, "v0"))
+
+
+def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the latest committed state of a CDC-maintained table (live
+    rows only — tombstones and the sequence watermark are internal)."""
+    latest = _latest_cdc_version(table_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed CDC table under {table_path}")
+    df = spark.read.parquet(os.path.join(table_path, f"v{latest}"))
+    return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
+def stream_apply_changes(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    sequence_col: str,
+    schema: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """Streaming MERGE INTO: a file stream of CDC change records
+    (upserts + deletes with a per-key monotone ``sequence_col``)
+    continuously maintained into a snapshot table — the streaming twin
+    of ``operators/cdc.py apply_changes`` and of the reference's Delta
+    MERGE loop (``notebooks/utils.py:1748-1758``), with two guarantees
+    that loop does not have:
+
+    - **Exactly-once under crash**: each post-batch state commits as an
+      atomic ``v<batch_id+1>`` rename (the CMS commit protocol —
+      :func:`_merge_cms_batch`); a batch replayed after a crash between
+      the state commit and the checkpoint commit SKIPS instead of
+      re-applying.
+    - **Out-of-order safety ACROSS batches**: every stored row carries
+      its winning ``__seq``; per batch, stored rows and the batch's
+      per-key max_by finals union into ONE hash aggregation whose
+      max_by-by-sequence winner is kept — a late-arriving batch with
+      older sequences can never overwrite newer state. Deletes persist
+      as TOMBSTONES (``__deleted`` rows holding the delete's sequence),
+      so a stale update arriving after a delete stays dead; at warehouse
+      scale tombstones are vacuumed once the source's out-of-order
+      horizon passes.
+
+    Sequences must be ≥ 0 (init rows use −1) and unique per key across
+    the whole stream. The per-batch rewrite here is whole-table (like
+    the reference's MERGE on a small feature table); a 100 TB target
+    pairs the same winner-aggregation with a partition-pruned writer so
+    only partitions holding touched keys rewrite. Read the maintained
+    table with :func:`read_cdc_table`. Returns the StreamingQuery
+    (availableNow — drains the backlog and stops).
+    """
+    import shutil
+
+    keys = list(keys)
+    stream = spark.readStream.schema(schema).json(input_path)
+    payload = [
+        c for c in stream.columns
+        if c not in keys and c not in (sequence_col, op_col)
+    ]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest_cdc_version(table_path)
+        version = (latest if latest is not None else -1)
+        if version >= batch_id + 1:
+            return  # replay after a post-commit crash: already applied
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        cand = F.struct(
+            F.col(op_col).alias("__op"),
+            F.col(sequence_col).cast("long").alias("__seq"),
+            *[F.col(c) for c in payload],
+        )
+        finals = batch_df.groupBy(*keys).agg(
+            F.max_by(cand, F.col(sequence_col)).alias("__cand"),
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.col(sequence_col)).alias("__nseq"),
+        )
+        finals = finals.select(
+            *keys,
+            F.when(F.col("__n") == F.col("__nseq"), F.col("__cand"))
+            .otherwise(
+                F.raise_error(
+                    F.lit("stream_apply_changes: duplicate (keys, sequence) in batch")
+                )
+            ).alias("__cand"),
+        )
+        sides = [finals]
+        if latest is not None:
+            stored = sess.read.parquet(os.path.join(table_path, f"v{latest}"))
+            sides.append(
+                stored.select(
+                    *keys,
+                    F.struct(
+                        F.when(F.col("__deleted"), F.lit(delete_op))
+                        .otherwise(F.lit("U")).alias("__op"),
+                        F.col("__seq"),
+                        *[F.col(c) for c in payload],
+                    ).alias("__cand"),
+                )
+            )
+        unioned = sides[0]
+        for s in sides[1:]:
+            unioned = unioned.unionByName(s)
+        winners = unioned.groupBy(*keys).agg(
+            F.max_by(F.col("__cand"), F.col("__cand.__seq")).alias("__w")
+        )
+        new_state = winners.select(
+            *keys,
+            *[F.col("__w").getField(c).alias(c) for c in payload],
+            F.col("__w.__seq").alias("__seq"),
+            (F.col("__w.__op") == F.lit(delete_op)).alias("__deleted"),
+        )
+        os.makedirs(table_path, exist_ok=True)
+        staging = os.path.join(table_path, f"_tmp_v{batch_id + 1}")
+        new_state.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(table_path, f"v{batch_id + 1}"))
+        if latest is not None:
+            shutil.rmtree(
+                os.path.join(table_path, f"v{latest}"), ignore_errors=True
+            )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1226,3 +1226,85 @@ def two_stage_topk(
         .filter(F.col("rank") <= int(k))
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    predicate: Column | str,
+    k: int = 10,
+    strategy: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    nlist: int = 16,
+    nprobe: int = 4,
+    oversample: int = 4,
+) -> DataFrame:
+    """FILTERED vector search: top-k by cosine among corpus rows
+    satisfying a metadata ``predicate`` (the vector-database staple —
+    "nearest products in THIS category", "nearest docs with lang='en'").
+
+    ``strategy``:
+
+    - ``"exact"``: pre-filter + brute-force scan. The predicate is a
+      row-local column expression, so Catalyst pushes it INTO the corpus
+      scan (parquet row-group pruning at scale) and the scored set is
+      exactly the survivors — always returns the true filtered top-k at
+      any selectivity. The right default below ~10⁸ surviving rows.
+    - ``"ivf"``: pre-filter the cluster-assigned corpus, probe
+      ``min(nlist, nprobe × oversample)`` clusters per query. The
+      predicate prunes candidate SCANS (filter-before-score — strictly
+      cheaper than post-filtering scored rows); oversampled probing
+      compensates for survivors living outside the default probe set.
+      Approximate: a very selective predicate can still leave < k
+      results or miss true neighbors in unprobed clusters — measure
+      with :func:`ann_recall_at_k` against the exact strategy and raise
+      ``oversample`` (the standard filtered-ANN tuning loop).
+
+    At 100 TB: the IVF assignment is persisted partitioned by cluster;
+    a filtered probe is then a partition-pruned, predicate-pushed scan —
+    two prunings multiply.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if strategy == "exact":
+        return brute_force_topk(
+            corpus.filter(pred), query, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+    if strategy != "ivf":
+        raise ValueError(f"strategy must be exact|ivf, got {strategy!r}")
+    from pyspark.sql import Window as W
+
+    qid = query_id_col or id_col
+    # centroids come from the FULL corpus (the index is built once,
+    # predicate-agnostic); assignment is row-local, so assigning only the
+    # predicate's survivors is identical to assign-then-filter — and at
+    # scale it's the predicate-pushed scan of the persisted assignment
+    cents = ivf_centroids(corpus, nlist, id_col, vec_col)
+    assigned = ivf_assign(corpus.filter(pred), cents, id_col, vec_col)
+    q = query.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    qscore = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "__qvec",
+        "centroid_id",
+        cosine_col(F.col("__qvec"), F.col("centroid")).alias("__cos"),
+    )
+    eff_probe = min(nlist, nprobe * max(1, oversample))
+    wq = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("centroid_id"))
+    probes = (
+        qscore.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= eff_probe)
+        .select("query_id", "__qvec", F.col("centroid_id").alias("cluster"))
+    )
+    scored = assigned.join(F.broadcast(probes), on="cluster").select(
+        "query_id",
+        id_col,
+        dround(cosine_col(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

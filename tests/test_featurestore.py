@@ -447,3 +447,57 @@ def test_multi_join_rejects_spine_column_collision(spark):
             keys=["k"],
             spine_time="ts",
         )
+
+
+def test_aggregate_state_merge_is_exact(spark):
+    """merge(state(A), state(B)) == state(A ∪ B) bit-for-bit, in any
+    split and association order — the monoid property the incremental
+    refresh relies on."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        finalize_aggregates,
+        merge_aggregate_state,
+    )
+
+    rows = [(i % 7, float(i) * 1.37 + (i % 3) * 0.01) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    full = aggregate_state(df, ["k"], "v")
+
+    a = df.where(F.col("v") < 100)
+    b = df.where((F.col("v") >= 100) & (F.col("v") < 200))
+    c = df.where(F.col("v") >= 200)
+    m_ab_c = merge_aggregate_state(
+        merge_aggregate_state(
+            aggregate_state(a, ["k"], "v"), aggregate_state(b, ["k"], "v"), ["k"]
+        ),
+        aggregate_state(c, ["k"], "v"),
+        ["k"],
+    )
+    m_a_bc = merge_aggregate_state(
+        aggregate_state(a, ["k"], "v"),
+        merge_aggregate_state(
+            aggregate_state(b, ["k"], "v"), aggregate_state(c, ["k"], "v"), ["k"]
+        ),
+        ["k"],
+    )
+
+    def rows_of(state):
+        return sorted((r.k, r.n, r.s, r.s2) for r in state.collect())
+
+    assert rows_of(full) == rows_of(m_ab_c) == rows_of(m_a_bc)
+
+    fin = {
+        r.k: (r.spend_count, r.spend_sum, r.spend_mean, r.spend_std)
+        for r in finalize_aggregates(m_ab_c, ["k"], "spend").collect()
+    }
+    fin_full = {
+        r.k: (r.spend_count, r.spend_sum, r.spend_mean, r.spend_std)
+        for r in finalize_aggregates(full, ["k"], "spend").collect()
+    }
+    assert fin == fin_full
+    # a constant-valued key must finalize to std exactly 0.0, not NaN
+    const = aggregate_state(
+        spark.createDataFrame([(9, 5.0), (9, 5.0)], "k int, v double"), ["k"], "v"
+    )
+    out = finalize_aggregates(const, ["k"], "x").collect()[0]
+    assert out.x_std == 0.0 and out.x_mean == 5.0

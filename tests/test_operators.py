@@ -1492,3 +1492,32 @@ def test_trailing_window_features_boundaries(spark):
     assert rows[(1, "b")] == (15.0, 2)
     assert rows[(2, "c")] == (0.0, 0)
     assert rows[(3, "d")] == (0.0, 0)
+
+
+def test_label_window_features_boundaries(spark):
+    """(t, t+h]: an outcome AT the decision instant is excluded, one
+    exactly at the horizon is included."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        label_window_features,
+    )
+
+    outcomes = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 100.0),   # at t: excluded
+            (1, dt.datetime(2024, 1, 10), 5.0),    # inside
+            (1, dt.datetime(2024, 1, 31), 7.0),    # exactly t+30d: included
+            (1, dt.datetime(2024, 2, 1), 9.0),     # past horizon
+        ],
+        "k int, et timestamp, v double",
+    )
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 1))],
+        "k int, ts timestamp",
+    )
+    out = label_window_features(
+        spine, outcomes, keys=["k"], spine_time="ts", event_time="et",
+        horizon_expr="INTERVAL 30 DAYS",
+        sum_cols=[("spend", "v")], count_col="n",
+    )
+    rows = {r.k: (r.spend, r.n) for r in out.collect()}
+    assert rows == {1: (12.0, 2), 2: (0.0, 0)}

@@ -660,3 +660,67 @@ def test_stream_cms_merge_idempotent_and_atomic(spark, tmp_path):
     # late replay of batch 0 against the newer sketch: still a no-op
     assert _merge_cms_batch(b0, 0, sketch, "k", 4, 8, 0) is False
     assert cells(sketch) == batch_all
+
+
+def test_stream_cdc_apply_out_of_order_and_tombstones(spark, tmp_path):
+    """Cross-batch out-of-order safety: a later batch carrying OLDER
+    sequences never overwrites newer state, a delete tombstone holds
+    against a stale update arriving after it, and replaying committed
+    batches (fresh checkpoint against the committed table — the
+    post-commit-crash shape) is a no-op."""
+    import json as _json
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        init_cdc_table,
+        read_cdc_table,
+        stream_apply_changes,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, seq long, op string, name string"
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, name string"
+    )
+    init_cdc_table(snap, table)
+
+    def drop(fname, rows):
+        (inbox / fname).write_text(
+            "\n".join(
+                _json.dumps({"k": k, "seq": s, "op": o, "name": n})
+                for k, s, o, n in rows
+            )
+        )
+
+    def run():
+        stream_apply_changes(
+            spark, str(inbox), table, ckpt,
+            keys=["k"], sequence_col="seq", schema=schema,
+        ).awaitTermination(120)
+
+    def state():
+        return {r.k: r.name for r in read_cdc_table(spark, table).collect()}
+
+    # batch 0: NEWER changes first (k=1 updated at seq 10; k=2 DELETED at
+    # seq 20; k=4 inserted at seq 5)
+    drop("w0.jsonl", [(1, 10, "U", "a10"), (2, 20, "D", None), (4, 5, "U", "d5")])
+    run()
+    assert state() == {1: "a10", 3: "c", 4: "d5"}
+
+    # batch 1: OLDER sequences arrive late — a stale update to k=1
+    # (seq 7 < 10), a stale update to the DELETED k=2 (seq 15 < 20,
+    # must stay dead), and a genuinely newer update to k=4
+    drop("w1.jsonl", [(1, 7, "U", "a7"), (2, 15, "U", "zombie"), (4, 9, "U", "d9")])
+    run()
+    assert state() == {1: "a10", 3: "c", 4: "d9"}
+
+    # post-commit-crash replay shape: fresh checkpoint re-delivers every
+    # file as already-committed batch ids -> version skip, state unchanged
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert state() == {1: "a10", 3: "c", 4: "d9"}

@@ -1653,3 +1653,36 @@ def test_wav_decode_real_bytes(spark):
     assert m["sum_abs"] == "200" and m["decode_ok"] == "ok"
     assert out[3]["decode_ok"] == "unsupported" and out[3]["sample_rate"] == 8000
     assert out[4]["decode_ok"] == "not_wav"
+
+
+def test_filtered_ann_ivf_recall_and_exactness(spark):
+    """The exact strategy returns the true filtered top-k (every hit
+    satisfies the predicate); the IVF strategy's oversampled probing
+    recovers most of the exact set and never returns a filtered-out row."""
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        filtered_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    pred = F.col("label").isin(2, 4)
+
+    exact = filtered_topk(emb, queries, pred, k=5, strategy="exact")
+    labels = {r.label for r in exact.join(emb, "vec_id").select("label").collect()}
+    assert labels <= {2, 4}
+
+    ivf = filtered_topk(
+        emb, queries, pred, k=5, strategy="ivf", nlist=8, nprobe=2, oversample=4
+    )
+    ivf_labels = {r.label for r in ivf.join(emb, "vec_id").select("label").collect()}
+    assert ivf_labels <= {2, 4}
+
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    iv = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    # oversample=4 on nlist=8 probes every cluster -> recall must be total
+    assert iv == ex
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        filtered_topk(emb, queries, pred, k=5, strategy="hnsw")
