@@ -30,9 +30,10 @@ HEADLINE = [
     "q_asof_nearest",
     "q_scd2_dim_join",
     "q_trailing_features",
+    "q_trailing_multi_window",
+    "q_label_window",
     "q_incr_agg_refresh",
     "q_stream_cdc_apply",
-    "q_label_window",
     "q_equi_join_left_wins",
     "q_conditional_pivot",
     "q_monthly_lags",

@@ -534,7 +534,14 @@ module import order. Selection policy:
   round's exact-id replay anti-join — runs verbatim inside in-window
   q_stream_ingest_multibatch's three checkpointed rounds; the
   crash-recovery pytest `test_ingest_crash_recovery_exactly_once`
-  interrupts and replays the same code).
+  interrupts and replays the same code). And q_trailing_multi_window
+  (N windows × M conditional measures through ONE shuffle) rotates in
+  for q_training_set (OUT with cover: r9 driver-green; the as-of
+  lookup it wraps is certified by rotating-in q_pit_join, the manager
+  write + multi-PIT path by in-window q_training_set_stress, the
+  version-diff path by in-window q_training_set_refresh, and this
+  round's collision validation by
+  `test_training_set_payload_collisions_raise_every_strategy`).
 """
 
 from __future__ import annotations
@@ -544,7 +551,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # every query over code changed THIS round (see round-10 docstring)
     "q01_pricing_summary",
     "q_pipeline_holdings_native",
-    "q_training_set",
     "q_training_set_stress",
     "q_training_set_refresh",
     "q_stream_cms",
@@ -596,6 +602,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_stream_cdc_apply",
     "q_label_window",
     "q_ext_filtered_ann",
+    "q_trailing_multi_window",
 )
 
 WINDOW_SIZE = 50

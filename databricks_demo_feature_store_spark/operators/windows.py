@@ -423,12 +423,13 @@ def _anchor_window_features(
     keys: Sequence[str],
     spine_time: str,
     event_time: str,
-    lo_offset_expr: str | None,
+    lo_offset_exprs: Sequence[str | None],
     hi_offset_expr: str | None,
     anchor_tag: int,
     sum_cols: Sequence[tuple[str, str]],
     count_col: str | None,
     scale: int,
+    window_suffixes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Shared prefix-sum + anchor-carry core for
     :func:`trailing_window_features` (anchors at ``t-w`` / ``t``,
@@ -436,19 +437,27 @@ def _anchor_window_features(
     bounds exclusive-of-anchor-instant) and
     :func:`label_window_features` (anchors at ``t`` / ``t+h``,
     ``anchor_tag=2`` → anchors sort AFTER events, both bounds
-    inclusive-of-anchor-instant). Events always carry sort tag 1; the
-    window is ``cum(hi anchor) − cum(lo anchor)`` either way.
-    ``lo/hi_offset_expr`` are interval strings added to the spine time
-    (None = the spine time itself)."""
+    inclusive-of-anchor-instant). Events always carry sort tag 1; each
+    window is ``cum(hi anchor) − cum(that window's lo anchor)``.
+    ``lo_offset_exprs`` is one interval string per requested window
+    (None = the spine time itself) — N windows share the ONE shuffle
+    and sort, each adding only one more anchor row per spine row.
+    ``window_suffixes`` names multi-window outputs (``{out}_{suffix}``);
+    None = single window, unsuffixed. Measure sources are parsed with
+    ``F.expr`` — a conditional measure ("CASE WHEN type='buy' THEN
+    value END") sums only its matching events (NULL terms drop out of
+    both the sum and, via its own non-null count, nothing here — the
+    event COUNT column counts every event row in range)."""
     keys = list(keys)
     sum_cols = list(sum_cols)
+    lo_offset_exprs = list(lo_offset_exprs)
     spine_cols = [c for c in df_spine.columns if c not in keys]
 
     ev = df_events.select(
         *keys,
         F.col(event_time).cast("timestamp").alias("__t"),
         *[
-            F.col(src).cast(f"decimal(25,{scale})").alias(f"__m{i}")
+            F.expr(src).cast(f"decimal(25,{scale})").alias(f"__m{i}")
             for i, (_out, src) in enumerate(sum_cols)
         ],
         F.lit(1).cast("long").alias("__c"),
@@ -477,27 +486,34 @@ def _anchor_window_features(
     )
     payload_struct = F.struct(*[F.col(c) for c in ([*keys, *spine_cols])])
     ts = F.col(spine_time).cast("timestamp")
-    lo_t = ts + F.expr(lo_offset_expr) if lo_offset_expr is not None else ts
     hi_t = ts + F.expr(hi_offset_expr) if hi_offset_expr is not None else ts
-    # the HI anchor carries the spine payload through the pipeline so the
-    # collapse needs no join back to the spine (one fewer exchange)
+    lo_structs = [
+        F.struct(
+            (ts + F.expr(off) if off is not None else ts).alias("__t"),
+            F.lit(j).alias("__w"),
+        )
+        for j, off in enumerate(lo_offset_exprs)
+    ]
+    # the HI anchor (__w = -1) carries the spine payload through the
+    # pipeline so the collapse needs no join back to the spine (one fewer
+    # exchange); each window adds ONE more lo anchor row, nothing else
     anchors = spine.select(
         "__uid",
         *keys,
         payload_struct.alias("__p"),
         F.explode(
             F.array(
-                F.struct(hi_t.alias("__t"), F.lit(1).alias("__hi")),
-                F.struct(lo_t.alias("__t"), F.lit(0).alias("__hi")),
+                F.struct(hi_t.alias("__t"), F.lit(-1).alias("__w")),
+                *lo_structs,
             )
         ).alias("__a"),
     ).select(
         "__uid",
         *keys,
         F.col("__a.__t").alias("__t"),
-        F.col("__a.__hi").alias("__hi"),
+        F.col("__a.__w").alias("__w"),
         F.lit(anchor_tag).alias("__is_event"),
-        F.when(F.col("__a.__hi") == 1, F.col("__p")).alias("__p"),
+        F.when(F.col("__a.__w") == -1, F.col("__p")).alias("__p"),
     )
 
     cum_cols = [f"__cum{i}" for i in range(len(sum_cols))] + ["__cumc"]
@@ -507,13 +523,13 @@ def _anchor_window_features(
         "__is_event",
         *[F.lit(None).cast(cum.schema[c].dataType).alias(c) for c in cum_cols],
         "__uid",
-        "__hi",
+        "__w",
         "__p",
     )
     cum_shaped = cum.select(
         *keys, "__t", "__is_event", *cum_cols,
         F.lit(None).cast("long").alias("__uid"),
-        F.lit(None).cast("int").alias("__hi"),
+        F.lit(None).cast("int").alias("__w"),
         F.lit(None).cast(anchors.schema["__p"].dataType).alias("__p"),
     )
     unioned = cum_shaped.unionByName(anchors_shaped)
@@ -529,7 +545,7 @@ def _anchor_window_features(
     )
     carried = unioned.select(
         "__uid",
-        "__hi",
+        "__w",
         "__p",
         F.col("__is_event"),
         *[
@@ -537,29 +553,46 @@ def _anchor_window_features(
         ],
     ).filter(F.col("__is_event") == F.lit(anchor_tag))
 
-    zero = [F.lit(0).cast(f"decimal(25,{scale})")] * len(sum_cols)
+    def _suffix(name: str, j: int) -> str:
+        return name if window_suffixes is None else f"{name}_{window_suffixes[j]}"
+
+    zero = F.lit(0).cast(f"decimal(25,{scale})")
+    window_ids = range(len(lo_offset_exprs))
+    feature_aggs = []
+    for j in window_ids:
+        for i, (out, _src) in enumerate(sum_cols):
+            feature_aggs.append(
+                (
+                    F.max(F.when(F.col("__w") == -1, F.coalesce(F.col(f"__cum{i}"), zero)))
+                    - F.max(F.when(F.col("__w") == j, F.coalesce(F.col(f"__cum{i}"), zero)))
+                ).cast("double").alias(_suffix(out, j))
+            )
+        if count_col is not None:
+            feature_aggs.append(
+                (
+                    F.max(F.when(F.col("__w") == -1, F.coalesce(F.col("__cumc"), F.lit(0))))
+                    - F.max(F.when(F.col("__w") == j, F.coalesce(F.col("__cumc"), F.lit(0))))
+                ).alias(_suffix(count_col, j))
+            )
     hi_lo = carried.groupBy("__uid").agg(
         # exactly one non-null __p per group (the hi anchor) — first() is
         # deterministic here and, unlike max(), needs no orderable struct
         F.first("__p", ignorenulls=True).alias("__p"),
-        *[
-            (
-                F.max(F.when(F.col("__hi") == 1, F.coalesce(F.col(f"__cum{i}"), z)))
-                - F.max(F.when(F.col("__hi") == 0, F.coalesce(F.col(f"__cum{i}"), z)))
-            ).cast("double").alias(out)
-            for i, ((out, _src), z) in enumerate(zip(sum_cols, zero))
-        ],
-        (
-            F.max(F.when(F.col("__hi") == 1, F.coalesce(F.col("__cumc"), F.lit(0))))
-            - F.max(F.when(F.col("__hi") == 0, F.coalesce(F.col("__cumc"), F.lit(0))))
-        ).alias("__nev"),
+        *feature_aggs,
     )
     result_cols = [
         *[F.col("__p").getField(c).alias(c) for c in [*keys, *spine_cols]],
-        *[F.col(out_name) for out_name, _ in sum_cols],
+        *[
+            F.col(_suffix(out, j))
+            for j in window_ids
+            for out, _src in sum_cols
+        ],
+        *(
+            [F.col(_suffix(count_col, j)) for j in window_ids]
+            if count_col is not None
+            else []
+        ),
     ]
-    if count_col is not None:
-        result_cols.append(F.col("__nev").alias(count_col))
     return hi_lo.select(*result_cols)
 
 
@@ -613,12 +646,58 @@ def trailing_window_features(
         keys,
         spine_time,
         event_time,
-        lo_offset_expr=f"- ({window_expr})",
+        lo_offset_exprs=[f"- ({window_expr})"],
         hi_offset_expr=None,
         anchor_tag=0,
         sum_cols=sum_cols,
         count_col=count_col,
         scale=scale,
+    )
+
+
+def trailing_multi_window_features(
+    df_spine: DataFrame,
+    df_events: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    event_time: str,
+    windows: Sequence[tuple[str, str]],
+    sum_cols: Sequence[tuple[str, str]] = (),
+    count_col: str | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """N trailing windows for the price of ONE — the shape a real
+    feature store computes (7-day / 30-day / 90-day spend and counts per
+    entity, all at the same label instants). ``windows`` is a list of
+    ``(suffix, interval)`` pairs; every output column is
+    ``{name}_{suffix}``.
+
+    Cost model vs N calls to :func:`trailing_window_features`: the
+    events are cumsum-sorted ONCE and the union shuffles ONCE; each
+    extra window adds a single anchor row per spine row (≈ spine-sized)
+    — not another pass over the events. At 100 TB with 3 windows that
+    is 3× less event shuffle I/O than the per-window form, and the
+    exactness contract (DECIMAL prefix sums, half-open [t-w, t)
+    boundaries) is identical. ``sum_cols`` sources are SQL expressions,
+    so conditional measures ("CASE WHEN event_type='purchase' THEN
+    value END") compute per-type sums in the same pass.
+    """
+    windows = list(windows)
+    if not windows:
+        raise ValueError("trailing_multi_window_features requires >= 1 window")
+    return _anchor_window_features(
+        df_spine,
+        df_events,
+        keys,
+        spine_time,
+        event_time,
+        lo_offset_exprs=[f"- ({interval})" for _sfx, interval in windows],
+        hi_offset_expr=None,
+        anchor_tag=0,
+        sum_cols=sum_cols,
+        count_col=count_col,
+        scale=scale,
+        window_suffixes=[sfx for sfx, _interval in windows],
     )
 
 
@@ -655,7 +734,7 @@ def label_window_features(
         keys,
         spine_time,
         event_time,
-        lo_offset_expr=None,
+        lo_offset_exprs=[None],
         hi_offset_expr=f"+ ({horizon_expr})",
         anchor_tag=2,
         sum_cols=sum_cols,

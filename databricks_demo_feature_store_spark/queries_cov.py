@@ -2989,3 +2989,73 @@ def q_label_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols=[("spend_30d", "value")],
         count_col="purchases_30d",
     )
+
+
+@register(
+    "q_trailing_multi_window",
+    oracle="""
+    WITH spine AS (
+      SELECT o_orderkey AS label_id, o_custkey AS custkey,
+             o_orderdate AS label_ts
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT s.custkey, s.label_id, s.label_ts,
+           CAST(COALESCE(SUM(CASE WHEN e.o_orderdate >= s.label_ts - INTERVAL 30 DAY
+                 THEN CAST(e.o_totalprice AS DECIMAL(25,2)) END), 0) AS DOUBLE) AS spend_30d,
+           CAST(COALESCE(SUM(CASE WHEN e.o_orderdate >= s.label_ts - INTERVAL 30 DAY
+                 AND e.o_orderpriority = '1-URGENT'
+                 THEN CAST(e.o_totalprice AS DECIMAL(25,2)) END), 0) AS DOUBLE) AS urgent_spend_30d,
+           CAST(COALESCE(SUM(CASE WHEN e.o_orderdate >= s.label_ts - INTERVAL 365 DAY
+                 THEN CAST(e.o_totalprice AS DECIMAL(25,2)) END), 0) AS DOUBLE) AS spend_365d,
+           CAST(COALESCE(SUM(CASE WHEN e.o_orderdate >= s.label_ts - INTERVAL 365 DAY
+                 AND e.o_orderpriority = '1-URGENT'
+                 THEN CAST(e.o_totalprice AS DECIMAL(25,2)) END), 0) AS DOUBLE) AS urgent_spend_365d,
+           COUNT(CASE WHEN e.o_orderdate >= s.label_ts - INTERVAL 30 DAY THEN 1 END) AS n_30d,
+           COUNT(CASE WHEN e.o_orderdate >= s.label_ts - INTERVAL 365 DAY THEN 1 END) AS n_365d
+    FROM spine s LEFT JOIN orders e
+      ON e.o_custkey = s.custkey
+     AND e.o_orderdate >= s.label_ts - INTERVAL 365 DAY
+     AND e.o_orderdate <  s.label_ts
+    GROUP BY s.custkey, s.label_id, s.label_ts
+    """,
+)
+def q_trailing_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N trailing windows × M measures in ONE shuffle: per spine row the
+    30-day and 365-day total AND urgent-only spend plus event counts —
+    the multi-horizon feature block a real store serves. Each extra
+    window adds one anchor row per spine row (spine-sized), never
+    another pass over the events; conditional measures ride the same
+    DECIMAL prefix sums. The oracle is the single widest range join with
+    per-window conditional sums."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_multi_window_features,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    spine = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("label_id"),
+        F.col("o_orderdate").alias("label_ts"),
+    )
+    events = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return trailing_multi_window_features(
+        spine,
+        events,
+        keys=["custkey"],
+        spine_time="label_ts",
+        event_time="o_orderdate",
+        windows=[("30d", "INTERVAL 30 DAYS"), ("365d", "INTERVAL 365 DAYS")],
+        sum_cols=[
+            ("spend", "o_totalprice"),
+            (
+                "urgent_spend",
+                "CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END",
+            ),
+        ],
+        count_col="n",
+    )

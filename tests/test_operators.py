@@ -1521,3 +1521,59 @@ def test_label_window_features_boundaries(spark):
     )
     rows = {r.k: (r.spend, r.n) for r in out.collect()}
     assert rows == {1: (12.0, 2), 2: (0.0, 0)}
+
+
+def test_trailing_multi_window_matches_single_calls(spark):
+    """The one-shuffle multi-window form is value-identical to N
+    independent single-window calls, and conditional measures sum only
+    their matching events."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_multi_window_features,
+        trailing_window_features,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), 10.0, "a"),
+            (1, dt.datetime(2024, 1, 20), 5.0, "b"),
+            (1, dt.datetime(2024, 1, 29), 2.0, "a"),
+            (2, dt.datetime(2024, 1, 28), 7.0, "b"),
+        ],
+        "k int, et timestamp, v double, cat string",
+    )
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 30)), (2, dt.datetime(2024, 1, 30))],
+        "k int, ts timestamp",
+    )
+    multi = trailing_multi_window_features(
+        spine, events, keys=["k"], spine_time="ts", event_time="et",
+        windows=[("7d", "INTERVAL 7 DAYS"), ("30d", "INTERVAL 30 DAYS")],
+        sum_cols=[
+            ("spend", "v"),
+            ("a_spend", "CASE WHEN cat = 'a' THEN v END"),
+        ],
+        count_col="n",
+    )
+    got = {
+        r.k: (r.spend_7d, r.a_spend_7d, r.n_7d, r.spend_30d, r.a_spend_30d, r.n_30d)
+        for r in multi.collect()
+    }
+    # 7d window from Jan 30 = [Jan 23, Jan 30): only the Jan 29 'a' event
+    assert got[1] == (2.0, 2.0, 1, 17.0, 12.0, 3)
+    assert got[2] == (7.0, 0.0, 1, 7.0, 0.0, 1)
+
+    for sfx, interval in (("7d", "INTERVAL 7 DAYS"), ("30d", "INTERVAL 30 DAYS")):
+        single = trailing_window_features(
+            spine, events, keys=["k"], spine_time="ts", event_time="et",
+            window_expr=interval, sum_cols=[("spend", "v")], count_col="n",
+        )
+        sv = {r.k: (r.spend, r.n) for r in single.collect()}
+        for k, row in sv.items():
+            expected = (got[k][0], got[k][2]) if sfx == "7d" else (got[k][3], got[k][5])
+            assert row == expected
+
+    with pytest.raises(ValueError, match="window"):
+        trailing_multi_window_features(
+            spine, events, keys=["k"], spine_time="ts", event_time="et",
+            windows=[], sum_cols=[("spend", "v")],
+        )

@@ -88,6 +88,12 @@ HEAVY = [
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",
+    "q_trailing_features",
+    "q_trailing_multi_window",
+    "q_label_window",
+    "q_incr_agg_refresh",
+    "q_stream_cdc_apply",
+    "q_ext_filtered_ann",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
