@@ -600,11 +600,32 @@ def _latest_cdc_version(table_path: str) -> int | None:
     return max(versions) if versions else None
 
 
+def _applied_batch_of(table_path: str, version: int) -> int:
+    """The highest stream batch_id folded into committed ``v<version>``
+    (the ``_APPLIED_BATCH`` marker — a ``_``-prefixed file, invisible to
+    parquet readers). −1 for a bootstrap/no-batches state; missing marker
+    (pre-marker layouts) degrades to ``version − 1``, the old naming
+    convention."""
+    try:
+        with open(os.path.join(table_path, f"v{version}", "_APPLIED_BATCH")) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return version - 1
+
+
+def _write_applied_marker(staging: str, applied_batch: int) -> None:
+    with open(os.path.join(staging, "_APPLIED_BATCH"), "w") as fh:
+        fh.write(str(int(applied_batch)))
+
+
 def init_cdc_table(snapshot: DataFrame, table_path: str) -> None:
     """Bootstrap a CDC-maintained table from an initial snapshot (stored
-    as version ``v0``; batches land as ``v<batch_id+1>``). Initial rows
-    get sequence −1 — every real change (sequences must be ≥ 0)
-    supersedes them."""
+    as version ``v0`` carrying applied-batch marker −1; each stream batch
+    commits the NEXT version number — version numbers are commit
+    counters, decoupled from batch ids so maintenance commits like
+    :func:`vacuum_cdc_table` can interleave without desynchronizing the
+    replay-skip check). Initial rows get sequence −1 — every real change
+    (sequences must be ≥ 0) supersedes them."""
     os.makedirs(table_path, exist_ok=True)
     staging = os.path.join(table_path, "_tmp_v0")
     snapshot.select(
@@ -612,6 +633,7 @@ def init_cdc_table(snapshot: DataFrame, table_path: str) -> None:
         F.lit(-1).cast("long").alias("__seq"),
         F.lit(False).alias("__deleted"),
     ).write.mode("overwrite").parquet(staging)
+    _write_applied_marker(staging, -1)
     os.rename(staging, os.path.join(table_path, "v0"))
 
 
@@ -677,8 +699,7 @@ def stream_apply_changes(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         latest = _latest_cdc_version(table_path)
-        version = (latest if latest is not None else -1)
-        if version >= batch_id + 1:
+        if latest is not None and _applied_batch_of(table_path, latest) >= batch_id:
             return  # replay after a post-commit crash: already applied
         if batch_df.isEmpty():
             return
@@ -729,9 +750,11 @@ def stream_apply_changes(
             (F.col("__w.__op") == F.lit(delete_op)).alias("__deleted"),
         )
         os.makedirs(table_path, exist_ok=True)
-        staging = os.path.join(table_path, f"_tmp_v{batch_id + 1}")
+        next_version = (latest if latest is not None else -1) + 1
+        staging = os.path.join(table_path, f"_tmp_v{next_version}")
         new_state.write.mode("overwrite").parquet(staging)
-        os.rename(staging, os.path.join(table_path, f"v{batch_id + 1}"))
+        _write_applied_marker(staging, batch_id)
+        os.rename(staging, os.path.join(table_path, f"v{next_version}"))
         if latest is not None:
             shutil.rmtree(
                 os.path.join(table_path, f"v{latest}"), ignore_errors=True
@@ -744,3 +767,38 @@ def stream_apply_changes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_cdc_table(spark: SparkSession, table_path: str, horizon_seq: int) -> int:
+    """Tombstone GC for a :func:`stream_apply_changes` table: drop delete
+    tombstones whose sequence is ≤ ``horizon_seq`` — the caller's promise
+    that no change with a sequence at or below the horizon can still
+    arrive (the source's out-of-order horizon, e.g. the CDC log's oldest
+    retained LSN). Tombstones ABOVE the horizon are kept: they are still
+    guarding against reorderable stale updates. Returns the number of
+    tombstones removed.
+
+    The vacuum commits exactly like a batch: the compacted state lands as
+    the next ``v<N+1>`` directory via one atomic rename (carrying the
+    previous version's applied-batch marker forward, so the stream's
+    replay-skip check is untouched by interleaved maintenance commits) —
+    readers never observe a partial vacuum and a crash mid-vacuum leaves
+    the previous version intact.
+    """
+    import shutil
+
+    latest = _latest_cdc_version(table_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed CDC table under {table_path}")
+    cur = spark.read.parquet(os.path.join(table_path, f"v{latest}"))
+    dead = F.col("__deleted") & (F.col("__seq") <= F.lit(int(horizon_seq)))
+    n_dead = cur.filter(dead).count()
+    if n_dead == 0:
+        return 0
+    applied = _applied_batch_of(table_path, latest)
+    staging = os.path.join(table_path, f"_tmp_v{latest + 1}")
+    cur.filter(~dead).write.mode("overwrite").parquet(staging)
+    _write_applied_marker(staging, applied)
+    os.rename(staging, os.path.join(table_path, f"v{latest + 1}"))
+    shutil.rmtree(os.path.join(table_path, f"v{latest}"), ignore_errors=True)
+    return n_dead

@@ -724,3 +724,70 @@ def test_stream_cdc_apply_out_of_order_and_tombstones(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert state() == {1: "a10", 3: "c", 4: "d9"}
+
+
+def test_cdc_vacuum_tombstones_and_marker(spark, tmp_path):
+    """Vacuum drops only tombstones at-or-below the out-of-order horizon,
+    commits atomically as a NEW version carrying the applied-batch marker
+    forward — so a real batch arriving AFTER a vacuum still applies (the
+    replay-skip check is batch-id-based, not version-count-based)."""
+    import json as _json
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        init_cdc_table,
+        read_cdc_table,
+        stream_apply_changes,
+        vacuum_cdc_table,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, seq long, op string, name string"
+    init_cdc_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"), table
+    )
+
+    def drop(fname, rows):
+        (inbox / fname).write_text(
+            "\n".join(
+                _json.dumps({"k": k, "seq": s, "op": o, "name": n})
+                for k, s, o, n in rows
+            )
+        )
+
+    def run():
+        stream_apply_changes(
+            spark, str(inbox), table, ckpt,
+            keys=["k"], sequence_col="seq", schema=schema,
+        ).awaitTermination(120)
+
+    def raw(path):
+        import os as _os
+
+        from databricks_demo_feature_store_spark.streaming.ops import (
+            _latest_cdc_version,
+        )
+
+        v = _latest_cdc_version(path)
+        return spark.read.parquet(_os.path.join(path, f"v{v}"))
+
+    # batch 0: delete k=1 (seq 10), delete k=2 (seq 50)
+    drop("w0.jsonl", [(1, 10, "D", None), (2, 50, "D", None)])
+    run()
+    assert {r.k for r in raw(table).filter("__deleted").collect()} == {1, 2}
+
+    # vacuum with horizon 20: only k=1's tombstone (seq 10) is eligible
+    assert vacuum_cdc_table(spark, table, horizon_seq=20) == 1
+    tombs = {r.k for r in raw(table).filter("__deleted").collect()}
+    assert tombs == {2}
+    # idempotent: nothing left at this horizon
+    assert vacuum_cdc_table(spark, table, horizon_seq=20) == 0
+
+    # a REAL batch after the vacuum must still apply (marker carried):
+    # k=3 inserted, and a stale update to k=2 (seq 30 < 50) stays dead
+    drop("w1.jsonl", [(3, 60, "U", "c"), (2, 30, "U", "zombie")])
+    run()
+    got = {r.k: r.name for r in read_cdc_table(spark, table).collect()}
+    assert got == {3: "c"}

@@ -125,6 +125,7 @@ PYSPARK_35_METHODS_VERIFIED = {
     "withColumnRenamed",
     "withColumnsRenamed",  # added 3.4.0
     "withWatermark",
+    "write",  # DataFrame.write property, 1.4; call-form hits are stdlib fh.write()
     # GroupedData
     "applyInPandas",  # 3.0.0
     "applyInPandasWithState",  # added 3.4.0
