@@ -541,7 +541,15 @@ module import order. Selection policy:
   write + multi-PIT path by in-window q_training_set_stress, the
   version-diff path by in-window q_training_set_refresh, and this
   round's collision validation by
-  `test_training_set_payload_collisions_raise_every_strategy`).
+  `test_training_set_payload_collisions_raise_every_strategy`). And
+  q_ext_semantic_contamination (embedding-level benchmark
+  decontamination — broadcast benchmark, one corpus scan, map-side
+  per-item max) rotates in for q_ext_multimodal_decode (OUT with
+  cover: driver-green r3-r9; the PNG/WAV decoders are BIT-EXACT
+  pytest-gated — `test_png_decode_real_bytes` /
+  `test_wav_decode_real_bytes` assert pixel/sample sums on real
+  stdlib-decoded bytes — and the Arrow mapInPandas batch contract has
+  its own shape tests; stays in the full local gate).
 """
 
 from __future__ import annotations
@@ -555,7 +563,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_training_set_refresh",
     "q_stream_cms",
     "q_stream_ingest_multibatch",
-    "q_ext_multimodal_decode",
     # round-10 freshness rotation: the 26 queries last driver-certified
     # in rounds 1-3, oldest debt first (VERDICT r9 task 1)
     "q03_unshipped_revenue",
@@ -603,6 +610,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_label_window",
     "q_ext_filtered_ann",
     "q_trailing_multi_window",
+    "q_ext_semantic_contamination",
 )
 
 WINDOW_SIZE = 50

@@ -3156,3 +3156,43 @@ def q_ext_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         strategy="exact",
     )
+
+
+@register(
+    "q_ext_semantic_contamination",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 50 = 7),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 <> 7),
+    scored AS (
+      SELECT c.cid, b.bid,
+             {oracle_dround("list_inner_product(c.cv, b.bv) / (sqrt(list_inner_product(c.cv, c.cv)) * sqrt(list_inner_product(b.bv, b.bv)))", 6)} AS cos
+      FROM c CROSS JOIN b
+    ),
+    hits AS (SELECT * FROM scored WHERE cos >= 0.25),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                   ORDER BY cos DESC, bid ASC) AS rn
+      FROM hits
+    )
+    SELECT cid AS vec_id, bid AS bench_id, cos AS cosine
+    FROM best WHERE rn = 1
+    """,
+)
+def q_ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus vectors whose
+    cosine to any held-out 'benchmark' vector (every 50th id) reaches
+    0.25 are flagged with their best match — catches paraphrased eval
+    leakage that shares no shingles with the training text. Benchmark
+    broadcast, corpus scanned once, per-item max collapses map-side."""
+    from databricks_demo_feature_store_spark.textops.curation import (
+        semantic_contamination,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 50 == 7)
+    corpus = emb.where(F.col("vec_id") % 50 != 7)
+    return semantic_contamination(corpus, bench, threshold=0.25)

@@ -163,3 +163,66 @@ def curate_corpus(
         "kept",
         F.col("lang_ok") & F.col("quality_ok") & F.col("dedup_keep") & F.col("not_contaminated"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """EMBEDDING-level benchmark decontamination: flag corpus items whose
+    cosine to ANY benchmark item reaches ``threshold`` — the semantic
+    complement of :func:`ngram_contamination` (paraphrased or reformatted
+    eval items share no shingles but keep high embedding similarity,
+    which is how modern pipelines catch GSM8K-style contamination).
+
+    Returns one row per CONTAMINATED corpus item: its best benchmark
+    match and the (rounded) cosine — ``(corpus_id, bench_id, cosine)``,
+    ties on rounded cosine resolving to the smallest benchmark id
+    (deterministic). Drop flagged ids from the corpus with a left-anti
+    join.
+
+    Scale shape: the benchmark side is TINY by construction (eval suites
+    are 10²–10⁵ items) and broadcasts; the corpus is scanned ONCE with a
+    per-row fold over the broadcast benchmark — no shuffle of corpus
+    vectors at all, and the per-corpus-item max collapses map-side. For
+    benchmark sides too large to broadcast, block both sides with the
+    sign-LSH machinery (`textops/similarity.py sign_bucket_col`) first —
+    same verify step, banded candidates instead of the full fold.
+    """
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+    from databricks_demo_feature_store_spark.textops.similarity import cosine_col
+
+    b = benchmark.select(
+        F.col(bench_id).alias("__bid"), F.col(vec_col).alias("__bvec")
+    )
+    scored = (
+        corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "__cid",
+            "__bid",
+            dround(cosine_col(F.col("__cvec"), F.col("__bvec")), round_to).alias(
+                "__cos"
+            ),
+        )
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+    )
+    return (
+        scored.groupBy("__cid")
+        .agg(
+            F.max_by(
+                F.col("__bid"), F.struct(F.col("__cos"), (-F.col("__bid")).alias("__nb"))
+            ).alias("__best_bid"),
+            F.max("__cos").alias("__best_cos"),
+        )
+        .select(
+            F.col("__cid").alias(corpus_id),
+            F.col("__best_bid").alias("bench_id"),
+            F.col("__best_cos").alias("cosine"),
+        )
+    )

@@ -1686,3 +1686,36 @@ def test_filtered_ann_ivf_recall_and_exactness(spark):
 
     with _pytest.raises(ValueError, match="strategy"):
         filtered_topk(emb, queries, pred, k=5, strategy="hnsw")
+
+
+def test_semantic_contamination_threshold_and_ties(spark):
+    """Flags exactly the at-or-above-threshold corpus items, reports the
+    best benchmark match (ties on rounded cosine -> smallest bench id),
+    and composes with a left-anti join for the actual scrub."""
+    from databricks_demo_feature_store_spark.textops.curation import (
+        semantic_contamination,
+    )
+
+    def row(vid, vec):
+        return (vid, [float(x) for x in vec])
+
+    corpus = spark.createDataFrame(
+        [
+            row(10, [1, 0, 0, 0]),   # cos 1.0 with bench 1 AND bench 2 (tie)
+            row(11, [0, 1, 0, 0]),   # orthogonal to all: clean
+            row(12, [1, 1, 0, 0]),   # cos ~0.707 with bench 1/2: above 0.5
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [row(2, [1, 0, 0, 0]), row(1, [2, 0, 0, 0]), row(3, [0, 0, 1, 0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_contamination(corpus, bench, threshold=0.5)
+    got = {r.vec_id: (r.bench_id, r.cosine) for r in out.collect()}
+    assert set(got) == {10, 12}
+    assert got[10] == (1, 1.0)       # tie at cos 1.0 -> smallest bench id
+    assert got[12][0] == 1 and abs(got[12][1] - 0.707107) < 1e-6
+
+    clean = corpus.join(out.select("vec_id"), "vec_id", "left_anti")
+    assert {r.vec_id for r in clean.collect()} == {11}
