@@ -49,6 +49,7 @@ HEADLINE = [
     "q_pipeline_holdings_native",
     "q_training_set",
     "q_training_set_stress",
+    "q_training_set_windowed",
     "q_training_set_refresh",
     "q_store_lineage",
     "q_store_doctor",

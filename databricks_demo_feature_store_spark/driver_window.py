@@ -549,7 +549,18 @@ module import order. Selection policy:
   pytest-gated — `test_png_decode_real_bytes` /
   `test_wav_decode_real_bytes` assert pixel/sample sums on real
   stdlib-decoded bytes — and the Arrow mapInPandas batch contract has
-  its own shape tests; stays in the full local gate).
+  its own shape tests; stays in the full local gate). Final birth:
+  q_training_set_windowed (create_training_set mixing an as-of
+  FeatureLookup with a WindowLookup — the Feast/Tecton window-aggregate
+  feature-view surface end-to-end through the manager, vs an
+  ASOF-join + range-join oracle) rotates in for q_training_set_stress
+  (OUT with cover: r9 driver-green; its happy path is bit-unchanged
+  this round — the only round-10 change to point_in_time_multi_join is
+  the raise-on-collision validation, certified by
+  `test_multi_join_rejects_spine_column_collision` — and the
+  manager-write + assembly surface is certified in-window by the
+  rotating-in windowed composite plus q_training_set_refresh; the
+  multi-vs-sequential equality stays pytest-gated).
 """
 
 from __future__ import annotations
@@ -559,7 +570,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # every query over code changed THIS round (see round-10 docstring)
     "q01_pricing_summary",
     "q_pipeline_holdings_native",
-    "q_training_set_stress",
     "q_training_set_refresh",
     "q_stream_cms",
     "q_stream_ingest_multibatch",
@@ -611,6 +621,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_filtered_ann",
     "q_trailing_multi_window",
     "q_ext_semantic_contamination",
+    "q_training_set_windowed",
 )
 
 WINDOW_SIZE = 50

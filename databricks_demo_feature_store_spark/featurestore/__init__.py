@@ -9,6 +9,8 @@ from databricks_demo_feature_store_spark.featurestore.manager import (
     store_doctor,
 )
 from databricks_demo_feature_store_spark.featurestore.training import (
+    FeatureLookup,
+    WindowLookup,
     create_training_set,
     latest_features,
     negative_samples,
@@ -22,6 +24,8 @@ __all__ = [
     "EvolutionPolicy",
     "store_lineage",
     "store_doctor",
+    "FeatureLookup",
+    "WindowLookup",
     "create_training_set",
     "latest_features",
     "negative_samples",

@@ -32,14 +32,47 @@ class FeatureLookup:
     tolerance: str | None = None  # e.g. "INTERVAL 90 DAYS"
 
 
+@dataclass(frozen=True)
+class WindowLookup:
+    """A trailing-window aggregate feature view (the Feast/Tecton
+    "window aggregation" shape): per spine row, exact sums/counts of the
+    table's EVENT rows over one or more trailing windows anchored at the
+    spine timestamp — half-open ``[t - w, t)``, leakage-safe.
+
+    ``windows`` is ``((suffix, interval), ...)``; ``sum_cols`` is
+    ``((output_name, SQL expression), ...)`` (conditional measures
+    welcome); each output lands as ``{name}_{suffix}``. The event-time
+    column comes from the table's registry ``timestamp_keys`` like every
+    other lookup."""
+
+    table: str
+    lookup_keys: tuple[str, ...]
+    windows: tuple[tuple[str, str], ...]
+    sum_cols: tuple[tuple[str, str], ...] = ()
+    count_col: str | None = None
+    scale: int = 2
+
+    def output_names(self) -> list[str]:
+        names = []
+        for sfx, _interval in self.windows:
+            names.extend(f"{out}_{sfx}" for out, _src in self.sum_cols)
+            if self.count_col is not None:
+                names.append(f"{self.count_col}_{sfx}")
+        return names
+
+
 def create_training_set(
     manager: FeatureStoreManager,
     spine: DataFrame,
-    lookups: Sequence[FeatureLookup],
+    lookups: Sequence[FeatureLookup | WindowLookup],
     spine_time: str,
     strategy: str = "auto",
 ) -> DataFrame:
-    """Left-join each feature table onto the spine as-of ``spine_time``.
+    """Left-join each feature table onto the spine as-of ``spine_time``;
+    :class:`WindowLookup` entries additionally attach trailing-window
+    aggregates of their table's event rows anchored at the spine
+    timestamps (each window lookup is one prefix-sum union shuffle —
+    `operators/windows.py trailing_multi_window_features`).
 
     For every lookup the feature table's own timestamp key (from registry
     metadata) is used as the as-of time; the latest feature row at or
@@ -67,6 +100,9 @@ def create_training_set(
     """
     if strategy not in ("auto", "sequential", "multi"):
         raise ValueError(f"strategy must be auto|sequential|multi, got {strategy!r}")
+
+    window_lookups = [lk for lk in lookups if isinstance(lk, WindowLookup)]
+    lookups = [lk for lk in lookups if not isinstance(lk, WindowLookup)]
 
     def resolve(lk: FeatureLookup) -> tuple[DataFrame, str]:
         meta = manager.get_metadata(lk.table)
@@ -105,6 +141,40 @@ def create_training_set(
                     "assembling"
                 )
             seen[c] = f"table {lk.table!r}"
+    for wl in window_lookups:
+        for c in wl.output_names():
+            if c in seen:
+                raise ValueError(
+                    f"create_training_set: windowed feature column {c!r} from "
+                    f"table {wl.table!r} collides with {seen[c]} — rename "
+                    "before assembling"
+                )
+            seen[c] = f"window lookup on table {wl.table!r}"
+
+    def apply_window_lookups(frame: DataFrame) -> DataFrame:
+        from databricks_demo_feature_store_spark.operators.windows import (
+            trailing_multi_window_features,
+        )
+
+        for wl in window_lookups:
+            events, etime = resolve(
+                FeatureLookup(table=wl.table, lookup_keys=wl.lookup_keys)
+            )
+            frame = trailing_multi_window_features(
+                frame,
+                events,
+                keys=list(wl.lookup_keys),
+                spine_time=spine_time,
+                event_time=etime,
+                windows=list(wl.windows),
+                sum_cols=list(wl.sum_cols),
+                count_col=wl.count_col,
+                scale=wl.scale,
+            )
+        return frame
+
+    if not lookups:
+        return apply_window_lookups(spine)
 
     if same_keys and len(lookups) > 1 and strategy in ("auto", "multi"):
         entries = [
@@ -116,11 +186,13 @@ def create_training_set(
             }
             for lk, features, ftime, fcols in resolved
         ]
-        return point_in_time_multi_join(
-            spine,
-            entries,
-            keys=list(lookups[0].lookup_keys),
-            spine_time=spine_time,
+        return apply_window_lookups(
+            point_in_time_multi_join(
+                spine,
+                entries,
+                keys=list(lookups[0].lookup_keys),
+                spine_time=spine_time,
+            )
         )
 
     out = spine
@@ -134,7 +206,7 @@ def create_training_set(
             feature_cols=fcols,
             tolerance_expr=lk.tolerance,
         )
-    return out
+    return apply_window_lookups(out)
 
 
 def latest_features(

@@ -2396,3 +2396,117 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_cdc_table(spark, table).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
+
+
+@register(
+    "q_training_set_windowed",
+    oracle="""
+    WITH feats AS (
+      SELECT o_custkey AS custkey,
+             CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                  + INTERVAL 1 MONTH AS TIMESTAMP) AS release_dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT o_orderkey AS label_id, o_custkey AS custkey,
+             CAST(o_orderdate AS TIMESTAMP) AS label_ts
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    pit AS (
+      SELECT s.custkey, s.label_ts, s.label_id, f.total_spend
+      FROM spine s
+      ASOF LEFT JOIN feats f
+        ON s.custkey = f.custkey AND s.label_ts >= f.release_dt
+    )
+    SELECT p.custkey, p.label_ts, p.label_id, p.total_spend,
+           CAST(COALESCE(SUM(CASE WHEN e.o_orderdate >= p.label_ts - INTERVAL 90 DAY
+                 THEN CAST(e.o_totalprice AS DECIMAL(25,2)) END), 0) AS DOUBLE) AS spend_90d,
+           COUNT(CASE WHEN e.o_orderdate >= p.label_ts - INTERVAL 90 DAY THEN 1 END) AS n_orders_90d,
+           CAST(COALESCE(SUM(CASE WHEN e.o_orderdate >= p.label_ts - INTERVAL 365 DAY
+                 THEN CAST(e.o_totalprice AS DECIMAL(25,2)) END), 0) AS DOUBLE) AS spend_365d,
+           COUNT(CASE WHEN e.o_orderdate >= p.label_ts - INTERVAL 365 DAY THEN 1 END) AS n_orders_365d
+    FROM pit p LEFT JOIN orders e
+      ON e.o_custkey = p.custkey
+     AND e.o_orderdate >= p.label_ts - INTERVAL 365 DAY
+     AND e.o_orderdate <  p.label_ts
+    GROUP BY p.custkey, p.label_ts, p.label_id, p.total_spend
+    """,
+)
+def q_training_set_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly mixing BOTH lookup kinds through ONE
+    create_training_set call: an as-of FeatureLookup (latest monthly
+    spend at each label instant) plus a WindowLookup (exact trailing
+    90-day and 365-day spend/count anchored at the same instants) — the
+    Feast/Tecton feature-view surface end-to-end through the manager.
+    The oracle is a DuckDB ASOF join feeding the widest-range join with
+    per-window conditional sums."""
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        FeatureLookup,
+        WindowLookup,
+        create_training_set,
+    )
+
+    root = scratch_dir("ts_windowed")
+    manager = FeatureStoreManager(spark, root)
+    o = load(spark, sf_dir, "orders")
+    feats = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.add_months(F.trunc(F.col("o_orderdate").cast("date"), "month"), 1)
+            .cast("timestamp")
+            .alias("release_dt"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    manager.save(
+        feats,
+        FeatureTableSpec(
+            name="monthly_spend",
+            primary_keys=("custkey", "release_dt"),
+            timestamp_keys=("release_dt",),
+        ),
+        mode="overwrite",
+    )
+    events = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("event_ts"),
+        "o_totalprice",
+    )
+    manager.save(
+        events,
+        FeatureTableSpec(
+            name="order_events",
+            primary_keys=("custkey", "event_ts"),
+            timestamp_keys=("event_ts",),
+        ),
+        mode="overwrite",
+    )
+    spine = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("label_id"),
+        F.col("o_orderdate").cast("timestamp").alias("label_ts"),
+    )
+    out = create_training_set(
+        manager,
+        spine,
+        [
+            FeatureLookup(table="monthly_spend", lookup_keys=("custkey",)),
+            WindowLookup(
+                table="order_events",
+                lookup_keys=("custkey",),
+                windows=(("90d", "INTERVAL 90 DAYS"), ("365d", "INTERVAL 365 DAYS")),
+                sum_cols=(("spend", "o_totalprice"),),
+                count_col="n_orders",
+            ),
+        ],
+        spine_time="label_ts",
+    )
+    return out.select(
+        "custkey", "label_ts", "label_id", "total_spend",
+        "spend_90d", F.col("n_orders_90d"), "spend_365d", F.col("n_orders_365d"),
+    )

@@ -501,3 +501,49 @@ def test_aggregate_state_merge_is_exact(spark):
     )
     out = finalize_aggregates(const, ["k"], "x").collect()[0]
     assert out.x_std == 0.0 and out.x_mean == 5.0
+
+
+def test_window_lookup_collision_and_mixing(spark, manager):
+    """WindowLookup output names join the collision validation, and a
+    windowed training set with NO as-of lookups still assembles."""
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 10), 10.0),
+            (1, dt.datetime(2024, 2, 10), 20.0),
+        ],
+        "pk_customer int, tpk_event_ts timestamp, amount double",
+    )
+    manager.save(
+        events,
+        FeatureTableSpec(
+            name="evt",
+            primary_keys=("pk_customer", "tpk_event_ts"),
+            timestamp_keys=("tpk_event_ts",),
+        ),
+        mode="overwrite",
+    )
+    from databricks_demo_feature_store_spark.featurestore.training import (
+        WindowLookup,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, dt.datetime(2024, 2, 15), 1), (2, dt.datetime(2024, 2, 15), 0)],
+        "pk_customer int, label_dt timestamp, y int",
+    )
+    wl = WindowLookup(
+        table="evt",
+        lookup_keys=("pk_customer",),
+        windows=(("30d", "INTERVAL 30 DAYS"),),
+        sum_cols=(("spend", "amount"),),
+        count_col="n",
+    )
+    out = create_training_set(manager, labels, [wl], spine_time="label_dt")
+    got = {r.pk_customer: (r.spend_30d, r.n_30d) for r in out.collect()}
+    assert got == {1: (20.0, 1), 2: (0.0, 0)}
+
+    # a window output name colliding with a spine column raises up front:
+    # sum name "y" + suffix "30d" would be fine, but naming the output
+    # after the spine's label column collides as "y_30d" vs spine "y_30d"
+    labels_coll = labels.withColumn("spend_30d", F.lit(0.0))
+    with pytest.raises(ValueError, match="collides"):
+        create_training_set(manager, labels_coll, [wl], spine_time="label_dt")
