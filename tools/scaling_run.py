@@ -94,6 +94,8 @@ HEAVY = [
     "q_incr_agg_refresh",
     "q_stream_cdc_apply",
     "q_ext_filtered_ann",
+    "q_ext_semantic_contamination",
+    "q_training_set_windowed",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
