@@ -74,6 +74,7 @@ HEADLINE = [
     "q_val_psi_drift",
     "q_val_ks_drift",
     "q_event_attribution",
+    "q_event_paths",
     "q_position_attribution",
     "q_conversion_lags",
     "q_event_transitions",

@@ -560,7 +560,15 @@ module import order. Selection policy:
   `test_multi_join_rejects_spine_column_collision` — and the
   manager-write + assembly surface is certified in-window by the
   rotating-in windowed composite plus q_training_set_refresh; the
-  multi-vs-sequential equality stays pytest-gated).
+  multi-vs-sequential equality stays pytest-gated). And q_event_paths
+  (top-k event-type path discovery — one per-user window + hash count
+  + TakeOrdered) rotates in for q_training_set_refresh (OUT with
+  cover: r9 driver-green AND its only round-10 change is REMOVING
+  broadcast hints — a join-strategy annotation that cannot change
+  values, re-verified value-exact by the full local gate on current
+  code; the refresh-equals-full-reassembly contract also holds in
+  `test_refresh_training_set_touches_only_changed_entities`, and the
+  create_training_set surface keeps in-window q_training_set_windowed).
 """
 
 from __future__ import annotations
@@ -570,7 +578,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # every query over code changed THIS round (see round-10 docstring)
     "q01_pricing_summary",
     "q_pipeline_holdings_native",
-    "q_training_set_refresh",
     "q_stream_cms",
     "q_stream_ingest_multibatch",
     # round-10 freshness rotation: the 26 queries last driver-certified
@@ -622,6 +629,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_trailing_multi_window",
     "q_ext_semantic_contamination",
     "q_training_set_windowed",
+    "q_event_paths",
 )
 
 WINDOW_SIZE = 50

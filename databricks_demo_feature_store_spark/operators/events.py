@@ -507,3 +507,49 @@ def conversion_lag_stats(
             "p90_lag_sec"
         ),
     )
+
+
+def event_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str | None = "event_id",
+    depth: int = 3,
+    k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most common ``depth``-step event-type PATHS across users —
+    the path-discovery half of funnel analytics (funnels test a
+    hypothesized sequence; this surfaces which sequences actually
+    happen). A path is ``depth`` consecutive events of one user in time
+    order, e.g. ``view>click>purchase``; overlapping windows all count
+    (a 5-event session yields 3 trigram paths).
+
+    One window over (user, time) produces the ``depth−1`` leads — the
+    same single per-user sort every sessionize/lag operator here plans —
+    then a hash count + TakeOrdered top-k (no global sort).
+    ``order_tiebreak`` breaks exact timestamp ties deterministically
+    (set None only when (user, ts) is unique). Returns
+    ``(path, n_paths, n_users)`` — n_users counts DISTINCT users who
+    walked the path, ordered by (n_paths DESC, path ASC).
+    """
+    if depth < 2:
+        raise ValueError("event_paths requires depth >= 2")
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    paths = events.select(
+        F.col(user_col).alias("__u"),
+        F.concat_ws(sep, *steps).alias("path"),
+        steps[-1].isNotNull().alias("__complete"),
+    ).filter(F.col("__complete"))
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.count_distinct(F.col("__u")).alias("n_users"),
+    )
+    return counted.orderBy(F.desc("n_paths"), F.asc("path")).limit(k)

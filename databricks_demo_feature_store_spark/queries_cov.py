@@ -3059,3 +3059,33 @@ def q_trailing_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         count_col="n",
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id,
+             event_type || '>' || LEAD(event_type, 1) OVER w
+                        || '>' || LEAD(event_type, 2) OVER w AS path,
+             LEAD(event_type, 2) OVER w IS NOT NULL AS complete
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT path, COUNT(*) AS n_paths, COUNT(DISTINCT user_id) AS n_users
+    FROM stepped WHERE complete
+    GROUP BY path
+    ORDER BY n_paths DESC, path ASC
+    LIMIT 20
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-walked 3-step event-type paths — path DISCOVERY, the
+    complement of hypothesis-testing funnels: which sequences users
+    actually take, with per-path traversal and distinct-walker counts.
+    One per-user window sort + hash count + TakeOrdered; the oracle
+    replays the lead-concat windows."""
+    from databricks_demo_feature_store_spark.operators.events import event_paths
+
+    ev = load(spark, sf_dir, "events")
+    return event_paths(ev, depth=3, k=20)

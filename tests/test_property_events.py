@@ -77,3 +77,36 @@ def test_funnel_fold_matches_sequential_bruteforce(spark, events):
     for r in funnel_steps(df, STEPS).collect():
         n = sum(r[f"step{k}_ts"] is not None for k in (1, 2, 3))
         assert r["steps_completed"] == n
+
+
+def test_event_paths_overlap_and_determinism(spark):
+    """Overlapping windows all count (5 events -> 3 trigrams), per-user
+    isolation holds, tie order is deterministic, depth guard raises."""
+    import datetime as dt
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.operators.events import event_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, minutes, typ):
+        return (eid, user, t0 + dt.timedelta(minutes=minutes), typ)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 0, "a"), ev(2, 1, 1, "b"), ev(3, 1, 2, "a"),
+            ev(4, 1, 3, "b"), ev(5, 1, 4, "a"),
+            ev(6, 2, 0, "a"), ev(7, 2, 1, "b"), ev(8, 2, 2, "a"),
+            ev(9, 3, 0, "x"), ev(10, 3, 1, "y"),  # too short: no trigram
+        ],
+        "event_id int, user_id int, ts timestamp, event_type string",
+    )
+    out = event_paths(events, depth=3, k=10).collect()
+    got = {r.path: (r.n_paths, r.n_users) for r in out}
+    assert got == {"a>b>a": (3, 2), "b>a>b": (1, 1)}
+    # deterministic order: count desc then path asc
+    assert [r.path for r in out] == ["a>b>a", "b>a>b"]
+
+    with pytest.raises(ValueError, match="depth"):
+        event_paths(events, depth=1)
