@@ -96,6 +96,7 @@ HEAVY = [
     "q_ext_filtered_ann",
     "q_ext_semantic_contamination",
     "q_training_set_windowed",
+    "q_event_paths",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
