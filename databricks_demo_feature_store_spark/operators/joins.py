@@ -682,6 +682,13 @@ def scd2_dim_join(
             if c not in keys and c not in (valid_from, valid_to)
         ]
     dim_cols = list(dim_cols)
+    dup = set(dim_cols) & set(df_facts.columns)
+    if dup:
+        raise ValueError(
+            f"scd2_dim_join: dimension columns {sorted(dup)} collide with "
+            "fact columns — rename before joining (duplicate output names "
+            "are ambiguous)"
+        )
     joined = point_in_time_join(
         df_facts,
         df_dim,

@@ -1600,3 +1600,19 @@ def test_tpch_trio_plan_shape(spark):
         assert "CartesianProduct" not in physical, name
         # the filter reached the data source (row-group pruning at scale)
         assert "PushedFilters" in full and pushed_token in full, name
+
+
+def test_scd2_dim_join_rejects_column_collision(spark):
+    import datetime as _dt
+
+    from databricks_demo_feature_store_spark.operators.joins import scd2_dim_join
+
+    dim = spark.createDataFrame(
+        [(1, "x", _dt.datetime(2024, 1, 1), None)],
+        "k int, v string, effective_from timestamp, effective_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 2, 1), "clash")], "k int, ts timestamp, v string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        scd2_dim_join(facts, dim, keys=["k"], fact_time="ts")
