@@ -545,6 +545,23 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    keys = list(keys)
+    if feature_cols is None:
+        feature_cols = [
+            c for c in df_features.columns if c not in keys and c != feature_time
+        ]
+    feature_cols = list(feature_cols)
+    spine_cols = [c for c in df_spine.columns if c not in keys and c != spine_time]
+    dup = set(feature_cols) & set(df_spine.columns)
+    if matched_time_col is not None and (
+        matched_time_col in df_spine.columns or matched_time_col in feature_cols
+    ):
+        dup.add(matched_time_col)
+    if dup:
+        raise ValueError(
+            f"asof_join: output columns {sorted(dup)} collide with the "
+            "spine's columns — rename before joining"
+        )
     if direction == "backward" and matched_time_col is None:
         return point_in_time_join(
             df_spine,
@@ -555,13 +572,6 @@ def asof_join(
             feature_cols=feature_cols,
             tolerance_expr=tolerance_expr,
         )
-    keys = list(keys)
-    if feature_cols is None:
-        feature_cols = [
-            c for c in df_features.columns if c not in keys and c != feature_time
-        ]
-    feature_cols = list(feature_cols)
-    spine_cols = [c for c in df_spine.columns if c not in keys and c != spine_time]
 
     right = df_features.select(
         *keys,

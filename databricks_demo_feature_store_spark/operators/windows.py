@@ -453,6 +453,23 @@ def _anchor_window_features(
     lo_offset_exprs = list(lo_offset_exprs)
     spine_cols = [c for c in df_spine.columns if c not in keys]
 
+    out_names = []
+    for j in range(len(lo_offset_exprs)):
+        sfx = None if window_suffixes is None else window_suffixes[j]
+        out_names.extend(
+            out if sfx is None else f"{out}_{sfx}" for out, _src in sum_cols
+        )
+        if count_col is not None:
+            out_names.append(count_col if sfx is None else f"{count_col}_{sfx}")
+    dup = (set(out_names) & set(df_spine.columns)) | {
+        n for n in out_names if out_names.count(n) > 1
+    }
+    if dup:
+        raise ValueError(
+            f"window features: output columns {sorted(dup)} collide with the "
+            "spine's columns (or each other) — rename before computing"
+        )
+
     ev = df_events.select(
         *keys,
         F.col(event_time).cast("timestamp").alias("__t"),

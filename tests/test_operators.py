@@ -1616,3 +1616,35 @@ def test_scd2_dim_join_rejects_column_collision(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         scd2_dim_join(facts, dim, keys=["k"], fact_time="ts")
+
+
+def test_asof_and_window_output_collisions_raise(spark):
+    import datetime as _dt
+
+    from databricks_demo_feature_store_spark.operators.joins import asof_join
+    from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_window_features,
+    )
+
+    spine = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 2), 5.0)], "k int, ts timestamp, v double"
+    )
+    feats = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1), 7.0)], "k int, ft timestamp, v double"
+    )
+    # feature column 'v' collides with the spine's 'v' — all directions
+    for direction in ("backward", "forward", "nearest"):
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(spine, feats, keys=["k"], spine_time="ts",
+                      feature_time="ft", direction=direction)
+    # matched_time_col colliding with a spine column raises too
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(spine, feats.withColumnRenamed("v", "fv"), keys=["k"],
+                  spine_time="ts", feature_time="ft", direction="nearest",
+                  matched_time_col="ts")
+    # window feature output named like a spine column raises
+    with pytest.raises(ValueError, match="collide"):
+        trailing_window_features(
+            spine, feats, keys=["k"], spine_time="ts", event_time="ft",
+            window_expr="INTERVAL 1 DAY", sum_cols=[("v", "v")],
+        )
