@@ -657,6 +657,7 @@ def stream_apply_changes(
     schema: str,
     op_col: str = "op",
     delete_op: str = "D",
+    after_commit_hook=None,
 ):
     """Streaming MERGE INTO: a file stream of CDC change records
     (upserts + deletes with a per-key monotone ``sequence_col``)
@@ -679,6 +680,12 @@ def stream_apply_changes(
       so a stale update arriving after a delete stays dead; at warehouse
       scale tombstones are vacuumed once the source's out-of-order
       horizon passes.
+
+    ``after_commit_hook(batch_id)``, when given, runs after the state
+    commit lands and before foreachBatch returns (i.e. before the
+    CHECKPOINT commit) — the fault-injection point the crash-recovery
+    test uses to kill the stream in the exactly-once danger window;
+    production callers leave it None.
 
     Sequences must be ≥ 0 (init rows use −1) and unique per key across
     the whole stream. The per-batch rewrite here is whole-table (like
@@ -759,6 +766,8 @@ def stream_apply_changes(
             shutil.rmtree(
                 os.path.join(table_path, f"v{latest}"), ignore_errors=True
             )
+        if after_commit_hook is not None:
+            after_commit_hook(batch_id)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -791,3 +791,72 @@ def test_cdc_vacuum_tombstones_and_marker(spark, tmp_path):
     run()
     got = {r.k: r.name for r in read_cdc_table(spark, table).collect()}
     assert got == {3: "c"}
+
+
+def test_cdc_apply_crash_between_commits_is_exactly_once(spark, tmp_path):
+    """Kill the CDC stream in the exactly-once danger window — AFTER the
+    state commit, BEFORE the checkpoint commit — restart from the same
+    checkpoint, and assert the final table equals an uninterrupted run:
+    the replayed batch must SKIP (already-committed marker), not
+    re-apply, and nothing the crashed batch committed may be lost."""
+    import json as _json
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        init_cdc_table,
+        read_cdc_table,
+        stream_apply_changes,
+    )
+
+    schema = "k long, seq long, op string, name string"
+    waves = [
+        [(1, 10, "U", "a10"), (2, 20, "U", "b20")],
+        [(1, 30, "U", "a30"), (3, 40, "U", "c40"), (2, 25, "D", None)],
+    ]
+
+    def build(tag, hook_on_wave=None):
+        inbox = tmp_path / f"inbox_{tag}"
+        inbox.mkdir()
+        table = str(tmp_path / f"table_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        init_cdc_table(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"),
+            table,
+        )
+
+        def die(batch_id):
+            raise RuntimeError("injected crash after state commit")
+
+        for i, rows in enumerate(waves):
+            (inbox / f"w{i}.jsonl").write_text(
+                "\n".join(
+                    _json.dumps({"k": k, "seq": s, "op": o, "name": n})
+                    for k, s, o, n in rows
+                )
+            )
+            hook = die if hook_on_wave == i else None
+            q = stream_apply_changes(
+                spark, str(inbox), table, ckpt,
+                keys=["k"], sequence_col="seq", schema=schema,
+                after_commit_hook=hook,
+            )
+            if hook is not None:
+                with pytest.raises(Exception, match="injected crash"):
+                    q.awaitTermination(120)
+                # PROVABLY died in the danger window: the wave's state is
+                # already committed even though the checkpoint is not
+                assert {r.k: r.name for r in read_cdc_table(spark, table).collect()} \
+                    == {1: "a30", 3: "c40"}
+                # restart clean from the same checkpoint: batch replays, skips
+                stream_apply_changes(
+                    spark, str(inbox), table, ckpt,
+                    keys=["k"], sequence_col="seq", schema=schema,
+                ).awaitTermination(120)
+            else:
+                q.awaitTermination(120)
+        return {r.k: r.name for r in read_cdc_table(spark, table).collect()}
+
+    ref = build("ref")
+    crashed = build("crash", hook_on_wave=1)
+    assert crashed == ref == {1: "a30", 3: "c40"}
