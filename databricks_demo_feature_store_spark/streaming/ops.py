@@ -428,11 +428,17 @@ def stream_ingest_corpus_dedup(
         # greedy min-id representative: drop the larger side of each pair
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
         batch = batch.join(drop, on="doc_id", how="left_anti")
+        from pyspark.errors import AnalysisException
+
         try:
             corpus = batch_df.sparkSession.read.parquet(corpus_path)
             have_corpus = True
-        except Exception:
-            have_corpus = False  # first batch: nothing to compare against
+        except AnalysisException:
+            # first batch only: the corpus path does not exist yet. ONLY
+            # the analysis-time miss is caught — a transient read error
+            # must FAIL the batch (and replay), not silently skip the
+            # cross-corpus dedup and admit duplicates forever
+            have_corpus = False
         if have_corpus:
             # 3a: exact re-arrivals (incl. a crash-replayed batch's own
             # earlier append) drop by id — idempotence never rides on the
@@ -733,6 +739,13 @@ def stream_apply_changes(
         sides = [finals]
         if latest is not None:
             stored = sess.read.parquet(os.path.join(table_path, f"v{latest}"))
+            missing = [c for c in payload if c not in stored.columns]
+            if missing:
+                raise ValueError(
+                    "stream_apply_changes: stored table is missing payload "
+                    f"columns {missing} — the stream schema and the table "
+                    "bootstrapped by init_cdc_table must agree"
+                )
             sides.append(
                 stored.select(
                     *keys,
