@@ -49,10 +49,16 @@ def replace_entities(
     staged write + directory swap (never delete-then-rewrite the live
     table).
     """
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     try:
         existing = spark.read.format(fmt).load(path)
-    except Exception:
+    except AnalysisException:
+        # first write only: the table path does not exist yet. ONLY the
+        # analysis-time miss may fall through to the bootstrap overwrite —
+        # a transient read error overwriting the live table with one
+        # batch would be silent data loss
         _write(df, path, fmt, "overwrite", partition_by)
         return
     touched = df.select(entity_col).distinct()

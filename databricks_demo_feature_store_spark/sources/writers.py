@@ -130,10 +130,14 @@ def merge_upsert(
         _write(df, path, "delta", "overwrite", partition_by)
         return
 
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.format(fmt).load(path)
         table_exists = True
-    except Exception:
+    except AnalysisException:
+        # only the analysis-time path miss means "no table yet" — any
+        # other failure must propagate, not bootstrap-overwrite the data
         table_exists = False
 
     if not table_exists:
