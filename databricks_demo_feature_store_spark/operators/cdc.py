@@ -67,18 +67,25 @@ def apply_changes(
         ).alias("__fin"),
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct(F.col(sequence_col)).alias("__nseq"),
+        F.count(F.col(op_col)).alias("__nop"),
     )
-    # ANSI-mode guard: duplicated (key, sequence) pairs make the winner
-    # nondeterministic — fail the job instead of silently diverging
+    # ANSI-mode guards, both checked inside the one aggregation:
+    # duplicated (key, sequence) pairs make the winner nondeterministic,
+    # and a NULL op would make `__op != delete_op` evaluate to NULL —
+    # silently deleting the key — so both fail the job loudly instead
     final = final.select(
         *keys,
         F.when(
-            F.col("__n") == F.col("__nseq"), F.col("__fin")
-        ).otherwise(
+            F.col("__n") != F.col("__nseq"),
             F.raise_error(
                 F.lit("apply_changes: duplicate (keys, sequence) in change stream")
-            )
-        ).alias("__fin"),
+            ),
+        ).when(
+            F.col("__nop") != F.col("__n"),
+            F.raise_error(
+                F.lit(f"apply_changes: NULL {op_col} in change stream")
+            ),
+        ).otherwise(F.col("__fin")).alias("__fin"),
     )
     untouched = snapshot.join(final.select(*keys), on=keys, how="left_anti")
     upserts = final.filter(F.col("__fin").getField("__op") != F.lit(delete_op)).select(

@@ -543,10 +543,16 @@ def event_paths(
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, depth)
     ]
+    # EVERY step must be non-null, not just the last lead: concat_ws
+    # skips NULLs, so a NULL event type mid-window would otherwise emit
+    # a shorter-looking path conflated with genuine (depth-1)-step paths
+    complete = steps[0].isNotNull()
+    for s in steps[1:]:
+        complete = complete & s.isNotNull()
     paths = events.select(
         F.col(user_col).alias("__u"),
         F.concat_ws(sep, *steps).alias("path"),
-        steps[-1].isNotNull().alias("__complete"),
+        complete.alias("__complete"),
     ).filter(F.col("__complete"))
     counted = paths.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_paths"),

@@ -692,7 +692,9 @@ def scd2_dim_join(
             if c not in keys and c not in (valid_from, valid_to)
         ]
     dim_cols = list(dim_cols)
-    dup = set(dim_cols) & set(df_facts.columns)
+    # valid_to is carried through the PIT join internally, so it
+    # collides with a same-named fact column exactly like a dim column
+    dup = (set(dim_cols) | {valid_to}) & set(df_facts.columns)
     if dup:
         raise ValueError(
             f"scd2_dim_join: dimension columns {sorted(dup)} collide with "

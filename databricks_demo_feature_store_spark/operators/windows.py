@@ -482,11 +482,13 @@ def _anchor_window_features(
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # the physically-last row of an equal-time run carries the run's full
-    # total (sum is commutative), and every anchor sorts after the whole
-    # run or before all of it — intermediate intra-run order never shows
+    # RANGE frame, not ROWS: every row of an equal-time run carries the
+    # run's FULL total (peers share one frame), so the later carry
+    # window's F.last is tie-deterministic — a ROWS frame would hand
+    # tied rows order-dependent partial sums, and the carry sort's
+    # intra-tie order is not guaranteed to match this one's
     cum = ev.select(
         *keys,
         "__t",

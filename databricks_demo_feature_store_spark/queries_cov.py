@@ -3068,7 +3068,9 @@ def q_trailing_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              event_type || '>' || LEAD(event_type, 1) OVER w
                         || '>' || LEAD(event_type, 2) OVER w AS path,
-             LEAD(event_type, 2) OVER w IS NOT NULL AS complete
+             event_type IS NOT NULL
+               AND LEAD(event_type, 1) OVER w IS NOT NULL
+               AND LEAD(event_type, 2) OVER w IS NOT NULL AS complete
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     )

@@ -726,15 +726,24 @@ def stream_apply_changes(
             F.max_by(cand, F.col(sequence_col)).alias("__cand"),
             F.count(F.lit(1)).alias("__n"),
             F.count_distinct(F.col(sequence_col)).alias("__nseq"),
+            F.count(F.col(op_col)).alias("__nop"),
         )
+        # same two contract guards as batch apply_changes: a NULL op
+        # would make the later `__op == delete_op` comparison NULL and
+        # silently tombstone the key, so raise in the same aggregation
         finals = finals.select(
             *keys,
-            F.when(F.col("__n") == F.col("__nseq"), F.col("__cand"))
-            .otherwise(
+            F.when(
+                F.col("__n") != F.col("__nseq"),
                 F.raise_error(
                     F.lit("stream_apply_changes: duplicate (keys, sequence) in batch")
-                )
-            ).alias("__cand"),
+                ),
+            ).when(
+                F.col("__nop") != F.col("__n"),
+                F.raise_error(
+                    F.lit(f"stream_apply_changes: NULL {op_col} in batch")
+                ),
+            ).otherwise(F.col("__cand")).alias("__cand"),
         )
         sides = [finals]
         if latest is not None:

@@ -215,8 +215,12 @@ def semantic_contamination(
     return (
         scored.groupBy("__cid")
         .agg(
-            F.max_by(
-                F.col("__bid"), F.struct(F.col("__cos"), (-F.col("__bid")).alias("__nb"))
+            # (cos DESC, bid ASC) winner via min_by over (-cos, bid):
+            # the negation stays on the always-double cosine, never on
+            # the id, so string/any-orderable benchmark ids work
+            F.min_by(
+                F.col("__bid"),
+                F.struct((-F.col("__cos")).alias("__nc"), F.col("__bid")),
             ).alias("__best_bid"),
             F.max("__cos").alias("__best_cos"),
         )

@@ -1648,3 +1648,74 @@ def test_asof_and_window_output_collisions_raise(spark):
             spine, feats, keys=["k"], spine_time="ts", event_time="ft",
             window_expr="INTERVAL 1 DAY", sum_cols=[("v", "v")],
         )
+
+
+def test_trailing_window_features_tied_event_times_deterministic(spark):
+    """Events sharing (key, event_time) must contribute their FULL run
+    total regardless of physical order: the cumsum uses a RANGE frame so
+    every tied row carries the run total and the anchor-carry F.last is
+    tie-deterministic (ADVICE r10: a ROWS frame left tied rows with
+    order-dependent partial sums that a shuffle could surface)."""
+    from databricks_demo_feature_store_spark.operators.windows import (
+        label_window_features,
+        trailing_window_features,
+    )
+
+    t = dt.datetime(2024, 1, 10)
+    # 40 events for one key ALL at the same instant, shuffled across
+    # partitions so no input order survives
+    events = spark.createDataFrame(
+        [(1, t, float(i)) for i in range(40)], "k int, et timestamp, v double"
+    ).repartition(8)
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 31))], "k int, ts timestamp"
+    )
+    out = trailing_window_features(
+        spine, events, keys=["k"], spine_time="ts", event_time="et",
+        window_expr="INTERVAL 30 DAYS", sum_cols=[("spend", "v")],
+        count_col="n",
+    ).collect()
+    assert (out[0].spend, out[0].n) == (float(sum(range(40))), 40)
+    # label side rides the same core: anchor at t, horizon includes run
+    lab = label_window_features(
+        spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k int, ts timestamp"),
+        events, keys=["k"], spine_time="ts", event_time="et",
+        horizon_expr="INTERVAL 30 DAYS", sum_cols=[("spend", "v")],
+        count_col="n",
+    ).collect()
+    assert (lab[0].spend, lab[0].n) == (float(sum(range(40))), 40)
+
+
+def test_apply_changes_null_op_raises(spark):
+    """A NULL op is a contract violation, not a silent delete (ADVICE
+    r10: NULL made `__op != delete_op` NULL and dropped the key)."""
+    from databricks_demo_feature_store_spark.operators.cdc import apply_changes
+    from py4j.protocol import Py4JJavaError
+
+    snap = spark.createDataFrame([(1, "a")], "k int, val string")
+    changes = spark.createDataFrame(
+        [(1, 1, "U", "b"), (1, 2, None, "c")],
+        "k int, seq int, op string, val string",
+    )
+    with pytest.raises(Exception, match="NULL op"):
+        apply_changes(snap, changes, keys=["k"], sequence_col="seq").collect()
+
+
+def test_scd2_dim_join_rejects_valid_to_collision(spark):
+    """A fact column named like the dimension's valid_to column raises
+    the same up-front ValueError as a dim-column collision (ADVICE r10:
+    it previously surfaced as an ambiguous-column analysis error)."""
+    import datetime as _dt
+
+    from databricks_demo_feature_store_spark.operators.joins import scd2_dim_join
+
+    facts = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 5), "x")],
+        "k int, ts timestamp, effective_to string",
+    )
+    dim = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1), None, "gold")],
+        "k int, effective_from timestamp, effective_to timestamp, tier string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        scd2_dim_join(facts, dim, keys=["k"], fact_time="ts")

@@ -110,3 +110,30 @@ def test_event_paths_overlap_and_determinism(spark):
 
     with pytest.raises(ValueError, match="depth"):
         event_paths(events, depth=1)
+
+
+def test_event_paths_null_types_break_windows(spark):
+    """A NULL event type invalidates every window containing it instead
+    of concat_ws silently skipping it (ADVICE r10: 'a>c' from a 3-step
+    window was conflated with genuine 2-step paths)."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.operators.events import event_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (1, 1, t0 + dt.timedelta(minutes=0), "a"),
+            (2, 1, t0 + dt.timedelta(minutes=1), None),
+            (3, 1, t0 + dt.timedelta(minutes=2), "c"),
+            (4, 1, t0 + dt.timedelta(minutes=3), "d"),
+            (5, 2, t0 + dt.timedelta(minutes=0), "a"),
+            (6, 2, t0 + dt.timedelta(minutes=1), "c"),
+        ],
+        "event_id int, user_id int, ts timestamp, event_type string",
+    )
+    # depth=3: user 1's only NULL-free window is c>d... too short; none.
+    assert event_paths(events, depth=3, k=10).count() == 0
+    # depth=2: the NULL breaks a>? and ?>c; c>d and user 2's a>c survive
+    got = {r.path: r.n_paths for r in event_paths(events, depth=2, k=10).collect()}
+    assert got == {"c>d": 1, "a>c": 1}

@@ -1719,3 +1719,28 @@ def test_semantic_contamination_threshold_and_ties(spark):
 
     clean = corpus.join(out.select("vec_id"), "vec_id", "left_anti")
     assert {r.vec_id for r in clean.collect()} == {11}
+
+
+def test_semantic_contamination_string_bench_ids(spark):
+    """The (cos DESC, bid ASC) tie-break must not do arithmetic on the
+    benchmark id (ADVICE r10: `-bid` broke for string ids under ANSI):
+    string ids tie-break lexicographically smallest-first."""
+    from databricks_demo_feature_store_spark.textops.curation import (
+        semantic_contamination,
+    )
+
+    def row(vid, vec):
+        return (vid, [float(x) for x in vec])
+
+    corpus = spark.createDataFrame(
+        [row("doc-1", [1, 0]), row("doc-2", [0, 1])],
+        "vec_id string, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [row("mmlu", [2, 0]), row("gsm8k", [1, 0]), row("arc", [0, 1])],
+        "vec_id string, embedding array<float>",
+    )
+    out = semantic_contamination(corpus, bench, threshold=0.5)
+    got = {r.vec_id: (r.bench_id, r.cosine) for r in out.collect()}
+    # doc-1 ties at cos 1.0 between gsm8k and mmlu -> lexicographic min
+    assert got == {"doc-1": ("gsm8k", 1.0), "doc-2": ("arc", 1.0)}
