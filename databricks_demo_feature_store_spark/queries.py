@@ -78,7 +78,18 @@ def _parallelize_scan(spark: SparkSession, df: DataFrame, key: tuple[str, str]) 
     its shuffle-free scan. Catalyst still prunes columns and pushes filters
     below the repartition, so the exchange carries only what the query
     reads.
+
+    ``SPARK_GRAFT_NO_SCAN_FANOUT=1`` disables the fan-out entirely: the
+    plan audit (tools/explain_audit.py) sets it so exchange budgets
+    measure the scale-invariant plan — at real scale the probe sees
+    splits ≥ cores and this repartition never exists, so counting it at
+    sf0.01+ (where local single-file tables exceed 256 KB) would make
+    the budget ratchet scale-dependent.
     """
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_SCAN_FANOUT") == "1":
+        return df
     cores = spark.sparkContext.defaultParallelism
     fanout = _SCAN_FANOUT.get(key)
     if fanout is None:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -1719,3 +1720,27 @@ def test_scd2_dim_join_rejects_valid_to_collision(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         scd2_dim_join(facts, dim, keys=["k"], fact_time="ts")
+
+
+def test_scan_fanout_env_switch_pins_scale_invariant_plan(spark, monkeypatch):
+    """SPARK_GRAFT_NO_SCAN_FANOUT=1 (set by tools/explain_audit.py) must
+    suppress the small-file scan fan-out repartition so exchange-budget
+    audits measure the scale-invariant plan at ANY sf; without it a
+    >256 KB single-file table fans out to defaultParallelism."""
+    from databricks_demo_feature_store_spark import queries as qmod
+
+    sf_dir = "/root/testdata/sf0.01"
+    key = (sf_dir, "lineitem")  # 1 MB single file: fan-out eligible
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_SCAN_FANOUT", "1")
+    qmod._SCAN_FANOUT.pop(key, None)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = qmod._parallelize_scan(spark, df, key)
+    assert out is df  # untouched: no RoundRobin exchange in the plan
+    assert key not in qmod._SCAN_FANOUT  # probe skipped entirely
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_SCAN_FANOUT")
+    out2 = qmod._parallelize_scan(spark, df, key)
+    assert qmod._SCAN_FANOUT[key] is True
+    plan = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert re.match(r"Repartition \d+, true", plan)  # round-robin shuffle

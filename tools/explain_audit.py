@@ -145,6 +145,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    # Audit the SCALE-INVARIANT plan: the small-file scan fan-out
+    # (queries.load/_parallelize_scan) inserts one RoundRobinPartitioning
+    # exchange per scan at any sf where a local single-file table exceeds
+    # 256 KB, and is by construction absent at real scale (splits ≥
+    # cores). Counting it would make the exchange-budget ratchet depend
+    # on the sf_dir the audit happens to run at (sf0.01 showed 78+
+    # spurious budget flags before this switch existed).
+    os.environ["SPARK_GRAFT_NO_SCAN_FANOUT"] = "1"
+
     sys.path.insert(0, _REPO)
     import __spark_entry__ as entry_mod
     from databricks_demo_feature_store_spark import get_spark
