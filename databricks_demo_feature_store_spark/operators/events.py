@@ -559,3 +559,69 @@ def event_paths(
         F.count_distinct(F.col("__u")).alias("n_users"),
     )
     return counted.orderBy(F.desc("n_paths"), F.asc("path")).limit(k)
+
+
+def path_conversion(
+    events: DataFrame,
+    target: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str | None = "event_id",
+    depth: int = 2,
+    k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Path → outcome attribution, the companion of :func:`event_paths`:
+    for every occurrence of a ``depth``-step event-type path, the NEXT
+    event decides the outcome — converted if its type equals ``target``,
+    abandoned otherwise (including end-of-stream). Returns the top-k
+    paths by traversal count with their conversion counts and rates —
+    which observed sequences actually LEAD to the goal, vs merely
+    happen (funnels test one hypothesized sequence; this scores them
+    all).
+
+    Same single per-user window sort as :func:`event_paths` (the leads
+    for the path AND the outcome ride one sort), then a hash count +
+    TakeOrdered. NULL-typed events invalidate windows containing them
+    (can't claim a path through an unknown step); a NULL *outcome* is a
+    real observation — abandonment. ``conversion_rate`` is
+    round-to-6 of n_converted / n_paths."""
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+
+    if depth < 1:
+        raise ValueError("path_conversion requires depth >= 1")
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    outcome = F.lead(type_col, depth).over(w)
+    complete = steps[0].isNotNull()
+    for s in steps[1:]:
+        complete = complete & s.isNotNull()
+    occs = events.select(
+        F.concat_ws(sep, *steps).alias("path"),
+        (outcome == F.lit(target)).alias("__conv"),  # NULL outcome → NULL → not converted
+        complete.alias("__complete"),
+    ).filter(F.col("__complete"))
+    counted = occs.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.sum(F.when(F.col("__conv"), 1).otherwise(0)).alias("n_converted"),
+    )
+    return (
+        counted.select(
+            "path",
+            "n_paths",
+            "n_converted",
+            dround(
+                F.col("n_converted").cast("double")
+                / F.col("n_paths").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(k)
+    )

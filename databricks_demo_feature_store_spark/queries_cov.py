@@ -3091,3 +3091,44 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return event_paths(ev, depth=3, k=20)
+
+
+@register(
+    "q_event_path_conversion",
+    oracle=f"""
+    WITH stepped AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER w AS path,
+             event_type IS NOT NULL
+               AND LEAD(event_type, 1) OVER w IS NOT NULL AS complete,
+             LEAD(event_type, 2) OVER w AS outcome
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    counted AS (
+      SELECT path, COUNT(*) AS n_paths,
+             CAST(SUM(CASE WHEN outcome = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM stepped WHERE complete
+      GROUP BY path
+    )
+    SELECT path, n_paths, n_converted,
+           {oracle_dround('CAST(n_converted AS DOUBLE) / CAST(n_paths AS DOUBLE)', 6)}
+             AS conversion_rate
+    FROM counted
+    ORDER BY n_paths DESC, path ASC
+    LIMIT 20
+    """,
+)
+def q_event_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path → outcome attribution, completing the round-10 path
+    discovery: for every 2-step event-type path occurrence, the NEXT
+    event decides conversion (= 'purchase') vs abandonment; top-20
+    paths by traversal with conversion counts and rates — which
+    sequences actually LEAD to the goal. One per-user window sort
+    (path leads + outcome lead ride the same sort) + one hash agg +
+    TakeOrdered; the oracle replays the lead-concat windows and the
+    CASE-summed conversions."""
+    from databricks_demo_feature_store_spark.operators.events import path_conversion
+
+    ev = load(spark, sf_dir, "events")
+    return path_conversion(ev, target="purchase", depth=2, k=20)

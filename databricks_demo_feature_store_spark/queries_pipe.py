@@ -2510,3 +2510,74 @@ def q_training_set_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "label_ts", "label_id", "total_spend",
         "spend_90d", F.col("n_orders_90d"), "spend_365d", F.col("n_orders_365d"),
     )
+
+
+@register(
+    "q_stream_trailing_features",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM p
+    )
+    SELECT s.user_id, s.day,
+           CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(25,2))), 0)
+                AS DOUBLE) AS spend_7d,
+           COUNT(e.value) AS n_7d
+    FROM spine s LEFT JOIN p e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.day - INTERVAL 7 DAY
+     AND e.ts <  s.day
+    GROUP BY s.user_id, s.day
+    """,
+)
+def q_stream_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE trailing-window feature maintenance — the Feast/Tecton
+    freshness story, composing the round-10 flagships: purchase events
+    arrive as THREE sequential drops; each micro-batch folds into
+    per-(user, day) moment state via the `featurestore/incremental.py`
+    monoid merge (O(batch), exactly-once versioned commits — never an
+    event-history rescan); trailing 7-day spend/count features are then
+    SERVED from the bucket state through the one-shuffle anchor-carry
+    core. Because bucket state is a commutative monoid and the spine is
+    day-aligned, the streamed-then-served features are value-identical
+    to a batch recompute over raw events — which is exactly what the
+    oracle's range join computes."""
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_trailing_state,
+        stream_trailing_state,
+        trailing_features_from_state,
+    )
+
+    root = scratch_dir("stream_trailing")
+    inbox = os.path.join(root, "inbox")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    for r in range(3):
+        purchases.filter(F.col("event_id") % 3 == r).drop("event_id").coalesce(
+            1
+        ).write.mode("append").json(inbox)
+        q = stream_trailing_state(
+            spark, inbox, state, ckpt,
+            keys=["user_id"], event_time="ts", value_col="value",
+            schema="user_id bigint, ts timestamp, value double",
+        )
+        q.awaitTermination()
+    spine = purchases.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return trailing_features_from_state(
+        read_trailing_state(spark, state),
+        spine,
+        keys=["user_id"],
+        spine_time="day",
+        window_expr="INTERVAL 7 DAYS",
+        sum_col="spend_7d",
+        count_col="n_7d",
+    )

@@ -833,3 +833,153 @@ def vacuum_cdc_table(spark: SparkSession, table_path: str, horizon_seq: int) -> 
     os.rename(staging, os.path.join(table_path, f"v{latest + 1}"))
     shutil.rmtree(os.path.join(table_path, f"v{latest}"), ignore_errors=True)
     return n_dead
+
+
+def read_trailing_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Latest committed per-(keys, bucket) moment state maintained by
+    :func:`stream_trailing_state` (highest ``v<batch_id>`` dir)."""
+    latest = _latest_cms_version(state_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed trailing state under {state_path}")
+    return spark.read.parquet(os.path.join(state_path, f"v{latest}"))
+
+
+def stream_trailing_state(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+    event_time: str,
+    value_col: str,
+    schema: str,
+    bucket: str = "day",
+    scale: int = 2,
+    after_commit_hook=None,
+):
+    """Continuously maintain the per-(keys, time-bucket) moment state
+    that serves trailing-window aggregate features ONLINE — the
+    Feast/Tecton freshness story: each arriving micro-batch folds into
+    per-bucket (count, exact DECIMAL sum, sum-of-squares) state via the
+    ``featurestore/incremental.py`` monoid merge, so maintenance is
+    O(batch) + one state rewrite, never a rescan of event history, and
+    serving a trailing window is a bucket-range sum
+    (:func:`trailing_features_from_state`) instead of an event scan.
+
+    Because each bucket's state is a commutative monoid, the streamed
+    state is BIT-IDENTICAL to a single batch aggregation of all events —
+    which makes features served from it value-identical to the batch
+    ``trailing_window_features`` recompute over raw events (the
+    ``q_stream_trailing_features`` oracle proves exactly this).
+
+    Exactly-once under crash: same versioned commit protocol as
+    :func:`stream_count_min` — the merged state lands in ``v<batch_id>``
+    by one atomic rename and replayed batch ids at/below the committed
+    version are skipped, so a crash between state commit and checkpoint
+    commit cannot double-merge. State size is O(keys × active buckets);
+    at real scale the state table is partitioned by bucket so the
+    rewrite touches only buckets present in the batch. availableNow —
+    drains the backlog and stops; returns the StreamingQuery.
+    """
+    import shutil
+
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    keys = list(keys)
+    stream = spark.readStream.schema(schema).json(input_path)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest_cms_version(state_path)
+        if latest is not None and latest >= batch_id:
+            return  # replay after a post-commit crash: already merged
+        if batch_df.isEmpty():
+            return
+        b = batch_df.withColumn(
+            "bucket_start", F.date_trunc(bucket, F.col(event_time).cast("timestamp"))
+        )
+        state = aggregate_state(b, [*keys, "bucket_start"], value_col, scale)
+        if latest is not None:
+            standing = batch_df.sparkSession.read.parquet(
+                os.path.join(state_path, f"v{latest}")
+            )
+            state = merge_aggregate_state(
+                standing, state, [*keys, "bucket_start"]
+            )
+        os.makedirs(state_path, exist_ok=True)
+        staging = os.path.join(state_path, f"_tmp_v{batch_id}")
+        state.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(state_path, f"v{batch_id}"))
+        if latest is not None:
+            shutil.rmtree(
+                os.path.join(state_path, f"v{latest}"), ignore_errors=True
+            )
+        if after_commit_hook is not None:
+            after_commit_hook(batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def trailing_features_from_state(
+    state: DataFrame,
+    spine: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    window_expr: str,
+    sum_col: str = "spend",
+    count_col: str = "n_events",
+    bucket: str = "day",
+    scale: int = 2,
+) -> DataFrame:
+    """Serve trailing-window features from the streamed bucket state:
+    per spine row, the sum/count of events in ``[t - window, t)`` — the
+    half-open leakage-safe convention of ``trailing_window_features`` —
+    computed by summing bucket states instead of scanning events. Rides
+    the same one-shuffle prefix-sum anchor-carry core (buckets ARE
+    pre-aggregated events at their bucket-start instants).
+
+    Exact ONLY for bucket-aligned spine timestamps and windows (a spine
+    instant inside a bucket would need a partial-bucket split the state
+    no longer holds); misaligned spine rows raise at execution rather
+    than silently over-counting.
+    """
+    from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_window_features,
+    )
+
+    keys = list(keys)
+    ts = F.col(spine_time).cast("timestamp")
+    aligned_spine = spine.withColumn(
+        spine_time,
+        F.when(F.date_trunc(bucket, ts) == ts, ts).otherwise(
+            F.raise_error(
+                F.lit(
+                    "trailing_features_from_state: spine timestamps must be "
+                    f"{bucket}-aligned to serve exactly from {bucket} buckets"
+                )
+            )
+        ),
+    )
+    ev = state.select(*keys, "bucket_start", "s", F.col("n").cast("double").alias("__nd"))
+    out = trailing_window_features(
+        aligned_spine,
+        ev,
+        keys=keys,
+        spine_time=spine_time,
+        event_time="bucket_start",
+        window_expr=window_expr,
+        sum_cols=[(sum_col, "s"), (f"__{count_col}", "__nd")],
+        scale=scale,
+    )
+    return out.select(
+        *[c for c in out.columns if c != f"__{count_col}"],
+        F.col(f"__{count_col}").cast("long").alias(count_col),
+    )

@@ -1,0 +1,101 @@
+"""Persisted + incrementally-maintained IVF-PQ index
+(`textops/index_store.py VectorIndexStore`): frozen-quantizer
+maintenance must be value-identical to a from-scratch re-encode of the
+live corpus (merged ≡ rebuilt), tombstones must fold out of every read
+path, and re-upserts must resurrect deleted ids."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    from databricks_demo_feature_store_spark.featurestore.manager import FeatureStoreManager
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    mgr = FeatureStoreManager(spark, str(tmp_path / "fs"))
+    return VectorIndexStore(mgr, name="t", nlist=4, m=4, pq_k=8)
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _rows(df):
+    return {
+        r.vec_id: (r.cluster, tuple(r.codes) if r.codes is not None else None, r.deleted)
+        for r in df.collect()
+    }
+
+
+def test_index_maintenance_merged_equals_rebuilt(spark, store):
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    dels = emb.filter(F.col("vec_id") % 10 == 6).select("vec_id")
+
+    store.build(base)
+    n_base = base.count()
+    assert store.postings().count() == n_base
+
+    store.upsert(batch)
+    store.delete(dels)
+
+    live = emb.filter(
+        (F.col("vec_id") % 10 != 6) | (F.col("vec_id") % 10 == 3)
+    )  # %10==3 ∉ dels; dels only hit base rows
+    maintained = _rows(store.postings())
+    rebuilt = _rows(store.rebuild_postings(live))
+    assert maintained == rebuilt  # clusters AND code bytes, bit-equal
+
+    # tombstones exist physically, never logically
+    dead = store.postings(include_deleted=True).filter(F.col("deleted"))
+    assert dead.count() == dels.count()
+    assert set(r.vec_id for r in dead.collect()) == {
+        r.vec_id for r in dels.collect()
+    }
+
+
+def test_index_upsert_resurrects_and_delete_is_idempotent(spark, store):
+    emb = _emb(spark).limit(60)
+    store.build(emb)
+    victim = emb.filter(F.col("vec_id") == 7)
+    store.delete(victim.select("vec_id"))
+    store.delete(victim.select("vec_id"))  # idempotent
+    assert store.postings().filter(F.col("vec_id") == 7).count() == 0
+    store.upsert(victim)
+    got = store.postings().filter(F.col("vec_id") == 7).collect()
+    assert len(got) == 1 and not got[0].deleted and got[0].codes is not None
+    # unknown-id tombstone: inert, never visible
+    unknown = spark.createDataFrame([(999_999,)], "vec_id long")
+    store.delete(unknown)
+    assert store.postings().filter(F.col("vec_id") == 999_999).count() == 0
+
+
+def test_index_search_skips_tombstones_and_matches_bruteforce_adc(spark, store):
+    from databricks_demo_feature_store_spark.textops.similarity import pq_adc_topk
+
+    emb = _emb(spark)
+    store.build(emb)
+    q = emb.filter(F.col("vec_id") < 2)
+    # full probe (= all lists) must equal exhaustive ADC over the codes
+    full = store.search(q, k=5, nprobe=store.nlist)
+    exhaustive = pq_adc_topk(
+        store.postings().select("vec_id", "codes"),
+        store.codebooks(),
+        q,
+        k=5,
+        m=store.m,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exhaustive.collect())
+    )
+    # delete the top hit: it must vanish from subsequent searches
+    top_id = (
+        full.filter(F.col("rank") == 1).select("vec_id").limit(1).collect()[0].vec_id
+    )
+    store.delete(spark.createDataFrame([(top_id,)], "vec_id long"))
+    after = store.search(q, k=5, nprobe=store.nlist)
+    assert top_id not in {r.vec_id for r in after.collect()}

@@ -137,3 +137,43 @@ def test_event_paths_null_types_break_windows(spark):
     # depth=2: the NULL breaks a>? and ?>c; c>d and user 2's a>c survive
     got = {r.path: r.n_paths for r in event_paths(events, depth=2, k=10).collect()}
     assert got == {"c>d": 1, "a>c": 1}
+
+
+def test_path_conversion_outcomes_hand_checked(spark):
+    """Conversion = the event immediately AFTER the path window equals
+    the target; end-of-stream and non-target outcomes are abandonment;
+    NULL mid-path steps invalidate the window but a NULL outcome is a
+    real abandonment."""
+    import datetime as dt
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.operators.events import path_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, minutes, typ):
+        return (eid, user, t0 + dt.timedelta(minutes=minutes), typ)
+
+    events = spark.createDataFrame(
+        [
+            # user 1: a>b → buy (converted), b>buy → end (abandoned)
+            ev(1, 1, 0, "a"), ev(2, 1, 1, "b"), ev(3, 1, 2, "buy"),
+            # user 2: a>b → c (abandoned), b>c → end (abandoned)
+            ev(4, 2, 0, "a"), ev(5, 2, 1, "b"), ev(6, 2, 2, "c"),
+            # user 3: a>NULL invalid, NULL>b invalid, b's window too short
+            ev(7, 3, 0, "a"), ev(8, 3, 1, None), ev(9, 3, 2, "b"),
+        ],
+        "event_id int, user_id int, ts timestamp, event_type string",
+    )
+    out = path_conversion(events, target="buy", depth=2, k=10)
+    got = {r.path: (r.n_paths, r.n_converted, r.conversion_rate) for r in out.collect()}
+    assert got == {
+        "a>b": (2, 1, 0.5),
+        "b>buy": (1, 0, 0.0),
+        "b>c": (1, 0, 0.0),
+    }
+    # order: n_paths desc then path asc
+    assert [r.path for r in out.collect()] == ["a>b", "b>buy", "b>c"]
+    with pytest.raises(ValueError, match="depth"):
+        path_conversion(events, target="buy", depth=0)

@@ -860,3 +860,116 @@ def test_cdc_apply_crash_between_commits_is_exactly_once(spark, tmp_path):
     ref = build("ref")
     crashed = build("crash", hook_on_wave=1)
     assert crashed == ref == {1: "a30", 3: "c40"}
+
+
+def test_stream_trailing_state_crash_replay_exactly_once(spark, tmp_path):
+    """Kill the trailing-state stream AFTER the v<batch_id> state commit
+    but BEFORE the checkpoint commit, restart, and assert the served
+    trailing features equal the batch recompute over raw events — the
+    replayed batch must be skipped (already-committed version), not
+    double-merged."""
+    import datetime as dt
+    import json as _json
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_window_features,
+    )
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_trailing_state,
+        stream_trailing_state,
+        trailing_features_from_state,
+    )
+
+    def day(d):
+        return dt.datetime(2024, 1, d)
+
+    waves = [
+        [(1, day(1), 10.0), (1, day(3), 5.0), (2, day(2), 7.0)],
+        [(1, day(5), 2.0), (1, day(3), 1.0), (2, day(9), 4.0)],
+    ]
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def arrive(i, rows):
+        (inbox / f"w{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": t.isoformat(), "value": v})
+                for u, t, v in rows
+            )
+        )
+
+    def run(hook=None):
+        return stream_trailing_state(
+            spark, str(inbox), state, ckpt,
+            keys=["user_id"], event_time="ts", value_col="value",
+            schema="user_id bigint, ts timestamp, value double",
+            after_commit_hook=hook,
+        )
+
+    arrive(0, waves[0])
+    run().awaitTermination(120)
+
+    def die(batch_id):
+        raise RuntimeError("injected crash between state and checkpoint commit")
+
+    arrive(1, waves[1])
+    q = run(hook=die)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    # provably mid-batch: wave 2 is already merged into committed state
+    assert read_trailing_state(spark, state).count() == 5  # 5 (user, day) buckets
+    run().awaitTermination(120)  # replay: must skip, not double-merge
+
+    all_events = spark.createDataFrame(
+        [r for w in waves for r in w], "user_id bigint, ts timestamp, value double"
+    )
+    spine = all_events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    served = trailing_features_from_state(
+        read_trailing_state(spark, state), spine,
+        keys=["user_id"], spine_time="day", window_expr="INTERVAL 7 DAYS",
+        sum_col="spend_7d", count_col="n_7d",
+    )
+    batch = trailing_window_features(
+        spine, all_events, keys=["user_id"], spine_time="day",
+        event_time="ts", window_expr="INTERVAL 7 DAYS",
+        sum_cols=[("spend_7d", "value")], count_col="n_7d",
+    )
+    key = lambda r: (r.user_id, r.day)  # noqa: E731
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, batch.collect()))
+    # spot value: user 1 at day 5 sees day1+day3 events = 10+5+1, 3 events
+    got = {key(r): (r.spend_7d, r.n_7d) for r in served.collect()}
+    assert got[(1, day(5))] == (16.0, 3)
+
+
+def test_trailing_features_from_state_rejects_misaligned_spine(spark, tmp_path):
+    """A spine timestamp inside a bucket cannot be served exactly from
+    day buckets — it must raise, not silently over/under-count."""
+    import datetime as dt
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        trailing_features_from_state,
+    )
+
+    state = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 2, 15.0, 125.0)],
+        "user_id bigint, bucket_start timestamp, n long, s double, s2 double",
+    ).select("user_id", "bucket_start", "n",
+             F.col("s").cast("decimal(38,2)").alias("s"),
+             F.col("s2").cast("decimal(38,2)").alias("s2"))
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 12, 30))], "user_id bigint, day timestamp"
+    )
+    with pytest.raises(Exception, match="aligned"):
+        trailing_features_from_state(
+            state, spine, keys=["user_id"], spine_time="day",
+            window_expr="INTERVAL 7 DAYS",
+        ).collect()
