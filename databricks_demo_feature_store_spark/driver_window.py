@@ -569,67 +569,93 @@ module import order. Selection policy:
   code; the refresh-equals-full-reassembly contract also holds in
   `test_refresh_training_set_touches_only_changed_entities`, and the
   create_training_set surface keeps in-window q_training_set_windowed).
+
+Round-11 rotation (VERDICT r10 task 1 — continue oldest-first): after
+r10 re-certified the whole r1-r3 cohort, the stalest certs were r4 (15
+queries) and r5 (18); ALL 33 rotate in, leaving 5 slots for the
+most-changed r6 queries (q_ext_ivfpq_topk over similarity.py which the
+new index store reuses; q_ext_curation_pipeline + q_ext_contamination
+over curation.py and q_funnel_steps + q_event_attribution over
+events.py, both modules touched by this round's ADVICE fixes). Kept
+in-window: the flagship, the 8 queries over code changed THIS round
+(windows.py RANGE-frame cumsum, CDC NULL-op guards, scd2 collision,
+contamination tie-break, event-path null steps), and the 3 round-11
+births (q_ext_index_refresh, q_stream_trailing_features,
+q_event_path_conversion). All 37 round-10 members rotating out are
+green in CORRECTNESS_r10.json and stay exact-checked by the full local
+gate + pytest; remaining oldest debt after this round is the r6 cohort
+(~34 queries), which fits one future window.
 """
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # kept anchors: flagship, the three native pipeline composites, and
-    # every query over code changed THIS round (see round-10 docstring)
-    "q01_pricing_summary",
-    "q_pipeline_holdings_native",
-    "q_stream_cms",
-    "q_stream_ingest_multibatch",
-    # round-10 freshness rotation: the 26 queries last driver-certified
-    # in rounds 1-3, oldest debt first (VERDICT r9 task 1)
-    "q03_unshipped_revenue",
-    "q05_region_revenue",
-    "q06_forecast_revenue",
-    "q_categorize_binarize",
-    "q_ext_minhash_sig",
-    "q_ext_token_shards",
-    "q_lag_diff_roc",
-    "q_monthly_lags",
-    "q_months_between",
-    "q_na_standardize",
-    "q_ratios_pct",
-    "q_rolling_stats",
-    "q_select_distinct",
-    "q_shift_date",
-    "q_string_normalize",
-    "q_top1_latest",
-    "q_ext_frame_sample",
-    "q_ext_cosine_topk",
-    "q_ext_quality_score",
-    "q_ext_sessionize",
-    "q_filter_dict",
-    "q_filter_max_value",
-    "q_lags_ind",
-    "q_month_spine",
-    "q_native_pivot",
-    "q_union_by_name",
-    # judge-named priority re-certs (modules re-planned since last row)
-    "q_ext_minhash_dedup",
-    "q_ext_dedup_clusters",
-    "q_ext_ngram_jaccard",
-    "q_pit_join",
-    "q_conditional_pivot",
-    # round-10 births (rotate straight in as they land — no new debt)
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q_cdc_apply_changes",
-    "q_asof_nearest",
-    "q_scd2_dim_join",
+    # Round-11 window (VERDICT r10 task 1: oldest-first freshness — the
+    # r4/r5 cohorts rotate in completely, plus the most-changed r6
+    # queries). Every round-10 window member rotating OUT carries a
+    # green CORRECTNESS_r10.json row on effectively-current code and
+    # stays in the full 216-query local gate + pytest.
+    "q01_pricing_summary",  # flagship (entry())
+    # queries over code changed THIS round (ADVICE r10 fixes):
+    # windows.py RANGE-frame cumsum → the three anchor-carry queries;
+    # cdc.py/streaming NULL-op guard → both CDC applies; joins.py
+    # valid_to collision → scd2; curation.py tie-break → contamination;
+    # events.py null-step rule → event_paths
     "q_trailing_features",
-    "q_incr_agg_refresh",
-    "q_stream_cdc_apply",
     "q_label_window",
-    "q_ext_filtered_ann",
     "q_trailing_multi_window",
+    "q_cdc_apply_changes",
+    "q_stream_cdc_apply",
+    "q_scd2_dim_join",
     "q_ext_semantic_contamination",
-    "q_training_set_windowed",
     "q_event_paths",
+    # round-11 births (rotate straight in — no new debt)
+    "q_ext_index_refresh",
+    "q_stream_trailing_features",
+    "q_event_path_conversion",
+    # freshness rotation: ALL 15 queries last driver-certified in r4
+    "q_agg_dispatch",
+    "q_anti_join",
+    "q_ext_ann_ivf",
+    "q_ext_ann_lsh",
+    "q_ext_embedding_near_dup",
+    "q_ext_fingerprint_dedup",
+    "q_ext_lang_id",
+    "q_ext_repetition",
+    "q_ext_stratified_sample",
+    "q_ext_text_stats",
+    "q_ext_winnowing",
+    "q_filter_fold",
+    "q_rsi",
+    "q_val_dimension_drift",
+    "q_val_profile",
+    # freshness rotation: ALL 18 queries last driver-certified in r5
+    "q_equi_join_left_wins",
+    "q_ext_corpus_roundtrip",
+    "q_ext_dedup_keep_best",
+    "q_ext_dsir_weights",
+    "q_ext_paragraph_dedup",
+    "q_ext_pii_scrub",
+    "q_ext_semantic_dedup",
+    "q_ext_session_features",
+    "q_ext_sketch_profile",
+    "q_fill_gaps_interpolate",
+    "q_fs_online_snapshot",
+    "q_gen_payment_golden",
+    "q_interval_join",
+    "q_rolling_ewma",
+    "q_rollup_hierarchy",
+    "q_target_encoding",
+    "q_val_expectations",
+    "q_window_dispatch",
+    # r6-certified queries whose implementing modules changed in r7-r11
+    # (similarity.py: reused by the index store; curation.py + events.py:
+    # ADVICE fixes this round)
+    "q_ext_ivfpq_topk",
+    "q_ext_curation_pipeline",
+    "q_ext_contamination",
+    "q_funnel_steps",
+    "q_event_attribution",
 )
 
 WINDOW_SIZE = 50

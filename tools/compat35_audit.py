@@ -141,6 +141,7 @@ PYSPARK_35_METHODS_VERIFIED = {
     "createDataFrame", "range", "read", "sql", "table", "exists",
     # Window
     "partitionBy", "rowsBetween",
+    "rangeBetween",  # Window/WindowSpec.rangeBetween, 2.1 (hand-verified 3.5 docs)
     # reader / writer
     "bucketBy", "csv", "format", "json", "load", "mode", "option",
     "options", "parquet", "save", "saveAsTable", "schema", "sortBy", "text",
