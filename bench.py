@@ -75,6 +75,8 @@ HEADLINE = [
     "q_val_ks_drift",
     "q_event_attribution",
     "q_event_paths",
+    "q_event_path_conversion",
+    "q_stream_trailing_features",
     "q_position_attribution",
     "q_conversion_lags",
     "q_event_transitions",

@@ -199,6 +199,21 @@ class VectorIndexStore:
             policy=EvolutionPolicy.FAIL,
         )
 
+    def vacuum_tombstones(self) -> int:
+        """Physically drop tombstoned posting rows (logical deletes stay
+        correct forever; this reclaims the bytes once every consumer of
+        the dead ids has moved past them — the ``vacuum_cdc_table``
+        discipline). Full-table rewrite through the manager's overwrite
+        path; at real scale this compacts only partitions containing
+        tombstones. Returns the number of rows removed."""
+        all_rows = self.postings(include_deleted=True)
+        dead = all_rows.filter(F.col("deleted")).count()
+        if dead:
+            # localCheckpoint BEFORE overwriting the files the plan reads
+            live = all_rows.filter(~F.col("deleted")).localCheckpoint(eager=True)
+            self.manager.save(live, self._postings_spec(), mode="overwrite")
+        return dead
+
     def rebuild_postings(self, corpus: DataFrame) -> DataFrame:
         """Re-encode ``corpus`` from scratch with the STORED quantizers —
         the full-recompute side of the merged ≡ rebuilt invariant (not

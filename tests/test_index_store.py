@@ -99,3 +99,14 @@ def test_index_search_skips_tombstones_and_matches_bruteforce_adc(spark, store):
     store.delete(spark.createDataFrame([(top_id,)], "vec_id long"))
     after = store.search(q, k=5, nprobe=store.nlist)
     assert top_id not in {r.vec_id for r in after.collect()}
+
+
+def test_index_vacuum_drops_tombstones_only(spark, store):
+    emb = _emb(spark).limit(50)
+    store.build(emb)
+    store.delete(spark.createDataFrame([(1,), (2,)], "vec_id long"))
+    before_live = _rows(store.postings())
+    assert store.vacuum_tombstones() == 2
+    assert store.postings(include_deleted=True).filter(F.col("deleted")).count() == 0
+    assert _rows(store.postings()) == before_live  # live rows untouched
+    assert store.vacuum_tombstones() == 0  # idempotent / no-op rewrite
