@@ -655,7 +655,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_curation_pipeline",
     "q_ext_contamination",
     "q_funnel_steps",
-    "q_event_attribution",
+    # late round-11 birth: streamed index maintenance (foreachBatch
+    # upserts, exactly-once by idempotent MERGE) — takes the slot of
+    # q_event_attribution (r6-green, full-gate-covered; the events.py
+    # family keeps THREE in-window anchors: q_funnel_steps,
+    # q_event_paths and q_event_path_conversion, the latter two over
+    # this round's exact changed code)
+    "q_stream_index_upserts",
 )
 
 WINDOW_SIZE = 50

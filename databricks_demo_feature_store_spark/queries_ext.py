@@ -3295,3 +3295,110 @@ def q_ext_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
         ).alias("codes_str"),
     )
+
+
+_STREAM_INDEX_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM e WHERE vec_id % 10 <> 3),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cv
+      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT l.vec_id, c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                 ORDER BY list_inner_product(l.v, c.cv)
+                   / (sqrt(list_inner_product(l.v, l.v))
+                      * sqrt(list_inner_product(c.cv, c.cv)))
+                   DESC NULLS LAST, c.centroid_id ASC) AS rn
+        FROM e l CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    bsubs AS (
+      SELECT b.vec_id AS id, j.sub,
+             list_transform(b.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM base b, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j
+    ),
+    cb AS (
+      SELECT sub, code, sv AS centroid FROM (
+        SELECT sub, sv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub
+                 ORDER BY md5(CAST(sub AS VARCHAR) || ':' || CAST(id AS VARCHAR)) ASC,
+                          id ASC) - 1 AS code
+        FROM bsubs)
+      WHERE code < {_PQ_K}
+    ),
+    lsubs AS (
+      SELECT l.vec_id AS id, j.sub,
+             list_transform(l.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM e l, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j
+    ),
+    enc AS (
+      SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_D} + 1),
+                   i -> (s.sv[i] - cb.centroid[i]) * (s.sv[i] - cb.centroid[i]))) ASC,
+                          cb.code ASC) AS rn
+        FROM lsubs s JOIN cb USING (sub))
+      WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cluster,
+           string_agg(CAST(en.code AS VARCHAR), '-' ORDER BY en.sub) AS codes_str
+    FROM assign a JOIN enc en ON en.id = a.vec_id
+    GROUP BY a.vec_id, a.cluster
+"""
+
+
+@register("q_stream_index_upserts", oracle=_STREAM_INDEX_ORACLE)
+def q_stream_index_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED vector-index maintenance: the index is built once on the
+    base corpus (frozen quantizers), then the held-out embeddings ARRIVE
+    as two stream waves folded in by foreachBatch upserts — assign +
+    encode O(batch) against the broadcast quantizers, MERGE on the id
+    PK, exactly-once by idempotence (re-encoding the same vectors
+    converges; the crash-replay pytest interrupts this exact path).
+    Returns the maintained postings over the FULL corpus; the oracle
+    re-encodes everything from scratch with the base-trained quantizers
+    — streamed-maintained ≡ rebuilt."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    import os as _os
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    arriving = emb.filter(F.col("vec_id") % 10 == 3)
+
+    root = scratch_dir("stream_index")
+    mgr = FeatureStoreManager(spark, _os.path.join(root, "fs"))
+    store = VectorIndexStore(mgr, name="emb", nlist=8, m=_PQ_M, pq_k=_PQ_K)
+    store.build(base)
+
+    inbox = _os.path.join(root, "inbox")
+    ckpt = _os.path.join(root, "ckpt")
+    for r in range(2):
+        arriving.filter(F.col("vec_id") % 2 == r).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("append").json(inbox)
+        store.upsert_stream(
+            spark, inbox, ckpt, schema="vec_id bigint, embedding array<float>"
+        ).awaitTermination()
+    return store.postings().select(
+        "vec_id",
+        "cluster",
+        F.concat_ws(
+            "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes_str"),
+    )

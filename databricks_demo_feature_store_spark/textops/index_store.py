@@ -199,6 +199,44 @@ class VectorIndexStore:
             policy=EvolutionPolicy.FAIL,
         )
 
+    def upsert_stream(
+        self,
+        spark,
+        input_path: str,
+        checkpoint: str,
+        schema: str,
+        after_batch_hook=None,
+    ):
+        """Maintain the index from a STREAM of arriving embeddings:
+        every micro-batch is assigned/encoded against the frozen
+        quantizers and MERGEd into the postings table (foreachBatch —
+        the streaming↔batch bridge, same discipline as
+        ``streaming/ops.py stream_features_to_store``). Exactly-once
+        under crash replay WITHOUT version markers: :meth:`upsert` is
+        idempotent — re-encoding the same vectors against the same
+        frozen quantizers produces identical rows, and the MERGE on the
+        id PK converges, so a batch replayed after a crash between the
+        table write and the checkpoint commit lands the same state.
+        availableNow — drains the backlog and stops; returns the
+        StreamingQuery. ``after_batch_hook(batch_id)`` is a test seam
+        for fault injection."""
+        stream = spark.readStream.schema(schema).json(input_path)
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.upsert(batch_df)
+            if after_batch_hook is not None:
+                after_batch_hook(batch_id)
+
+        return (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def vacuum_tombstones(self) -> int:
         """Physically drop tombstoned posting rows (logical deletes stay
         correct forever; this reclaims the bytes once every consumer of

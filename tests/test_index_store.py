@@ -110,3 +110,52 @@ def test_index_vacuum_drops_tombstones_only(spark, store):
     assert store.postings(include_deleted=True).filter(F.col("deleted")).count() == 0
     assert _rows(store.postings()) == before_live  # live rows untouched
     assert store.vacuum_tombstones() == 0  # idempotent / no-op rewrite
+
+
+def test_index_upsert_stream_crash_replay_converges(spark, store, tmp_path):
+    """Streamed index maintenance: embeddings arrive in two waves through
+    foreachBatch upserts; a crash AFTER the table MERGE but BEFORE the
+    checkpoint commit replays the batch, and because frozen-quantizer
+    encoding + PK MERGE is idempotent the final postings equal a batch
+    rebuild over the full corpus."""
+    import json as _json
+
+    import pytest
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    store.build(base)
+
+    inbox = tmp_path / "vec_inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "vec_ckpt")
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    def arrive(i, cond):
+        rows = emb.filter(cond).collect()
+        (inbox / f"w{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"vec_id": r.vec_id, "embedding": list(map(float, r.embedding)),
+                     "label": r.label}
+                )
+                for r in rows
+            )
+        )
+
+    arrive(0, (F.col("vec_id") % 10 == 3) & (F.col("vec_id") % 2 == 0))
+    store.upsert_stream(spark, str(inbox), ckpt, schema).awaitTermination(120)
+
+    def die(batch_id):
+        raise RuntimeError("injected crash between MERGE and checkpoint commit")
+
+    arrive(1, (F.col("vec_id") % 10 == 3) & (F.col("vec_id") % 2 == 1))
+    q = store.upsert_stream(spark, str(inbox), ckpt, schema, after_batch_hook=die)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    # provably mid-batch: wave-2 rows are already merged
+    n_all = emb.count()
+    assert store.postings().count() == n_all
+    # replay with no fault: idempotent re-MERGE, then maintained == rebuilt
+    store.upsert_stream(spark, str(inbox), ckpt, schema).awaitTermination(120)
+    assert _rows(store.postings()) == _rows(store.rebuild_postings(emb))
