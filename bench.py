@@ -77,6 +77,7 @@ HEADLINE = [
     "q_event_paths",
     "q_event_path_conversion",
     "q_stream_trailing_features",
+    "q_stream_index_upserts",
     "q_position_attribution",
     "q_conversion_lags",
     "q_event_transitions",
