@@ -193,16 +193,24 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     full_timings = dict(timings)
-    if only:
-        # targeted re-measure: MERGE into the standing full map instead of
-        # clobbering it with a partial one (same sf only)
-        try:
-            with open(full_path) as fh:
-                prev = json.load(fh)
-            if prev.get("sf") == sf:
-                full_timings = {**prev.get("queries", {}), **timings}
-        except Exception:
-            pass
+    # MERGE into the standing full map instead of clobbering it (same sf
+    # only): a targeted re-measure updates just its names, and a full
+    # headline run must not DROP the standing records of
+    # registered-but-not-headline queries (they were swept separately;
+    # losing them would blind the perf ratchet for those queries).
+    # Records for names no longer registered are dropped.
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf:
+            carried = {
+                q: t
+                for q, t in prev.get("queries", {}).items()
+                if q in QUERIES
+            }
+            full_timings = {**carried, **timings}
+    except Exception:
+        pass
     full = {
         "metric": "headline_queries_wall_sec",
         "value": round(sum(full_timings.values()), 3),
