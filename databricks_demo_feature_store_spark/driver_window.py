@@ -651,7 +651,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r6-certified queries whose implementing modules changed in r7-r11
     # (similarity.py: reused by the index store; curation.py + events.py:
     # ADVICE fixes this round)
-    "q_ext_ivfpq_topk",
+    # late round-11 birth: search over the MAINTAINED index — takes the
+    # slot earmarked for q_ext_ivfpq_topk (r6-green, full-gate-covered;
+    # its coarse-assign + codebook + probe + LUT + fold-ordered-ADC
+    # machinery is exactly what q_ext_index_search and
+    # q_ext_index_refresh certify in-window this round, on the same
+    # similarity.py code paths)
+    "q_ext_index_search",
     "q_ext_curation_pipeline",
     "q_ext_contamination",
     "q_funnel_steps",

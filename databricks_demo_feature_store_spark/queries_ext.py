@@ -3402,3 +3402,133 @@ def q_stream_index_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
         ).alias("codes_str"),
     )
+
+
+_INDEX_SEARCH_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM e WHERE vec_id % 10 <> 3),
+    live AS (SELECT * FROM e WHERE vec_id % 10 <> 6),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cv
+      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT l.vec_id, c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                 ORDER BY list_inner_product(l.v, c.cv)
+                   / (sqrt(list_inner_product(l.v, l.v))
+                      * sqrt(list_inner_product(c.cv, c.cv)))
+                   DESC NULLS LAST, c.centroid_id ASC) AS rn
+        FROM live l CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    bsubs AS (
+      SELECT b.vec_id AS id, j.sub,
+             list_transform(b.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM base b, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j
+    ),
+    cb AS (
+      SELECT sub, code, sv AS centroid FROM (
+        SELECT sub, sv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub
+                 ORDER BY md5(CAST(sub AS VARCHAR) || ':' || CAST(id AS VARCHAR)) ASC,
+                          id ASC) - 1 AS code
+        FROM bsubs)
+      WHERE code < {_PQ_K}
+    ),
+    lsubs AS (
+      SELECT l.vec_id AS id, j.sub,
+             list_transform(l.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM live l, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j
+    ),
+    enc AS (
+      SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY list_sum(list_transform(range(1, {_PQ_D} + 1),
+                   i -> (s.sv[i] - cb.centroid[i]) * (s.sv[i] - cb.centroid[i]))) ASC,
+                          cb.code ASC) AS rn
+        FROM lsubs s JOIN cb USING (sub))
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_inner_product(q.v, c.cv)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(c.cv, c.cv)))
+                   DESC NULLS LAST, c.centroid_id ASC) AS rn
+        FROM e q CROSS JOIN cents c
+        WHERE q.vec_id < 3)
+      WHERE rn <= 2
+    ),
+    qlut AS (
+      SELECT q.vec_id AS query_id, cb.sub, cb.code,
+             list_sum(list_transform(range(1, {_PQ_D} + 1),
+               i -> (qs.sv[i] - cb.centroid[i]) * (qs.sv[i] - cb.centroid[i]))) AS d
+      FROM e q,
+           LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) j,
+           LATERAL (SELECT list_transform(
+                      q.v[j.sub*{_PQ_D}+1 : j.sub*{_PQ_D}+{_PQ_D}],
+                      x -> CAST(x AS DOUBLE)) AS sv) qs
+      JOIN cb ON cb.sub = j.sub
+      WHERE q.vec_id < 3
+    ),
+    adc AS (
+      SELECT l.query_id, en.id AS vec_id,
+             list_sum(list(l.d ORDER BY l.sub)) AS dist
+      FROM enc en
+      JOIN assign a ON a.vec_id = en.id
+      JOIN probes p ON p.cluster = a.cluster
+      JOIN qlut l ON l.query_id = p.query_id AND l.sub = en.sub AND l.code = en.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, {oracle_dround('dist', 6)} AS adc_dist, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_ext_index_search", oracle=_INDEX_SEARCH_ORACLE)
+def q_ext_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the MAINTAINED index (the state q_ext_index_refresh
+    certifies): after build-on-base + upsert + tombstone-delete, three
+    query vectors probe their 2 nearest stored centroids and ADC-score
+    only the LIVE code bytes in those lists — deleted vectors can never
+    be returned because the tombstone fold happens at the postings scan,
+    below scoring. The oracle replays probe selection, the per-query
+    LUT and the cluster-restricted fold-ordered ADC over the live set
+    with the base-trained quantizers."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    dels = emb.filter(F.col("vec_id") % 10 == 6).select("vec_id")
+
+    mgr = FeatureStoreManager(spark, scratch_dir("vec_index_search"))
+    store = VectorIndexStore(mgr, name="emb", nlist=8, m=_PQ_M, pq_k=_PQ_K)
+    store.build(base)
+    store.upsert(batch)
+    store.delete(dels)
+    return store.search(
+        emb.filter(F.col("vec_id") < 3), k=5, nprobe=2, query_id_col="vec_id"
+    )
