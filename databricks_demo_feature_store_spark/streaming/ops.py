@@ -933,11 +933,12 @@ def trailing_features_from_state(
     spine: DataFrame,
     keys: Sequence[str],
     spine_time: str,
-    window_expr: str,
+    window_expr: str | None = None,
     sum_col: str = "spend",
     count_col: str = "n_events",
     bucket: str = "day",
     scale: int = 2,
+    windows: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Serve trailing-window features from the streamed bucket state:
     per spine row, the sum/count of events in ``[t - window, t)`` — the
@@ -946,15 +947,28 @@ def trailing_features_from_state(
     the same one-shuffle prefix-sum anchor-carry core (buckets ARE
     pre-aggregated events at their bucket-start instants).
 
+    Pass ``window_expr`` for one window (unsuffixed outputs), or
+    ``windows`` as ``(suffix, interval)`` pairs to serve N horizons
+    (7d/28d/90d…) from the SAME state in the SAME single shuffle —
+    outputs ``{sum_col}_{suffix}`` / ``{count_col}_{suffix}`` (the
+    ``trailing_multi_window_features`` cost model: each extra window
+    adds one spine-sized anchor row, never another pass).
+
     Exact ONLY for bucket-aligned spine timestamps and windows (a spine
     instant inside a bucket would need a partial-bucket split the state
     no longer holds); misaligned spine rows raise at execution rather
     than silently over-counting.
     """
     from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_multi_window_features,
         trailing_window_features,
     )
 
+    if (window_expr is None) == (windows is None):
+        raise ValueError(
+            "trailing_features_from_state: pass exactly one of window_expr "
+            "(single window) or windows ((suffix, interval) pairs)"
+        )
     keys = list(keys)
     ts = F.col(spine_time).cast("timestamp")
     aligned_spine = spine.withColumn(
@@ -969,17 +983,29 @@ def trailing_features_from_state(
         ),
     )
     ev = state.select(*keys, "bucket_start", "s", F.col("n").cast("double").alias("__nd"))
-    out = trailing_window_features(
-        aligned_spine,
-        ev,
+    common = dict(
         keys=keys,
         spine_time=spine_time,
         event_time="bucket_start",
-        window_expr=window_expr,
         sum_cols=[(sum_col, "s"), (f"__{count_col}", "__nd")],
         scale=scale,
     )
+    if windows is None:
+        out = trailing_window_features(
+            aligned_spine, ev, window_expr=window_expr, **common
+        )
+        count_names = [f"__{count_col}"]
+        renames = {f"__{count_col}": count_col}
+    else:
+        windows = list(windows)
+        out = trailing_multi_window_features(
+            aligned_spine, ev, windows=windows, **common
+        )
+        count_names = [f"__{count_col}_{sfx}" for sfx, _ in windows]
+        renames = {
+            f"__{count_col}_{sfx}": f"{count_col}_{sfx}" for sfx, _ in windows
+        }
     return out.select(
-        *[c for c in out.columns if c != f"__{count_col}"],
-        F.col(f"__{count_col}").cast("long").alias(count_col),
+        *[c for c in out.columns if c not in count_names],
+        *[F.col(old).cast("long").alias(new) for old, new in renames.items()],
     )

@@ -973,3 +973,64 @@ def test_trailing_features_from_state_rejects_misaligned_spine(spark, tmp_path):
             state, spine, keys=["user_id"], spine_time="day",
             window_expr="INTERVAL 7 DAYS",
         ).collect()
+
+
+def test_trailing_multi_window_from_state_matches_single_serves(spark, tmp_path):
+    """N horizons served from ONE bucket state in one shuffle are
+    value-identical to N single-window serves (and the arg contract
+    rejects ambiguous calls)."""
+    import datetime as dt
+    import json as _json
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_trailing_state,
+        stream_trailing_state,
+        trailing_features_from_state,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, d), float(d)) for d in (1, 3, 5, 9, 20, 28)
+    ] + [(2, dt.datetime(2024, 1, 10), 7.0)]
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "w0.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"user_id": u, "ts": t.isoformat(), "value": v})
+            for u, t, v in rows
+        )
+    )
+    state_path = str(tmp_path / "state")
+    stream_trailing_state(
+        spark, str(inbox), state_path, str(tmp_path / "ckpt"),
+        keys=["user_id"], event_time="ts", value_col="value",
+        schema="user_id bigint, ts timestamp, value double",
+    ).awaitTermination(120)
+    state = read_trailing_state(spark, state_path)
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 29)), (2, dt.datetime(2024, 1, 29))],
+        "user_id bigint, day timestamp",
+    )
+    multi = trailing_features_from_state(
+        state, spine, keys=["user_id"], spine_time="day",
+        windows=[("7d", "INTERVAL 7 DAYS"), ("28d", "INTERVAL 28 DAYS")],
+    )
+    got = {r.user_id: (r.spend_7d, r.n_events_7d, r.spend_28d, r.n_events_28d)
+           for r in multi.collect()}
+    for sfx, expr in (("7d", "INTERVAL 7 DAYS"), ("28d", "INTERVAL 28 DAYS")):
+        single = trailing_features_from_state(
+            state, spine, keys=["user_id"], spine_time="day",
+            window_expr=expr,
+        )
+        for r in single.collect():
+            g = got[r.user_id]
+            if sfx == "7d":
+                assert (r.spend, r.n_events) == (g[0], g[1])
+            else:
+                assert (r.spend, r.n_events) == (g[2], g[3])
+    # hand values: user 1 day 29, 28d window [Jan 1, Jan 29) = all six
+    assert got[1][2:] == (1.0 + 3 + 5 + 9 + 20 + 28, 6)
+    assert got[1][:2] == (28.0, 1)  # 7d window [Jan 22, Jan 29): day 28 only
+    with pytest.raises(ValueError, match="exactly one"):
+        trailing_features_from_state(state, spine, keys=["user_id"], spine_time="day")
