@@ -3532,3 +3532,71 @@ def q_ext_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.search(
         emb.filter(F.col("vec_id") < 3), k=5, nprobe=2, query_id_col="vec_id"
     )
+
+
+@register(
+    "q_ext_index_doctor",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM e WHERE vec_id % 10 <> 3),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cv
+      FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT l.vec_id, c.centroid_id AS cluster,
+               ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                 ORDER BY list_inner_product(l.v, c.cv)
+                   / (sqrt(list_inner_product(l.v, l.v))
+                      * sqrt(list_inner_product(c.cv, c.cv)))
+                   DESC NULLS LAST, c.centroid_id ASC) AS rn
+        FROM e l CROSS JOIN cents c)
+      WHERE rn = 1
+    ),
+    counts AS (
+      SELECT cluster,
+             CAST(SUM(CASE WHEN vec_id % 10 <> 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_live,
+             CAST(SUM(CASE WHEN vec_id % 10 = 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dead
+      FROM assign GROUP BY cluster
+    )
+    SELECT c.centroid_id AS cluster,
+           COALESCE(k.n_live, 0) AS n_live,
+           COALESCE(k.n_dead, 0) AS n_dead,
+           {oracle_dround('CAST(COALESCE(k.n_live, 0) AS DOUBLE) / CAST(GREATEST(COALESCE(k.n_live, 0) + COALESCE(k.n_dead, 0), 1) AS DOUBLE)', 6)}
+             AS live_share
+    FROM cents c LEFT JOIN counts k ON k.cluster = c.centroid_id
+    ORDER BY cluster
+    """,
+)
+def q_ext_index_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index HEALTH after maintenance — the monitoring leg of the
+    build→maintain→monitor vector-index lifecycle: per inverted list,
+    live/tombstoned posting counts and the live share (skewed n_live →
+    rebalance; low live share → vacuum; both are the rebuild triggers an
+    operator watches). Tombstones keep their cluster precisely so this
+    attribution — and partition-pruned compaction at scale — is
+    possible. The oracle recomputes every count from the base-trained
+    assignment of the full corpus."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    dels = emb.filter(F.col("vec_id") % 10 == 6).select("vec_id")
+
+    mgr = FeatureStoreManager(spark, scratch_dir("vec_index_doctor"))
+    store = VectorIndexStore(mgr, name="emb", nlist=8, m=_PQ_M, pq_k=_PQ_K)
+    store.build(base)
+    store.upsert(batch)
+    store.delete(dels)
+    return store.health()

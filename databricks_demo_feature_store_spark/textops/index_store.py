@@ -185,14 +185,28 @@ class VectorIndexStore:
 
     def delete(self, ids: DataFrame) -> None:
         """Tombstone the given ids (one column frame or any frame
-        carrying ``id_col``): payload nulls + ``deleted=true``, merged on
-        the PK so reads fold the rows out. Unknown ids insert inert dead
-        rows — delete is idempotent and commutes with itself."""
-        tombs = ids.select(
-            F.col(self.id_col),
-            F.lit(None).cast("long").alias("cluster"),
-            F.lit(None).cast("array<int>").alias("codes"),
-            F.lit(True).alias("deleted"),
+        carrying ``id_col``): code bytes nulled, ``deleted=true``, merged
+        on the PK so reads fold the rows out. The tombstone KEEPS the
+        row's cluster — that is what lets a cluster-partitioned postings
+        table compact/vacuum tombstones with partition pruning at scale,
+        and lets :meth:`health` attribute dead rows to their lists.
+        Unknown ids insert inert dead rows (NULL cluster) — delete is
+        idempotent and commutes with itself."""
+        current = self.manager.read(self.postings_table).select(
+            self.id_col, "cluster"
+        )
+        tombs = (
+            ids.select(F.col(self.id_col))
+            .join(current, on=self.id_col, how="left")
+            .select(
+                self.id_col,
+                F.col("cluster").cast("long").alias("cluster"),
+                F.lit(None).cast("array<int>").alias("codes"),
+                F.lit(True).alias("deleted"),
+            )
+            # materialize BEFORE the merge rewrites the postings files
+            # this plan reads (self-referencing upsert)
+            .localCheckpoint(eager=True)
         )
         self.manager.save(
             tombs, self._postings_spec(), mode="merge",
@@ -265,6 +279,46 @@ class VectorIndexStore:
             description=f"IVF-PQ inverted lists + code bytes for {self.name}",
             tags={"nlist": str(self.nlist), "m": str(self.m)},
         )
+
+    def health(self, round_to: int = 6) -> DataFrame:
+        """Per-cluster index health — the monitoring leg of the
+        build→maintain→monitor lifecycle (`store_doctor` for inverted
+        lists): live/tombstoned posting counts and the live share, the
+        signals that drive operational decisions (skewed ``n_live`` →
+        probe hotspots, so rebalance; low live share → vacuum; drifted
+        assignment quality → retrain quantizers on fresh data). One
+        hash aggregation over the postings (map-side combined) joined to
+        the broadcast centroid table; clusters whose lists emptied are
+        kept (n_live = 0) — invisible-empty lists are how probe recall
+        silently rots. Ordered by cluster for stable output."""
+        per_cluster = (
+            self.postings(include_deleted=True)
+            .groupBy("cluster")
+            .agg(
+                F.sum(F.when(~F.col("deleted"), 1).otherwise(0)).alias("n_live"),
+                F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_dead"),
+            )
+        )
+        cents = self.centroids().select(
+            F.col("centroid_id").cast("long").alias("cluster")
+        )
+        out = cents.join(per_cluster, on="cluster", how="left").select(
+            "cluster",
+            F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
+            F.coalesce(F.col("n_dead"), F.lit(0)).alias("n_dead"),
+        )
+        return out.select(
+            "cluster",
+            "n_live",
+            "n_dead",
+            dround(
+                F.col("n_live").cast("double")
+                / F.greatest(F.col("n_live") + F.col("n_dead"), F.lit(1)).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("live_share"),
+        ).orderBy("cluster")
 
     # -- search -----------------------------------------------------------
     def search(

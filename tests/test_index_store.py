@@ -159,3 +159,20 @@ def test_index_upsert_stream_crash_replay_converges(spark, store, tmp_path):
     # replay with no fault: idempotent re-MERGE, then maintained == rebuilt
     store.upsert_stream(spark, str(inbox), ckpt, schema).awaitTermination(120)
     assert _rows(store.postings()) == _rows(store.rebuild_postings(emb))
+
+
+def test_index_health_counts_and_empty_lists(spark, store):
+    emb = _emb(spark)
+    store.build(emb)
+    h0 = {r.cluster: (r.n_live, r.n_dead, r.live_share) for r in store.health().collect()}
+    assert sum(v[0] for v in h0.values()) == emb.count()
+    assert all(v[1] == 0 for v in h0.values())
+    # tombstone an entire cluster: it must STAY visible with n_live=0
+    victim = max(h0, key=lambda c: h0[c][0])
+    ids = store.postings().filter(F.col("cluster") == victim).select("vec_id")
+    n_victim = ids.count()
+    store.delete(ids.localCheckpoint(eager=True))
+    h1 = {r.cluster: (r.n_live, r.n_dead, r.live_share) for r in store.health().collect()}
+    assert set(h1) == set(h0)  # no cluster disappears
+    assert h1[victim] == (0, n_victim, 0.0)
+    assert sum(v[0] for v in h1.values()) == emb.count() - n_victim
