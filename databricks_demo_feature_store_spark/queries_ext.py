@@ -3600,3 +3600,112 @@ def q_ext_index_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.upsert(batch)
     store.delete(dels)
     return store.health()
+
+
+_URL_SYNTH = """
+      concat(
+        CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END, '://',
+        CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END,
+        'site', CAST(doc_id % 7 AS VARCHAR), '.example.',
+        CASE WHEN doc_id % 5 = 0 THEN 'co.uk' ELSE 'com' END,
+        CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+        '/p/', CAST(doc_id % 11 AS VARCHAR),
+        CASE WHEN doc_id % 2 = 0 THEN '?utm_source=news&b=2&a=1'
+             ELSE '?a=1&b=2' END,
+        CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END)
+"""
+
+
+@register(
+    "q_ext_url_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_SYNTH} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+      FROM raw
+    ),
+    norm AS (
+      SELECT doc_id, scheme,
+             regexp_replace(auth, ':[0-9]+$', '') AS host,
+             regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             list_sort(list_filter(string_split(rawq, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=')))
+               AS params
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' ||
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                  THEN host ELSE host || ':' || port END ||
+             path ||
+             CASE WHEN len(params) = 0 THEN ''
+                  ELSE '?' || array_to_string(params, '&') END AS canonical_url,
+             host
+      FROM norm
+    ),
+    dom AS (
+      SELECT doc_id, canonical_url,
+             CASE
+               WHEN len(string_split(host, '.')) <= 1 THEN host
+               WHEN len(string_split(host, '.')) >= 3
+                    AND len(string_split(host, '.')[-1]) = 2
+                    AND string_split(host, '.')[-2]
+                        IN ('co','com','net','org','gov','edu','ac')
+               THEN array_to_string(string_split(host, '.')[-3:], '.')
+               ELSE array_to_string(string_split(host, '.')[-2:], '.')
+             END AS registered_domain
+      FROM canon
+    )
+    SELECT canonical_url, registered_domain,
+           COUNT(*) AS n_variants,
+           MIN(doc_id) AS keeper_id
+    FROM dom
+    GROUP BY canonical_url, registered_domain
+    """,
+)
+def q_ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the step a web-crawl pipeline runs BEFORE any
+    content hashing: deterministic re-fetch variants of each logical
+    page (tracking params, fragments, case, default ports, param order)
+    collapse under canonicalization; per canonical URL the variant
+    count and the min-id keeper, with the registered domain attached
+    for the per-site caps/stats that follow. All row-local column
+    expressions (scan-speed, codegen) + ONE (canonical_url) hash agg —
+    the exact-dedup shuffle shape. The oracle replays the component
+    regexes, the tracking-param filter+sort, default-port and ccTLD
+    second-level-registry rules."""
+    from databricks_demo_feature_store_spark.textops.urls import (
+        canonicalize_url_col,
+        registered_domain_col,
+        url_host_col,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_URL_SYNTH.replace("VARCHAR", "STRING")).alias("url"))
+    return (
+        raw.select(
+            "doc_id",
+            canonicalize_url_col(F.col("url")).alias("canonical_url"),
+            registered_domain_col(url_host_col(F.col("url"))).alias(
+                "registered_domain"
+            ),
+        )
+        .groupBy("canonical_url", "registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )

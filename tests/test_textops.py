@@ -1744,3 +1744,35 @@ def test_semantic_contamination_string_bench_ids(spark):
     got = {r.vec_id: (r.bench_id, r.cosine) for r in out.collect()}
     # doc-1 ties at cos 1.0 between gsm8k and mmlu -> lexicographic min
     assert got == {"doc-1": ("gsm8k", 1.0), "doc-2": ("arc", 1.0)}
+
+
+def test_url_canonicalization_hand_cases(spark):
+    """Canonical form collapses tracking params, fragments, case,
+    default ports and param order; non-URLs go to NULL; registered
+    domain handles ccTLD second-level registries."""
+    from databricks_demo_feature_store_spark.textops.urls import (
+        canonicalize_url_col,
+        registered_domain_col,
+        url_host_col,
+    )
+
+    rows = [
+        ("HTTP://WWW.Ex.COM:80/a/b?utm_source=x&b=2&a=1#frag",),
+        ("http://www.ex.com/a/b?a=1&b=2",),
+        ("https://ex.com:443",),
+        ("https://ex.com:8443/",),
+        ("https://shop.example.co.uk/p?gclid=z",),
+        ("not a url",),
+    ]
+    df = spark.createDataFrame(rows, "url string").select(
+        "url",
+        canonicalize_url_col(F.col("url")).alias("canon"),
+        registered_domain_col(url_host_col(F.col("url"))).alias("dom"),
+    )
+    got = {r.url: (r.canon, r.dom) for r in df.collect()}
+    assert got[rows[0][0]] == ("http://www.ex.com/a/b?a=1&b=2", "ex.com")
+    assert got[rows[1][0]] == ("http://www.ex.com/a/b?a=1&b=2", "ex.com")
+    assert got[rows[2][0]] == ("https://ex.com/", "ex.com")
+    assert got[rows[3][0]] == ("https://ex.com:8443/", "ex.com")  # non-default port kept
+    assert got[rows[4][0]] == ("https://shop.example.co.uk/p", "example.co.uk")
+    assert got["not a url"] == (None, "")
