@@ -1034,3 +1034,55 @@ def test_trailing_multi_window_from_state_matches_single_serves(spark, tmp_path)
     assert got[1][:2] == (28.0, 1)  # 7d window [Jan 22, Jan 29): day 28 only
     with pytest.raises(ValueError, match="exactly one"):
         trailing_features_from_state(state, spine, keys=["user_id"], spine_time="day")
+
+
+def test_stream_trailing_state_accepts_arbitrarily_late_events(spark, tmp_path):
+    """Unlike a watermark-bounded streaming agg, the bucket-state fold
+    accepts events of ANY lateness: a second batch carrying an event for
+    a week-old bucket merges into that bucket (monoid cell-sum), and
+    serves correctly afterwards."""
+    import datetime as dt
+    import json as _json
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_trailing_state,
+        stream_trailing_state,
+        trailing_features_from_state,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    state = str(tmp_path / "state")
+
+    def arrive(i, rows):
+        (inbox / f"w{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": t.isoformat(), "value": v})
+                for u, t, v in rows
+            )
+        )
+
+    def run():
+        stream_trailing_state(
+            spark, str(inbox), state, str(tmp_path / "ckpt"),
+            keys=["user_id"], event_time="ts", value_col="value",
+            schema="user_id bigint, ts timestamp, value double",
+        ).awaitTermination(120)
+
+    arrive(0, [(1, dt.datetime(2024, 1, 10), 5.0)])
+    run()
+    # a week-LATE event for Jan 3 arrives in batch 2
+    arrive(1, [(1, dt.datetime(2024, 1, 3), 7.0)])
+    run()
+    st = {(r.user_id, r.bucket_start): (r.n, float(r.s))
+          for r in read_trailing_state(spark, state).collect()}
+    assert st[(1, dt.datetime(2024, 1, 3))] == (1, 7.0)
+    assert st[(1, dt.datetime(2024, 1, 10))] == (1, 5.0)
+    spine = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 8))], "user_id bigint, day timestamp"
+    )
+    served = trailing_features_from_state(
+        read_trailing_state(spark, state), spine, keys=["user_id"],
+        spine_time="day", window_expr="INTERVAL 7 DAYS",
+    ).collect()
+    assert (served[0].spend, served[0].n_events) == (7.0, 1)  # late event counted
