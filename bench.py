@@ -78,6 +78,7 @@ HEADLINE = [
     "q_event_path_conversion",
     "q_stream_trailing_features",
     "q_stream_index_upserts",
+    "q_stream_trailing_quantile",
     "q_position_attribution",
     "q_conversion_lags",
     "q_event_transitions",

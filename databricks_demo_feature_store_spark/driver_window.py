@@ -660,7 +660,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_ext_index_search",
     "q_ext_curation_pipeline",
     "q_ext_contamination",
-    "q_funnel_steps",
+    # late round-11 birth: streamed histogram state → trailing p50/p90
+    # (the quantile-type aggregation feature) — takes the slot of
+    # q_funnel_steps (r6-green, full-gate-covered; its single function
+    # is untouched since r6 and the events.py family keeps TWO
+    # in-window anchors over this round's exact changed code:
+    # q_event_paths and q_event_path_conversion)
+    "q_stream_trailing_quantile",
     # late round-11 birth: streamed index maintenance (foreachBatch
     # upserts, exactly-once by idempotent MERGE) — takes the slot of
     # q_event_attribution (r6-green, full-gate-covered; the events.py

@@ -90,3 +90,97 @@ def finalize_aggregates(
         (s / n).alias(f"{prefix}_mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias(f"{prefix}_std"),
     )
+
+
+def histogram_state(
+    events: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Per-key fixed-bin HISTOGRAM state of ``value_col`` — the
+    mergeable building block for quantile-type aggregate features
+    (trailing p50/p90 spend/latency), the feature kind moment state
+    cannot serve. ``hist[i]`` counts non-null values in
+    ``[lo + i·w, lo + (i+1)·w)`` with ``w = (hi−lo)/nbins``; values
+    below ``lo`` clamp into bin 0 and values at/above ``hi`` into the
+    last bin (explicit boundary-loss semantics — pick [lo, hi) from a
+    profile first). Bin counts are a commutative monoid under
+    element-wise sum, so histogram state merges exactly like moment
+    state: ``merge(state(A), state(B)) == state(A ∪ B)`` bit-for-bit.
+    One hash aggregation with map-side combine; state is nbins longs
+    per key regardless of event volume.
+    """
+    keys = list(keys)
+    if nbins < 1:
+        raise ValueError("histogram_state requires nbins >= 1")
+    if not hi > lo:
+        raise ValueError("histogram_state requires hi > lo")
+    v = F.col(value_col).cast("double")
+    w = (float(hi) - float(lo)) / int(nbins)
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
+    b = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(nbins) - 1))
+    return events.groupBy(*keys).agg(
+        *[
+            F.sum(
+                F.when(v.isNotNull() & (b == i), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"hist_{i}")
+            for i in range(int(nbins))
+        ]
+    )
+
+
+def merge_histogram_state(
+    state_a: DataFrame, state_b: DataFrame, keys: Sequence[str], nbins: int
+) -> DataFrame:
+    """Element-wise sum of two histogram states (union + one hash agg)."""
+    keys = list(keys)
+    return (
+        state_a.unionByName(state_b)
+        .groupBy(*keys)
+        .agg(*[F.sum(f"hist_{i}").alias(f"hist_{i}") for i in range(int(nbins))])
+    )
+
+
+def quantile_from_hist(
+    prob: float, lo: float, hi: float, nbins: int, prefix: str = "hist"
+) -> "F.Column":
+    """Column expression: the histogram-quantile ESTIMATOR at ``prob``
+    from bin-count columns ``{prefix}_0 … {prefix}_{nbins-1}`` — find
+    the bin where the cumulative count crosses ``ceil(prob·n)`` and
+    linearly interpolate inside it (the classic equi-width estimator;
+    exact GIVEN the bins, so two engines computing it from identical
+    bins produce identical doubles — which is what makes it oracle-able
+    where a true streaming percentile is not). NULL when the histogram
+    is empty. Error is bounded by one bin width.
+    """
+    if not 0.0 <= prob <= 1.0:
+        raise ValueError("prob must be in [0, 1]")
+    w = (float(hi) - float(lo)) / int(nbins)
+    cols = [F.coalesce(F.col(f"{prefix}_{i}"), F.lit(0)).cast("double")
+            for i in range(int(nbins))]
+    n = cols[0]
+    for c in cols[1:]:
+        n = n + c
+    target = F.ceil(F.lit(float(prob)) * n).cast("double")
+    # first bin whose cumulative count reaches the target wins;
+    # interpolate position inside it. FLAT coalesce of per-bin
+    # candidates, not a nested when-chain re-embedding the running
+    # expression — that doubles the expression tree per bin (2^nbins
+    # nodes; nbins=16 hung Catalyst analysis), while this stays
+    # O(nbins²) from the linear cum nesting alone.
+    candidates = []
+    cum = F.lit(0.0)
+    for i in range(int(nbins)):
+        cum_next = cum + cols[i]
+        inside = (
+            F.lit(float(lo) + i * w)
+            + (target - cum) / F.greatest(cols[i], F.lit(1.0)) * F.lit(w)
+        )
+        candidates.append(
+            F.when((cum_next >= target) & (cols[i] > 0) & (n > 0), inside)
+        )
+        cum = cum_next
+    return F.coalesce(*candidates, F.lit(None).cast("double"))

@@ -2581,3 +2581,115 @@ def q_stream_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_col="spend_7d",
         count_col="n_7d",
     )
+
+
+def _hist_quantile_sql(prob: float, lo: float, hi: float, nbins: int) -> str:
+    """Emit the histogram-quantile estimator as SQL over columns
+    h0..h{nbins-1} and n — the same first-crossing + linear
+    interpolation `quantile_from_hist` computes, literal-for-literal
+    (same Python floats rendered into both plans)."""
+    w = (float(hi) - float(lo)) / int(nbins)
+    target = f"CEIL({prob!r} * n)"
+    branches = []
+    cum = "0"
+    for i in range(int(nbins)):
+        cum_next = f"({cum} + h{i})"
+        left = float(lo) + i * w
+        branches.append(
+            f"WHEN {cum_next} >= {target} AND h{i} > 0 "
+            f"THEN {left!r} + ({target} - {cum}) / h{i} * {w!r}"
+        )
+        cum = cum_next
+    return "CASE WHEN n = 0 THEN NULL " + " ".join(branches) + " ELSE NULL END"
+
+
+_QLO, _QHI, _QBINS = 0.0, 400.0, 16
+
+
+def _stream_quantile_oracle() -> str:
+    wbin = (_QHI - _QLO) / _QBINS
+    hsel = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS DOUBLE) AS h{i}"
+        for i in range(_QBINS)
+    )
+    return f"""
+    WITH p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM p
+    ),
+    joined AS (
+      SELECT s.user_id, s.day,
+             CASE WHEN e.value IS NULL THEN NULL
+                  ELSE LEAST(GREATEST(CAST(FLOOR((e.value - {_QLO!r}) / {wbin!r})
+                                           AS INT), 0), {_QBINS - 1}) END AS b
+      FROM spine s LEFT JOIN p e
+        ON e.user_id = s.user_id
+       AND e.ts >= s.day - INTERVAL 7 DAY
+       AND e.ts <  s.day
+    ),
+    hist AS (
+      SELECT user_id, day,
+             CAST(COUNT(b) AS DOUBLE) AS n,
+             {hsel}
+      FROM joined GROUP BY user_id, day
+    )
+    SELECT user_id, day,
+           {oracle_dround(_hist_quantile_sql(0.5, _QLO, _QHI, _QBINS), 6)} AS p50,
+           {oracle_dround(_hist_quantile_sql(0.9, _QLO, _QHI, _QBINS), 6)} AS p90
+    FROM hist
+    """
+
+
+@register("q_stream_trailing_quantile", oracle=_stream_quantile_oracle())
+def q_stream_trailing_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-type trailing features served ONLINE from streamed
+    histogram state — the aggregation feature type (trailing p50/p90
+    spend) that moment state cannot express: purchase events arrive as
+    three drops, each micro-batch folds per-(user, day) fixed-bin
+    counts into the versioned state next to the moments (bin counts are
+    a monoid — streamed state ≡ one batch histogram, bit-for-bit), and
+    the 16 bins then ride the ONE anchor-carry shuffle as conditional
+    measures to serve each day's trailing-7d p50/p90. The estimator is
+    exact GIVEN the bins (error ≤ one bin width vs the true quantile),
+    which is what makes a streaming quantile oracle-checkable: the
+    oracle recomputes bins from raw events with a range join and
+    applies the literal same interpolation."""
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_trailing_state,
+        stream_trailing_state,
+        trailing_quantile_from_state,
+    )
+
+    root = scratch_dir("stream_trailing_q")
+    inbox = os.path.join(root, "inbox")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    for r in range(3):
+        purchases.filter(F.col("event_id") % 3 == r).drop("event_id").coalesce(
+            1
+        ).write.mode("append").json(inbox)
+        stream_trailing_state(
+            spark, inbox, state, ckpt,
+            keys=["user_id"], event_time="ts", value_col="value",
+            schema="user_id bigint, ts timestamp, value double",
+            hist=(_QLO, _QHI, _QBINS),
+        ).awaitTermination()
+    spine = purchases.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return trailing_quantile_from_state(
+        read_trailing_state(spark, state),
+        spine,
+        keys=["user_id"],
+        spine_time="day",
+        window_expr="INTERVAL 7 DAYS",
+        probs={"p50": 0.5, "p90": 0.9},
+        lo=_QLO, hi=_QHI, nbins=_QBINS,
+    )

@@ -856,6 +856,7 @@ def stream_trailing_state(
     bucket: str = "day",
     scale: int = 2,
     after_commit_hook=None,
+    hist: tuple[float, float, int] | None = None,
 ):
     """Continuously maintain the per-(keys, time-bucket) moment state
     that serves trailing-window aggregate features ONLINE — the
@@ -885,11 +886,19 @@ def stream_trailing_state(
 
     from databricks_demo_feature_store_spark.featurestore.incremental import (
         aggregate_state,
+        histogram_state,
         merge_aggregate_state,
     )
 
     keys = list(keys)
     stream = spark.readStream.schema(schema).json(input_path)
+    # ``hist=(lo, hi, nbins)`` additionally maintains per-bucket
+    # fixed-bin histogram counts next to the moments — the mergeable
+    # state quantile-type trailing features serve from
+    # (:func:`trailing_quantile_from_state`); bin counts cell-sum on
+    # merge exactly like n/s/s2.
+    if hist is not None:
+        h_lo, h_hi, h_n = float(hist[0]), float(hist[1]), int(hist[2])
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         latest = _latest_cms_version(state_path)
@@ -901,13 +910,34 @@ def stream_trailing_state(
             "bucket_start", F.date_trunc(bucket, F.col(event_time).cast("timestamp"))
         )
         state = aggregate_state(b, [*keys, "bucket_start"], value_col, scale)
+        if hist is not None:
+            state = state.join(
+                histogram_state(
+                    b, [*keys, "bucket_start"], value_col, h_lo, h_hi, h_n
+                ),
+                on=[*keys, "bucket_start"],
+            )
         if latest is not None:
             standing = batch_df.sparkSession.read.parquet(
                 os.path.join(state_path, f"v{latest}")
             )
-            state = merge_aggregate_state(
-                standing, state, [*keys, "bucket_start"]
-            )
+            gcols = [*keys, "bucket_start"]
+            if hist is None:
+                state = merge_aggregate_state(standing, state, gcols)
+            else:
+                state = (
+                    standing.unionByName(state)
+                    .groupBy(*gcols)
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("s").alias("s"),
+                        F.sum("s2").alias("s2"),
+                        *[
+                            F.sum(f"hist_{i}").alias(f"hist_{i}")
+                            for i in range(h_n)
+                        ],
+                    )
+                )
         os.makedirs(state_path, exist_ok=True)
         staging = os.path.join(state_path, f"_tmp_v{batch_id}")
         state.write.mode("overwrite").parquet(staging)
@@ -1009,3 +1039,76 @@ def trailing_features_from_state(
         *[c for c in out.columns if c not in count_names],
         *[F.col(old).cast("long").alias(new) for old, new in renames.items()],
     )
+
+
+def trailing_quantile_from_state(
+    state: DataFrame,
+    spine: DataFrame,
+    keys: Sequence[str],
+    spine_time: str,
+    window_expr: str,
+    probs: dict[str, float],
+    lo: float,
+    hi: float,
+    nbins: int,
+    bucket: str = "day",
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile-type trailing features from the streamed HISTOGRAM
+    state (``stream_trailing_state(..., hist=(lo, hi, nbins))``): per
+    spine row, the histogram-quantile estimate of each requested prob
+    over events in ``[t - window, t)`` — trailing p50/p90 spend/latency,
+    the aggregation feature type moment state cannot serve. The nbins
+    bin counts ride the ONE anchor-carry shuffle as N conditional
+    measures (the multi-measure path built for exactly this); the
+    estimator (`quantile_from_hist`) is exact GIVEN the bins, so it is
+    oracle-checkable end-to-end; estimation error vs the true quantile
+    is bounded by one bin width. Empty windows give NULL quantiles (an
+    empty window has no distribution — unlike sums, 0 would be a lie).
+    Same bucket-alignment contract as :func:`trailing_features_from_state`.
+    """
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        quantile_from_hist,
+    )
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+    from databricks_demo_feature_store_spark.operators.windows import (
+        trailing_window_features,
+    )
+
+    keys = list(keys)
+    nbins = int(nbins)
+    ts = F.col(spine_time).cast("timestamp")
+    aligned_spine = spine.withColumn(
+        spine_time,
+        F.when(F.date_trunc(bucket, ts) == ts, ts).otherwise(
+            F.raise_error(
+                F.lit(
+                    "trailing_quantile_from_state: spine timestamps must be "
+                    f"{bucket}-aligned to serve exactly from {bucket} buckets"
+                )
+            )
+        ),
+    )
+    ev = state.select(
+        *keys,
+        "bucket_start",
+        *[F.col(f"hist_{i}").cast("double").alias(f"__h{i}") for i in range(nbins)],
+    )
+    served = trailing_window_features(
+        aligned_spine,
+        ev,
+        keys=keys,
+        spine_time=spine_time,
+        event_time="bucket_start",
+        window_expr=window_expr,
+        sum_cols=[(f"__hb_{i}", f"__h{i}") for i in range(nbins)],
+        scale=0,
+    )
+    out_cols = [c for c in served.columns if not c.startswith("__hb_")]
+    qcols = [
+        dround(
+            quantile_from_hist(p, lo, hi, nbins, prefix="__hb"), round_to
+        ).alias(name)
+        for name, p in probs.items()
+    ]
+    return served.select(*out_cols, *qcols)

@@ -547,3 +547,53 @@ def test_window_lookup_collision_and_mixing(spark, manager):
     labels_coll = labels.withColumn("spend_30d", F.lit(0.0))
     with pytest.raises(ValueError, match="collides"):
         create_training_set(manager, labels_coll, [wl], spine_time="label_dt")
+
+
+def test_histogram_state_merge_and_quantiles(spark):
+    """Bin counts merge exactly (monoid); the histogram-quantile
+    estimator is exact given the bins; clamping puts out-of-range
+    values in the edge bins; empty keys give NULL quantiles."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        histogram_state,
+        merge_histogram_state,
+        quantile_from_hist,
+    )
+    import pytest as _pytest
+
+    a = spark.createDataFrame(
+        [(1, v) for v in (0.0, 1.0, 2.0, 3.0)] + [(2, -5.0)],
+        "k int, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, v) for v in (4.0, 5.0, 6.0, 7.0)] + [(2, 99.0), (1, None)],
+        "k int, v double",
+    )
+    # [0, 8) in 4 bins of width 2
+    full = histogram_state(a.unionByName(b), ["k"], "v", 0.0, 8.0, 4)
+    merged = merge_histogram_state(
+        histogram_state(a, ["k"], "v", 0.0, 8.0, 4),
+        histogram_state(b, ["k"], "v", 0.0, 8.0, 4),
+        ["k"], 4,
+    )
+    key = lambda r: (r.k, r.hist_0, r.hist_1, r.hist_2, r.hist_3)  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, merged.collect()))
+    rows = {r.k: (r.hist_0, r.hist_1, r.hist_2, r.hist_3) for r in full.collect()}
+    assert rows[1] == (2, 2, 2, 2)      # NULL value uncounted
+    assert rows[2] == (1, 0, 0, 1)      # -5 clamps to bin 0, 99 to last bin
+    q = full.select(
+        "k",
+        quantile_from_hist(0.5, 0.0, 8.0, 4).alias("p50"),
+        quantile_from_hist(1.0, 0.0, 8.0, 4).alias("p100"),
+    )
+    got = {r.k: (r.p50, r.p100) for r in q.collect()}
+    # k=1: n=8, target=4 -> bin 1 cum 2->4: 2 + (4-2)/2*2 = 4.0; p100 = 8.0
+    assert got[1] == (4.0, 8.0)
+    # empty histogram -> NULL
+    empty = spark.createDataFrame([(9, 0, 0, 0, 0)],
+                                  "k int, hist_0 long, hist_1 long, hist_2 long, hist_3 long")
+    r = empty.select(quantile_from_hist(0.5, 0.0, 8.0, 4).alias("p")).collect()[0]
+    assert r.p is None
+    with _pytest.raises(ValueError):
+        quantile_from_hist(1.5, 0.0, 8.0, 4)
+    with _pytest.raises(ValueError):
+        histogram_state(a, ["k"], "v", 0.0, 8.0, 0)

@@ -1086,3 +1086,70 @@ def test_stream_trailing_state_accepts_arbitrarily_late_events(spark, tmp_path):
         spine_time="day", window_expr="INTERVAL 7 DAYS",
     ).collect()
     assert (served[0].spend, served[0].n_events) == (7.0, 1)  # late event counted
+
+
+def test_stream_trailing_quantile_from_hist_state(spark, tmp_path):
+    """Histogram bin counts maintained next to the moments across two
+    stream waves serve trailing p50/p90 exactly equal to the estimator
+    computed from a batch histogram of the raw in-window events; empty
+    windows give NULL quantiles."""
+    import datetime as dt
+    import json as _json
+
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        histogram_state,
+        quantile_from_hist,
+    )
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        read_trailing_state,
+        stream_trailing_state,
+        trailing_quantile_from_state,
+    )
+
+    t = dt.datetime
+    waves = [
+        [(1, t(2024, 1, 2), 1.0), (1, t(2024, 1, 3), 3.0), (2, t(2024, 1, 2), 5.0)],
+        [(1, t(2024, 1, 4), 5.0), (1, t(2024, 1, 5), 7.0), (1, t(2024, 1, 5), 7.5)],
+    ]
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    state_path = str(tmp_path / "state")
+    for i, rows in enumerate(waves):
+        (inbox / f"w{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": ts.isoformat(), "value": v})
+                for u, ts, v in rows
+            )
+        )
+        stream_trailing_state(
+            spark, str(inbox), state_path, str(tmp_path / "ckpt"),
+            keys=["user_id"], event_time="ts", value_col="value",
+            schema="user_id bigint, ts timestamp, value double",
+            hist=(0.0, 8.0, 4),
+        ).awaitTermination(120)
+
+    spine = spark.createDataFrame(
+        [(1, t(2024, 1, 6)), (2, t(2024, 1, 6)), (3, t(2024, 1, 6))],
+        "user_id bigint, day timestamp",
+    )
+    served = trailing_quantile_from_state(
+        read_trailing_state(spark, state_path), spine,
+        keys=["user_id"], spine_time="day", window_expr="INTERVAL 7 DAYS",
+        probs={"p50": 0.5, "p90": 0.9}, lo=0.0, hi=8.0, nbins=4,
+    )
+    got = {r.user_id: (r.p50, r.p90) for r in served.collect()}
+    # batch twin over raw in-window events (all are in [Dec 30, Jan 6))
+    all_ev = spark.createDataFrame(
+        [r for w in waves for r in w], "user_id bigint, ts timestamp, value double"
+    )
+    batch = histogram_state(all_ev, ["user_id"], "value", 0.0, 8.0, 4).select(
+        "user_id",
+        F.round(quantile_from_hist(0.5, 0.0, 8.0, 4), 6).alias("p50"),
+        F.round(quantile_from_hist(0.9, 0.0, 8.0, 4), 6).alias("p90"),
+    )
+    expect = {r.user_id: (r.p50, r.p90) for r in batch.collect()}
+    assert got[1] == expect[1] and got[2] == expect[2]
+    assert got[3] == (None, None)  # empty window: no distribution
+    # hand value, user 1 (values 1,3,5,7,7.5): bins [1|1|1|2], n=5:
+    # p50 target ceil(2.5)=3 -> bin 2 (cum 2->3): 4 + (3-2)/1*2 = 6.0
+    assert got[1][0] == 6.0
