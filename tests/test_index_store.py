@@ -176,3 +176,20 @@ def test_index_health_counts_and_empty_lists(spark, store):
     assert set(h1) == set(h0)  # no cluster disappears
     assert h1[victim] == (0, n_victim, 0.0)
     assert sum(v[0] for v in h1.values()) == emb.count() - n_victim
+
+
+def test_index_store_with_lloyd_refined_quantizers(spark, store):
+    """A build with kmeans-refined centroids keeps the maintained ≡
+    rebuilt invariant (maintenance never depends on HOW the frozen
+    quantizers were trained) and search still excludes tombstones."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    store.build(base, kmeans_iterations=2)
+    store.upsert(batch)
+    store.delete(spark.createDataFrame([(11,), (22,)], "vec_id long"))
+    live = emb.filter(~F.col("vec_id").isin(11, 22))
+    assert _rows(store.postings()) == _rows(store.rebuild_postings(live))
+    hits = store.search(emb.filter(F.col("vec_id") < 2), k=5,
+                        nprobe=store.nlist).collect()
+    assert len(hits) == 10 and not {11, 22} & {r.vec_id for r in hits}
