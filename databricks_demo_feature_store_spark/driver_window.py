@@ -653,6 +653,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ADVICE fixes this round)
     # late round-11 birth: search over the MAINTAINED index — takes the
     # slot earmarked for q_ext_ivfpq_topk (r6-green, full-gate-covered;
+    # the refinement variant q_ext_index_refine stays OUT of the window
+    # with cover: its probe/ADC/maintenance machinery is triple-anchored
+    # here (index_search/index_refresh/stream_index_upserts) and the
+    # exact-rerank delta is pytest-pinned to brute-force equality —
+    # displacing a freshness-rotation member for a 4th family anchor
+    # would work against this round's priority; full local gate checks
+    # it exactly;
     # its coarse-assign + codebook + probe + LUT + fold-ordered-ADC
     # machinery is exactly what q_ext_index_search and
     # q_ext_index_refresh certify in-window this round, on the same

@@ -3709,3 +3709,71 @@ def q_ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_id"),
         )
     )
+
+
+_INDEX_REFINE_ORACLE = _INDEX_SEARCH_ORACLE.replace(
+    """    ranked AS (
+      SELECT query_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, vec_id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, {}
+    FROM ranked WHERE rank <= 5
+""".format(oracle_dround('dist', 6) + " AS adc_dist, rank"),
+    """    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, vec_id ASC) AS rn
+        FROM adc)
+      WHERE rn <= 15
+    ),
+    rerank AS (
+      SELECT s.query_id, s.vec_id,
+             {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY {cos} DESC, s.vec_id ASC) AS rank
+      FROM shortlist s
+      JOIN live v ON v.vec_id = s.vec_id
+      JOIN e q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, vec_id, {rcos} AS cosine, rank
+    FROM rerank WHERE rank <= 5
+""".format(
+        cos="(list_inner_product(v.v, q.v) / (sqrt(list_inner_product(v.v, v.v)) * sqrt(list_inner_product(q.v, q.v))))",
+        rcos=oracle_dround("cosine", 6),
+    ),
+)
+
+
+@register("q_ext_index_refine", oracle=_INDEX_REFINE_ORACLE)
+def q_ext_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined search over the maintained index — the FAISS-IVFPQR /
+    DiskANN two-tier shape: ADC shortlists k·3 candidates per query
+    from the probed live code bytes, ONLY the shortlist joins back to
+    the flat vector tier (maintained next to the postings by the same
+    MERGE) for an exact-cosine rerank, so quantization error leaves the
+    final ordering at the cost of 15 vector reads per query, never a
+    corpus vector scan. The oracle replays probe selection, the ADC
+    shortlist cutoff and the exact rerank."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    dels = emb.filter(F.col("vec_id") % 10 == 6).select("vec_id")
+
+    mgr = FeatureStoreManager(spark, scratch_dir("vec_index_refine"))
+    store = VectorIndexStore(mgr, name="emb", nlist=8, m=_PQ_M, pq_k=_PQ_K)
+    store.build(base, store_vectors=True)
+    store.upsert(batch)
+    store.delete(dels)
+    return store.search(
+        emb.filter(F.col("vec_id") < 3), k=5, nprobe=2,
+        query_id_col="vec_id", refine=3,
+    )

@@ -136,10 +136,32 @@ class VectorIndexStore:
             )
         )
 
+    @property
+    def vectors_table(self) -> str:
+        return f"{self.name}_vectors"
+
+    def _vectors_spec(self) -> FeatureTableSpec:
+        return FeatureTableSpec(
+            self.vectors_table,
+            primary_keys=(self.id_col,),
+            description=f"flat refinement vectors for {self.name}",
+        )
+
     # -- lifecycle -------------------------------------------------------
-    def build(self, corpus: DataFrame, kmeans_iterations: int = 0) -> None:
+    def build(
+        self,
+        corpus: DataFrame,
+        kmeans_iterations: int = 0,
+        store_vectors: bool = False,
+    ) -> None:
         """Train quantizers on ``corpus`` and (re)write all three tables.
-        The ONLY full-corpus pass; everything after is per-batch."""
+        The ONLY full-corpus pass; everything after is per-batch.
+        ``store_vectors=True`` additionally persists the raw vectors as
+        ``{name}_vectors`` — the flat refinement tier (FAISS IVFPQR /
+        DiskANN shape): searches can then ADC-shortlist from code bytes
+        and exact-rerank ONLY the shortlist from flat storage
+        (:meth:`search` with ``refine``), trading k·r vector reads per
+        query for exact top-k ordering."""
         cents = ivf_centroids(
             corpus, self.nlist, self.id_col, self.vec_col, kmeans_iterations
         )
@@ -171,17 +193,33 @@ class VectorIndexStore:
             self._postings_spec(),
             mode="overwrite",
         )
+        if store_vectors:
+            self.manager.save(
+                corpus.select(self.id_col, self.vec_col),
+                self._vectors_spec(),
+                mode="overwrite",
+            )
 
     def upsert(self, vectors: DataFrame) -> None:
         """Fold a batch of new/changed vectors into the index: encode
         against the stored quantizers, MERGE on the id PK. A re-upserted
-        id is re-assigned (and any tombstone cleared)."""
+        id is re-assigned (and any tombstone cleared). When the flat
+        refinement tier exists (``build(store_vectors=True)``), the raw
+        vectors MERGE into it under the same PK — refinement state can
+        never lag the code bytes."""
         self.manager.save(
             self._encode(vectors),
             self._postings_spec(),
             mode="merge",
             policy=EvolutionPolicy.FAIL,
         )
+        if self.manager.exists(self.vectors_table):
+            self.manager.save(
+                vectors.select(self.id_col, self.vec_col),
+                self._vectors_spec(),
+                mode="merge",
+                policy=EvolutionPolicy.FAIL,
+            )
 
     def delete(self, ids: DataFrame) -> None:
         """Tombstone the given ids (one column frame or any frame
@@ -327,13 +365,22 @@ class VectorIndexStore:
         k: int = 10,
         nprobe: int = 2,
         query_id_col: str | None = None,
+        refine: int = 0,
     ) -> DataFrame:
         """IVF-PQ top-k over the MAINTAINED index: pick each query's
         ``nprobe`` nearest stored centroids, ADC-score only the live
         code bytes in those lists. Identical plan shape to
         ``similarity.ivfpq_topk`` but reading persisted artifacts —
         centroids/codebooks/per-query LUTs broadcast, postings touched
-        ~nprobe/nlist and pruned of tombstones at the scan."""
+        ~nprobe/nlist and pruned of tombstones at the scan.
+
+        ``refine=r`` (needs ``build(store_vectors=True)``) switches on
+        the flat refinement tier: ADC shortlists ``k·r`` candidates per
+        query from code bytes, ONLY those join back to the stored raw
+        vectors for an exact-cosine rerank, and the output becomes
+        ``(query_id, id, cosine, rank ≤ k)`` ordered by true cosine —
+        quantization error leaves the final ordering at the cost of
+        k·r vector reads per query (never a corpus vector scan)."""
         from pyspark.sql import Window as W
 
         qid = query_id_col or self.id_col
@@ -405,13 +452,45 @@ class VectorIndexStore:
             ).alias("__adc"),
         )
         w = W.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc(self.id_col))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+        if refine <= 0:
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    self.id_col,
+                    dround(F.col("__adc"), 6).alias("adc_dist"),
+                    "rank",
+                )
+            )
+        if not self.manager.exists(self.vectors_table):
+            raise ValueError(
+                "search(refine>0) needs the flat refinement tier — "
+                "build(store_vectors=True) first"
+            )
+        shortlist = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k) * int(refine))
+            .select("query_id", self.id_col)
+        )
+        qvec = probes.select("query_id", "__qv").dropDuplicates(["query_id"])
+        exact = (
+            self.manager.read(self.vectors_table)
+            .join(shortlist, on=self.id_col)  # k·r rows/query: shortlist side broadcasts
+            .join(F.broadcast(qvec), on="query_id")
             .select(
                 "query_id",
                 self.id_col,
-                dround(F.col("__adc"), 6).alias("adc_dist"),
-                "rank",
+                dround(
+                    cosine_col(F.col(self.vec_col), F.col("__qv")), 6
+                ).alias("cosine"),
             )
+        )
+        wr = W.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc(self.id_col)
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select("query_id", self.id_col, "cosine", "rank")
         )

@@ -193,3 +193,28 @@ def test_index_store_with_lloyd_refined_quantizers(spark, store):
     hits = store.search(emb.filter(F.col("vec_id") < 2), k=5,
                         nprobe=store.nlist).collect()
     assert len(hits) == 10 and not {11, 22} & {r.vec_id for r in hits}
+
+
+def test_index_refine_exact_rerank(spark, store):
+    """ADC-shortlist + exact-cosine rerank from the flat tier: with full
+    probing and a shortlist covering the corpus, refined search equals
+    brute-force cosine top-k; refined results track maintenance (a
+    re-upserted changed vector reranks by its NEW values); refine
+    without the tier raises."""
+    import pytest
+
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _emb(spark).limit(80).localCheckpoint(eager=True)
+    store.build(emb, store_vectors=True)
+    q = emb.filter(F.col("vec_id") < 2)
+    got = store.search(q, k=5, nprobe=store.nlist, refine=16)
+    exact = brute_force_topk(emb, q, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+    other = store.__class__(store.manager, name="bare", nlist=4, m=4, pq_k=8)
+    other.build(emb)  # no vectors tier
+    with pytest.raises(ValueError, match="store_vectors"):
+        other.search(q, k=5, refine=4).collect()
