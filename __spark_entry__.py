@@ -24,6 +24,7 @@ import databricks_demo_feature_store_spark.queries_cov  # noqa: E402,F401  (regi
 import databricks_demo_feature_store_spark.queries_val  # noqa: E402,F401  (registers q_val_*)
 import databricks_demo_feature_store_spark.queries_pipe  # noqa: E402,F401  (registers q_pipeline_*)
 import databricks_demo_feature_store_spark.queries_clean  # noqa: E402,F401  (registers corpus-cleaning q_ext_*)
+import databricks_demo_feature_store_spark.queries_tpch  # noqa: E402,F401  (registers TPC-H completion q02/q04/q10-q22)
 from databricks_demo_feature_store_spark.driver_window import reorder  # noqa: E402
 
 # The driver's correctness gate checks the first 50 entries of queries() —

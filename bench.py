@@ -26,6 +26,21 @@ HEADLINE = [
     "q07_volume_shipping",
     "q08_market_share",
     "q09_product_profit",
+    "q02_min_cost_supplier",
+    "q04_priority_returns",
+    "q10_returned_revenue",
+    "q11_important_value",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_return_suppliers",
+    "q22_dormant_customers",
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",
@@ -144,6 +159,7 @@ def main() -> None:
     import databricks_demo_feature_store_spark.queries_val  # noqa: F401
     import databricks_demo_feature_store_spark.queries_pipe  # noqa: F401
     import databricks_demo_feature_store_spark.queries_clean  # noqa: F401
+    import databricks_demo_feature_store_spark.queries_tpch  # noqa: F401
 
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in QUERIES] + [

