@@ -41,6 +41,8 @@ HEADLINE = [
     "q20_dominant_suppliers",
     "q21_sole_return_suppliers",
     "q22_dormant_customers",
+    "q_skipping_scan",
+    "q_bloom_join_reduce",
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",

@@ -20,6 +20,7 @@ from databricks_demo_feature_store_spark.operators.joins import (
     exclude_ids_anti_join,
     month_spine,
     interval_join,
+    bloom_filtered_join,
 )
 from databricks_demo_feature_store_spark.operators.aggregation import (
     aggregation_operations,
@@ -58,6 +59,7 @@ __all__ = [
     "exclude_ids_anti_join",
     "month_spine",
     "interval_join",
+    "bloom_filtered_join",
     "aggregation_operations",
     "grouping_sets_agg",
     "window_operations",

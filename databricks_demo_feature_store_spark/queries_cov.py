@@ -32,6 +32,7 @@ from databricks_demo_feature_store_spark.operators import (
     window_operations,
 )
 from databricks_demo_feature_store_spark.queries import (
+    _dsum,
     _o_dsum,
     load,
     register,
@@ -3132,3 +3133,109 @@ def q_event_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return path_conversion(ev, target="purchase", depth=2, k=20)
+
+
+@register(
+    "q_skipping_scan",
+    oracle=f"""
+    SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+           {_o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY ship_month
+    """,
+)
+def q_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max data skipping (sources/skipping.py) — the
+    Delta data-skipping twin on plain parquet: write lineitem
+    range-clustered on l_shipdate, harvest per-file stats with ONE
+    distributed footer-only pass, prune the file list against a year
+    predicate, scan only the surviving files, and re-apply the full
+    predicate as a residual (skipping is an optimization, never a
+    semantics change). The oracle runs the same filter+agg over the
+    FULL table — equality proves no file that contained matching rows
+    was pruned. Pruning effectiveness (files actually skipped) is
+    pinned in tests/test_skipping.py.
+    """
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        harvest_file_stats,
+        read_with_skipping,
+    )
+
+    root = scratch_dir("skipping")
+    path = os.path.join(root, "lineitem_clustered")
+    li = load(spark, sf_dir, "lineitem")
+    # range-cluster on the skipping column so files carry tight ranges —
+    # exactly what an OPTIMIZE ZORDER / clustered ingest produces
+    li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+    stats = harvest_file_stats(spark, path, ["l_shipdate"])
+    lo = dt.datetime(1996, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    hi = dt.datetime(1997, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    df, _report = read_with_skipping(
+        spark,
+        path,
+        stats,
+        [("l_shipdate", ">=", lo), ("l_shipdate", "<", hi)],
+        residual=(
+            "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+        ),
+    )
+    return (
+        df.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "q_bloom_join_reduce",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {_o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 400000.0 AND o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_bloom_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/joins.py
+    bloom_filtered_join): a selective filter on orders leaves few keys,
+    so a broadcast Bloom of the surviving orderkeys pre-filters
+    lineitem BEFORE the shuffle join — the explicit runtime-filter
+    pattern. The result is EXACTLY the plain join's (no false
+    negatives; false positives die in the exact join), which is what
+    the oracle checks; the reduction factor itself is pinned in
+    tests/test_skipping.py.
+    """
+    from databricks_demo_feature_store_spark.operators import bloom_filtered_join
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") > 400000.0) & (F.col("o_orderstatus") == "F")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        # n_bits sized to the selective build side (~1k keys → 2^16 bits
+        # ≈ fpp 2e-6); the operator default (2^20) serves ~100k-key builds
+        bloom_filtered_join(
+            l, o, left_on="l_orderkey", right_on="o_orderkey", n_bits=1 << 16
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

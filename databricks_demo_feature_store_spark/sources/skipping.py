@@ -1,0 +1,321 @@
+"""File-level min/max data skipping over parquet tables — the Delta-style
+scan-pruning layer for the engine's parquet lakehouse tier (companion to
+``sources/versioned.py``'s time travel and ``sources/writers.py``'s MERGE).
+
+The reference stack gets this from Delta's per-file statistics
+(``add.stats`` in the transaction log); plain parquet directories have the
+SAME information in every file's footer, just not collected. This module
+harvests it once — a distributed FOOTER-ONLY pass (pyarrow over
+``mapInPandas``; no data pages are read) — and uses it to prune the file
+list before a scan.
+
+Why this matters at 100 TB: Spark's own parquet reader already does
+row-group skipping per file, but it still has to OPEN every file (footer
+round-trip per file per query). A persisted stats table turns a
+100k-file range query into "read the 200 files whose [min,max] overlap",
+decided from one tiny table — the difference between 100k S3 HEAD+footer
+requests and 200. Partition-directory values (``k=v`` path segments) are
+harvested into the same stats rows, so hive-partition pruning and
+min/max skipping go through one mechanism.
+
+Scale notes:
+- The harvest is one mapInPandas over the FILE LIST (one row per file),
+  embarrassingly parallel, footer-only. Re-harvest is incremental by
+  nature: stats rows key on file_path, and immutable files never change
+  (MERGE-maintain the stats table with the same writers used elsewhere).
+- Pruning evaluates the predicate against the stats DataFrame with plain
+  column expressions and collects only the SURVIVING file paths — the
+  driver materializes exactly the list every file-source planner
+  materializes anyway, never the stats themselves.
+- Correctness: skipping is an OPTIMIZATION only. Files lacking a stat
+  for the predicate column are KEPT, stats-missing columns disable
+  pruning for their conjunct, and the FULL predicate is re-applied as a
+  residual filter after the read — so a harvest bug can cost speed,
+  never rows, except for a file missing entirely from the stats table
+  (guarded: ``read_with_skipping`` refuses stats tables that don't
+  cover the directory's current file set).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = [
+    "harvest_file_stats",
+    "prune_files",
+    "read_with_skipping",
+    "SkippingReport",
+]
+
+# stats long-form schema: one row per (file, column). Numeric-ish columns
+# (ints, floats, decimals, dates, timestamps) land in min_num/max_num as
+# doubles (timestamps as epoch seconds); strings land in min_str/max_str.
+STATS_SCHEMA = (
+    "file_path string, column string, min_num double, max_num double, "
+    "min_str string, max_str string, null_count long, n_rows long, "
+    "has_stats boolean"
+)
+
+
+def _list_part_files(table_path: str) -> list[str]:
+    """Recursive listing of data files under a parquet table directory —
+    the same listing any file-source planner performs."""
+    if os.path.isfile(table_path):
+        return [table_path]
+    out: list[str] = []
+    for root, _dirs, names in os.walk(table_path):
+        for name in names:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                out.append(os.path.join(root, name))
+    return sorted(out)
+
+
+def _partition_values(table_path: str, file_path: str) -> dict[str, str]:
+    """``k=v`` hive-style path segments between the table root and the
+    file — harvested as min=max=v stats rows."""
+    rel = os.path.relpath(os.path.dirname(file_path), table_path)
+    vals: dict[str, str] = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            vals[k] = v
+    return vals
+
+
+def harvest_file_stats(
+    spark: SparkSession, table_path: str, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Distributed footer-only stats harvest: one output row per
+    (file, column) with min/max/null_count, plus hive-partition values
+    parsed from the path. ``columns=None`` harvests every leaf column
+    that has footer statistics."""
+    files = _list_part_files(table_path)
+    if not files:
+        raise ValueError(f"no parquet data files under {table_path!r}")
+    wanted = set(columns) if columns is not None else None
+    files_df = spark.createDataFrame([(f,) for f in files], "file_path string")
+    root = table_path
+
+    # Nested closure (repo convention, see textops/multimodal.py): cloudpickle
+    # ships it BY VALUE, so Python workers need not have this package
+    # importable. Anything it calls must be local too — a reference to a
+    # module-level helper would be pickled by module path and break on
+    # workers without the package on PYTHONPATH.
+    def _footers(batches: Iterator) -> Iterator:
+        import datetime as _dt
+        import decimal as _dec
+        import os as _os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def _part_values(table_root: str, file_path: str) -> dict[str, str]:
+            rel = _os.path.relpath(_os.path.dirname(file_path), table_root)
+            vals: dict[str, str] = {}
+            for seg in rel.split(_os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    vals[k] = v
+            return vals
+
+        def _norm(v):
+            """(min_num, min_str) encoding of one stat value."""
+            if isinstance(v, bool):
+                return float(v), None
+            if isinstance(v, (int, float)):
+                return float(v), None
+            if isinstance(v, _dec.Decimal):
+                return float(v), None
+            if isinstance(v, _dt.datetime):
+                return v.timestamp() if v.tzinfo else v.replace(
+                    tzinfo=_dt.timezone.utc
+                ).timestamp(), None
+            if isinstance(v, _dt.date):
+                return (
+                    _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc)
+                ).timestamp(), None
+            if isinstance(v, bytes):
+                try:
+                    return None, v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None, None
+            return None, str(v)
+
+        for pdf in batches:
+            rows = []
+            for fp in pdf["file_path"]:
+                md = pq.ParquetFile(fp).metadata
+                n_rows = md.num_rows
+                # fold row-group stats to per-file stats
+                acc: dict[str, dict] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if "." in name:  # nested leaves: not prunable here
+                            continue
+                        if wanted is not None and name not in wanted:
+                            continue
+                        st = col.statistics
+                        a = acc.setdefault(
+                            name,
+                            {"mn": None, "mx": None, "mns": None, "mxs": None,
+                             "nulls": 0, "ok": True},
+                        )
+                        if st is None or not st.has_min_max:
+                            a["ok"] = False
+                            continue
+                        mn_n, mn_s = _norm(st.min)
+                        mx_n, mx_s = _norm(st.max)
+                        if mn_n is None and mn_s is None:
+                            a["ok"] = False
+                            continue
+                        if mn_n is not None:
+                            a["mn"] = mn_n if a["mn"] is None else min(a["mn"], mn_n)
+                            a["mx"] = mx_n if a["mx"] is None else max(a["mx"], mx_n)
+                        else:
+                            a["mns"] = mn_s if a["mns"] is None else min(a["mns"], mn_s)
+                            a["mxs"] = mx_s if a["mxs"] is None else max(a["mxs"], mx_s)
+                        a["nulls"] += st.null_count or 0
+                for name, a in acc.items():
+                    rows.append(
+                        (fp, name, a["mn"], a["mx"], a["mns"], a["mxs"],
+                         a["nulls"], n_rows, a["ok"])
+                    )
+                for k, v in _part_values(root, fp).items():
+                    if wanted is not None and k not in wanted:
+                        continue
+                    try:
+                        num = float(v)
+                        rows.append((fp, k, num, num, None, None, 0, n_rows, True))
+                    except ValueError:
+                        rows.append((fp, k, None, None, v, v, 0, n_rows, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["file_path", "column", "min_num", "max_num",
+                         "min_str", "max_str", "null_count", "n_rows", "has_stats"],
+            )
+
+    return files_df.mapInPandas(_footers, schema=STATS_SCHEMA)
+
+
+@dataclass(frozen=True)
+class SkippingReport:
+    files_total: int
+    files_kept: int
+
+    @property
+    def pruned(self) -> int:
+        return self.files_total - self.files_kept
+
+
+# predicate spec: (column, op, value) conjuncts; value is a float for
+# numeric/timestamp columns (timestamps as epoch seconds) or a str.
+_OPS = {">=", ">", "<=", "<", "="}
+
+
+def _survives(op: str, lo, hi, v):
+    """Column expression: can a file with [lo, hi] contain a row matching
+    ``col <op> v``? NULL stats (missing min or max) ⇒ keep."""
+    if op == ">=":
+        cond = hi >= v
+    elif op == ">":
+        cond = hi > v
+    elif op == "<=":
+        cond = lo <= v
+    elif op == "<":
+        cond = lo < v
+    else:  # "="
+        cond = (lo <= v) & (hi >= v)
+    return F.coalesce(cond, F.lit(True))
+
+
+def _score_files(
+    stats: DataFrame, predicates: Sequence[tuple[str, str, object]]
+) -> DataFrame:
+    """Per-file disproved-conjunct counts: (file_path, __n) — __n = 0
+    means the file MIGHT satisfy every conjunct. ONE aggregation job."""
+    for col, op, _v in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r} for column {col!r}")
+    if not predicates:
+        return stats.groupBy("file_path").agg(F.lit(0).alias("__n"))
+    # one pass: for each file, count conjuncts DISPROVED by a usable row
+    checks = []
+    for col, op, v in predicates:
+        if isinstance(v, str):
+            lo, hi = F.col("min_str"), F.col("max_str")
+            vv = F.lit(v)
+        else:
+            lo, hi = F.col("min_num"), F.col("max_num")
+            vv = F.lit(float(v))
+        disproved = (
+            (F.col("column") == col)
+            & F.col("has_stats")
+            & ~_survives(op, lo, hi, vv)
+        )
+        checks.append(F.when(disproved, 1).otherwise(0))
+    scored = stats.select(
+        "file_path", sum(checks[1:], checks[0]).alias("__disproved")
+    )
+    return scored.groupBy("file_path").agg(F.sum("__disproved").alias("__n"))
+
+
+def prune_files(
+    stats: DataFrame, predicates: Sequence[tuple[str, str, object]]
+) -> DataFrame:
+    """Distinct ``file_path`` rows that MIGHT satisfy every conjunct.
+
+    Each conjunct keeps a file iff its stats row for that column proves
+    possible overlap — or iff the file has no usable stats row for the
+    column (``has_stats`` false or row absent: never prune blind). The
+    conjuncts AND together via per-file counts, not a self-join per
+    predicate.
+    """
+    return _score_files(stats, predicates).filter(F.col("__n") == 0).select("file_path")
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    table_path: str,
+    stats: DataFrame,
+    predicates: Sequence[tuple[str, str, object]],
+    residual: str | None = None,
+) -> tuple[DataFrame, SkippingReport]:
+    """Scan only the files ``prune_files`` keeps, then re-apply the full
+    predicate as a residual filter (skipping can only be an optimization).
+
+    ``residual`` overrides the auto-built residual (needed when the
+    predicate spec encodes timestamps as epoch seconds — pass the real
+    SQL condition). Raises if the stats table doesn't cover the
+    directory's CURRENT file set: stale stats could silently drop data.
+    """
+    current = set(_list_part_files(table_path))
+    # ONE job serves both the coverage check and the pruning decision —
+    # a lazy (non-persisted) stats frame re-runs the footer harvest per
+    # action, so never collect from it twice
+    scored = {r["file_path"]: r["__n"] for r in _score_files(stats, predicates).collect()}
+    missing = current - scored.keys()
+    if missing:
+        raise ValueError(
+            f"stats table misses {len(missing)} current file(s) under "
+            f"{table_path!r} (e.g. {sorted(missing)[:2]}); re-harvest first"
+        )
+    kept = sorted(fp for fp, n in scored.items() if n == 0 and fp in current)
+    report = SkippingReport(files_total=len(current), files_kept=len(kept))
+    if not kept:
+        # preserve schema with an empty frame over the full table
+        df = spark.read.option("basePath", table_path).parquet(table_path).limit(0)
+    else:
+        df = spark.read.option("basePath", table_path).parquet(*kept)
+    if residual is not None:
+        df = df.filter(residual)
+    else:
+        for col, op, v in predicates:
+            df = df.filter(f"{col} {'==' if op == '=' else op} {v!r}")
+    return df, report
