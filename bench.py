@@ -43,6 +43,7 @@ HEADLINE = [
     "q22_dormant_customers",
     "q_skipping_scan",
     "q_bloom_join_reduce",
+    "q_skipping_zorder",
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",

@@ -3239,3 +3239,70 @@ def q_bloom_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_skipping_zorder",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {_o_dsum('l_quantity', 2)} AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300
+      AND l_suppkey BETWEEN 10 AND 40
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_skipping_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping over a Z-ordered layout — the OPTIMIZE
+    ZORDER + data-skipping composition: `cluster_by_zorder` gives every
+    file a tight min/max bounding box in BOTH l_partkey and l_suppkey,
+    `save_table(stats_columns=...)` persists the footer stats sidecar at
+    write time (the Delta ``add.stats`` twin), and the 2-column range
+    predicate prunes files through ONE stats read. Single-column
+    clustering can never prune the second column; the Z-curve makes
+    both selective. Oracle = the same filter+agg over the full table;
+    the actual multi-column pruning factor is pinned in
+    tests/test_skipping.py.
+    """
+    from databricks_demo_feature_store_spark.operators import cluster_by_zorder
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_file_stats,
+        read_with_skipping,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import save_table
+
+    root = scratch_dir("skipping_z")
+    path = os.path.join(root, "lineitem_z")
+    li = load(spark, sf_dir, "lineitem")
+    clustered = cluster_by_zorder(
+        li, ["l_partkey", "l_suppkey"], bits=12, num_partitions=16
+    )
+    save_table(clustered, path, stats_columns=["l_partkey", "l_suppkey"])
+    stats = load_file_stats(spark, path)
+    df, _report = read_with_skipping(
+        spark,
+        path,
+        stats,
+        [
+            ("l_partkey", ">=", 100.0),
+            ("l_partkey", "<=", 300.0),
+            ("l_suppkey", ">=", 10.0),
+            ("l_suppkey", "<=", 40.0),
+        ],
+        residual=(
+            "l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40"
+        ),
+    )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -49,6 +49,9 @@ __all__ = [
     "prune_files",
     "read_with_skipping",
     "SkippingReport",
+    "write_stats_sidecar",
+    "load_file_stats",
+    "stats_sidecar_path",
 ]
 
 # stats long-form schema: one row per (file, column). Numeric-ish columns
@@ -63,11 +66,14 @@ STATS_SCHEMA = (
 
 def _list_part_files(table_path: str) -> list[str]:
     """Recursive listing of data files under a parquet table directory —
-    the same listing any file-source planner performs."""
+    the same listing any file-source planner performs. Metadata
+    directories (``_stats``, ``_delta_log``-style underscore/dot names)
+    are pruned exactly like Spark's reader prunes them."""
     if os.path.isfile(table_path):
         return [table_path]
     out: list[str] = []
-    for root, _dirs, names in os.walk(table_path):
+    for root, dirs, names in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for name in names:
             if name.endswith(".parquet") and not name.startswith(("_", ".")):
                 out.append(os.path.join(root, name))
@@ -319,3 +325,60 @@ def read_with_skipping(
         for col, op, v in predicates:
             df = df.filter(f"{col} {'==' if op == '=' else op} {v!r}")
     return df, report
+
+
+# ---------------------------------------------------------------------------
+# Stats sidecar: persisted per-table stats, refreshed at write time
+# ---------------------------------------------------------------------------
+
+STATS_DIR = "_stats"  # underscore prefix: invisible to Spark's parquet reader
+
+
+def stats_sidecar_path(table_path: str) -> str:
+    # data nested one level below the hidden dir: Spark reads an
+    # explicitly-given underscore-prefixed path but logs a scary
+    # "All paths were ignored" WARN for it — reading the inner "data"
+    # directory keeps the sidecar hidden from table scans AND warn-free
+    return os.path.join(table_path, STATS_DIR, "data")
+
+
+def write_stats_sidecar(
+    spark: SparkSession, table_path: str, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Harvest the table's CURRENT file stats and persist them inside the
+    table directory (``<table>/_stats`` — underscore-prefixed, so plain
+    parquet reads of the table never see it; the repo's own file listing
+    prunes it the same way). The Delta ``add.stats`` twin: stats travel
+    with the table, every writer refresh keeps them coverage-complete.
+
+    The harvest is footer-only (O(files), zero data pages); a re-write
+    after every table mutation is the simple policy that keeps the
+    ``read_with_skipping`` coverage guard always satisfiable. Immutable
+    files mean an incremental MERGE of only-new files' rows is a pure
+    optimization with identical results — the policy choice is
+    documented, not load-bearing.
+    """
+    stats = harvest_file_stats(spark, table_path, columns)
+    out = stats_sidecar_path(table_path)
+    # stage-and-rename so a concurrent reader never sees a half-written
+    # sidecar (same discipline as writers._swap_dirs)
+    import shutil
+    import uuid
+
+    hidden = os.path.dirname(out)  # <table>/_stats
+    staging = hidden + ".staging-" + uuid.uuid4().hex[:8]
+    stats.write.mode("overwrite").parquet(os.path.join(staging, "data"))
+    shutil.rmtree(hidden, ignore_errors=True)
+    os.rename(staging, hidden)
+    return load_file_stats(spark, table_path)
+
+
+def load_file_stats(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the persisted sidecar (raises a clear error when absent)."""
+    out = stats_sidecar_path(table_path)
+    if not os.path.isdir(out):
+        raise FileNotFoundError(
+            f"no stats sidecar at {out!r} — write with stats_columns=... or "
+            "call write_stats_sidecar first"
+        )
+    return spark.read.parquet(out)

@@ -64,6 +64,7 @@ def save_table(
     partition_by: Sequence[str] | None = None,
     merge_keys: Sequence[str] | None = None,
     partition_overwrite: bool = False,
+    stats_columns: Sequence[str] | None = None,
 ) -> None:
     """Write a layer table.
 
@@ -78,6 +79,7 @@ def save_table(
         if not merge_keys:
             raise ValueError("merge mode requires merge_keys")
         merge_upsert(df, path, list(merge_keys), fmt=fmt, partition_by=partition_by)
+        _refresh_stats(spark, path, fmt, stats_columns)
         return
     if mode == "overwrite" and partition_overwrite and partition_by:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
@@ -86,8 +88,24 @@ def save_table(
             _write(df, path, fmt, "overwrite", partition_by)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _refresh_stats(spark, path, fmt, stats_columns)
         return
     _write(df, path, fmt, mode, partition_by)
+    _refresh_stats(spark, path, fmt, stats_columns)
+
+
+def _refresh_stats(
+    spark: SparkSession, path: str, fmt: str, stats_columns: Sequence[str] | None
+) -> None:
+    """Write-time stats collection (the Delta ``add.stats`` twin): when a
+    caller opts in via ``stats_columns``, every table mutation refreshes
+    the ``_stats`` sidecar so `read_with_skipping`'s coverage guard stays
+    satisfied. Footer-only — O(files), no data pages."""
+    if stats_columns is None or fmt != "parquet":
+        return
+    from databricks_demo_feature_store_spark.sources.skipping import write_stats_sidecar
+
+    write_stats_sidecar(spark, path.removeprefix("file:"), list(stats_columns))
 
 
 def merge_upsert(
