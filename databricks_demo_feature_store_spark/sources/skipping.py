@@ -171,9 +171,22 @@ def harvest_file_stats(
                         a = acc.setdefault(
                             name,
                             {"mn": None, "mx": None, "mns": None, "mxs": None,
-                             "nulls": 0, "ok": True},
+                             "nulls": 0, "nulls_ok": True, "ok": True},
                         )
-                        if st is None or not st.has_min_max:
+                        if st is None:
+                            # no statistics at all: neither range nor
+                            # null-count pruning may trust this file
+                            a["ok"] = False
+                            a["nulls_ok"] = False
+                            continue
+                        # null_count is valid even when min/max are absent
+                        # (an all-NULL row group has no min/max) — keep it
+                        # so IS NOT NULL pruning still works there
+                        if st.null_count is None:
+                            a["nulls_ok"] = False
+                        else:
+                            a["nulls"] += st.null_count
+                        if not st.has_min_max:
                             a["ok"] = False
                             continue
                         mn_n, mn_s = _norm(st.min)
@@ -187,11 +200,10 @@ def harvest_file_stats(
                         else:
                             a["mns"] = mn_s if a["mns"] is None else min(a["mns"], mn_s)
                             a["mxs"] = mx_s if a["mxs"] is None else max(a["mxs"], mx_s)
-                        a["nulls"] += st.null_count or 0
                 for name, a in acc.items():
                     rows.append(
                         (fp, name, a["mn"], a["mx"], a["mns"], a["mxs"],
-                         a["nulls"], n_rows, a["ok"])
+                         a["nulls"] if a["nulls_ok"] else None, n_rows, a["ok"])
                     )
                 for k, v in _part_values(root, fp).items():
                     if wanted is not None and k not in wanted:
@@ -221,8 +233,9 @@ class SkippingReport:
 
 
 # predicate spec: (column, op, value) conjuncts; value is a float for
-# numeric/timestamp columns (timestamps as epoch seconds) or a str.
-_OPS = {">=", ">", "<=", "<", "="}
+# numeric/timestamp columns (timestamps as epoch seconds), a str, a
+# list of either for "in", or None for "is_not_null".
+_OPS = {">=", ">", "<=", "<", "=", "in", "is_not_null"}
 
 
 def _survives(op: str, lo, hi, v):
@@ -236,6 +249,12 @@ def _survives(op: str, lo, hi, v):
         cond = lo <= v
     elif op == "<":
         cond = lo < v
+    elif op == "in":
+        # survives iff ANY listed value can be inside [lo, hi]
+        parts = [(lo <= x) & (hi >= x) for x in v]
+        cond = parts[0]
+        for px in parts[1:]:
+            cond = cond | px
     else:  # "="
         cond = (lo <= v) & (hi >= v)
     return F.coalesce(cond, F.lit(True))
@@ -254,12 +273,24 @@ def _score_files(
     # one pass: for each file, count conjuncts DISPROVED by a usable row
     checks = []
     for col, op, v in predicates:
-        if isinstance(v, str):
+        if op == "is_not_null":
+            # null_count is exact in parquet footers even when min/max are
+            # unusable, so this prune doesn't need has_stats: a file whose
+            # every value is NULL can never satisfy a null-rejecting read
+            disproved = (
+                (F.col("column") == col)
+                & F.col("null_count").isNotNull()
+                & (F.col("null_count") >= F.col("n_rows"))
+            )
+            checks.append(F.when(disproved, 1).otherwise(0))
+            continue
+        sample = v[0] if op == "in" else v
+        if isinstance(sample, str):
             lo, hi = F.col("min_str"), F.col("max_str")
-            vv = F.lit(v)
+            vv = [F.lit(x) for x in v] if op == "in" else F.lit(v)
         else:
             lo, hi = F.col("min_num"), F.col("max_num")
-            vv = F.lit(float(v))
+            vv = [F.lit(float(x)) for x in v] if op == "in" else F.lit(float(v))
         disproved = (
             (F.col("column") == col)
             & F.col("has_stats")
@@ -323,7 +354,12 @@ def read_with_skipping(
         df = df.filter(residual)
     else:
         for col, op, v in predicates:
-            df = df.filter(f"{col} {'==' if op == '=' else op} {v!r}")
+            if op == "is_not_null":
+                df = df.filter(F.col(col).isNotNull())
+            elif op == "in":
+                df = df.filter(F.col(col).isin(list(v)))
+            else:
+                df = df.filter(f"{col} {'==' if op == '=' else op} {v!r}")
     return df, report
 
 

@@ -192,10 +192,21 @@ def merge_upsert(
     _swap_dirs(path, staging)
 
 
-def compact(spark: SparkSession, path: str, fmt: str = "parquet", target_partitions: int | None = None) -> None:
+def compact(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_partitions: int | None = None,
+    stats_columns: Sequence[str] | None = None,
+) -> None:
     """Post-write compaction (the reference runs Delta ``OPTIMIZE`` after
     every save — ``notebooks/utils.py:1762-1765``). For parquet we rewrite
-    with coalesce to the target file count."""
+    with coalesce to the target file count.
+
+    The directory swap drops any ``_stats`` sidecar with the old files
+    (stale stats can never survive a compaction); pass ``stats_columns``
+    to re-harvest for the new layout in the same call.
+    """
     if HAS_DELTA:  # pragma: no cover
         from delta.tables import DeltaTable
 
@@ -206,3 +217,4 @@ def compact(spark: SparkSession, path: str, fmt: str = "parquet", target_partiti
     staging = path.rstrip("/") + "__compact"
     df.coalesce(n).write.format(fmt).mode("overwrite").save(staging)
     _swap_dirs(path, staging)
+    _refresh_stats(spark, path, fmt, stats_columns)

@@ -228,3 +228,46 @@ def test_zorder_multi_column_pruning_beats_single_column(spark, tmp_path):
     # keeps every file that overlaps x<=15 but spans all y
     assert zrep.files_kept < xrep.files_kept
     assert zrep.pruned > 0
+
+
+def test_in_list_and_not_null_pruning(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_file_stats,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import save_table
+
+    path = str(tmp_path / "inl")
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        # last file's worth of values all NULL
+        F.when(F.col("id") < 300, F.col("id") * 1.0).alias("v"),
+    )
+    save_table(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        path,
+        stats_columns=["id", "v"],
+    )
+    stats = load_file_stats(spark, path)
+    got, report = read_with_skipping(spark, path, stats, [("id", "in", [5.0, 350.0])])
+    assert report.files_kept == 2  # only the files whose range covers 5 or 350
+    assert sorted(r.id for r in got.collect()) == [5, 350]
+    got2, report2 = read_with_skipping(spark, path, stats, [("v", "is_not_null", None)])
+    assert report2.pruned >= 1  # the all-NULL file drops
+    assert got2.count() == 300
+
+
+def test_compact_refreshes_stats(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_file_stats,
+        read_with_skipping,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import compact, save_table
+
+    path = str(tmp_path / "cp")
+    df = spark.range(0, 200).select(F.col("id"))
+    save_table(df.repartition(8), path, stats_columns=["id"])
+    compact(spark, path, target_partitions=2, stats_columns=["id"])
+    stats = load_file_stats(spark, path)
+    got, report = read_with_skipping(spark, path, stats, [("id", ">=", 0.0)])
+    assert report.files_total <= 2  # compaction took effect
+    assert got.count() == 200  # stats cover the compacted layout
