@@ -3777,3 +3777,106 @@ def q_ext_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 3), k=5, nprobe=2,
         query_id_col="vec_id", refine=3,
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer induction (textops/tokenizer.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_ext_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents) t
+      WHERE w <> ''
+    ), wf AS (
+      SELECT w || '▁' AS word, COUNT(*) AS weight FROM words GROUP BY w
+    ), pairs AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS l,
+             substr(word, CAST(i AS INT) + 1, 1) AS r,
+             weight
+      FROM wf, unnest(range(1, length(word))) AS t(i)
+    )
+    SELECT l, r, CAST(SUM(weight) AS BIGINT) AS cnt
+    FROM pairs GROUP BY l, r
+    ORDER BY cnt DESC, l, r
+    LIMIT 20
+    """,
+)
+def q_ext_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-0 pair statistics — the aggregation a single merge round
+    of `learn_bpe_merges` runs, exposed with an exact oracle: corpus →
+    ONE word-frequency hash agg (the only corpus-sized pass), then
+    adjacent-symbol pair counts weighted by word frequency over the
+    vocab-bounded word table. Top-20 with the learner's exact tie-break
+    (count desc, then lexicographic), so the oracle pins the ordering
+    the sequential learner depends on.
+    """
+    from databricks_demo_feature_store_spark.textops.tokenizer import bpe_word_table
+
+    docs = load(spark, sf_dir, "documents")
+    words = bpe_word_table(docs).select(
+        "weight", F.split(F.col("word"), "(?!$)").alias("symbols")
+    )
+    return (
+        words.select(
+            "weight",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                    F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("weight").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(20)
+    )
+
+
+@register(
+    "q_ext_bpe_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(array_to_string(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> x <> ''), '')) AS BIGINT)
+             AS n_chars_packed,
+           md5(array_to_string(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> x <> ''), ''))
+             AS recon_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer lifecycle with a LOSSLESSNESS oracle: learn 12
+    BPE merges from the corpus (vocab-bounded rounds, the corpus scanned
+    once), encode every document with the learned ranking (Arrow-batched,
+    merge table in the closure, per-batch distinct-word memo), then
+    reconstruct each document by concatenating its subword tokens and
+    stripping the end-of-word sentinels. The oracle computes the same
+    packed text independently (DuckDB never sees the tokenizer), so a
+    hash match proves the learned tokenization is exactly lossless —
+    and the learner itself is pinned merge-for-merge against a
+    pure-Python Sennrich reference in tests/test_tokenizer.py.
+    """
+    from databricks_demo_feature_store_spark.textops.tokenizer import (
+        EOW,
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=12, checkpoint_every=6)
+    enc = bpe_encode(docs, merges)
+    recon = F.regexp_replace(F.concat_ws("", "tokens"), EOW, "")
+    return enc.select(
+        "doc_id",
+        F.length(recon).cast("long").alias("n_chars_packed"),
+        F.md5(recon).alias("recon_hash"),
+    ).orderBy("doc_id")
