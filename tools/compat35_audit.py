@@ -159,6 +159,7 @@ PYSPARK_35_OPTION_KEYS_VERIFIED = {
     "path",                # all readers/writers, 1.x
     "mergeSchema",         # parquet reader option, 1.5
     "maxFilesPerTrigger",  # file stream source, 2.0
+    "basePath",            # file-source partition discovery root, 1.6
 }
 PYSPARK_35_SAVE_MODES_VERIFIED = {"append", "overwrite", "errorifexists", "ignore", "error"}
 PYSPARK_35_FORMATS_VERIFIED = {
