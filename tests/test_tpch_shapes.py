@@ -114,3 +114,25 @@ def test_q13_on_clause_predicate_keeps_zero_order_customers(spark):
     expected_zero = only_excluded.filter(F.col("kept_orders") == 0).count()
     assert dist.get(0, 0) == expected_zero
     assert sum(dist.values()) == c.count()
+
+
+def test_pushdown_ratchet_detects_hidden_predicates(spark):
+    """The audit's PushedFilters check must distinguish a scan-pushed
+    predicate from one hidden behind a non-pushable expression."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from explain_audit import has_nonempty_pushed_filters
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pushed = li.filter(F.col("l_quantity") < 10)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert has_nonempty_pushed_filters(plan)
+    # a UDF-wrapped predicate cannot push — the checker must say so
+    from pyspark.sql.types import BooleanType
+    from pyspark.sql.functions import udf
+
+    hide = udf(lambda q: q is not None and q < 10, BooleanType())
+    hidden = li.filter(hide(F.col("l_quantity")))
+    plan2 = hidden._jdf.queryExecution().executedPlan().toString()
+    assert not has_nonempty_pushed_filters(plan2)

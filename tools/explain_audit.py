@@ -124,6 +124,43 @@ def unpartitioned_windows_over_raw(optimized_plan: str) -> list[str]:
     return offenders
 
 
+# Queries whose defining predicates are plain column comparisons and MUST
+# therefore reach the parquet reader as PushedFilters — the "filters push
+# to the scan" claim, ratcheted mechanically. A refactor that hides a
+# predicate behind a cast/UDF (breaking row-group pruning at scale) flags
+# here even though values stay correct. q18 is absent by design: its only
+# filter is post-aggregation (HAVING), nothing is scan-pushable.
+PUSHDOWN_EXPECTED = {
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_unshipped_revenue",
+    "q04_priority_returns",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_revenue",
+    "q11_important_value",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_return_suppliers",
+    "q22_dormant_customers",
+}
+
+
+def has_nonempty_pushed_filters(executed_plan: str) -> bool:
+    """True when at least one scan in the plan carries a non-empty
+    PushedFilters list."""
+    return bool(re.search(r"PushedFilters: \[[^\]]", executed_plan))
+
+
 def load_budgets() -> dict[str, int]:
     """Parse the '## Exchange budgets' table in SCALING.md:
     rows '| q_name | N |'."""
@@ -166,6 +203,9 @@ def main() -> int:
     # applies ReuseExchange at plan time — the audit counts what would
     # actually run.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # FileScan metadata (incl. PushedFilters) is truncated to 100 chars by
+    # default — widen it so the pushdown check reads the real filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     flagged = 0
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
@@ -198,6 +238,8 @@ def main() -> int:
             problems.append("CartesianProduct")
         for w in unpartitioned_windows_over_raw(logical):
             problems.append(f"single-partition Window over raw input: {w}")
+        if name in PUSHDOWN_EXPECTED and not has_nonempty_pushed_filters(live):
+            problems.append("no PushedFilters reached any scan")
         if n_ex > budget:
             problems.append(f"exchange budget exceeded: {n_ex} > {budget}")
         tag = "FLAG" if problems else "ok  "
