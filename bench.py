@@ -44,6 +44,7 @@ HEADLINE = [
     "q_skipping_scan",
     "q_bloom_join_reduce",
     "q_skipping_zorder",
+    "q_fs_forget",
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",

@@ -7,6 +7,7 @@ from databricks_demo_feature_store_spark.featurestore.manager import (
     EvolutionPolicy,
     store_lineage,
     store_doctor,
+    forget_entities,
 )
 from databricks_demo_feature_store_spark.featurestore.training import (
     FeatureLookup,
@@ -24,6 +25,7 @@ __all__ = [
     "EvolutionPolicy",
     "store_lineage",
     "store_doctor",
+    "forget_entities",
     "FeatureLookup",
     "WindowLookup",
     "create_training_set",

@@ -260,3 +260,62 @@ def store_doctor(manager: "FeatureStoreManager"):
                 "n_null_pk long, max_ts timestamp"
         )
     return out
+
+
+def forget_entities(
+    manager: "FeatureStoreManager",
+    keys: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Right-to-be-forgotten propagation: delete every row whose
+    ``key_col`` appears in ``keys`` from EVERY registered feature table
+    that carries that column among its primary keys, and return a
+    deletion audit (one row per affected table).
+
+    Shape per table: ONE broadcast left-anti join (the forget set is
+    small by nature — a deletion request batch, never corpus-sized) and
+    a staged rewrite promoted by directory rename, so a crash never
+    leaves a half-deleted live table and a concurrent reader sees either
+    the old or the new version. Registry metadata survives the swap
+    (re-written after). Tables whose primary keys don't include
+    ``key_col`` are reported untouched rather than silently skipped, so
+    the audit is the compliance record: every table accounted for.
+
+    At real scale the rewrite cost is the known parquet trade (Delta
+    would use deletion vectors / MERGE DELETE); the anti-join shape —
+    broadcast the forget keys, never shuffle the table — is the part
+    that must and does survive 100×.
+    """
+    from pyspark.sql import functions as F
+
+    forget = keys.select(F.col(key_col)).distinct()
+    n_forget = forget.count()
+    rows = []
+    for name in manager.list_tables():
+        meta = manager.get_metadata(name)
+        pks = meta.get("primary_keys", [])
+        df = manager.read(name)
+        if key_col not in pks or key_col not in df.columns:
+            rows.append((name, False, df.count(), 0))
+            continue
+        before = df.count()
+        kept = df.join(
+            F.broadcast(forget), df[key_col] == forget[key_col], "left_anti"
+        )
+        path = manager.path(name)
+        staging = path.rstrip("/") + "__forget"
+        kept.write.format(manager.fmt).mode("overwrite").save(staging)
+        from databricks_demo_feature_store_spark.sources.writers import _swap_dirs
+
+        _swap_dirs(path, staging)
+        # the swap replaced the directory — restore the registry entry
+        if meta:
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, METADATA_FILE), "w") as fh:
+                json.dump(meta, fh, indent=2, sort_keys=True)
+        after = manager.read(name).count()
+        rows.append((name, True, after, before - after))
+    out = manager.spark.createDataFrame(
+        rows, "table string, key_matched boolean, rows_after long, rows_deleted long"
+    )
+    return out.withColumn("n_forget_keys", F.lit(n_forget).cast("long"))

@@ -3306,3 +3306,70 @@ def q_skipping_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_fs_forget",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+    ), t_all AS (SELECT c_custkey FROM customer),
+    t_building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT * FROM (
+      SELECT 'cust_features' AS tbl, TRUE AS key_matched,
+             CAST((SELECT COUNT(*) FROM t_all WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT) AS rows_after,
+             CAST((SELECT COUNT(*) FROM t_all WHERE c_custkey IN (SELECT c_custkey FROM forget)) AS BIGINT) AS rows_deleted,
+             CAST((SELECT SUM(c_custkey) FROM t_all WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT) AS key_sum
+      UNION ALL
+      SELECT 'seg_features' AS tbl, TRUE AS key_matched,
+             CAST((SELECT COUNT(*) FROM t_building WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT) AS rows_after,
+             CAST((SELECT COUNT(*) FROM t_building WHERE c_custkey IN (SELECT c_custkey FROM forget)) AS BIGINT) AS rows_deleted,
+             CAST((SELECT SUM(c_custkey) FROM t_building WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT) AS key_sum
+    ) ORDER BY tbl
+    """,
+)
+def q_fs_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation across a feature store
+    (featurestore/manager.py forget_entities): register two feature
+    tables keyed on the customer id, delete one deterministic key batch
+    (negative account balances) through the manager, and report the
+    audit PLUS a key-sum digest of each table's surviving rows read
+    back from disk — so the oracle (which replays the deletion as plain
+    SQL set logic) checks both the audit arithmetic and the actual
+    post-delete table contents.
+    """
+    from databricks_demo_feature_store_spark.featurestore import forget_entities
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+
+    root = scratch_dir("fs_forget")
+    mgr = FeatureStoreManager(spark, root)
+    c = load(spark, sf_dir, "customer")
+    mgr.save(
+        c.select("c_custkey", "c_acctbal", "c_mktsegment"),
+        FeatureTableSpec(name="cust_features", primary_keys=("c_custkey",)),
+        mode="overwrite",
+    )
+    mgr.save(
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_acctbal"),
+        FeatureTableSpec(name="seg_features", primary_keys=("c_custkey",)),
+        mode="overwrite",
+    )
+    forget = c.filter(F.col("c_acctbal") < 0.0).select("c_custkey")
+    audit = forget_entities(mgr, forget, "c_custkey")
+    digests = None
+    for name in ("cust_features", "seg_features"):
+        d = mgr.read(name).agg(
+            F.lit(name).alias("tbl"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        digests = d if digests is None else digests.unionByName(d)
+    return (
+        audit.withColumnRenamed("table", "tbl")
+        .join(digests, "tbl")
+        .select("tbl", "key_matched", "rows_after", "rows_deleted", "key_sum")
+        .orderBy("tbl")
+    )

@@ -597,3 +597,36 @@ def test_histogram_state_merge_and_quantiles(spark):
         quantile_from_hist(1.5, 0.0, 8.0, 4)
     with _pytest.raises(ValueError):
         histogram_state(a, ["k"], "v", 0.0, 8.0, 0)
+
+
+def test_forget_entities_propagates_and_is_idempotent(spark, tmp_path):
+    from databricks_demo_feature_store_spark.featurestore import forget_entities
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+    from pyspark.sql import functions as F
+
+    mgr = FeatureStoreManager(spark, str(tmp_path / "store"))
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "uid int, v double")
+    b = spark.createDataFrame([(2, "x"), (4, "y")], "uid int, s string")
+    other = spark.createDataFrame([(9, 1.0)], "item int, w double")
+    mgr.save(a, FeatureTableSpec(name="ta", primary_keys=("uid",)), mode="overwrite")
+    mgr.save(b, FeatureTableSpec(name="tb", primary_keys=("uid",)), mode="overwrite")
+    mgr.save(other, FeatureTableSpec(name="tc", primary_keys=("item",)), mode="overwrite")
+
+    forget = spark.createDataFrame([(2,), (3,)], "uid int")
+    audit = {r["table"]: r for r in forget_entities(mgr, forget, "uid").collect()}
+    assert audit["ta"]["rows_deleted"] == 2 and audit["ta"]["rows_after"] == 1
+    assert audit["tb"]["rows_deleted"] == 1 and audit["tb"]["rows_after"] == 1
+    # table without the key: accounted for, untouched
+    assert audit["tc"]["key_matched"] is False and audit["tc"]["rows_deleted"] == 0
+    assert sorted(r.uid for r in mgr.read("ta").collect()) == [1]
+    assert sorted(r.uid for r in mgr.read("tb").collect()) == [4]
+    assert mgr.read("tc").count() == 1
+    # registry metadata survives the swap
+    assert mgr.get_metadata("ta")["primary_keys"] == ["uid"]
+    # idempotent: a second forget deletes nothing
+    audit2 = {r["table"]: r for r in forget_entities(mgr, forget, "uid").collect()}
+    assert audit2["ta"]["rows_deleted"] == 0
+    assert audit2["tb"]["rows_deleted"] == 0
