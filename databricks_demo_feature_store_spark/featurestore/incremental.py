@@ -184,3 +184,57 @@ def quantile_from_hist(
         )
         cum = cum_next
     return F.coalesce(*candidates, F.lit(None).cast("double"))
+
+
+def refresh_join_view(
+    view: DataFrame,
+    delta: DataFrame | None,
+    other: DataFrame,
+    on: str | tuple[str, str],
+    replace_key: str,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental maintenance of a materialized EQUI-JOIN view — the
+    join-side companion of :func:`merge_aggregate_state` (classic IVM
+    delta propagation: ``ΔV = ΔA ⋈ B``, stale rows replaced by key).
+
+    ``view`` is the materialized join; ``delta`` holds the changed rows
+    of ONE side (upserts keyed by ``replace_key``), ``other`` is the
+    unchanged side, ``on`` their equi-join column (a shared name, or a (delta_col, other_col) pair when the sides name the key differently), and ``deletes`` an
+    optional key frame of removed rows. The refresh:
+
+    1. drops every view row whose ``replace_key`` appears in the delta
+       or the deletes (a broadcast anti-join — the touched-key set is
+       delta-sized by nature), then
+    2. re-derives exactly the touched rows: ``delta ⋈ other``.
+
+    Fact-side refresh: ``replace_key`` = the fact's pk, ``on`` = the dim
+    key, ``other`` = the dim. Dim-side refresh: ``replace_key = on`` =
+    the dim key, ``other`` = the fact (every fact row of a changed dim
+    key re-joins — the inherent fanout of dim updates). Either way the
+    view's history is never re-scanned beyond one keyed anti-join, and
+    the result is row-identical to recomputing the join on the post-
+    delta tables (inner-join semantics; proven by the gate, not
+    assumed).
+    """
+    frames = []
+    if delta is not None:
+        frames.append(delta.select(F.col(replace_key).alias("__touched")))
+    if deletes is not None:
+        frames.append(deletes.select(F.col(replace_key).alias("__touched")))
+    if not frames:
+        return view
+    touched = frames[0]
+    for f in frames[1:]:
+        touched = touched.unionByName(f)
+    touched = touched.distinct()
+    kept = view.join(
+        F.broadcast(touched), view[replace_key] == touched["__touched"], "left_anti"
+    )
+    if delta is None:
+        return kept
+    if isinstance(on, tuple):
+        add = delta.join(other, delta[on[0]] == other[on[1]])
+    else:
+        add = delta.join(other, on)
+    return kept.unionByName(add.select(*view.columns))

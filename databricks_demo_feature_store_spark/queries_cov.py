@@ -3373,3 +3373,89 @@ def q_fs_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tbl", "key_matched", "rows_after", "rows_deleted", "key_sum")
         .orderBy("tbl")
     )
+
+
+@register(
+    "q_incr_join_refresh",
+    oracle=f"""
+    WITH final_orders AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND o_orderstatus <> 'P'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    ), final_customer AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0.0 THEN 'RECLASSIFIED'
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    )
+    SELECT fc.segment,
+           COUNT(*) AS n_orders,
+           {_o_dsum('fo.o_totalprice', 2)} AS sum_price
+    FROM final_orders fo JOIN final_customer fc ON fo.o_custkey = fc.c_custkey
+    GROUP BY fc.segment
+    ORDER BY fc.segment
+    """,
+)
+def q_incr_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental equi-join view maintenance (featurestore/incremental.py
+    refresh_join_view): materialize orders⋈customer over the pre-1999
+    facts, then apply THREE deltas without recomputing the join —
+    a fact-side delete batch (pending orders cancelled), a fact-side
+    insert batch (the 1999+ orders arrive), and a dim-side update batch
+    (negative-balance customers reclassified, every one of their orders
+    re-deriving through the dim fanout). The oracle recomputes the join
+    from the post-delta tables in plain SQL — equality of the grouped
+    digest proves maintained ≡ recomputed.
+    """
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        refresh_join_view,
+    )
+
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    c0 = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+    )
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    f0 = o.filter(F.col("o_orderdate") < cutoff).select(fact_cols)
+    dim0 = c0.select("c_custkey", "segment")
+    view = f0.join(F.broadcast(dim0), F.col("o_custkey") == F.col("c_custkey"))
+
+    # delta 1: fact deletes (pending orders cancelled)
+    dels = f0.filter(F.col("o_orderstatus") == "P").select("o_orderkey")
+    view = refresh_join_view(
+        view, None, dim0, on=("o_custkey", "c_custkey"),
+        replace_key="o_orderkey", deletes=dels,
+    )
+    # delta 2: fact inserts (the 1999+ orders arrive)
+    f_new = o.filter(F.col("o_orderdate") >= cutoff).select(fact_cols)
+    view = refresh_join_view(
+        view, f_new, dim0, on=("o_custkey", "c_custkey"), replace_key="o_orderkey"
+    )
+    # delta 3: dim updates (negative balances reclassified) — replace by
+    # the dim key; the unchanged side is the view's CURRENT fact set
+    f_now = f0.filter(F.col("o_orderstatus") != "P").unionByName(f_new)
+    dim_delta = (
+        c0.filter(F.col("c_acctbal") < 0.0)
+        .select("c_custkey", F.lit("RECLASSIFIED").alias("segment"))
+    )
+    view = refresh_join_view(
+        view, dim_delta, f_now, on=("c_custkey", "o_custkey"), replace_key="c_custkey"
+    )
+    return (
+        view.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("segment")
+    )

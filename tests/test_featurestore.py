@@ -630,3 +630,39 @@ def test_forget_entities_propagates_and_is_idempotent(spark, tmp_path):
     audit2 = {r["table"]: r for r in forget_entities(mgr, forget, "uid").collect()}
     assert audit2["ta"]["rows_deleted"] == 0
     assert audit2["tb"]["rows_deleted"] == 0
+
+
+def test_refresh_join_view_equals_recompute(spark):
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        refresh_join_view,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0), (4, 30, 2.0)],
+        "fid int, k int, v double",
+    )
+    dim = spark.createDataFrame([(10, "a"), (20, "b"), (30, "c")], "k2 int, attr string")
+    view = fact.join(dim, fact["k"] == dim["k2"])
+
+    # fact delete + fact upsert (fid 2 changes value, fid 5 arrives)
+    f_delta = spark.createDataFrame([(2, 20, 9.0), (5, 30, 4.0)], "fid int, k int, v double")
+    view = refresh_join_view(view, f_delta, dim, on=("k", "k2"), replace_key="fid",
+                             deletes=spark.createDataFrame([(3,)], "fid int"))
+    # dim update: k=30 renamed
+    d_delta = spark.createDataFrame([(30, "C!")], "k2 int, attr string")
+    f_now = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 9.0), (4, 30, 2.0), (5, 30, 4.0)],
+        "fid int, k int, v double",
+    )
+    view = refresh_join_view(view, d_delta, f_now, on=("k2", "k"), replace_key="k2")
+
+    recomputed = f_now.join(
+        spark.createDataFrame([(10, "a"), (20, "b"), (30, "C!")], "k2 int, attr string"),
+        F.col("k") == F.col("k2"),
+    )
+    got = sorted(tuple(r) for r in view.select("fid", "k", "v", "attr").collect())
+    want = sorted(tuple(r) for r in recomputed.select("fid", "k", "v", "attr").collect())
+    assert got == want
+    # no-delta call is the identity
+    assert refresh_join_view(view, None, dim, on=("k", "k2"), replace_key="fid") is view
