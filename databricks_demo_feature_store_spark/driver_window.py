@@ -597,6 +597,16 @@ pinned against the LITERAL correlated forms inside Spark itself
 oracle and query could share an adaptation mistake), and the three
 already-in-window TPC-H anchors (q01 flagship + the r10 trio's gate
 rows) exercise the same scan/broadcast/agg machinery.
+
+The same rotate-into-r12 plan covers the other late-session births
+(q_skipping_scan / q_skipping_zorder / q_bloom_join_reduce /
+q_ext_bpe_pair_stats / q_ext_bpe_roundtrip / q_fs_forget /
+q_incr_join_refresh): each is green in the full local differential
+gate on current code, and each carries dedicated pytest pinning beyond
+the oracle — pruning effectiveness + never-prune-blind + stale-stats
+guard, bloom reduction factor + plain-join equality, merge-for-merge
+Sennrich-reference equality, forget idempotence + metadata survival,
+IVM row-identical recompute equality.
 """
 
 from __future__ import annotations
