@@ -46,6 +46,7 @@ HEADLINE = [
     "q_skipping_zorder",
     "q_fs_forget",
     "q_incr_join_refresh",
+    "q_incr_agg_join_refresh",
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",

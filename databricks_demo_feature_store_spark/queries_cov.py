@@ -3459,3 +3459,79 @@ def q_incr_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_incr_agg_join_refresh",
+    oracle=f"""
+    WITH final_customer AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0.0 THEN 'RECLASSIFIED'
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    )
+    SELECT fc.segment,
+           CAST(SUM(x.n) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(x.s AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+    FROM (
+      SELECT o_custkey, COUNT(o_totalprice) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s
+      FROM orders GROUP BY o_custkey) x
+    JOIN final_customer fc ON x.o_custkey = fc.c_custkey
+    GROUP BY fc.segment
+    ORDER BY fc.segment
+    """,
+)
+def q_incr_agg_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-join view maintenance — the dashboard
+    materialization composed from the round's two IVM primitives:
+    revenue-by-segment = orders ⋈ customer → groupBy(segment) is kept
+    fresh WITHOUT ever re-scanning order history. The fact side lives
+    as per-customer moment state (`aggregate_state`, one row per
+    customer); a new order batch folds in via ONE delta-sized
+    `merge_aggregate_state`; a dim reclassification costs NOTHING at
+    maintenance time because the serve step joins the (dim-sized)
+    state to the CURRENT dim and re-groups. The oracle recomputes from
+    the post-delta tables in plain SQL — equality proves
+    maintained-state serving ≡ full recompute, exactly (DECIMAL sums).
+    """
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    # bootstrap: state over pre-1999 history (the one full scan, done once)
+    state = aggregate_state(
+        o.filter(F.col("o_orderdate") < cutoff),
+        keys=["o_custkey"],
+        value_col="o_totalprice",
+        scale=2,
+    )
+    # delta: the 1999+ orders arrive as a batch — O(batch) maintenance
+    delta = aggregate_state(
+        o.filter(F.col("o_orderdate") >= cutoff),
+        keys=["o_custkey"],
+        value_col="o_totalprice",
+        scale=2,
+    )
+    state = merge_aggregate_state(state, delta, keys=["o_custkey"])
+    # dim update arrives: segments reclassified — no state maintenance at
+    # all; the serve join sees the current dim
+    dim = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0.0, F.lit("RECLASSIFIED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return (
+        state.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("segment")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum(F.col("s").cast("decimal(38,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("segment")
+    )
