@@ -3880,3 +3880,75 @@ def q_ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(recon).cast("long").alias("n_chars_packed"),
         F.md5(recon).alias("recon_hash"),
     ).orderBy("doc_id")
+
+
+_BPE_DIM = 1 << 18
+
+
+@register(
+    "q_ext_classifier_train",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, ({_o_hash('tok', 0)}) % {_BPE_DIM} AS bucket,
+             COUNT(*) AS tf
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), y AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    r0 AS (
+      SELECT doc_id, {oracle_dround('0.5 - y', 12)} AS r FROM y
+    ), g0 AS (
+      SELECT bucket,
+             CAST(SUM(CAST(tf.tf * r0.r AS DECIMAL(38,12))) AS DOUBLE) AS g
+      FROM tf JOIN r0 USING (doc_id) GROUP BY bucket
+    ), w1 AS (
+      SELECT bucket, -1.0 * (g / (SELECT n FROM nn)) AS w FROM g0
+    ), z1 AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(tf.tf * w1.w AS DECIMAL(38,12))) AS DOUBLE) AS z
+      FROM tf JOIN w1 USING (bucket) GROUP BY tf.doc_id
+    ), r1 AS (
+      SELECT y.doc_id,
+             {oracle_dround('1.0/(1.0 + exp(-COALESCE(z1.z, 0.0))) - y.y', 12)} AS r
+      FROM y LEFT JOIN z1 USING (doc_id)
+    ), g1 AS (
+      SELECT bucket,
+             CAST(SUM(CAST(tf.tf * r1.r AS DECIMAL(38,12))) AS DOUBLE) AS g
+      FROM tf JOIN r1 USING (doc_id) GROUP BY bucket
+    ), w2 AS (
+      SELECT w1.bucket AS bucket, w1.w - 1.0 * (g1.g / (SELECT n FROM nn)) AS w
+      FROM w1 JOIN g1 USING (bucket)
+    )
+    SELECT bucket, {oracle_dround('w', 6)} AS weight
+    FROM w2
+    ORDER BY ABS({oracle_dround('w', 6)}) DESC, bucket
+    LIMIT 25
+    """,
+)
+def q_ext_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED training of the hashed-linear quality classifier
+    (textops/analysis.py train_hashed_linear) — two full-batch logistic
+    gradient-descent rounds on an English-vs-rest label, each round ONE
+    map-side-combinable DECIMAL aggregation plus a model-sized driver
+    update. The oracle replays BOTH rounds in pure SQL (chained CTEs:
+    residual → per-bucket gradient → weight update → margin → …) using
+    the portable md5 hash twin — so the learned weights, not just a
+    downstream score, are verified cross-engine. Top-25 by |weight|.
+    """
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        train_hashed_linear,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__label", (F.col("lang") == "en").cast("double")
+    )
+    w = train_hashed_linear(
+        docs, label_col="__label", dim=_BPE_DIM, n_rounds=2, lr=1.0
+    )
+    rounded = w.select("bucket", dround(F.col("weight"), 6).alias("weight"))
+    return rounded.orderBy(F.abs(F.col("weight")).desc(), "bucket").limit(25)
