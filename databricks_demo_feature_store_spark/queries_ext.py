@@ -3884,10 +3884,12 @@ def q_ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_DIM = 1 << 18
 
+# shared 2-round GD training CTE chain (ends at w2 = the trained model);
+# reused by the train query's oracle and the end-to-end filter's oracle
+def _cls_train_ctes():
+    from databricks_demo_feature_store_spark.functions.rounding import oracle_dround
 
-@register(
-    "q_ext_classifier_train",
-    oracle=f"""
+    return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
       FROM documents
@@ -3922,7 +3924,13 @@ _BPE_DIM = 1 << 18
     ), w2 AS (
       SELECT w1.bucket AS bucket, w1.w - 1.0 * (g1.g / (SELECT n FROM nn)) AS w
       FROM w1 JOIN g1 USING (bucket)
-    )
+    )"""
+
+
+@register(
+    "q_ext_classifier_train",
+    oracle=_cls_train_ctes()
+    + f"""
     SELECT bucket, {oracle_dround('w', 6)} AS weight
     FROM w2
     ORDER BY ABS({oracle_dround('w', 6)}) DESC, bucket
@@ -3952,3 +3960,60 @@ def q_ext_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rounded = w.select("bucket", dround(F.col("weight"), 6).alias("weight"))
     return rounded.orderBy(F.abs(F.col("weight")).desc(), "bucket").limit(25)
+
+
+@register(
+    "q_ext_quality_filter_e2e",
+    oracle=_cls_train_ctes()
+    + f"""
+    , z2 AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(tf.tf * w2.w AS DECIMAL(38,12))) AS DOUBLE) AS z
+      FROM tf JOIN w2 USING (bucket) GROUP BY tf.doc_id
+    ), scored AS (
+      SELECT d.doc_id, d.lang,
+             {oracle_dround('1.0/(1.0 + exp(-COALESCE(z2.z, 0.0)))', 6)} AS score
+      FROM documents d LEFT JOIN z2 USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_ext_quality_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end model-based corpus filtering — the GPT-3/LLaMA curation
+    recipe as one pipeline: TRAIN the hashed-linear classifier on a
+    seed label (English-vs-rest, 2 GD rounds), SCORE every document
+    with the learned weights, FILTER at score > 0.5, and report
+    keep-rates per language. The oracle replays the ENTIRE chain —
+    training CTEs, scoring join, sigmoid, threshold — in pure SQL, so
+    the whole train→score→filter pipeline is verified cross-engine
+    end-to-end (scores dround-stabilized before the threshold so both
+    engines compare identical values).
+    """
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        hashed_linear_scores,
+        train_hashed_linear,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__label", (F.col("lang") == "en").cast("double")
+    )
+    w = train_hashed_linear(docs, "__label", dim=_BPE_DIM, n_rounds=2, lr=1.0)
+    scored = hashed_linear_scores(docs, w, dim=_BPE_DIM).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(dround(F.col("score"), 6) > 0.5, 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
