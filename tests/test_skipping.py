@@ -271,3 +271,48 @@ def test_compact_refreshes_stats(spark, tmp_path):
     got, report = read_with_skipping(spark, path, stats, [("id", ">=", 0.0)])
     assert report.files_total <= 2  # compaction took effect
     assert got.count() == 200  # stats cover the compacted layout
+
+
+def test_randomized_skipping_always_matches_full_scan(spark, tmp_path):
+    """Seeded randomized property: for random layouts and random
+    conjunctive predicates, the pruned read must equal the full-scan
+    filter EXACTLY (files may always be kept unnecessarily, never
+    dropped wrongly)."""
+    import random
+
+    rng = random.Random(411)
+    for case in range(4):
+        path = str(tmp_path / f"r{case}")
+        n = rng.randrange(200, 800)
+        df = spark.range(0, n).select(
+            F.col("id"),
+            (F.col("id") % rng.randrange(3, 40)).cast("double").alias("a"),
+            F.when(F.col("id") % 7 != 0, (F.col("id") * 3) % 101).alias("b"),
+            F.concat(F.lit("s"), (F.col("id") % 5)).alias("c"),
+        )
+        layout = rng.choice(["id", "a", "b"])
+        nf = rng.randrange(2, 9)
+        df.repartitionByRange(nf, layout).write.mode("overwrite").parquet(path)
+        stats = harvest_file_stats(spark, path).cache()
+        stats.count()
+        preds, clauses = [], []
+        for col, lo, hi in (("id", 0, n), ("a", 0, 40), ("b", 0, 101)):
+            op = rng.choice([">=", "<", "=", None])
+            if op is None:
+                continue
+            v = float(rng.randrange(lo, hi + 1))
+            preds.append((col, op, v))
+            clauses.append(f"{col} {'==' if op == '=' else op} {v}")
+        if rng.random() < 0.5:
+            preds.append(("b", "is_not_null", None))
+            clauses.append("b IS NOT NULL")
+        if rng.random() < 0.5:
+            vals = [f"s{rng.randrange(0, 7)}" for _ in range(2)]
+            preds.append(("c", "in", vals))
+            clauses.append(f"c IN ({', '.join(repr(v) for v in vals)})")
+        residual = " AND ".join(clauses) if clauses else "TRUE"
+        got, report = read_with_skipping(spark, path, stats, preds, residual=residual)
+        want = spark.read.parquet(path).filter(residual)
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w, (case, preds, report)
