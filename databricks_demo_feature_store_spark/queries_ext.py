@@ -4017,3 +4017,82 @@ def q_ext_quality_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_ext_curriculum_mixture",
+    oracle=_cls_train_ctes()
+    + f"""
+    , z2 AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(tf.tf * w2.w AS DECIMAL(38,12))) AS DOUBLE) AS z
+      FROM tf JOIN w2 USING (bucket) GROUP BY tf.doc_id
+    ), tiered AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE WHEN {oracle_dround('1.0/(1.0 + exp(-COALESCE(z2.z, 0.0)))', 6)} >= 0.8
+                    THEN 'high'
+                  WHEN {oracle_dround('1.0/(1.0 + exp(-COALESCE(z2.z, 0.0)))', 6)} >= 0.2
+                    THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM documents d LEFT JOIN z2 USING (doc_id)
+    ), b AS (
+      SELECT doc_id, tier, n_chars,
+             CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS bucket,
+             CASE tier WHEN 'high' THEN 6000 WHEN 'mid' THEN 3000 END AS budget
+      FROM tiered
+    ), c AS (
+      SELECT doc_id, tier, n_chars, budget,
+             CAST(SUM(n_chars) OVER (PARTITION BY tier ORDER BY bucket ASC, doc_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_chars AS BIGINT) AS cum_before
+      FROM b WHERE budget IS NOT NULL
+    )
+    SELECT doc_id, tier, n_chars FROM c WHERE cum_before < budget
+    ORDER BY tier, doc_id
+    """,
+)
+def q_ext_curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / quality-tiered data mixture — the corpus-assembly
+    recipe composed end-to-end: TRAIN the quality classifier on the
+    seed label, SCORE and TIER every document (high ≥ 0.8, mid ≥ 0.2,
+    low dropped), then fill per-tier TOKEN budgets deterministically
+    (token_budget_mixture: hash-ordered docs, budget checked before
+    each doc). The oracle replays training, scoring, tiering AND the
+    budget window in pure SQL — the assembled mixture itself is
+    verified cross-engine, document for document.
+    """
+    from databricks_demo_feature_store_spark.functions.rounding import dround
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        hashed_linear_scores,
+        train_hashed_linear,
+    )
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        token_budget_mixture,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__label", (F.col("lang") == "en").cast("double")
+    )
+    w = train_hashed_linear(docs, "__label", dim=_BPE_DIM, n_rounds=2, lr=1.0)
+    s6 = dround(F.col("score"), 6)
+    tiered = (
+        hashed_linear_scores(docs, w, dim=_BPE_DIM)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(s6 >= 0.8, "high").when(s6 >= 0.2, "mid").otherwise("low").alias("tier"),
+        )
+    )
+    return (
+        token_budget_mixture(
+            tiered,
+            strata_col="tier",
+            token_col="n_chars",
+            key_col="doc_id",
+            budgets={"high": 6000, "mid": 3000},
+        )
+        .select("doc_id", "tier", "n_chars")
+        .orderBy("tier", "doc_id")
+    )
