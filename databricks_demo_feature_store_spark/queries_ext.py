@@ -4096,3 +4096,79 @@ def q_ext_curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tier", "n_chars")
         .orderBy("tier", "doc_id")
     )
+
+
+@register(
+    "q_ext_lm_backoff",
+    oracle=f"""
+    WITH toksall AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    ctoks AS (SELECT * FROM toksall WHERE doc_id % 5 <> 0),
+    stoks AS (SELECT * FROM toksall WHERE doc_id % 5 = 0),
+    c3 AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2,
+             t[CAST(i AS INT)+2] AS w3, COUNT(*) AS c3
+      FROM ctoks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3 GROUP BY 1, 2, 3
+    ),
+    c2 AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2, COUNT(*) AS c2
+      FROM ctoks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2 GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w FROM ctoks) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS N, CAST(COUNT(*) AS DOUBLE) AS V FROM c1),
+    tri AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2,
+             t[CAST(i AS INT)+2] AS w3
+      FROM stoks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    scored AS (
+      SELECT tri.doc_id,
+             {oracle_dround('''log2(CASE
+               WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / CAST(c2a.c2 AS DOUBLE)
+               WHEN c2b.c2 IS NOT NULL THEN 0.4 * CAST(c2b.c2 AS DOUBLE) / CAST(c1a.c1 AS DOUBLE)
+               ELSE 0.16 * (COALESCE(CAST(c1b.c1 AS DOUBLE), 0.0) + 1.0)
+                    / ((SELECT N FROM tot) + (SELECT V FROM tot)) END)''', 6)} AS logp
+      FROM tri
+      LEFT JOIN c3  ON c3.w1 = tri.w1 AND c3.w2 = tri.w2 AND c3.w3 = tri.w3
+      LEFT JOIN c2 c2a ON c2a.w1 = tri.w1 AND c2a.w2 = tri.w2
+      LEFT JOIN c2 c2b ON c2b.w1 = tri.w2 AND c2b.w2 = tri.w3
+      LEFT JOIN c1 c1a ON c1a.w = tri.w2
+      LEFT JOIN c1 c1b ON c1b.w = tri.w3
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             {oracle_dround('-CAST(SUM(CAST(logp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 6)}
+               AS cross_entropy_bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(p.n_trigrams, 0) AS n_trigrams,
+           p.cross_entropy_bits
+    FROM stoks s LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def q_ext_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM scoring of HELD-OUT documents
+    (textops/analysis.py trigram_backoff_scores): the model trains on
+    4/5 of the corpus, the remaining 1/5 scores under it — unseen
+    trigrams fall through the backoff chain (trigram → λ·bigram →
+    λ²·add-1 unigram), which a self-scored corpus never exercises. The
+    oracle replays model building, the three-level CASE and the
+    DECIMAL-mean cross-entropy in pure SQL.
+    """
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        trigram_backoff_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    held_out = docs.filter(F.col("doc_id") % 5 == 0)
+    return trigram_backoff_scores(held_out, corpus, lam=0.4).orderBy("doc_id")

@@ -629,3 +629,125 @@ def train_hashed_linear(
     return spark.createDataFrame(
         sorted(weights.items()), "bucket long, weight double"
     )
+
+
+def trigram_backoff_scores(
+    df: DataFrame,
+    corpus: DataFrame,
+    lam: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a TRIGRAM stupid-backoff LM built
+    from ``corpus`` (Brants et al. 2007, "Large Language Models in
+    Machine Translation" — the web-scale scoring rule that replaces
+    normalized smoothing with a fixed backoff multiplier):
+
+    ``S(w3|w1w2) = C(w1w2w3)/C(w1w2)``, else ``λ·C(w2w3)/C(w2)``, else
+    ``λ²·(C(w3)+1)/(N+V)`` (add-1 at the unigram floor so OOV words get
+    a finite score). Score = ``−mean log2 S`` over the doc's trigrams;
+    docs with < 3 tokens → NULL.
+
+    Separating ``df`` (scored) from ``corpus`` (model) is the point:
+    scoring held-out text exercises the backoff chain — a corpus scored
+    under its own model never leaves the trigram branch.
+
+    Scale shape: three map-side-combinable count aggregations build the
+    model; scoring is a chain of equi-joins of the doc's trigram
+    occurrences against the count tables (all data-scale, never
+    collected); per-doc mean through exact DECIMAL of 6-dp-rounded
+    per-trigram logs — the bigram scorer's determinism discipline.
+    """
+    def _toks(frame):
+        return frame.select(
+            F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("__toks")
+        )
+
+    def _ngrams(toks, n):
+        return (
+            toks.select(
+                "doc_id",
+                F.when(
+                    F.size("__toks") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+                        lambda i: F.array(
+                            *[F.element_at("__toks", i + j) for j in range(n)]
+                        ),
+                    ),
+                )
+                .otherwise(F.array().cast("array<array<string>>"))
+                .alias("__ng"),
+            )
+            # explode_outer + null-filter, NOT plain explode: explode lets
+            # Catalyst infer size(__ng) > 0 and collapse the staged
+            # projection, re-evaluating the whole transform PER OUTPUT ROW
+            # — O(len²) per document (the SCALING.md round-5 lesson;
+            # measured 27.8 s → 2.8 s on this operator at sf0.1)
+            .select("doc_id", F.explode_outer("__ng").alias("ng"))
+            .where(F.col("ng").isNotNull())
+            .select(
+                "doc_id",
+                *[F.element_at("ng", j + 1).alias(f"w{j+1}") for j in range(n)],
+            )
+        )
+
+    ctoks = _toks(corpus)
+    c3 = _ngrams(ctoks, 3).groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = _ngrams(ctoks, 2).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        ctoks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    totals = c1.agg(
+        F.sum("c1").cast("double").alias("N"), F.count(F.lit(1)).cast("double").alias("V")
+    )
+
+    t = _ngrams(_toks(df), 3)
+    s = (
+        t.join(c3, on=["w1", "w2", "w3"], how="left")
+        .join(c2, on=["w1", "w2"], how="left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c23")
+            ),
+            on=["w2", "w3"],
+            how="left",
+        )
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_2")), on="w2", how="left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1_3")), on="w3", how="left")
+        .crossJoin(F.broadcast(totals))
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2").cast("double"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(lam) * F.col("c23").cast("double") / F.col("c1_2").cast("double"),
+        )
+        .otherwise(
+            F.lit(lam * lam)
+            * (F.coalesce(F.col("c1_3").cast("double"), F.lit(0.0)) + F.lit(1.0))
+            / (F.col("N") + F.col("V"))
+        )
+    )
+    per_doc = (
+        s.select("doc_id", dround(F.log2(score), 6).alias("__logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (
+                -(F.sum(F.col("__logp").cast("decimal(25,6)")).cast("double"))
+                / F.count(F.lit(1))
+            ).alias("__ce_raw"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        dround(F.col("__ce_raw"), 6).alias("cross_entropy_bits"),
+    )

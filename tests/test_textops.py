@@ -1776,3 +1776,44 @@ def test_url_canonicalization_hand_cases(spark):
     assert got[rows[3][0]] == ("https://ex.com:8443/", "ex.com")  # non-default port kept
     assert got[rows[4][0]] == ("https://shop.example.co.uk/p", "example.co.uk")
     assert got["not a url"] == (None, "")
+
+
+def test_trigram_backoff_branches(spark):
+    """Each backoff level must fire and produce the documented value:
+    seen trigram → MLE ratio; unseen trigram with seen bigram → λ·ratio;
+    unseen bigram → λ²·add-1 unigram floor (finite for OOV)."""
+    import math
+
+    from databricks_demo_feature_store_spark.textops.analysis import (
+        trigram_backoff_scores,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    # N = 9 tokens, V = 4 (a b c d)
+    held = spark.createDataFrame(
+        [
+            (10, "a b c"),   # seen trigram: C(abc)/C(ab)=2/3
+            (11, "b c d"),   # unseen tri, seen bigrams? C(bcd)=0; C(cd)? 0; C(d)=1 → λ²·(1+1)/(9+4)
+            (12, "c a b"),   # seen trigram c a b (from doc 1: "c a b")
+            (13, "a b z"),   # OOV z: λ²·(0+1)/13
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["cross_entropy_bits"]
+        for r in trigram_backoff_scores(held, corpus, lam=0.4).collect()
+    }
+
+    def r6(x):
+        import decimal
+        return float(
+            decimal.Decimal(repr(x)).quantize(decimal.Decimal("1e-6"),
+                                              rounding=decimal.ROUND_HALF_UP)
+        )
+
+    assert got[10] == -r6(math.log2(2 / 3))
+    assert got[12] == -r6(math.log2(1 / 1))  # C(cab)=1, C(ca)=1
+    assert got[11] == -r6(math.log2(0.16 * 2 / 13))
+    assert got[13] == -r6(math.log2(0.16 * 1 / 13))
