@@ -47,6 +47,7 @@ HEADLINE = [
     "q_fs_forget",
     "q_incr_join_refresh",
     "q_incr_agg_join_refresh",
+    "q_seasonal_decompose",
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",
@@ -231,7 +232,14 @@ def main() -> None:
                 for q, t in prev.get("queries", {}).items()
                 if q in QUERIES
             }
-            full_timings = {**carried, **timings}
+            # standing records are MINIMA: a noisy sweep must not inflate
+            # a query's record (the regression ratchet compares fresh runs
+            # against records — records themselves only ever tighten)
+            full_timings = {
+                q: min(t, carried[q]) if q in carried else t
+                for q, t in timings.items()
+            }
+            full_timings = {**carried, **full_timings}
     except Exception:
         pass
     full = {

@@ -760,3 +760,97 @@ def label_window_features(
         count_col=count_col,
         scale=scale,
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    scale: int = 4,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a REGULAR per-key
+    series (one row per key per period — densify with
+    ``fill_gaps_interpolate`` first): ``value = trend + seasonal +
+    residual``, the de-seasonalization step behind "spend vs its
+    seasonal norm" features.
+
+    - ``trend``: the standard 2×m centered moving average for an even
+      ``period`` m — ``(Σ_{t−m/2..t+m/2} x − ½(x_{t−m/2}+x_{t+m/2}))/m``
+      — NULL at the series edges (no partial-window extrapolation).
+    - ``seasonal``: per-(key, cycle position) mean of the detrended
+      series, centered per key so one full cycle sums to ≈ 0.
+    - ``residual``: ``value − trend − seasonal`` (NULL where trend is).
+
+    Every stage runs in INTEGER units of 10^-scale with explicit
+    HALF_UP integer division — no floating-point rounding anywhere.
+    This is not pedantry: the MA divides an exact sum by 2m, and such
+    ratios land EXACTLY on decimal rounding boundaries with probability
+    ~1/2m per row (a sum ≡ m mod 2m), where double-based rounding is
+    engine-dependent (Spark rounds the shortest decimal repr, DuckDB
+    the binary value — measured dozens of last-digit flips at any
+    dround scale). Integer arithmetic is identical everywhere, so the
+    decomposition is bit-reproducible across engines and partitionings.
+    Value magnitudes must fit ``|value|·10^scale`` in a long — 9e14 at
+    the default scale 4; window sums of units are exact longs.
+
+    Scale shape: one window exchange on (keys) carries the centered MA
+    and both endpoint lags; the seasonal means are two small hash aggs
+    over (keys, position). Cycle position derives from the row's rank
+    within its key (mod period), so the series may start at any
+    calendar offset.
+    """
+    keys = list(keys)
+    half = period // 2
+    if period % 2 != 0:
+        raise ValueError("seasonal_decompose: even period required (2xm MA form)")
+    unit = 10 ** scale
+
+    def half_up(num, den_col):
+        # sign-aware HALF_UP integer division: sign(n)·((2|n| + d) div 2d).
+        # The quotient runs through DECIMAL, not double ("/" on longs is
+        # double division — silent precision loss past 2^53): Spark's
+        # decimal division rounds at scale ≥ 6, and the true quotient is
+        # ≥ 1/(2d) ≈ 0.038 away from any integer it doesn't hit exactly,
+        # so the floor is provably exact.
+        q = (F.lit(2) * F.abs(num) + den_col).cast("decimal(38,0)") / (
+            F.lit(2) * den_col
+        ).cast("decimal(38,0)")
+        return F.signum(num).cast("long") * F.floor(q).cast("long")
+
+    w_ord = Window.partitionBy(*keys).orderBy(time_col)
+    w_ma = w_ord.rowsBetween(-half, half)
+    w_key = Window.partitionBy(*keys)
+    vu = (
+        (F.col(value_col).cast(f"decimal(38,{scale})") * F.lit(unit))
+        .cast("long")
+        .alias("__vu")
+    )
+    staged = df.select(*keys, time_col, value_col, vu).select(
+        "*",
+        ((F.row_number().over(w_ord) - 1) % period).alias("__pos"),
+        (
+            F.lit(2) * F.sum("__vu").over(w_ma)
+            - F.lag("__vu", half).over(w_ord)
+            - F.lead("__vu", half).over(w_ord)
+        ).alias("__t_num"),
+    )
+    staged = staged.withColumn(
+        "__tu", half_up(F.col("__t_num"), F.lit(2 * period))
+    ).withColumn("__du", F.col("__vu") - F.col("__tu"))
+    seas_raw = staged.groupBy(*keys, "__pos").agg(
+        half_up(F.sum("__du"), F.count("__du")).alias("__su")
+    )
+    seas = seas_raw.withColumn(
+        "__mu", half_up(F.sum("__su").over(w_key), F.count("__su").over(w_key))
+    ).select(*keys, "__pos", (F.col("__su") - F.col("__mu")).alias("__eu"))
+    to_d = lambda c: (c.cast("double") / F.lit(float(unit)))
+    return staged.join(seas, on=[*keys, "__pos"]).select(
+        *keys,
+        time_col,
+        value_col,
+        to_d(F.col("__tu")).alias("trend"),
+        to_d(F.col("__eu")).alias("seasonal"),
+        to_d(F.col("__vu") - F.col("__tu") - F.col("__eu")).alias("residual"),
+    )

@@ -3535,3 +3535,82 @@ def q_incr_agg_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
+             {_o_dsum('o.o_totalprice', 2)} AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), units AS (
+      SELECT seg, mon, revenue,
+             CAST(CAST(revenue AS DECIMAL(38,4)) * 10000 AS BIGINT) AS vu
+      FROM monthly
+    ), staged AS (
+      SELECT seg, mon, revenue, vu,
+             (ROW_NUMBER() OVER wo - 1) % 12 AS pos,
+             2 * SUM(vu) OVER w13 - LAG(vu, 6) OVER wo - LEAD(vu, 6) OVER wo
+               AS t_num
+      FROM units
+      WINDOW wo AS (PARTITION BY seg ORDER BY mon),
+             w13 AS (PARTITION BY seg ORDER BY mon
+                     ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ), trended AS (
+      SELECT *,
+             CAST(sign(t_num) AS BIGINT)
+               * ((2 * abs(t_num) + 24) // 48) AS tu
+      FROM staged
+    ), detr AS (
+      SELECT *, vu - tu AS du FROM trended
+    ), seas_raw AS (
+      SELECT seg, pos,
+             CAST(sign(SUM(du)) AS BIGINT)
+               * ((2 * abs(SUM(du)) + COUNT(du)) // (2 * COUNT(du))) AS su
+      FROM detr GROUP BY seg, pos
+    ), seas AS (
+      SELECT seg, pos,
+             su - CAST(sign(SUM(su) OVER wk) AS BIGINT)
+                  * ((2 * abs(SUM(su) OVER wk) + COUNT(su) OVER wk)
+                     // (2 * COUNT(su) OVER wk)) AS eu
+      FROM seas_raw
+      WINDOW wk AS (PARTITION BY seg)
+    )
+    SELECT d.seg, d.mon, d.revenue,
+           CAST(d.tu AS DOUBLE) / 10000.0 AS trend,
+           CAST(s.eu AS DOUBLE) / 10000.0 AS seasonal,
+           CAST(d.vu - d.tu - s.eu AS DOUBLE) / 10000.0 AS residual
+    FROM detr d JOIN seas s ON s.seg = d.seg AND s.pos = d.pos
+    ORDER BY d.seg, d.mon
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators/windows.py
+    seasonal_decompose) of monthly revenue per market segment: the 2×12
+    centered-MA trend, per-(segment, cycle-position) seasonal means
+    centered per segment, residual — all window sums and means routed
+    through DECIMAL because sliding-window FP summation differs between
+    engines (and between Spark's running-sum and DuckDB's segment-tree
+    implementations), which would otherwise make the decomposition
+    non-reproducible. The oracle replays every stage in SQL.
+    """
+    from databricks_demo_feature_store_spark.operators.windows import (
+        seasonal_decompose,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.trunc("o_orderdate", "month").alias("mon"),
+        )
+        .agg(_dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+    return seasonal_decompose(
+        monthly, keys=["seg"], time_col="mon", value_col="revenue", period=12
+    ).orderBy("seg", "mon")

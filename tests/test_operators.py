@@ -1744,3 +1744,52 @@ def test_scan_fanout_env_switch_pins_scale_invariant_plan(spark, monkeypatch):
     assert qmod._SCAN_FANOUT[key] is True
     plan = out2._jdf.queryExecution().optimizedPlan().toString()
     assert re.match(r"Repartition \d+, true", plan)  # round-robin shuffle
+
+
+def test_seasonal_decompose_recovers_structure(spark):
+    from databricks_demo_feature_store_spark.operators.windows import (
+        seasonal_decompose,
+    )
+    import datetime as dt
+
+    # linear trend + period-4 square wave, two keys
+    rows = []
+    season = [10.0, -2.0, -5.0, -3.0]
+    for key in ("a", "b"):
+        base = 100.0 if key == "a" else 500.0
+        for t in range(24):
+            val = base + 2.0 * t + season[t % 4]
+            rows.append((key, dt.date(2020, 1 + t % 12, 1 + t // 12), val))
+    # use a strictly increasing date per key
+    rows = [
+        (k, dt.date(2020 + i // 12, 1 + i % 12, 1), v)
+        for i, (k, _, v) in enumerate(r for r in rows if r[0] == "a")
+    ] + [
+        (k, dt.date(2020 + i // 12, 1 + i % 12, 1), v)
+        for i, (k, _, v) in enumerate(r for r in rows if r[0] == "b")
+    ]
+    df = spark.createDataFrame(rows, "k string, t date, v double")
+    out = seasonal_decompose(df, ["k"], "t", "v", period=4).collect()
+
+    for r in out:
+        if r["trend"] is not None:
+            # additive identity holds EXACTLY (integer-unit arithmetic)
+            assert abs(r["v"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["t"])
+        base = 100.0 if k == "a" else 500.0
+        for i, r in enumerate(rs):
+            if r["trend"] is not None:
+                assert abs(r["trend"] - (base + 2.0 * i)) < 1e-3, (k, i, r["trend"])
+        # one full cycle of seasonal sums to ~0 (centered per key)
+        seas = {r["t"].month % 4: r["seasonal"] for r in rs}
+        assert abs(sum(set(r["seasonal"] for r in rs))) < 1e-2
+    # seasonal amplitude recovered (square wave mean-centered: 10,-2,-5,-3 has mean 0)
+    a_rows = sorted(by_key["a"], key=lambda r: r["t"])
+    got_season = [a_rows[i]["seasonal"] for i in range(4, 8)]
+    want = season[4 % 4 : 8 % 4] or season
+    for g, w in zip(got_season, [season[i % 4] for i in range(4, 8)]):
+        assert abs(g - w) < 0.51, (g, w)  # edge-count asymmetry tolerance
