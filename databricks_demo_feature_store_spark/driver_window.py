@@ -618,7 +618,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r4/r5 cohorts rotate in completely, plus the most-changed r6
     # queries). Every round-10 window member rotating OUT carries a
     # green CORRECTNESS_r10.json row on effectively-current code and
-    # stays in the full 216-query local gate + pytest.
+    # stays in the full local differential gate (250 queries at session end) + pytest.
     "q01_pricing_summary",  # flagship (entry())
     # queries over code changed THIS round (ADVICE r10 fixes):
     # windows.py RANGE-frame cumsum → the three anchor-carry queries;
