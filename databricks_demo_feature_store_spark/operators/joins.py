@@ -793,4 +793,6 @@ def bloom_filtered_join(
             arr, _key(F.col(left_on)), n_bits=n_bits, n_hashes=n_hashes
         )
     )
-    return reduced.join(df_right, F.col(left_on) == F.col(right_on), how)
+    # frame-qualified condition: unqualified F.col(left_on) is ambiguous
+    # whenever both sides carry the key under the same name
+    return reduced.join(df_right, reduced[left_on] == df_right[right_on], how)

@@ -586,6 +586,8 @@ def train_hashed_linear(
         .localCheckpoint(eager=True)
     )
     n = labeled.count()
+    if n == 0:
+        raise ValueError("train_hashed_linear: empty training frame")
     weights: dict[int, float] = {}
     for _ in range(n_rounds):
         if weights:

@@ -316,3 +316,10 @@ def test_randomized_skipping_always_matches_full_scan(spark, tmp_path):
         g = sorted(tuple(r) for r in got.collect())
         w = sorted(tuple(r) for r in want.collect())
         assert g == w, (case, preds, report)
+
+
+def test_bloom_filtered_join_same_key_name(spark):
+    left = spark.range(0, 100).select(F.col("id").alias("k"))
+    right = spark.range(0, 10).select(F.col("id").alias("k"))
+    got = bloom_filtered_join(left, right, "k", "k", how="left_semi", n_bits=1 << 12)
+    assert got.count() == 10
