@@ -48,6 +48,7 @@ HEADLINE = [
     "q_incr_join_refresh",
     "q_incr_agg_join_refresh",
     "q_seasonal_decompose",
+    "q_seasonal_anomalies",
     "q_cdc_apply_changes",
     "q_asof_nearest",
     "q_scd2_dim_join",

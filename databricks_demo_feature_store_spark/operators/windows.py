@@ -854,3 +854,64 @@ def seasonal_decompose(
         to_d(F.col("__eu")).alias("seasonal"),
         to_d(F.col("__vu") - F.col("__tu") - F.col("__eu")).alias("residual"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    scale: int = 4,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust seasonal anomaly detection: decompose, then flag rows whose
+    residual deviates more than ``k`` robust sigmas from the per-key
+    residual median (σ ≈ 1.4826·MAD) — "this month's spend is abnormal
+    AFTER accounting for trend and seasonality", the alerting rule plain
+    z-scores on the raw series get wrong twice (trend inflates the mean,
+    seasonality inflates the sigma).
+
+    Determinism: the decomposition is integer-unit exact
+    (:func:`seasonal_decompose`); median and MAD are EXACT percentiles
+    of integers (midpoint interpolation yields .0/.5 doubles
+    identically everywhere), so the flag comparison sees bit-identical
+    operands on every engine — even exactly ON the threshold.
+
+    One extra per-key aggregate pair over the decomposed frame; edge
+    rows (NULL trend) carry NULL flags rather than polluting the MAD.
+    """
+    keys = list(keys)
+    unit = 10 ** scale
+    dec = seasonal_decompose(
+        df, keys=keys, time_col=time_col, value_col=value_col,
+        period=period, scale=scale,
+    )
+    # round before the long cast: residual·unit is integral by
+    # construction but arrives as resid_u/unit·unit — a double that can
+    # sit an ulp below the integer, which cast(long) would TRUNCATE
+    ru = F.round(F.col("residual") * F.lit(unit), 0).cast("long")
+    staged = dec.withColumn("__ru", ru)
+    med = staged.groupBy(*keys).agg(
+        F.expr("percentile(__ru, 0.5)").alias("__med")
+    )
+    madf = (
+        staged.join(med, on=keys)
+        .withColumn("__ad", F.abs(F.col("__ru") - F.col("__med")))
+        .groupBy(*keys)
+        .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    )
+    out = staged.join(med, on=keys).join(madf, on=keys)
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+    return out.select(
+        *keys,
+        time_col,
+        value_col,
+        "trend",
+        "seasonal",
+        "residual",
+        F.when(
+            F.col("__ru").isNotNull(),
+            F.abs(F.col("__ru") - F.col("__med")) > thresh,
+        ).alias("is_anomaly"),
+    )

@@ -3537,9 +3537,11 @@ def q_incr_agg_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_seasonal_decompose",
-    oracle=f"""
+def _seasonal_ctes():
+    """Shared integer-unit decomposition CTE chain (monthly revenue per
+    segment → trend/seasonal units), reused by the decomposition oracle
+    and the anomaly oracle."""
+    return f"""
     WITH monthly AS (
       SELECT c.c_mktsegment AS seg,
              CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mon,
@@ -3579,6 +3581,13 @@ def q_incr_agg_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seas_raw
       WINDOW wk AS (PARTITION BY seg)
     )
+    """
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=_seasonal_ctes()
+    + """
     SELECT d.seg, d.mon, d.revenue,
            CAST(d.tu AS DOUBLE) / 10000.0 AS trend,
            CAST(s.eu AS DOUBLE) / 10000.0 AS seasonal,
@@ -3614,3 +3623,64 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(
         monthly, keys=["seg"], time_col="mon", value_col="revenue", period=12
     ).orderBy("seg", "mon")
+
+
+@register(
+    "q_seasonal_anomalies",
+    oracle=_seasonal_ctes()
+    + """
+    , resid AS (
+      SELECT d.seg, d.mon, d.revenue,
+             CAST(d.tu AS DOUBLE) / 10000.0 AS trend,
+             CAST(s.eu AS DOUBLE) / 10000.0 AS seasonal,
+             CAST(d.vu - d.tu - s.eu AS DOUBLE) / 10000.0 AS residual,
+             d.vu - d.tu - s.eu AS ru
+      FROM detr d JOIN seas s ON s.seg = d.seg AND s.pos = d.pos
+    ), med AS (
+      SELECT seg, quantile_cont(ru, 0.5) AS m FROM resid GROUP BY seg
+    ), madt AS (
+      SELECT r.seg, quantile_cont(abs(r.ru - med.m), 0.5) AS mad
+      FROM resid r JOIN med ON med.seg = r.seg GROUP BY r.seg
+    )
+    SELECT r.seg, r.mon, r.revenue, r.trend, r.seasonal, r.residual,
+           abs(r.ru - med.m) > 3.0 * 1.4826 * madt.mad AS is_anomaly
+    FROM resid r
+    JOIN med  ON med.seg = r.seg
+    JOIN madt ON madt.seg = r.seg
+    WHERE r.ru IS NOT NULL
+    ORDER BY r.seg, r.mon
+    """,
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust seasonal anomaly flags (operators/windows.py
+    seasonal_anomalies): residual deviations beyond 3 robust sigmas
+    (1.4826·MAD) of the per-segment residual median — alerting on the
+    de-trended, de-seasonalized series. Median and MAD are EXACT
+    percentiles of the integer-unit residuals (midpoint interpolation
+    is .0/.5-exact on every engine), so even a row exactly ON the
+    threshold flags identically cross-engine.
+    """
+    from databricks_demo_feature_store_spark.operators.windows import (
+        seasonal_anomalies,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.trunc("o_orderdate", "month").alias("mon"),
+        )
+        .agg(_dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+    # only SCORED rows go through the gate: the MA-edge rows carry NULL
+    # flags by design, and a NULL-boolean column defeats cross-engine row
+    # alignment in pandas-based value comparison (None vs <NA> encodings)
+    return (
+        seasonal_anomalies(
+            monthly, keys=["seg"], time_col="mon", value_col="revenue", period=12
+        )
+        .filter(F.col("is_anomaly").isNotNull())
+        .orderBy("seg", "mon")
+    )

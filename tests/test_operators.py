@@ -1793,3 +1793,43 @@ def test_seasonal_decompose_recovers_structure(spark):
     want = season[4 % 4 : 8 % 4] or season
     for g, w in zip(got_season, [season[i % 4] for i in range(4, 8)]):
         assert abs(g - w) < 0.51, (g, w)  # edge-count asymmetry tolerance
+
+
+def test_seasonal_anomalies_flags_injected_spike(spark):
+    from databricks_demo_feature_store_spark.operators.windows import (
+        seasonal_anomalies,
+    )
+    import datetime as dt
+
+    season = [10.0, -2.0, -5.0, -3.0]
+    rows = []
+    for i in range(24):
+        # deterministic noise keeps the MAD meaningful: a NOISELESS
+        # synthetic series has residual MAD ~ quantization, and 3 robust
+        # sigmas of ~nothing flags everything
+        noise = ((i * 37) % 13 - 6) * 0.3
+        val = 100.0 + 2.0 * i + season[i % 4] + noise
+        if i == 11:
+            val += 500.0  # the injected anomaly
+        rows.append(("a", dt.date(2020 + i // 12, 1 + i % 12, 1), val))
+    df = spark.createDataFrame(rows, "k string, t date, v double")
+    out = seasonal_anomalies(df, ["k"], "t", "v", period=4).collect()
+    flagged = {r["t"]: r["is_anomaly"] for r in out}
+    assert flagged[dt.date(2020, 12, 1)] is True  # the spike month (i=11)
+    # the spike dominates: largest absolute residual of all scored rows
+    # (classical decomposition is NON-robust, so the spike legitimately
+    # contaminates its cycle-position's seasonal mean and its MA window —
+    # secondary flags on those rows are faithful, not a bug)
+    spike_resid = next(
+        abs(r["residual"]) for r in out if r["t"] == dt.date(2020, 12, 1)
+    )
+    assert spike_resid == max(
+        abs(r["residual"]) for r in out if r["residual"] is not None
+    )
+    assert sum(1 for v in flagged.values() if v is None) == 4  # 2 edges x 2
+    # control: the same series WITHOUT the spike flags nothing
+    clean = [(k, t, v - (500.0 if t == dt.date(2020, 12, 1) else 0.0))
+             for (k, t, v) in rows]
+    cdf = spark.createDataFrame(clean, "k string, t date, v double")
+    cout = seasonal_anomalies(cdf, ["k"], "t", "v", period=4).collect()
+    assert not any(r["is_anomaly"] for r in cout if r["is_anomaly"] is not None)

@@ -43,6 +43,7 @@ PYSPARK_35_FUNCTIONS_VERIFIED = {
     "Column", "col", "lit", "expr", "when", "broadcast", "asc", "desc",
     # math
     "abs", "ceil", "floor", "exp", "log", "log2", "sqrt", "pow", "round",
+    "signum",  # math sign, 1.4
     "pmod", "greatest", "least", "conv", "cos",
     # string
     "ascii", "concat", "concat_ws", "length", "lower", "lpad", "trim",
