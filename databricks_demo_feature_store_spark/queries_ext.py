@@ -4172,3 +4172,44 @@ def q_ext_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     held_out = docs.filter(F.col("doc_id") % 5 == 0)
     return trigram_backoff_scores(held_out, corpus, lam=0.4).orderBy("doc_id")
+
+
+@register(
+    "q_ext_cluster_split",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ), rep AS (
+      SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f
+    ), b AS (
+      SELECT fp.doc_id,
+             ({_o_hash("CAST(rep.rep AS VARCHAR)", 42)}) % 10000 AS bucket
+      FROM fp JOIN rep ON rep.f = fp.f
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 2000 THEN 'test'
+                WHEN bucket < 3000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def q_ext_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus splitting (textops/sampling.py
+    leakage_safe_split): every exact-dedup fingerprint group is assigned
+    to train/val/test AS A UNIT by a deterministic hash of its
+    representative id — duplicated documents can never straddle the
+    eval boundary (the contamination mode row-level splits guarantee on
+    a duplicate-bearing corpus). Fingerprinting, representative
+    selection and the split hash all replay in SQL via the portable md5
+    twins.
+    """
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        docs, test_fraction=0.2, val_fraction=0.1
+    ).orderBy("doc_id")

@@ -549,3 +549,41 @@ def exact_k_per_group(
         .where(F.col("__ekg_rank") <= int(k))
         .select(*df.columns)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_fraction: float = 0.2,
+    val_fraction: float = 0.0,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Train/val/test split that can never leak near-identical text
+    across sides: documents are grouped by their exact-dedup fingerprint
+    and the WHOLE GROUP is assigned by a deterministic hash of the
+    group's representative id — the eval-contamination rule row-level
+    splits break the moment the corpus contains duplicates (the same
+    document lands in train AND test with probability ≈ the duplicate
+    rate).
+
+    One fingerprint hash agg + a join-back; the split column itself is
+    the engine's deterministic `train_test_split_col` (no rand(), stable
+    across runs, engines, partitionings). Returns (id, split).
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        train_test_split_col,
+    )
+    from databricks_demo_feature_store_spark.textops.dedup import fingerprint_col
+
+    fp = df.select(
+        F.col(id_col), fingerprint_col(F.col(text_col)).alias("__fp")
+    )
+    rep = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    return fp.join(rep, "__fp").select(
+        id_col,
+        train_test_split_col(
+            F.col("__rep"), test_fraction=test_fraction,
+            val_fraction=val_fraction, seed=seed,
+        ).alias("split"),
+    )

@@ -1817,3 +1817,36 @@ def test_trigram_backoff_branches(spark):
     assert got[12] == -r6(math.log2(1 / 1))  # C(cab)=1, C(ca)=1
     assert got[11] == -r6(math.log2(0.16 * 2 / 13))
     assert got[13] == -r6(math.log2(0.16 * 1 / 13))
+
+
+def test_leakage_safe_split_groups_duplicates(spark):
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        leakage_safe_split,
+    )
+
+    # 30 distinct texts, each duplicated 1-3x with whitespace variants
+    rows, did = [], 0
+    for i in range(30):
+        text = f"document number {i} with shared content"
+        for copy in range(1 + i % 3):
+            variant = text if copy == 0 else ("  " + text.replace(" ", "  ") + " ")
+            rows.append((did, variant))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs, test_fraction=0.3, val_fraction=0.2)
+    joined = out.join(docs, "doc_id").collect()
+    # whitespace-normalized duplicates must share a split
+    import re
+    by_norm = {}
+    for r in joined:
+        key = re.sub(r"\s+", " ", r["text"].strip().lower())
+        by_norm.setdefault(key, set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_norm.values()), {
+        k: v for k, v in by_norm.items() if len(v) > 1
+    }
+    # all three sides populated and deterministic across reruns
+    splits = {r["split"] for r in joined}
+    assert splits == {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, test_fraction=0.3, val_fraction=0.2).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in joined}
