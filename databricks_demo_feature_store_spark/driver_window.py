@@ -604,7 +604,7 @@ q_ext_bpe_pair_stats / q_ext_bpe_roundtrip / q_fs_forget /
 q_incr_join_refresh / q_incr_agg_join_refresh / q_ext_classifier_train
 / q_ext_quality_filter_e2e / q_ext_curriculum_mixture /
 q_ext_lm_backoff / q_seasonal_decompose / q_seasonal_anomalies /
-q_ext_cluster_split):
+q_ext_cluster_split / q_ext_neardup_split):
 each is green
 in the full local differential
 gate on current code, and each carries dedicated pytest pinning beyond

@@ -899,8 +899,18 @@ def q_ext_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_shards(d, "n_tokens", "source", "doc_id", 2048)
 
 
-def _dedup_clusters_oracle(threshold: float = 0.7) -> str:
-    return f"""
+def _dedup_clusters_oracle(threshold: float = 0.7, tail: str | None = None) -> str:
+    """Recursive-CTE closure of the MinHash pair graph. ``tail`` replaces
+    the final SELECT (it sees a ``comp(doc_id, component_id)`` CTE) so
+    downstream oracles — e.g. the near-dup split — can build on the
+    component assignment without duplicating the chain."""
+    comp_select = """
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """
+    body = f"""
     WITH RECURSIVE {_minhash_pairs_ctes()},
     pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}),
     edges AS (
@@ -912,11 +922,10 @@ def _dedup_clusters_oracle(threshold: float = 0.7) -> str:
       UNION
       SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
     )
-    SELECT d.doc_id,
-           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
-    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-    GROUP BY d.doc_id
     """
+    if tail is None:
+        return body + comp_select
+    return body + f", comp AS ({comp_select})\n" + tail
 
 
 @register("q_ext_dedup_clusters", oracle=_dedup_clusters_oracle())
@@ -4212,4 +4221,43 @@ def q_ext_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return leakage_safe_split(
         docs, test_fraction=0.2, val_fraction=0.1
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_ext_neardup_split",
+    oracle=_dedup_clusters_oracle(
+        tail=f"""
+    SELECT comp.doc_id,
+           CASE WHEN ({_o_hash("CAST(comp.component_id AS VARCHAR)", 42)}) % 10000 < 2000
+                  THEN 'test'
+                WHEN ({_o_hash("CAST(comp.component_id AS VARCHAR)", 42)}) % 10000 < 3000
+                  THEN 'val'
+                ELSE 'train' END AS split
+    FROM comp ORDER BY comp.doc_id
+    """
+    ),
+)
+def q_ext_neardup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware leakage-safe splitting — the stronger eval guard:
+    MinHash-LSH pairs close into connected components and the WHOLE
+    component is assigned to train/val/test by a deterministic hash of
+    its id, so even paraphrase-level near-duplicates (Jaccard ≥ 0.7)
+    can never straddle the eval boundary. Composes the CC machinery
+    with the deterministic split column; the oracle extends the
+    recursive-CTE component closure with the same split hash.
+    """
+    from databricks_demo_feature_store_spark.functions.feature_generation import (
+        train_test_split_col,
+    )
+    from databricks_demo_feature_store_spark.textops.dedup import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, num_hashes=16, bands=4, threshold=0.7)
+    comp = dedup_clusters(d, pairs)
+    return comp.select(
+        "doc_id",
+        train_test_split_col(
+            F.col("component_id"), test_fraction=0.2, val_fraction=0.1
+        ).alias("split"),
     ).orderBy("doc_id")
