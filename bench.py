@@ -44,6 +44,7 @@ HEADLINE = [
     "q_skipping_scan",
     "q_bloom_join_reduce",
     "q_skipping_zorder",
+    "q_skipping_bloom",
     "q_fs_forget",
     "q_incr_join_refresh",
     "q_incr_agg_join_refresh",

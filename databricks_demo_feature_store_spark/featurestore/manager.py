@@ -113,6 +113,13 @@ class FeatureStoreManager:
         with open(os.path.join(self.path(spec.name), METADATA_FILE), "w") as fh:
             json.dump(meta, fh, indent=2, sort_keys=True)
 
+    # writer-internal directory suffixes (sources/writers.py _swap_dirs
+    # and its callers): crash debris with these names must never be
+    # listed as registered tables — a leftover staging dir now carries
+    # the registry metadata file too (atomic-promotion discipline), so
+    # name-based exclusion is the only reliable tell
+    _INTERNAL_SUFFIXES = ("__old", "__staging", "__compact", "__forget")
+
     def list_tables(self) -> list[str]:
         if not os.path.exists(self.root):
             return []
@@ -120,6 +127,7 @@ class FeatureStoreManager:
             d
             for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
+            and not d.endswith(self._INTERNAL_SUFFIXES)
         )
 
     # -- schema validation --------------------------------------------------
@@ -305,14 +313,20 @@ def forget_entities(
         path = manager.path(name)
         staging = path.rstrip("/") + "__forget"
         kept.write.format(manager.fmt).mode("overwrite").save(staging)
+        # Registry metadata rides IN the staging directory, so the rename
+        # promotes data and primary_keys in one atomic step. Writing it
+        # after the swap left a crash window that permanently lost
+        # primary_keys — after which every later forget_entities call saw
+        # key_col ∉ pks and silently stopped propagating deletions for
+        # this table (the worst failure mode for a compliance path).
+        if meta:
+            with open(
+                os.path.join(staging.removeprefix("file:"), METADATA_FILE), "w"
+            ) as fh:
+                json.dump(meta, fh, indent=2, sort_keys=True)
         from databricks_demo_feature_store_spark.sources.writers import _swap_dirs
 
         _swap_dirs(path, staging)
-        # the swap replaced the directory — restore the registry entry
-        if meta:
-            os.makedirs(path, exist_ok=True)
-            with open(os.path.join(path, METADATA_FILE), "w") as fh:
-                json.dump(meta, fh, indent=2, sort_keys=True)
         after = manager.read(name).count()
         rows.append((name, True, after, before - after))
     out = manager.spark.createDataFrame(

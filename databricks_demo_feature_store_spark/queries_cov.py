@@ -3309,6 +3309,70 @@ def q_skipping_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skipping_bloom",
+    oracle=f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           {_o_dsum('l_quantity', 2)} AS sum_qty,
+           {_o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey IN (1, 5, 7)
+    GROUP BY 1
+    ORDER BY l_orderkey
+    """,
+)
+def q_skipping_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom sidecar skipping (sources/skipping.py
+    write_bloom_sidecar) — the Delta bloom-filter-index twin: lineitem
+    is HASH-distributed on l_orderkey, so every file's [min, max] spans
+    the whole key domain and min/max skipping keeps all files; the
+    per-file Bloom bitsets prune an equality/IN point lookup to the few
+    files that can actually hold the keys. Skipping stays
+    optimization-only: files lacking a Bloom row are kept and the full
+    predicate re-applies as the residual, which is exactly what the
+    full-scan oracle certifies. The measured file-reduction factor and
+    the never-prune-blind guard are pinned in tests/test_skipping.py.
+    """
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_bloom_stats,
+        load_file_stats,
+        read_with_skipping,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import save_table
+
+    root = scratch_dir("skipping_bloom")
+    path = os.path.join(root, "lineitem_hashed")
+    li = load(spark, sf_dir, "lineitem")
+    # hash layout: the worst case for min/max, the home turf for Bloom
+    save_table(
+        li.repartition(8, "l_orderkey"),
+        path,
+        stats_columns=["l_orderkey"],
+        bloom_columns=["l_orderkey"],
+    )
+    stats = load_file_stats(spark, path)
+    bloom = load_bloom_stats(spark, path)
+    df, _report = read_with_skipping(
+        spark,
+        path,
+        stats,
+        [("l_orderkey", "in", [1.0, 5.0, 7.0])],
+        residual="l_orderkey IN (1, 5, 7)",
+        bloom=bloom,
+    )
+    return (
+        df.groupBy(F.col("l_orderkey").cast("long").alias("l_orderkey"))
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
     "q_fs_forget",
     oracle="""
     WITH forget AS (

@@ -73,6 +73,11 @@ def get_spark(
         # the driver testdata's events table carries TIMESTAMP(NANOS) which
         # Spark has no native type for; read as long and convert in load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet's default INT96 timestamps carry NO footer min/max
+        # statistics, which silently disables every timestamp-column
+        # data-skipping path (sources/skipping.py) on Spark-written
+        # tables — and INT96 is deprecated in the format anyway
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if driver_java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", driver_java_opts)

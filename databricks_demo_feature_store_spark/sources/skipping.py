@@ -52,6 +52,9 @@ __all__ = [
     "write_stats_sidecar",
     "load_file_stats",
     "stats_sidecar_path",
+    "write_bloom_sidecar",
+    "load_bloom_stats",
+    "bloom_sidecar_path",
 ]
 
 # stats long-form schema: one row per (file, column). Numeric-ish columns
@@ -250,6 +253,11 @@ def _survives(op: str, lo, hi, v):
     elif op == "<":
         cond = lo < v
     elif op == "in":
+        if not v:
+            # an empty IN list matches no row anywhere — disproved for
+            # every file, stats or not (handled before coalesce so the
+            # NULL-stats keep-rule can't resurrect it)
+            return F.lit(False)
         # survives iff ANY listed value can be inside [lo, hi]
         parts = [(lo <= x) & (hi >= x) for x in v]
         cond = parts[0]
@@ -283,6 +291,12 @@ def _score_files(
                 & (F.col("null_count") >= F.col("n_rows"))
             )
             checks.append(F.when(disproved, 1).otherwise(0))
+            continue
+        if op == "in" and not v:
+            # empty IN: provably empty result — disprove every stats row
+            # (no has_stats gate needed; this is predicate algebra, not a
+            # min/max judgment). The residual filter is F.lit(False) too.
+            checks.append(F.lit(1))
             continue
         sample = v[0] if op == "in" else v
         if isinstance(sample, str):
@@ -323,6 +337,7 @@ def read_with_skipping(
     stats: DataFrame,
     predicates: Sequence[tuple[str, str, object]],
     residual: str | None = None,
+    bloom: DataFrame | None = None,
 ) -> tuple[DataFrame, SkippingReport]:
     """Scan only the files ``prune_files`` keeps, then re-apply the full
     predicate as a residual filter (skipping can only be an optimization).
@@ -331,6 +346,11 @@ def read_with_skipping(
     predicate spec encodes timestamps as epoch seconds — pass the real
     SQL condition). Raises if the stats table doesn't cover the
     directory's CURRENT file set: stale stats could silently drop data.
+
+    ``bloom`` (a :func:`write_bloom_sidecar` frame) additionally prunes
+    files whose Bloom bitset disproves every equality/IN probe — the
+    point-lookup case min/max can't touch on hash-distributed columns.
+    Files without a Bloom row for a probed column are always kept.
     """
     current = set(_list_part_files(table_path))
     # ONE job serves both the coverage check and the pruning decision —
@@ -344,6 +364,9 @@ def read_with_skipping(
             f"{table_path!r} (e.g. {sorted(missing)[:2]}); re-harvest first"
         )
     kept = sorted(fp for fp, n in scored.items() if n == 0 and fp in current)
+    if bloom is not None and kept:
+        bad = _bloom_disproved(bloom, predicates)
+        kept = [fp for fp in kept if fp not in bad]
     report = SkippingReport(files_total=len(current), files_kept=len(kept))
     if not kept:
         # preserve schema with an empty frame over the full table
@@ -353,13 +376,25 @@ def read_with_skipping(
     if residual is not None:
         df = df.filter(residual)
     else:
+        # Column expressions, never interpolated SQL: a string value
+        # containing a quote must survive the residual verbatim, and an
+        # empty IN must evaluate to FALSE rather than crash
         for col, op, v in predicates:
+            c = F.col(col)
             if op == "is_not_null":
-                df = df.filter(F.col(col).isNotNull())
+                df = df.filter(c.isNotNull())
             elif op == "in":
-                df = df.filter(F.col(col).isin(list(v)))
-            else:
-                df = df.filter(f"{col} {'==' if op == '=' else op} {v!r}")
+                df = df.filter(c.isin(list(v)) if v else F.lit(False))
+            elif op == "=":
+                df = df.filter(c == F.lit(v))
+            elif op == ">=":
+                df = df.filter(c >= F.lit(v))
+            elif op == ">":
+                df = df.filter(c > F.lit(v))
+            elif op == "<=":
+                df = df.filter(c <= F.lit(v))
+            else:  # "<"
+                df = df.filter(c < F.lit(v))
     return df, report
 
 
@@ -396,16 +431,20 @@ def write_stats_sidecar(
     """
     stats = harvest_file_stats(spark, table_path, columns)
     out = stats_sidecar_path(table_path)
-    # stage-and-rename so a concurrent reader never sees a half-written
-    # sidecar (same discipline as writers._swap_dirs)
-    import shutil
+    # writers._swap_dirs promotion (rename old aside, rename staging in,
+    # drop old): a crash mid-swap leaves the old sidecar recoverable in
+    # __old instead of lost, and the no-sidecar window shrinks from
+    # "whole staging write" (the previous rmtree-then-rename) to the gap
+    # between two renames. The swap is scoped to the inner `data` dir so
+    # a sibling bloom sidecar under the same `_stats` survives a
+    # min/max-stats refresh.
     import uuid
 
-    hidden = os.path.dirname(out)  # <table>/_stats
-    staging = hidden + ".staging-" + uuid.uuid4().hex[:8]
-    stats.write.mode("overwrite").parquet(os.path.join(staging, "data"))
-    shutil.rmtree(hidden, ignore_errors=True)
-    os.rename(staging, hidden)
+    from databricks_demo_feature_store_spark.sources.writers import _swap_dirs
+
+    staging = out + ".staging-" + uuid.uuid4().hex[:8]
+    stats.write.mode("overwrite").parquet(staging)
+    _swap_dirs(out, staging)
     return load_file_stats(spark, table_path)
 
 
@@ -418,3 +457,189 @@ def load_file_stats(spark: SparkSession, table_path: str) -> DataFrame:
             "call write_stats_sidecar first"
         )
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom sidecar: point-predicate skipping where min/max can't
+# ---------------------------------------------------------------------------
+#
+# Min/max stats prune RANGE predicates on range-clustered layouts; they are
+# useless for equality/IN lookups on hash-distributed high-cardinality
+# columns (every file's [min, max] spans the whole domain). Delta solves
+# this with per-file Bloom filter indexes; this is that twin: one Bloom
+# bitset per (file, column), built in ONE data pass, persisted under the
+# same `_stats` hidden directory. Pruning stays an optimization — a file
+# without a Bloom row for the probed column is always kept, and the full
+# predicate re-applies as the residual.
+
+BLOOM_N_BITS = 1 << 17  # 16 KiB of bit words per (file, column)
+BLOOM_N_HASHES = 5
+
+
+def bloom_sidecar_path(table_path: str) -> str:
+    return os.path.join(table_path, STATS_DIR, "bloom")
+
+
+def _bloom_hash(key):
+    """Non-negative long hash of a canonical string key (pmod keeps every
+    derived bit position non-negative)."""
+    from databricks_demo_feature_store_spark.textops.dedup import MINHASH_P
+
+    return F.pmod(F.xxhash64(key), F.lit(MINHASH_P))
+
+
+def _bloom_key_build(col, dtype: str):
+    """Canonical string key for a column value. Numeric-ish types route
+    through double FIRST so the build matches the probe side, where the
+    predicate spec encodes every number (and timestamps, as epoch
+    seconds) as a Python float — xxhash64 is type- and
+    representation-sensitive, so '300' (long→string) would never match
+    '300.0' (double→string)."""
+    base = dtype.split("(")[0]
+    if base in ("double", "float", "decimal", "bigint", "int", "smallint",
+                "tinyint", "boolean"):
+        return col.cast("double").cast("string")
+    if base in ("timestamp", "timestamp_ntz"):
+        return col.cast("double").cast("string")
+    if base == "date":
+        return col.cast("timestamp").cast("double").cast("string")
+    return col.cast("string")
+
+
+def _bloom_key_probe(v):
+    """Probe-side canonical key for one predicate value: floats for
+    anything numeric (mirroring the stats predicate spec), strings as-is."""
+    if isinstance(v, str):
+        return F.lit(v)
+    return F.lit(float(v)).cast("string")
+
+
+def write_bloom_sidecar(
+    spark: SparkSession,
+    table_path: str,
+    columns: Sequence[str],
+    n_bits: int = BLOOM_N_BITS,
+    n_hashes: int = BLOOM_N_HASHES,
+) -> DataFrame:
+    """Build and persist per-(file, column) Bloom bitsets — ONE scan of
+    the table no matter how many columns (the per-column values unpivot
+    through a single projection), fully map-side-combinable aggregation
+    (``bit_or`` of shifted bits per 64-bit word).
+
+    Unlike the footer-only min/max harvest this READS data pages — the
+    same trade Delta's bloom-filter index makes; refresh policy follows
+    the stats sidecar (rewrite after table mutation)."""
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        _bloom_positions,
+    )
+
+    if not columns:
+        raise ValueError("bloom sidecar needs at least one column")
+    df = spark.read.parquet(table_path)
+    dtypes = dict(df.dtypes)
+    missing_cols = [c for c in columns if c not in dtypes]
+    if missing_cols:
+        raise ValueError(f"bloom columns not in table: {missing_cols}")
+    fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    _bloom_hash(_bloom_key_build(F.col(c), dtypes[c])),
+                ).alias("__v"),
+            )
+            for c in columns
+        ]
+    )
+    vals = (
+        df.select(fp.alias("file_path"), F.explode(pairs).alias("p"))
+        .select("file_path", "p.column", "p.__v")
+        .where(F.col("__v").isNotNull())
+    )
+    pos = vals.select(
+        "file_path",
+        "column",
+        F.explode(
+            F.array(*_bloom_positions(F.col("__v"), n_bits, n_hashes))
+        ).alias("__pos"),
+    )
+    words = (
+        pos.select(
+            "file_path",
+            "column",
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")
+            ).alias("__bit"),
+        )
+        .groupBy("file_path", "column", "__w")
+        .agg(F.bit_or("__bit").alias("__word"))
+    )
+    blooms = (
+        words.groupBy("file_path", "column")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__w", "__word")))
+            ).alias("bloom")
+        )
+        .withColumn("n_bits", F.lit(n_bits))
+        .withColumn("n_hashes", F.lit(n_hashes))
+    )
+    import uuid
+
+    from databricks_demo_feature_store_spark.sources.writers import _swap_dirs
+
+    out = bloom_sidecar_path(table_path)
+    staging = out + ".staging-" + uuid.uuid4().hex[:8]
+    blooms.write.mode("overwrite").parquet(staging)
+    _swap_dirs(out, staging)
+    return load_bloom_stats(spark, table_path)
+
+
+def load_bloom_stats(spark: SparkSession, table_path: str) -> DataFrame:
+    out = bloom_sidecar_path(table_path)
+    if not os.path.isdir(out):
+        raise FileNotFoundError(
+            f"no bloom sidecar at {out!r} — call write_bloom_sidecar first"
+        )
+    return spark.read.parquet(out)
+
+
+def _bloom_disproved(
+    bloom: DataFrame, predicates: Sequence[tuple[str, str, object]]
+) -> set[str]:
+    """File paths DISPROVED by a Bloom row: the file has a bitset for the
+    predicate column and NO probed value might be contained. Only files
+    WITH a row can land here — absent rows never prune (blind-keep)."""
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        bloom_might_contain_col,
+    )
+
+    probes: list[tuple[str, list]] = []
+    for col, op, v in predicates:
+        if op == "=":
+            probes.append((col, [v]))
+        elif op == "in" and v:
+            probes.append((col, list(v)))
+    if not probes:
+        return set()
+    head = bloom.select("n_bits", "n_hashes").first()
+    if head is None:
+        return set()
+    n_bits, n_hashes = int(head["n_bits"]), int(head["n_hashes"])
+    conds = None
+    for col, vals in probes:
+        might = None
+        for x in vals:
+            m = bloom_might_contain_col(
+                F.col("bloom"), _bloom_hash(_bloom_key_probe(x)), n_bits, n_hashes
+            )
+            might = m if might is None else (might | m)
+        c = (F.col("column") == col) & ~might
+        conds = c if conds is None else (conds | c)
+    return {
+        r["file_path"]
+        for r in bloom.where(conds).select("file_path").distinct().collect()
+    }

@@ -65,6 +65,7 @@ def save_table(
     merge_keys: Sequence[str] | None = None,
     partition_overwrite: bool = False,
     stats_columns: Sequence[str] | None = None,
+    bloom_columns: Sequence[str] | None = None,
 ) -> None:
     """Write a layer table.
 
@@ -79,7 +80,7 @@ def save_table(
         if not merge_keys:
             raise ValueError("merge mode requires merge_keys")
         merge_upsert(df, path, list(merge_keys), fmt=fmt, partition_by=partition_by)
-        _refresh_stats(spark, path, fmt, stats_columns)
+        _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
         return
     if mode == "overwrite" and partition_overwrite and partition_by:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
@@ -88,24 +89,39 @@ def save_table(
             _write(df, path, fmt, "overwrite", partition_by)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        _refresh_stats(spark, path, fmt, stats_columns)
+        _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
         return
     _write(df, path, fmt, mode, partition_by)
-    _refresh_stats(spark, path, fmt, stats_columns)
+    _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
 
 
 def _refresh_stats(
-    spark: SparkSession, path: str, fmt: str, stats_columns: Sequence[str] | None
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    stats_columns: Sequence[str] | None,
+    bloom_columns: Sequence[str] | None = None,
 ) -> None:
     """Write-time stats collection (the Delta ``add.stats`` twin): when a
     caller opts in via ``stats_columns``, every table mutation refreshes
     the ``_stats`` sidecar so `read_with_skipping`'s coverage guard stays
-    satisfied. Footer-only — O(files), no data pages."""
-    if stats_columns is None or fmt != "parquet":
+    satisfied. Footer-only — O(files), no data pages. ``bloom_columns``
+    additionally refreshes the per-file Bloom sidecar (the Delta
+    bloom-filter-index twin; this one DOES read data pages)."""
+    if fmt != "parquet":
         return
-    from databricks_demo_feature_store_spark.sources.skipping import write_stats_sidecar
+    if stats_columns is not None:
+        from databricks_demo_feature_store_spark.sources.skipping import (
+            write_stats_sidecar,
+        )
 
-    write_stats_sidecar(spark, path.removeprefix("file:"), list(stats_columns))
+        write_stats_sidecar(spark, path.removeprefix("file:"), list(stats_columns))
+    if bloom_columns is not None:
+        from databricks_demo_feature_store_spark.sources.skipping import (
+            write_bloom_sidecar,
+        )
+
+        write_bloom_sidecar(spark, path.removeprefix("file:"), list(bloom_columns))
 
 
 def merge_upsert(
@@ -198,6 +214,7 @@ def compact(
     fmt: str = "parquet",
     target_partitions: int | None = None,
     stats_columns: Sequence[str] | None = None,
+    bloom_columns: Sequence[str] | None = None,
 ) -> None:
     """Post-write compaction (the reference runs Delta ``OPTIMIZE`` after
     every save — ``notebooks/utils.py:1762-1765``). For parquet we rewrite
@@ -217,4 +234,4 @@ def compact(
     staging = path.rstrip("/") + "__compact"
     df.coalesce(n).write.format(fmt).mode("overwrite").save(staging)
     _swap_dirs(path, staging)
-    _refresh_stats(spark, path, fmt, stats_columns)
+    _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)

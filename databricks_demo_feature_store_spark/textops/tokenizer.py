@@ -183,14 +183,24 @@ def bpe_encode(
             memo[word] = syms
             return syms
 
+        import re as _re
+
+        # Mirror training's tokenization EXACTLY: bpe_word_table splits on
+        # Spark/Java \s+ — which is only [ \t\n\x0b\f\r], NOT Python
+        # str.split()'s full Unicode whitespace. A U+00A0 (say) must stay
+        # inside the word here just as it did in the word table the merges
+        # were learned from, or concat(tokens) stops reconstructing the
+        # text and the cross-engine roundtrip hash breaks.
+        _java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
         ranks_inv = {i: m for m, i in ranks.items()}
         for pdf in batches:
             memo: dict = {}
             toks = []
             for text in pdf[text_name]:
                 row_tokens: list[str] = []
-                for w in (text or "").lower().split():
-                    row_tokens.extend(encode_word(w, memo))
+                for w in _java_ws.split((text or "").lower()):
+                    if w:
+                        row_tokens.extend(encode_word(w, memo))
                 toks.append(row_tokens)
             pdf = pdf.copy()
             pdf[out_col] = toks

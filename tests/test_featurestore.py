@@ -666,3 +666,50 @@ def test_refresh_join_view_equals_recompute(spark):
     assert got == want
     # no-delta call is the identity
     assert refresh_join_view(view, None, dim, on=("k", "k2"), replace_key="fid") is view
+
+
+def test_forget_metadata_promoted_atomically(spark, tmp_path, monkeypatch):
+    """ADVICE r11: registry metadata must ride in the staging directory so
+    the _swap_dirs rename promotes data + primary_keys atomically. A crash
+    AT the swap must leave the live table (and its metadata) untouched,
+    and the staging dir must already contain the metadata file."""
+    import os
+
+    from databricks_demo_feature_store_spark.featurestore import forget_entities
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        METADATA_FILE,
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+    from databricks_demo_feature_store_spark.sources import writers
+
+    mgr = FeatureStoreManager(spark, str(tmp_path / "store"))
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], "uid int, v double")
+    mgr.save(a, FeatureTableSpec(name="ta", primary_keys=("uid",)), mode="overwrite")
+    forget = spark.createDataFrame([(2,)], "uid int")
+
+    real_swap = writers._swap_dirs
+    staged: dict = {}
+
+    def crash_swap(live, staging):
+        staged["path"] = staging.removeprefix("file:")
+        raise RuntimeError("simulated crash at swap")
+
+    monkeypatch.setattr(writers, "_swap_dirs", crash_swap)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        forget_entities(mgr, forget, "uid")
+    # staging already carries the registry metadata — the rename alone
+    # would have promoted both
+    assert os.path.exists(os.path.join(staged["path"], METADATA_FILE))
+    # live table + metadata untouched by the crash
+    assert mgr.read("ta").count() == 2
+    assert mgr.get_metadata("ta")["primary_keys"] == ["uid"]
+
+    # recovery: the next forget (with the real swap) completes and keeps
+    # propagating — primary_keys never got lost
+    monkeypatch.setattr(writers, "_swap_dirs", real_swap)
+    audit = {r["table"]: r for r in forget_entities(mgr, forget, "uid").collect()}
+    assert audit["ta"]["key_matched"] is True and audit["ta"]["rows_deleted"] == 1
+    assert mgr.get_metadata("ta")["primary_keys"] == ["uid"]

@@ -323,3 +323,175 @@ def test_bloom_filtered_join_same_key_name(spark):
     right = spark.range(0, 10).select(F.col("id").alias("k"))
     got = bloom_filtered_join(left, right, "k", "k", how="left_semi", n_bits=1 << 12)
     assert got.count() == 10
+
+
+def test_timestamp_column_pruning(spark, tmp_path):
+    """Spark-written timestamp columns must carry footer min/max (ADVICE
+    r11: the INT96 default writes NO statistics, silently disabling every
+    timestamp skipping path — session.py now pins TIMESTAMP_MICROS)."""
+    path = str(tmp_path / "ts")
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id*3600)").alias("ts"),
+    )
+    df.repartitionByRange(4, "id").write.mode("overwrite").parquet(path)
+    stats = harvest_file_stats(spark, path, ["ts"])
+    # every file must have usable stats for the timestamp column
+    assert stats.filter("column = 'ts' AND NOT has_stats").count() == 0
+    import datetime as dt
+
+    cut = dt.datetime(2024, 1, 14, tzinfo=dt.timezone.utc).timestamp()
+    got, report = read_with_skipping(
+        spark, path, stats, [("ts", ">=", cut)], residual="ts >= timestamp'2024-01-14'"
+    )
+    assert report.pruned > 0, "timestamp range predicate must actually prune files"
+    full = spark.read.parquet(path).filter("ts >= timestamp'2024-01-14'")
+    assert got.count() == full.count() > 0
+
+
+def test_empty_in_list_prunes_all(spark, tmp_path):
+    path = str(tmp_path / "emptyin")
+    _write_clustered(spark, path)
+    stats = harvest_file_stats(spark, path, ["id"])
+    # empty IN is provably empty: every file pruned, zero rows, no crash
+    assert prune_files(stats, [("id", "in", [])]).count() == 0
+    got, report = read_with_skipping(spark, path, stats, [("id", "in", [])])
+    assert report.files_kept == 0
+    assert got.count() == 0
+    # schema preserved for downstream unions
+    assert "id" in got.columns
+
+
+def test_residual_quote_safe_strings(spark, tmp_path):
+    path = str(tmp_path / "quotes")
+    df = spark.createDataFrame(
+        [(1, "o'brien"), (2, 'say "hi"'), (3, "plain")], "id long, s string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stats = harvest_file_stats(spark, path, ["id", "s"])
+    got, _ = read_with_skipping(spark, path, stats, [("s", "=", "o'brien")])
+    assert [r.id for r in got.collect()] == [1]
+    got2, _ = read_with_skipping(spark, path, stats, [("s", "in", ['say "hi"'])])
+    assert [r.id for r in got2.collect()] == [2]
+
+
+def test_sidecar_rewrite_leaves_no_debris(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_file_stats,
+        write_stats_sidecar,
+    )
+
+    path = str(tmp_path / "debris")
+    _write_clustered(spark, path)
+    write_stats_sidecar(spark, path, ["id"])
+    write_stats_sidecar(spark, path, ["id"])  # rewrite over an existing sidecar
+    leftovers = [
+        d for d in os.listdir(path) if ".staging-" in d or d.endswith("__old")
+    ]
+    assert leftovers == []
+    assert load_file_stats(spark, path).count() > 0
+
+
+def _bloom_setup(spark, tmp_path, n=2000, files=8):
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        harvest_file_stats,
+        write_bloom_sidecar,
+    )
+
+    path = str(tmp_path / "bl")
+    df = spark.range(0, n).select(
+        F.col("id"), (F.col("id") * 3).alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("s"),
+    )
+    # hash layout: min/max can never prune a point predicate here
+    df.repartition(files, "k").write.mode("overwrite").parquet(path)
+    stats = harvest_file_stats(spark, path, ["k", "s"])
+    bloom = write_bloom_sidecar(spark, path, ["k", "s"])
+    return path, stats, bloom
+
+
+def test_bloom_sidecar_prunes_point_lookup(spark, tmp_path):
+    path, stats, bloom = _bloom_setup(spark, tmp_path)
+    # min/max alone keeps everything on a hash layout
+    _, rep0 = read_with_skipping(spark, path, stats, [("k", "=", 300.0)])
+    assert rep0.pruned == 0
+    got, rep = read_with_skipping(
+        spark, path, stats, [("k", "=", 300.0)], bloom=bloom
+    )
+    assert rep.pruned > 0, "bloom must prune a hash-distributed point lookup"
+    assert [r.k for r in got.collect()] == [300]
+    # string equality too
+    got2, rep2 = read_with_skipping(
+        spark, path, stats, [("s", "=", "d77")], bloom=bloom
+    )
+    assert rep2.pruned > 0
+    assert [r.s for r in got2.collect()] == ["d77"]
+    # IN with an absent value: exact rows, no false negatives
+    got3, _ = read_with_skipping(
+        spark, path, stats, [("k", "in", [3.0, 9.0, 10.0**9])], bloom=bloom
+    )
+    assert sorted(r.k for r in got3.collect()) == [3, 9]
+
+
+def test_bloom_never_prunes_blind(spark, tmp_path):
+    """Files without a Bloom row (or columns never bloomed) must be kept."""
+    path, stats, bloom = _bloom_setup(spark, tmp_path)
+    # probe a column with NO bloom rows: nothing pruned, rows exact
+    got, rep = read_with_skipping(
+        spark, path, stats, [("id", "=", 5.0)], bloom=bloom
+    )
+    assert rep.pruned == 0
+    assert [r.id for r in got.collect()] == [5]
+    # drop the bloom row of the ONE file holding k=300: that file must be
+    # kept blind and the row still returned (no false negatives, ever)
+    holder = (
+        spark.read.parquet(path)
+        .filter("k = 300")
+        .select(F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("f"))
+        .first()["f"]
+    )
+    partial = bloom.filter(F.col("file_path") != holder)
+    got2, rep2 = read_with_skipping(
+        spark, path, stats, [("k", "=", 300.0)], bloom=partial
+    )
+    assert [r.k for r in got2.collect()] == [300]
+    assert rep2.files_kept >= 1
+
+
+def test_bloom_range_predicates_ignored(spark, tmp_path):
+    """Bloom applies only to =/IN conjuncts; ranges go through min/max."""
+    path, stats, bloom = _bloom_setup(spark, tmp_path)
+    got, _ = read_with_skipping(
+        spark, path, stats, [("k", ">=", 5900.0)], bloom=bloom
+    )
+    full = spark.read.parquet(path).filter("k >= 5900").count()
+    assert got.count() == full > 0
+
+
+def test_save_table_refreshes_bloom_and_stats_coexist(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_bloom_stats,
+        load_file_stats,
+        write_stats_sidecar,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import save_table
+
+    path = str(tmp_path / "co")
+    df = spark.range(0, 500).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    save_table(
+        df.repartition(4, "id"), path, stats_columns=["id"], bloom_columns=["id"]
+    )
+    assert load_file_stats(spark, path).count() > 0
+    assert load_bloom_stats(spark, path).count() > 0
+    # a stats-only refresh must NOT destroy the bloom sidecar (sibling
+    # dirs under _stats; the swap is scoped to _stats/data)
+    write_stats_sidecar(spark, path, ["id"])
+    assert load_bloom_stats(spark, path).count() > 0
+    # and the bloom prunes after a merge-mode mutation refreshes both
+    upd = spark.range(500, 600).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    save_table(upd, path, mode="merge", merge_keys=["id"],
+               stats_columns=["id"], bloom_columns=["id"])
+    stats = load_file_stats(spark, path)
+    bloom = load_bloom_stats(spark, path)
+    got, rep = read_with_skipping(spark, path, stats, [("id", "=", 550.0)], bloom=bloom)
+    assert [r.id for r in got.collect()] == [550]

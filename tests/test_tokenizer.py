@@ -115,3 +115,28 @@ def test_encode_applies_merges_in_rank_order(spark):
     assert enc1 == ["ab", "c", EOW]
     enc2 = bpe_encode(docs, [("b", "c"), ("a", "b")]).collect()[0]["tokens"]
     assert enc2 == ["a", "bc", EOW]
+
+
+def test_encode_split_mirrors_training_on_unicode_whitespace(spark):
+    """ADVICE r11: training splits on Java \\s+ ([ \\t\\n\\x0b\\f\\r]); the
+    encode closure must use the SAME splitter, not Python str.split()'s
+    full Unicode whitespace — U+00A0 stays inside a word on both sides so
+    concat(tokens) keeps reconstructing the word table's words."""
+    docs = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "a b c"), (3, "plain text")],
+        "id long, text string",
+    )
+    # training sees "foo bar" as ONE word
+    words = {r.word for r in bpe_word_table(docs).collect()}
+    assert ("foo bar" + EOW) in words
+    # encode must reconstruct exactly the Java-split lowercased words
+    enc = bpe_encode(docs, learn_bpe_merges(docs, n_merges=4))
+    bad = (
+        enc.select(
+            F.regexp_replace(F.concat_ws("", "tokens"), EOW, "").alias("recon"),
+            F.concat_ws("", F.split(F.lower("text"), r"\s+")).alias("orig"),
+        )
+        .filter(F.col("recon") != F.col("orig"))
+        .count()
+    )
+    assert bad == 0
