@@ -612,11 +612,105 @@ the oracle — pruning effectiveness + never-prune-blind + stale-stats
 guard, bloom reduction factor + plain-join equality, merge-for-merge
 Sennrich-reference equality, forget idempotence + metadata survival,
 IVM row-identical recompute equality.
+Round-12 rotation (VERDICT r11 task 1: certification debt is the
+biggest risk surface — burn the never-driver-certified set to zero,
+then oldest-first): the window takes the flagship + ALL 37 queries that
+have never appeared in any CORRECTNESS gate (the 34 round-11 late
+births: TPC-H q02/q04/q10–q22, the skipping/z-order pair, Bloom join,
+both BPE queries, right-to-be-forgotten, both IVM join refreshes, the
+classifier/quality-filter/curriculum trio, the backoff LM, both
+seasonal queries, both leakage-safe splits, URL dedup, index
+doctor/refine — plus the 3 round-12 births: q_skipping_bloom,
+q_ext_index_partitioned, q_ext_index_rebuild_policy) + 12 of the 37
+r6-stale queries, prioritized by module churn since their last cert
+(similarity.py: q_ext_ivfpq_topk + q_ext_pq_refined_topk, reused by
+the index store; writers.py changed THIS round: q_layer_roundtrip +
+q_stream_feature_store; manager.py changed THIS round — its broader
+cover is the in-window q_fs_forget + all four index-store queries;
+pipelines: q_pipeline_supplier_risk + q_pipeline_customer_tx; plus
+family anchors q_ext_substring_dedup, q_ext_token_mixture,
+q_stream_sliding, q_val_crosscheck, q_funnel_steps, q_quantile_bin).
+
+OUT: all 49 non-flagship round-11 window members — every one is
+round-11 driver-green (CORRECTNESS_r11 was 50/50 on effectively
+current code, the freshest certification any query can carry) and
+stays exact-checked by the full local differential gate (256 queries,
+judge-rerun each round) + pytest; rotating the freshest-certified out
+for the never-certified is precisely the policy VERDICT r11 directed.
+Remaining debt after this round: the 25 other r6-stale queries
+(q_bin_by_cutpoints, q_chi2_association, q_event_attribution,
+q_event_transitions, q_ext_ann_recall, q_ext_bm25_topk, q_ext_lm_score,
+q_ext_simhash, q_ext_weighted_sample, q_feature_chain,
+q_feature_correlations, q_layer… — full list = r6 set minus the 12
+above) plus the r7 cohort (21) — they fit the next two windows,
+oldest-first; each keeps an in-window family anchor this round
+(pipelines via supplier_risk/customer_tx, streaming via
+feature_store/sliding, events via funnel_steps, eval/monitor via
+crosscheck, sampling via token_mixture, PQ/ANN via ivfpq/pq_refined,
+rank primitives via quantile_bin).
 """
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- round-12 window (see docstring tail) ----
+    "q01_pricing_summary",  # flagship (entry())
+    # never-certified: round-11 TPC-H completion
+    "q02_min_cost_supplier",
+    "q04_priority_returns",
+    "q10_returned_revenue",
+    "q11_important_value",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_return_suppliers",
+    "q22_dormant_customers",
+    # never-certified: round-11 births
+    "q_skipping_scan",
+    "q_skipping_zorder",
+    "q_bloom_join_reduce",
+    "q_ext_bpe_pair_stats",
+    "q_ext_bpe_roundtrip",
+    "q_fs_forget",
+    "q_incr_join_refresh",
+    "q_incr_agg_join_refresh",
+    "q_ext_classifier_train",
+    "q_ext_quality_filter_e2e",
+    "q_ext_curriculum_mixture",
+    "q_ext_lm_backoff",
+    "q_seasonal_decompose",
+    "q_seasonal_anomalies",
+    "q_ext_cluster_split",
+    "q_ext_neardup_split",
+    "q_ext_url_dedup",
+    "q_ext_index_doctor",
+    "q_ext_index_refine",
+    # round-12 births (rotate straight in — no new debt)
+    "q_skipping_bloom",
+    "q_ext_index_partitioned",
+    "q_ext_index_rebuild_policy",
+    # r6-stale re-certifications (12 of 37; priority = module churn)
+    "q_ext_ivfpq_topk",
+    "q_ext_pq_refined_topk",
+    "q_layer_roundtrip",
+    "q_stream_feature_store",
+    "q_pipeline_supplier_risk",
+    "q_pipeline_customer_tx",
+    "q_ext_substring_dedup",
+    "q_ext_token_mixture",
+    "q_stream_sliding",
+    "q_val_crosscheck",
+    "q_funnel_steps",
+    "q_quantile_bin",
+)
+
+_ROUND11_WINDOW: tuple[str, ...] = (
     # Round-11 window (VERDICT r10 task 1: oldest-first freshness — the
     # r4/r5 cohorts rotate in completely, plus the most-changed r6
     # queries). Every round-10 window member rotating OUT carries a

@@ -49,6 +49,12 @@ class FeatureTableSpec:
     description: str = ""
     tags: dict = field(default_factory=dict)
     source_tables: tuple[str, ...] = ()
+    # Hive-style layout columns. Feature tables default to unpartitioned
+    # (reference time-series-table rule, :1656-1663); opt in for tables
+    # whose read path is partition-prunable by construction (e.g. the
+    # vector index's inverted lists keyed by cluster). Both the overwrite
+    # and the merge write path honor it, so the layout survives upserts.
+    partition_by: tuple[str, ...] = ()
 
 
 @dataclass
@@ -79,14 +85,22 @@ class FeatureStoreManager:
         registry metadata written before first data, or debris from a
         crashed/raced writer — is treated as absent, so a subsequent save
         recreates it instead of failing schema validation on an empty
-        parquet footerless dir."""
+        parquet footerless dir. Walks the tree because a hive-partitioned
+        table (``FeatureTableSpec.partition_by``) keeps its data files in
+        ``k=v`` subdirectories — a top-level-only probe would misread a
+        populated partitioned table as absent and silently OVERWRITE it
+        on the next merge."""
         p = self.path(name)
         if not os.path.isdir(p):
             return False
-        return any(
-            f.endswith((".parquet", ".orc")) or f == "_delta_log" or f.startswith("part-")
-            for f in os.listdir(p)
-        )
+        for root, dirs, files in os.walk(p):
+            if any(
+                f.endswith((".parquet", ".orc")) or f == "_delta_log"
+                or f.startswith("part-")
+                for f in files + dirs
+            ):
+                return True
+        return False
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(name))
@@ -177,8 +191,12 @@ class FeatureStoreManager:
             needs_overwrite = True
 
         if needs_overwrite or not self.exists(spec.name):
-            # Feature tables stay unpartitioned by design (reference :1656-1663).
-            df.write.format(self.fmt).mode("overwrite").save(path)
+            # Unpartitioned by default (reference :1656-1663); spec can
+            # opt into a hive layout (see FeatureTableSpec.partition_by).
+            writer = df.write.format(self.fmt).mode("overwrite")
+            if spec.partition_by:
+                writer = writer.partitionBy(*spec.partition_by)
+            writer.save(path)
         else:
             keys = list(spec.primary_keys)
             update_columns = diff.new_columns or None
@@ -187,6 +205,7 @@ class FeatureStoreManager:
                 path,
                 keys,
                 fmt=self.fmt,
+                partition_by=list(spec.partition_by) or None,
                 update_columns=update_columns,
             )
         self._update_metadata(spec)

@@ -3543,6 +3543,93 @@ def q_ext_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rebuild-policy oracle: the SAME probe/LUT/ADC replay as the search
+# oracle, but with quantizers retrained on the post-delete LIVE corpus —
+# exactly what rebuild_if_drifted does once the dead-fraction threshold
+# trips (kmeans_iterations=0 ⇒ deterministic md5-ordered seeding, so the
+# oracle can replay training).
+_INDEX_REBUILD_ORACLE = _INDEX_SEARCH_ORACLE.replace(
+    "base AS (SELECT * FROM e WHERE vec_id % 10 <> 3)",
+    "base AS (SELECT * FROM e WHERE vec_id % 10 NOT IN (4, 5, 6))",
+).replace(
+    "live AS (SELECT * FROM e WHERE vec_id % 10 <> 6)",
+    "live AS (SELECT * FROM e WHERE vec_id % 10 NOT IN (4, 5, 6))",
+)
+
+
+@register("q_ext_index_rebuild_policy", oracle=_INDEX_REBUILD_ORACLE)
+def q_ext_index_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-drift-triggered rebuild (VectorIndexStore
+    rebuild_if_drifted) — the loop-closure on q_ext_index_doctor's
+    health signals: build-on-base + upsert + a 30% tombstone wave trips
+    the dead-fraction threshold, the policy retrains the quantizers on
+    the CURRENT live corpus (sourced from the flat vector tier — the
+    index heals itself) and rebuilds the postings; the gated output is
+    the post-rebuild search. The oracle independently replays quantizer
+    training on the live set + probe/LUT/ADC — value equality proves
+    the policy rebuilt from exactly the live corpus with exactly the
+    frozen-seed training. The recall-non-regression half (post-rebuild
+    ≥ drifted) and the below-threshold no-op are pinned in
+    tests/test_index_store.py."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    dels = emb.filter(
+        (F.col("vec_id") % 10 >= 4) & (F.col("vec_id") % 10 <= 6)
+    ).select("vec_id")
+
+    mgr = FeatureStoreManager(spark, scratch_dir("vec_index_rebuild"))
+    store = VectorIndexStore(mgr, name="emb", nlist=8, m=_PQ_M, pq_k=_PQ_K)
+    store.build(base, store_vectors=True)
+    store.upsert(batch)
+    store.delete(dels)
+    fired = store.rebuild_if_drifted(max_dead_fraction=0.2)
+    assert fired, "the 30% tombstone wave must trip the rebuild policy"
+    return store.search(
+        emb.filter(F.col("vec_id") < 3), k=5, nprobe=2, query_id_col="vec_id"
+    )
+
+
+@register("q_ext_index_partitioned", oracle=_INDEX_SEARCH_ORACLE)
+def q_ext_index_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME maintained-index lifecycle and search as
+    q_ext_index_search, on the CLUSTER-PARTITIONED postings layout
+    (``VectorIndexStore(partition_postings=True)``): the inverted lists
+    are hive-partitioned by a string projection of the cluster id, so
+    the probe is a PARTITION-PRUNED scan of ~nprobe directories — the
+    at-scale layout. Identical oracle proves pruned search ≡ full-scan
+    search through build → upsert → tombstone-delete; the pruning
+    effectiveness itself (probe reads only probed partitions' files)
+    is pinned in tests/test_index_store.py."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    dels = emb.filter(F.col("vec_id") % 10 == 6).select("vec_id")
+
+    mgr = FeatureStoreManager(spark, scratch_dir("vec_index_part"))
+    store = VectorIndexStore(
+        mgr, name="emb", nlist=8, m=_PQ_M, pq_k=_PQ_K, partition_postings=True
+    )
+    store.build(base)
+    store.upsert(batch)
+    store.delete(dels)
+    return store.search(
+        emb.filter(F.col("vec_id") < 3), k=5, nprobe=2, query_id_col="vec_id"
+    )
+
+
 @register(
     "q_ext_index_doctor",
     oracle=f"""

@@ -37,11 +37,15 @@ Maintenance discipline:
 
 Scale notes: centroids and codebooks are broadcast-sized by
 construction; ``search`` touches ~nprobe/nlist of the postings and
-reads code bytes, not vectors. The manager's feature tables are
-unpartitioned (reference time-series-table rule); at real scale the
-postings table would be written ``partitionBy(cluster)`` so a probe is
-a partition-pruned scan — the merge path is unchanged because upserts
-touch only the clusters of the batch's vectors.
+reads code bytes, not vectors. ``partition_postings=True`` (r12)
+writes the postings hive-partitioned by a string projection of the
+cluster id (``cluster_pt=c0003``), so a probe is a PARTITION-PRUNED
+scan of ~nprobe directories instead of a full postings read — the
+merge path is unchanged because upserts touch only the clusters of
+the batch's vectors, and the layout column rides through the
+manager's spec (``FeatureTableSpec.partition_by``). The projection is
+a string on purpose: hive partition-value inference would re-type a
+numeric layout column on read.
 
 Reference parity: the reference has no vector tier; its closest shape
 is the MERGE-upsert feature writer (``notebooks/utils.py:1748-1758``)
@@ -73,6 +77,12 @@ class VectorIndexStore:
     """A persisted IVF-PQ index over an embedding column, maintained
     incrementally through a :class:`FeatureStoreManager`."""
 
+    #: hive layout column for partitioned postings — a STRING projection
+    #: of ``cluster`` ("c0003"), because hive partition-value inference
+    #: would silently re-type a numeric partition column on read (long →
+    #: int), breaking schema-evolution checks on every later merge
+    PART_COL = "cluster_pt"
+
     def __init__(
         self,
         manager: FeatureStoreManager,
@@ -82,6 +92,7 @@ class VectorIndexStore:
         pq_k: int = 16,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        partition_postings: bool = False,
     ):
         self.manager = manager
         self.name = name
@@ -90,6 +101,20 @@ class VectorIndexStore:
         self.pq_k = pq_k
         self.id_col = id_col
         self.vec_col = vec_col
+        # cluster-partitioned inverted lists: a probe becomes a
+        # partition-pruned scan of ~nprobe directories instead of a full
+        # postings read — the at-scale layout the module docstring names.
+        # The merge path is unchanged (upserts touch only the batch's
+        # clusters; the spec's partition_by rides through the manager).
+        self.partition_postings = partition_postings
+
+    def _part_col(self):
+        """STRING partition value from the cluster id (NULL-safe: an
+        unknown-id tombstone keeps NULL → hive default partition)."""
+        return F.when(
+            F.col("cluster").isNotNull(),
+            F.format_string("c%04d", F.col("cluster").cast("int")),
+        ).alias(self.PART_COL)
 
     # -- table names ---------------------------------------------------
     @property
@@ -112,8 +137,12 @@ class VectorIndexStore:
         return self.manager.read(self.codebooks_table)
 
     def postings(self, include_deleted: bool = False) -> DataFrame:
-        """The inverted lists; tombstones folded out unless asked for."""
+        """The inverted lists; tombstones folded out unless asked for.
+        The layout column (partitioned mode) is dropped — consumers see
+        one schema regardless of layout."""
         df = self.manager.read(self.postings_table)
+        if self.PART_COL in df.columns:
+            df = df.drop(self.PART_COL)
         return df if include_deleted else df.filter(~F.col("deleted"))
 
     # -- encode against the FROZEN quantizers ---------------------------
@@ -126,7 +155,7 @@ class VectorIndexStore:
             self.id_col, "cluster"
         )
         codes = pq_encode(vectors, cb, self.m, self.id_col, self.vec_col)
-        return (
+        out = (
             assigned.join(codes, on=self.id_col)
             .select(
                 self.id_col,
@@ -135,6 +164,9 @@ class VectorIndexStore:
                 F.lit(False).alias("deleted"),
             )
         )
+        if self.partition_postings:
+            out = out.withColumn(self.PART_COL, self._part_col())
+        return out
 
     @property
     def vectors_table(self) -> str:
@@ -242,6 +274,11 @@ class VectorIndexStore:
                 F.lit(None).cast("array<int>").alias("codes"),
                 F.lit(True).alias("deleted"),
             )
+        )
+        if self.partition_postings:
+            tombs = tombs.withColumn(self.PART_COL, self._part_col())
+        tombs = (
+            tombs
             # materialize BEFORE the merge rewrites the postings files
             # this plan reads (self-referencing upsert)
             .localCheckpoint(eager=True)
@@ -296,7 +333,8 @@ class VectorIndexStore:
         discipline). Full-table rewrite through the manager's overwrite
         path; at real scale this compacts only partitions containing
         tombstones. Returns the number of rows removed."""
-        all_rows = self.postings(include_deleted=True)
+        # raw read: the layout column must survive the rewrite
+        all_rows = self.manager.read(self.postings_table)
         dead = all_rows.filter(F.col("deleted")).count()
         if dead:
             # localCheckpoint BEFORE overwriting the files the plan reads
@@ -316,6 +354,7 @@ class VectorIndexStore:
             primary_keys=(self.id_col,),
             description=f"IVF-PQ inverted lists + code bytes for {self.name}",
             tags={"nlist": str(self.nlist), "m": str(self.m)},
+            partition_by=(self.PART_COL,) if self.partition_postings else (),
         )
 
     def health(self, round_to: int = 6) -> DataFrame:
@@ -357,6 +396,79 @@ class VectorIndexStore:
                 round_to,
             ).alias("live_share"),
         ).orderBy("cluster")
+
+    # -- drift-triggered rebuild policy ------------------------------------
+    def drift_metrics(self) -> dict:
+        """Operational drift signals folded from :meth:`health` (bounded:
+        nlist rows collect). ``dead_fraction`` = tombstones over all
+        postings; ``imbalance`` = largest live list over the mean live
+        list (a frozen quantizer drifts as the data distribution moves —
+        hot lists blow up probe cost, starved lists rot recall);
+        ``empty_lists`` = lists with zero live vectors."""
+        rows = self.health().collect()
+        n_live = sum(r["n_live"] for r in rows)
+        n_dead = sum(r["n_dead"] for r in rows)
+        nlist = len(rows)
+        mean_live = n_live / nlist if nlist else 0.0
+        if mean_live > 0:
+            imbalance = max((r["n_live"] for r in rows), default=0) / mean_live
+        else:
+            imbalance = float("inf") if n_dead else 0.0
+        return {
+            "dead_fraction": n_dead / max(n_live + n_dead, 1),
+            "imbalance": imbalance,
+            "empty_lists": sum(1 for r in rows if r["n_live"] == 0),
+            "n_live": n_live,
+            "n_dead": n_dead,
+        }
+
+    def rebuild_if_drifted(
+        self,
+        corpus: DataFrame | None = None,
+        max_dead_fraction: float = 0.3,
+        max_imbalance: float = 4.0,
+        max_empty_lists: int | None = None,
+        kmeans_iterations: int = 0,
+    ) -> bool:
+        """Close the doctor's loop: when a drift threshold trips, retrain
+        the quantizers on the CURRENT live corpus and rebuild all three
+        tables (:meth:`build` — tombstones vanish with the rewrite);
+        below thresholds this is a no-op. Returns whether a rebuild ran.
+
+        ``corpus=None`` sources the live vectors from the flat refinement
+        tier (``build(store_vectors=True)``) — the maintained index can
+        then heal itself without the caller re-materializing the corpus.
+        Post-rebuild search recall against the brute-force ground truth
+        is pinned ≥ the drifted index's recall in
+        tests/test_index_store.py (the FAISS retrain-when-drifted
+        discipline)."""
+        m = self.drift_metrics()
+        triggered = (
+            m["dead_fraction"] > max_dead_fraction
+            or m["imbalance"] > max_imbalance
+            or (max_empty_lists is not None and m["empty_lists"] > max_empty_lists)
+        )
+        if not triggered:
+            return False
+        has_vectors = self.manager.exists(self.vectors_table)
+        if corpus is None:
+            if not has_vectors:
+                raise ValueError(
+                    "rebuild_if_drifted needs either a corpus frame or the "
+                    "flat vector tier (build(store_vectors=True))"
+                )
+            live_ids = self.postings().select(self.id_col)
+            corpus = self.manager.read(self.vectors_table).join(
+                live_ids, on=self.id_col
+            )
+        # materialize BEFORE build() overwrites the tables this plan reads
+        corpus = corpus.localCheckpoint(eager=True)
+        self.build(
+            corpus,
+            kmeans_iterations=kmeans_iterations,
+            store_vectors=has_vectors,
+        )
+        return True
 
     # -- search -----------------------------------------------------------
     def search(
@@ -433,8 +545,26 @@ class VectorIndexStore:
                 ).alias("__lut")
             )
         )
+        live = self.postings()
+        if self.partition_postings:
+            # static partition pruning: the probed cluster set is bounded
+            # by nlist (broadcast-sized by construction), so collecting it
+            # and pushing an IN filter on the layout column turns the
+            # postings read into a scan of ~nprobe directories — the
+            # explicit form of what Delta/DPP would do at runtime
+            probed = sorted(
+                int(r["cluster"])
+                for r in probes.select("cluster").distinct().collect()
+            )
+            parts = ["c%04d" % c for c in probed]
+            live = (
+                self.manager.read(self.postings_table)
+                .filter(F.col(self.PART_COL).isin(parts))
+                .drop(self.PART_COL)
+                .filter(~F.col("deleted"))
+            )
         cand = (
-            self.postings()
+            live
             .join(F.broadcast(probes.select("query_id", "cluster")), on="cluster")
             .join(F.broadcast(lut), on="query_id")
         )

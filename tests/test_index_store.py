@@ -218,3 +218,165 @@ def test_index_refine_exact_rerank(spark, store):
     other.build(emb)  # no vectors tier
     with pytest.raises(ValueError, match="store_vectors"):
         other.search(q, k=5, refine=4).collect()
+
+
+@pytest.fixture()
+def pstore(spark, tmp_path):
+    from databricks_demo_feature_store_spark.featurestore.manager import FeatureStoreManager
+    from databricks_demo_feature_store_spark.textops.index_store import VectorIndexStore
+
+    mgr = FeatureStoreManager(spark, str(tmp_path / "pfs"))
+    return VectorIndexStore(mgr, name="t", nlist=4, m=4, pq_k=8, partition_postings=True)
+
+
+def test_partitioned_layout_merged_equals_rebuilt(spark, store, pstore):
+    """Partitioned postings: same maintained state (modulo layout
+    column), same search results as the unpartitioned layout, and the
+    merged ≡ rebuilt invariant holds through upsert + delete."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    dels = emb.filter(F.col("vec_id") % 10 == 6).select("vec_id")
+    for st in (store, pstore):
+        st.build(base)
+        st.upsert(batch)
+        st.delete(dels)
+    # consumer-visible postings identical across layouts
+    assert _rows(store.postings(include_deleted=True)) == _rows(
+        pstore.postings(include_deleted=True)
+    )
+    # merged ≡ rebuilt on the partitioned layout
+    live_ids = pstore.postings().select("vec_id")
+    rebuilt = pstore.rebuild_postings(emb.join(live_ids, on="vec_id"))
+    got = _rows(pstore.postings())
+    want = _rows(rebuilt.drop(pstore.PART_COL))
+    assert got == want
+    # search identical across layouts
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(tuple(r) for r in store.search(q, k=5, nprobe=2, query_id_col="vec_id").collect())
+    b = sorted(tuple(r) for r in pstore.search(q, k=5, nprobe=2, query_id_col="vec_id").collect())
+    assert a == b
+    # vacuum keeps the layout and the results
+    assert pstore.vacuum_tombstones() == dels.count()
+    b2 = sorted(tuple(r) for r in pstore.search(q, k=5, nprobe=2, query_id_col="vec_id").collect())
+    assert b2 == a
+
+
+def test_partitioned_search_actually_prunes(spark, pstore):
+    """The probe scan must read ONLY the probed partitions' files."""
+    emb = _emb(spark)
+    pstore.build(emb)
+    path = pstore.manager.path(pstore.postings_table)
+    # executed-scan evidence (inputFiles() reports the pre-pruning file
+    # index): distinct _metadata.file_path of the rows actually read
+    all_files = {
+        r["f"]
+        for r in spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    # one query, nprobe=1 → at most one cluster directory touched
+    q = emb.filter(F.col("vec_id") == 0)
+    cents = pstore.centroids()
+    from databricks_demo_feature_store_spark.textops.similarity import ivf_assign
+
+    probe_cluster = ivf_assign(q, cents, "vec_id", "embedding").first()["cluster"]
+    pruned = spark.read.parquet(path).filter(
+        F.col(pstore.PART_COL) == "c%04d" % int(probe_cluster)
+    )
+    pruned_files = {
+        r["f"]
+        for r in pruned.select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert pruned_files and pruned_files < all_files, (
+        "partition filter must restrict the scan to a strict file subset"
+    )
+    # and the planner prunes STATICALLY: the optimized plan's partition
+    # count is below the table's
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: []" not in plan
+    # and the store's search path returns rows (end-to-end through the
+    # pruned read)
+    got = pstore.search(q, k=3, nprobe=1, query_id_col="vec_id")
+    assert got.count() > 0
+
+
+def test_manager_exists_sees_partitioned_tables(spark, tmp_path):
+    """Regression (r12): exists() probed only the top directory, so a
+    hive-partitioned table read as ABSENT and the next merge silently
+    OVERWROTE it — data loss on the maintenance path."""
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+
+    mgr = FeatureStoreManager(spark, str(tmp_path / "ex"))
+    spec = FeatureTableSpec("pt", primary_keys=("id",), partition_by=("g",))
+    df = spark.range(0, 20).select(
+        F.col("id"), F.format_string("g%d", F.col("id") % 3).alias("g")
+    )
+    mgr.save(df, spec, mode="overwrite")
+    assert mgr.exists("pt") is True
+    upd = spark.range(20, 25).select(
+        F.col("id"), F.format_string("g%d", F.col("id") % 3).alias("g")
+    )
+    mgr.save(upd, spec, mode="merge")
+    assert mgr.read("pt").count() == 25  # merge, not bootstrap-overwrite
+
+
+def test_rebuild_policy_noop_below_thresholds(spark, store):
+    emb = _emb(spark)
+    store.build(emb, store_vectors=True)
+    before = _rows(store.postings(include_deleted=True))
+    m = store.drift_metrics()
+    assert m["dead_fraction"] == 0.0 and m["n_dead"] == 0
+    assert store.rebuild_if_drifted() is False  # healthy index: no-op
+    assert _rows(store.postings(include_deleted=True)) == before
+
+
+def test_rebuild_policy_requires_corpus_or_vector_tier(spark, store):
+    emb = _emb(spark)
+    store.build(emb)  # no vector tier
+    store.delete(emb.select("vec_id"))  # 100% dead — policy must trip
+    with pytest.raises(ValueError, match="corpus"):
+        store.rebuild_if_drifted(max_dead_fraction=0.5)
+
+
+def test_rebuild_policy_fires_and_recall_does_not_regress(spark, store):
+    """(c) of the policy contract: after the drift-triggered rebuild,
+    search recall vs the brute-force ground truth on the live corpus is
+    >= the drifted index's recall (retraining on the live distribution
+    can only help the coarse quantizer)."""
+    from databricks_demo_feature_store_spark.textops.similarity import brute_force_topk
+
+    emb = _emb(spark)
+    store.build(emb, store_vectors=True)
+    # heavy skewed delete: wipe 60% of ids, leaving a shifted distribution
+    dels = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id")
+    store.delete(dels)
+    live = emb.filter(F.col("vec_id") % 5 == 0)
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(live, q, 5, "vec_id", "embedding", "vec_id")
+        .collect()
+    }
+
+    def recall(res):
+        got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+        return len(got & truth) / max(len(truth), 1)
+
+    drifted = recall(store.search(q, k=5, nprobe=2, query_id_col="vec_id"))
+    m = store.drift_metrics()
+    assert m["dead_fraction"] > 0.5
+    assert store.rebuild_if_drifted(max_dead_fraction=0.5, kmeans_iterations=3) is True
+    # tombstones are gone with the rewrite; quantizers retrained on live
+    assert store.postings(include_deleted=True).filter(F.col("deleted")).count() == 0
+    assert store.postings().count() == live.count()
+    rebuilt = recall(store.search(q, k=5, nprobe=2, query_id_col="vec_id"))
+    assert rebuilt >= drifted
+    # the vector tier healed itself too (only live vectors remain)
+    assert store.manager.read(store.vectors_table).count() == live.count()

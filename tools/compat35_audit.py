@@ -39,6 +39,7 @@ PACKAGE = pathlib.Path(__file__).resolve().parent.parent / "databricks_demo_feat
 #: the public PySpark 3.5 docs. Annotated entries are the ones ADDED in
 #: 3.5.0 (everything unannotated predates 3.3).
 PYSPARK_35_FUNCTIONS_VERIFIED = {
+    "format_string",  # 1.5
     # core column/expr
     "Column", "col", "lit", "expr", "when", "broadcast", "asc", "desc",
     # math
@@ -186,6 +187,7 @@ PYSPARK_35_CONF_KEYS_VERIFIED = {
     "spark.sql.execution.arrow.pyspark.enabled",       # 3.0
     "spark.sql.files.maxPartitionBytes",               # 2.0
     "spark.sql.legacy.parquet.nanosAsLong",            # 3.2
+    "spark.sql.parquet.outputTimestampType",           # 2.3
     "spark.sql.legacy.timeParserPolicy",               # 3.0
     "spark.sql.session.timeZone",                      # 2.2
     "spark.sql.shuffle.partitions",                    # 1.1
