@@ -45,6 +45,8 @@ HEADLINE = [
     "q_bloom_join_reduce",
     "q_skipping_zorder",
     "q_skipping_bloom",
+    "q_version_changes",
+    "q_deletion_vectors",
     "q_fs_forget",
     "q_incr_join_refresh",
     "q_incr_agg_join_refresh",

@@ -621,7 +621,7 @@ both BPE queries, right-to-be-forgotten, both IVM join refreshes, the
 classifier/quality-filter/curriculum trio, the backoff LM, both
 seasonal queries, both leakage-safe splits, URL dedup, index
 doctor/refine — plus the 3 round-12 births: q_skipping_bloom,
-q_ext_index_partitioned, q_ext_index_rebuild_policy) + 12 of the 37
+q_ext_index_partitioned, q_ext_index_rebuild_policy) + 9 of the 37
 r6-stale queries, prioritized by module churn since their last cert
 (similarity.py: q_ext_ivfpq_topk + q_ext_pq_refined_topk, reused by
 the index store; writers.py changed THIS round: q_layer_roundtrip +
@@ -629,7 +629,21 @@ q_stream_feature_store; manager.py changed THIS round — its broader
 cover is the in-window q_fs_forget + all four index-store queries;
 pipelines: q_pipeline_supplier_risk + q_pipeline_customer_tx; plus
 family anchors q_ext_substring_dedup, q_ext_token_mixture,
-q_stream_sliding, q_val_crosscheck, q_funnel_steps, q_quantile_bin).
+q_stream_sliding, q_val_crosscheck). Two later round-12 births
+(q_version_changes — the CDF read; q_ext_image_dhash — perceptual-hash
+dedup) take the slots earmarked for q_funnel_steps + q_quantile_bin
+(both r6-green with family cover: events kept q_event_paths +
+q_event_path_conversion driver-certs in r11, and the distributed
+global-rank primitive behind quantile_bin was re-certified via
+q_rank_normalize (r8) and rides inside in-window q_ext_curriculum_mixture's
+token-budget ranking; both stay in the full local gate + pytest —
+births-before-stale keeps never-certified debt at zero). The third
+late birth q_deletion_vectors (row-level deletes on the storage core —
+new machinery, must not accrue debt) takes q_stream_sliding's slot
+(r6-green; the streaming family keeps q_stream_feature_store in-window
+this round and sliding's window machinery carried driver certs through
+the r7-r9 tumbling/count-anomaly anchors; stays in the full local gate
++ pytest).
 
 OUT: all 49 non-flagship round-11 window members — every one is
 round-11 driver-green (CORRECTNESS_r11 was 50/50 on effectively
@@ -695,6 +709,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_skipping_bloom",
     "q_ext_index_partitioned",
     "q_ext_index_rebuild_policy",
+    "q_version_changes",
+    "q_ext_image_dhash",
+    "q_deletion_vectors",
     # r6-stale re-certifications (12 of 37; priority = module churn)
     "q_ext_ivfpq_topk",
     "q_ext_pq_refined_topk",
@@ -704,10 +721,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_pipeline_customer_tx",
     "q_ext_substring_dedup",
     "q_ext_token_mixture",
-    "q_stream_sliding",
     "q_val_crosscheck",
-    "q_funnel_steps",
-    "q_quantile_bin",
 )
 
 _ROUND11_WINDOW: tuple[str, ...] = (

@@ -3748,3 +3748,126 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_anomaly").isNotNull())
         .orderBy("seg", "mon")
     )
+
+
+@register(
+    "q_version_changes",
+    oracle="""
+    WITH v0 AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    v1 AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    ins AS (
+      SELECT n.c_custkey, n.c_mktsegment, n.c_acctbal,
+             'insert' AS _change_type
+      FROM v1 n LEFT JOIN v0 o USING (c_custkey)
+      WHERE o.c_custkey IS NULL
+    ),
+    del AS (
+      SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal,
+             'delete' AS _change_type
+      FROM v0 o LEFT JOIN v1 n USING (c_custkey)
+      WHERE n.c_custkey IS NULL
+    ),
+    upd AS (
+      SELECT o.c_custkey,
+             o.c_mktsegment AS oseg, o.c_acctbal AS obal,
+             n.c_mktsegment AS nseg, n.c_acctbal AS nbal
+      FROM v0 o JOIN v1 n USING (c_custkey)
+      WHERE o.c_acctbal IS DISTINCT FROM n.c_acctbal
+         OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal, _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM (
+      SELECT * FROM ins
+      UNION ALL SELECT * FROM del
+      UNION ALL SELECT c_custkey, oseg, obal, 'update_preimage' FROM upd
+      UNION ALL SELECT c_custkey, nseg, nbal, 'update_postimage' FROM upd
+    )
+    ORDER BY c_custkey, _change_type
+    """,
+)
+def q_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed between table versions (sources/versioned.py
+    changes_between) — the Delta ``table_changes`` twin on the parquet
+    time-travel store: v0 and v1 of a customer dimension differ by
+    deletes (keys leaving), inserts (keys arriving) and updates
+    (BUILDING balances doubled); the feed returns insert / delete /
+    update_preimage / update_postimage rows with the commit version,
+    unchanged keys drop out. ONE full-outer join on the key with the
+    payload compared as a single null-safe struct. The oracle replays
+    the diff with independent joins over the same two versions."""
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v0 = cust.filter(F.col("c_custkey") % 7 != 0)
+    v1 = cust.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") * 2
+        ).otherwise(F.col("c_acctbal")),
+    )
+    vt = VersionedTable(spark, os.path.join(scratch_dir("cdf"), "customer_v"))
+    vt.save(v0, operation="overwrite")
+    vt.save(v1, operation="overwrite")
+    return vt.changes_between(0, 1, ["c_custkey"]).orderBy(
+        "c_custkey", "_change_type"
+    )
+
+
+@register(
+    "q_deletion_vectors",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {_o_dsum('l_quantity', 2)} AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE NOT (l_quantity < 5) AND NOT (l_discount > 0.08)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors (sources/deletion_vectors.py) — row-level
+    deletes WITHOUT rewriting data files, the Delta DV twin: two delete
+    waves record (file, row_index) coordinates in the hidden sidecar
+    (accumulating by append; re-deleting is a set no-op), and the
+    DV-aware read folds them out with ONE broadcast anti-join. The
+    oracle is the equivalent NOT-predicate scan of the original table —
+    equality proves the coordinate bookkeeping drops exactly the
+    matching rows and nothing else. Physical materialization
+    (apply_deletes ≡ rewritten table) and idempotence are pinned in
+    tests/test_versioned.py.
+    """
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.deletion_vectors import (
+        delete_rows,
+        read_with_deletes,
+    )
+
+    root = scratch_dir("dv")
+    path = os.path.join(root, "lineitem_dv")
+    load(spark, sf_dir, "lineitem").write.mode("overwrite").parquet(path)
+    delete_rows(spark, path, "l_quantity < 5")
+    delete_rows(spark, path, "l_discount > 0.08")
+    df = read_with_deletes(spark, path)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -4348,3 +4348,75 @@ def q_ext_neardup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component_id"), test_fraction=0.2, val_fraction=0.1
         ).alias("split"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_ext_image_dhash",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS p
+      FROM embeddings
+    ),
+    tiles AS (
+      SELECT vec_id AS tile_id, p FROM e
+      UNION ALL
+      SELECT vec_id + 100000 AS tile_id, p FROM e
+    ),
+    h AS (
+      SELECT tile_id,
+             CAST(list_sum(list_transform(range(0, 56), b ->
+               CASE WHEN p[CAST(b // 7 AS INT) * 8 + CAST(b % 7 AS INT) + 1]
+                       > p[CAST(b // 7 AS INT) * 8 + CAST(b % 7 AS INT) + 2]
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS dhash
+      FROM tiles
+    )
+    SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           MIN(tile_id) AS keeper
+    FROM h
+    GROUP BY dhash
+    HAVING COUNT(*) >= 2
+    ORDER BY dhash
+    """,
+)
+def q_ext_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) image near-dup groups
+    (textops/multimodal.py dhash_col): each 64-dim embedding row stands
+    in for a decoded 8×8 grayscale tile (the deterministic fixture for
+    the env-blocked image codecs — the Arrow decode tier is
+    q_ext_multimodal_decode's surface), quantized to integer pixels; the
+    corpus is unioned with re-encoded copies of itself (same pixels, new
+    ids — the classic exact-perceptual-duplicate case dHash exists for);
+    the 56-bit difference hash is PURE column algebra at scan speed, and
+    grouping by hash yields the duplicate groups with their keeper.
+    The oracle replays quantization, the row-major neighbor-sign bit
+    pack and the grouping with DuckDB list functions — the hash itself
+    is certified cross-engine, not just the group shapes."""
+    from databricks_demo_feature_store_spark.textops.multimodal import dhash_col
+
+    emb = load(spark, sf_dir, "embeddings")
+    px = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 100).cast("long"),
+    )
+    base = emb.select(F.col("vec_id").alias("tile_id"), px.alias("p"))
+    tiles = base.unionByName(
+        base.select((F.col("tile_id") + 100000).alias("tile_id"), "p")
+    )
+    grid = F.array(
+        *[
+            F.array(*[F.element_at(F.col("p"), i * 8 + j + 1) for j in range(8)])
+            for i in range(8)
+        ]
+    )
+    hashed = tiles.select("tile_id", dhash_col(grid, 8, 8).alias("dhash"))
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tiles"),
+            F.min("tile_id").alias("keeper"),
+        )
+        .where(F.col("n_tiles") >= 2)
+        .orderBy("dhash")
+    )

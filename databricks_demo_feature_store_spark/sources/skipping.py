@@ -96,13 +96,18 @@ def _partition_values(table_path: str, file_path: str) -> dict[str, str]:
 
 
 def harvest_file_stats(
-    spark: SparkSession, table_path: str, columns: Sequence[str] | None = None
+    spark: SparkSession,
+    table_path: str,
+    columns: Sequence[str] | None = None,
+    files: Sequence[str] | None = None,
 ) -> DataFrame:
     """Distributed footer-only stats harvest: one output row per
     (file, column) with min/max/null_count, plus hive-partition values
     parsed from the path. ``columns=None`` harvests every leaf column
-    that has footer statistics."""
-    files = _list_part_files(table_path)
+    that has footer statistics. ``files`` restricts the harvest to an
+    explicit subset (the incremental-refresh path: parquet files are
+    immutable, so only NEW files ever need harvesting)."""
+    files = list(files) if files is not None else _list_part_files(table_path)
     if not files:
         raise ValueError(f"no parquet data files under {table_path!r}")
     wanted = set(columns) if columns is not None else None
@@ -413,8 +418,30 @@ def stats_sidecar_path(table_path: str) -> str:
     return os.path.join(table_path, STATS_DIR, "data")
 
 
+def _keep_present_rows(
+    spark: SparkSession, sidecar: DataFrame, current: set[str]
+) -> tuple[DataFrame, set[str]]:
+    """Split an existing sidecar against the CURRENT file set: rows of
+    still-present files are kept verbatim (immutable files never change),
+    rows of vanished files drop. The membership test is a broadcast semi
+    join against the file-list frame — the same driver-side listing every
+    file-source planner materializes — never a giant IN literal."""
+    files_df = spark.createDataFrame(
+        [(f,) for f in sorted(current)], "file_path string"
+    )
+    kept = sidecar.join(F.broadcast(files_df), on="file_path", how="left_semi")
+    have = {
+        r["file_path"]
+        for r in sidecar.select("file_path").distinct().collect()
+    }
+    return kept, have
+
+
 def write_stats_sidecar(
-    spark: SparkSession, table_path: str, columns: Sequence[str] | None = None
+    spark: SparkSession,
+    table_path: str,
+    columns: Sequence[str] | None = None,
+    incremental: bool = False,
 ) -> DataFrame:
     """Harvest the table's CURRENT file stats and persist them inside the
     table directory (``<table>/_stats`` — underscore-prefixed, so plain
@@ -423,13 +450,28 @@ def write_stats_sidecar(
     with the table, every writer refresh keeps them coverage-complete.
 
     The harvest is footer-only (O(files), zero data pages); a re-write
-    after every table mutation is the simple policy that keeps the
-    ``read_with_skipping`` coverage guard always satisfiable. Immutable
-    files mean an incremental MERGE of only-new files' rows is a pure
-    optimization with identical results — the policy choice is
-    documented, not load-bearing.
+    after every table mutation is the simple default policy that keeps
+    the ``read_with_skipping`` coverage guard always satisfiable.
+    ``incremental=True`` exploits file immutability: rows of
+    still-present files carry over verbatim, only NEW files' footers are
+    read, vanished files' rows drop — value-identical to the full
+    re-harvest (pinned in tests/test_skipping.py), O(new files) instead
+    of O(files). The right policy for append-mode writes.
     """
-    stats = harvest_file_stats(spark, table_path, columns)
+    sidecar_dir = stats_sidecar_path(table_path)
+    if incremental and os.path.isdir(sidecar_dir):
+        current = set(_list_part_files(table_path))
+        kept, have = _keep_present_rows(
+            spark, load_file_stats(spark, table_path), current
+        )
+        new_files = sorted(current - have)
+        stats = kept
+        if new_files:
+            stats = kept.unionByName(
+                harvest_file_stats(spark, table_path, columns, files=new_files)
+            )
+    else:
+        stats = harvest_file_stats(spark, table_path, columns)
     out = stats_sidecar_path(table_path)
     # writers._swap_dirs promotion (rename old aside, rename staging in,
     # drop old): a crash mid-swap leaves the old sidecar recoverable in
@@ -520,6 +562,7 @@ def write_bloom_sidecar(
     columns: Sequence[str],
     n_bits: int = BLOOM_N_BITS,
     n_hashes: int = BLOOM_N_HASHES,
+    incremental: bool = False,
 ) -> DataFrame:
     """Build and persist per-(file, column) Bloom bitsets — ONE scan of
     the table no matter how many columns (the per-column values unpivot
@@ -527,15 +570,41 @@ def write_bloom_sidecar(
     (``bit_or`` of shifted bits per 64-bit word).
 
     Unlike the footer-only min/max harvest this READS data pages — the
-    same trade Delta's bloom-filter index makes; refresh policy follows
-    the stats sidecar (rewrite after table mutation)."""
+    same trade Delta's bloom-filter index makes; the default refresh
+    policy follows the stats sidecar (rewrite after table mutation).
+    ``incremental=True`` matters MUCH more here than for footer stats:
+    per-file bitsets of immutable files carry over verbatim and only NEW
+    files' data pages are scanned — O(new data) instead of a full-table
+    re-read, value-identical to the rebuild (pinned in
+    tests/test_skipping.py)."""
+    if not columns:
+        raise ValueError("bloom sidecar needs at least one column")
+    new_files: list[str] | None = None
+    kept = None
+    if incremental and os.path.isdir(bloom_sidecar_path(table_path)):
+        stored = load_bloom_stats(spark, table_path)
+        # param mismatch would poison probes: refuse to mix geometries
+        head = stored.select("n_bits", "n_hashes").first()
+        if head is not None and (
+            int(head["n_bits"]) != n_bits or int(head["n_hashes"]) != n_hashes
+        ):
+            raise ValueError(
+                "incremental bloom refresh with different n_bits/n_hashes "
+                "than the stored sidecar — rebuild with incremental=False"
+            )
+        current = set(_list_part_files(table_path))
+        kept, have = _keep_present_rows(spark, stored, current)
+        new_files = sorted(current - have)
+        if not new_files:
+            return _promote_bloom(spark, table_path, kept)
     from databricks_demo_feature_store_spark.operators.sketches import (
         _bloom_positions,
     )
 
-    if not columns:
-        raise ValueError("bloom sidecar needs at least one column")
-    df = spark.read.parquet(table_path)
+    if new_files is not None:
+        df = spark.read.option("basePath", table_path).parquet(*new_files)
+    else:
+        df = spark.read.parquet(table_path)
     dtypes = dict(df.dtypes)
     missing_cols = [c for c in columns if c not in dtypes]
     if missing_cols:
@@ -587,6 +656,17 @@ def write_bloom_sidecar(
         .withColumn("n_bits", F.lit(n_bits))
         .withColumn("n_hashes", F.lit(n_hashes))
     )
+    if kept is not None:
+        # carried-over rows of immutable files + fresh rows of new ones
+        blooms = kept.unionByName(blooms)
+    return _promote_bloom(spark, table_path, blooms)
+
+
+def _promote_bloom(
+    spark: SparkSession, table_path: str, blooms: DataFrame
+) -> DataFrame:
+    """Stage-and-swap the bloom sidecar (the staging write may READ the
+    old sidecar — the swap happens only after it materializes)."""
     import uuid
 
     from databricks_demo_feature_store_spark.sources.writers import _swap_dirs

@@ -92,7 +92,12 @@ def save_table(
         _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
         return
     _write(df, path, fmt, mode, partition_by)
-    _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
+    # append adds immutable files — refresh the sidecars incrementally
+    # (only new files' footers/pages are read)
+    _refresh_stats(
+        spark, path, fmt, stats_columns, bloom_columns,
+        incremental=(mode == "append"),
+    )
 
 
 def _refresh_stats(
@@ -101,6 +106,7 @@ def _refresh_stats(
     fmt: str,
     stats_columns: Sequence[str] | None,
     bloom_columns: Sequence[str] | None = None,
+    incremental: bool = False,
 ) -> None:
     """Write-time stats collection (the Delta ``add.stats`` twin): when a
     caller opts in via ``stats_columns``, every table mutation refreshes
@@ -115,13 +121,19 @@ def _refresh_stats(
             write_stats_sidecar,
         )
 
-        write_stats_sidecar(spark, path.removeprefix("file:"), list(stats_columns))
+        write_stats_sidecar(
+            spark, path.removeprefix("file:"), list(stats_columns),
+            incremental=incremental,
+        )
     if bloom_columns is not None:
         from databricks_demo_feature_store_spark.sources.skipping import (
             write_bloom_sidecar,
         )
 
-        write_bloom_sidecar(spark, path.removeprefix("file:"), list(bloom_columns))
+        write_bloom_sidecar(
+            spark, path.removeprefix("file:"), list(bloom_columns),
+            incremental=incremental,
+        )
 
 
 def merge_upsert(

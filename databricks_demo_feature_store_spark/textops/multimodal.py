@@ -585,3 +585,45 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
             yield fn(pdf)
 
     return audio.mapInPandas(run, schema=AUDIO_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: dHash over decoded pixel grids (pure column algebra)
+# ---------------------------------------------------------------------------
+
+
+def dhash_col(pixels, rows: int = 8, cols: int = 8):
+    """Difference-hash (dHash) of a row-major grayscale pixel grid
+    (``array<array<int>>``, ``rows`` × ``cols``): bit ``(i, j)`` is set
+    iff ``px[i][j] > px[i][j+1]``, packed row-major into ONE long —
+    ``rows·(cols-1)`` bits (≤ 63). The standard perceptual near-dup
+    fingerprint for images (as used by imagehash et al.): robust to
+    re-encoding and brightness shifts because only neighbor ORDER
+    matters, not absolute intensity.
+
+    Pure column expressions — the per-tile hash runs inside whole-stage
+    codegen at scan speed, no Python on the hot path; downstream exact
+    grouping / hamming blocking reuses the simhash pigeonhole machinery
+    (``textops/dedup.py``). Pixel DECODE is the Arrow ``mapInPandas``
+    tier above (real for PNG/WAV, honestly stubbed for env-blocked
+    codecs) — this operator takes the decoded grid.
+    """
+    nbits = rows * (cols - 1)
+    if nbits > 63:
+        raise ValueError(f"dhash needs rows*(cols-1) <= 63 bits, got {nbits}")
+    terms = []
+    pos = 0
+    for i in range(1, rows + 1):
+        row = F.element_at(pixels, i)
+        for j in range(1, cols):
+            bit = F.element_at(row, j) > F.element_at(row, j + 1)
+            terms.append(
+                F.when(bit, F.lit(1 << pos).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            pos += 1
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

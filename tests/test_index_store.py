@@ -380,3 +380,28 @@ def test_rebuild_policy_fires_and_recall_does_not_regress(spark, store):
     assert rebuilt >= drifted
     # the vector tier healed itself too (only live vectors remain)
     assert store.manager.read(store.vectors_table).count() == live.count()
+
+
+def test_partitioned_table_schema_evolution_keeps_layout(spark, tmp_path):
+    """EVOLVE on a partitioned table forces an overwrite — the rewrite
+    must keep the hive layout (partition dirs present afterwards)."""
+    import os
+
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+
+    mgr = FeatureStoreManager(spark, str(tmp_path / "ev"))
+    spec = FeatureTableSpec("pt", primary_keys=("id",), partition_by=("g",))
+    df = spark.range(0, 12).select(
+        F.col("id"), F.format_string("g%d", F.col("id") % 3).alias("g")
+    )
+    mgr.save(df, spec, mode="overwrite")
+    # evolution: add a column -> merge updates matched rows' new column
+    df2 = df.withColumn("extra", F.col("id") * 2)
+    mgr.save(df2, spec, mode="merge")
+    got = mgr.read("pt")
+    assert got.count() == 12 and "extra" in got.columns
+    dirs = [d for d in os.listdir(mgr.path("pt")) if d.startswith("g=")]
+    assert sorted(dirs) == ["g=g0", "g=g1", "g=g2"]

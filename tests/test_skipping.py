@@ -495,3 +495,82 @@ def test_save_table_refreshes_bloom_and_stats_coexist(spark, tmp_path):
     bloom = load_bloom_stats(spark, path)
     got, rep = read_with_skipping(spark, path, stats, [("id", "=", 550.0)], bloom=bloom)
     assert [r.id for r in got.collect()] == [550]
+
+
+def test_incremental_stats_refresh_equals_rebuild(spark, tmp_path):
+    """Append-mode sidecar maintenance: carried-over rows + new-file
+    harvest must be value-identical to a full re-harvest."""
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_file_stats,
+        write_stats_sidecar,
+    )
+
+    path = str(tmp_path / "incs")
+    spark.range(0, 200).select(F.col("id")).coalesce(2).write.parquet(path)
+    write_stats_sidecar(spark, path, ["id"])
+    # append new immutable files
+    spark.range(200, 300).select(F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    inc_rows = key(write_stats_sidecar(spark, path, ["id"], incremental=True))
+    full_rows = key(write_stats_sidecar(spark, path, ["id"]))  # rebuild
+    assert inc_rows == full_rows
+    # and the maintained sidecar satisfies the coverage guard
+    got, rep = read_with_skipping(
+        spark, path, load_file_stats(spark, path), [("id", ">=", 250.0)]
+    )
+    assert got.count() == 50 and rep.pruned > 0
+
+
+def test_incremental_bloom_refresh_equals_rebuild(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        harvest_file_stats,
+        load_bloom_stats,
+        write_bloom_sidecar,
+    )
+
+    path = str(tmp_path / "incb")
+    spark.range(0, 400).select((F.col("id") * 3).alias("k")).repartition(
+        4, "k"
+    ).write.parquet(path)
+    write_bloom_sidecar(spark, path, ["k"])
+    spark.range(400, 500).select((F.col("id") * 3).alias("k")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    key = lambda df: sorted(
+        (r.file_path, r.column, tuple(sorted(r.bloom.items())), r.n_bits, r.n_hashes)
+        for r in df.collect()
+    )
+    inc_rows = key(write_bloom_sidecar(spark, path, ["k"], incremental=True))
+    # maintained ≡ rebuilt, bit for bit
+    full_rows = key(write_bloom_sidecar(spark, path, ["k"]))
+    assert inc_rows == full_rows
+    # probes through the maintained sidecar: value in a NEW file found
+    stats = harvest_file_stats(spark, path, ["k"])
+    got, rep = read_with_skipping(
+        spark, path, stats, [("k", "=", 1305.0)],
+        bloom=load_bloom_stats(spark, path),
+    )
+    assert [r.k for r in got.collect()] == [1305]
+    # param-mismatch guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bits"):
+        write_bloom_sidecar(spark, path, ["k"], n_bits=1 << 10, incremental=True)
+
+
+def test_incremental_noop_when_no_new_files(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        write_bloom_sidecar,
+        write_stats_sidecar,
+    )
+
+    path = str(tmp_path / "incn")
+    spark.range(0, 100).select(F.col("id")).coalesce(1).write.parquet(path)
+    s1 = sorted(tuple(r) for r in write_stats_sidecar(spark, path, ["id"]).collect())
+    s2 = sorted(tuple(r) for r in write_stats_sidecar(spark, path, ["id"], incremental=True).collect())
+    assert s1 == s2
+    b1 = write_bloom_sidecar(spark, path, ["id"]).count()
+    b2 = write_bloom_sidecar(spark, path, ["id"], incremental=True).count()
+    assert b1 == b2

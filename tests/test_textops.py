@@ -1850,3 +1850,46 @@ def test_leakage_safe_split_groups_duplicates(spark):
     again = {r["doc_id"]: r["split"] for r in
              leakage_safe_split(docs, test_fraction=0.3, val_fraction=0.2).collect()}
     assert again == {r["doc_id"]: r["split"] for r in joined}
+
+
+def test_dhash_col_matches_python_reference(spark):
+    """dhash_col (pure column algebra) vs a pure-Python dHash on the
+    same grids — ties (equal neighbors), negatives and the full bit
+    range all exercised."""
+    import random
+
+    from databricks_demo_feature_store_spark.textops.multimodal import dhash_col
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    grids = []
+    for g in range(20):
+        grids.append((g, [[rng.randint(-50, 50) for _ in range(8)] for _ in range(8)]))
+    grids.append((100, [[5] * 8 for _ in range(8)]))  # all ties → hash 0
+    grids.append((101, [list(range(8)) for _ in range(8)]))  # ascending → 0
+    grids.append((102, [list(range(8, 0, -1)) for _ in range(8)]))  # descending → all bits
+
+    def py_dhash(px):
+        h, pos = 0, 0
+        for i in range(8):
+            for j in range(7):
+                if px[i][j] > px[i][j + 1]:
+                    h |= 1 << pos
+                pos += 1
+        return h
+
+    df = spark.createDataFrame(grids, "gid int, px array<array<int>>")
+    got = {r.gid: r.h for r in df.select("gid", dhash_col(F.col("px")).alias("h")).collect()}
+    want = {gid: py_dhash(px) for gid, px in grids}
+    assert got == want
+    assert want[100] == 0 and want[101] == 0 and want[102] == (1 << 56) - 1
+
+
+def test_dhash_col_rejects_oversized_grid(spark):
+    import pytest as _pytest
+
+    from databricks_demo_feature_store_spark.textops.multimodal import dhash_col
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="63"):
+        dhash_col(F.col("x"), rows=8, cols=10)

@@ -93,3 +93,84 @@ def test_save_triggers_no_readback_job_by_default(spark, tmp_path):
     counted_jobs = sc.statusTracker().getJobIdsForGroup("vt-save-counted")
     assert len(counted_jobs) > 1, f"expected write + count jobs, got {counted_jobs}"
     assert info.num_rows == 10
+
+
+def test_changes_between_cdf_semantics(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cdf"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id int, seg string, bal double",
+    )
+    v1 = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "id int, seg string, bal double",
+    )
+    vt.save(v0, operation="overwrite")
+    vt.save(v1, operation="overwrite")
+    got = {
+        (r.id, r._change_type): (r.seg, r.bal, r._commit_version)
+        for r in vt.changes_between(0, 1, ["id"]).collect()
+    }
+    assert got == {
+        (1, "delete"): ("a", 10.0, 1),
+        (2, "update_preimage"): ("b", 20.0, 1),
+        (2, "update_postimage"): ("b", 25.0, 1),
+        (4, "insert"): ("d", 40.0, 1),
+    }
+    # id 3 (unchanged, with a NULL payload) dropped: null-safe compare
+
+
+def test_changes_between_identical_versions_empty(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cdf2"))
+    df = spark.createDataFrame([(1, "x")], "id int, v string")
+    vt.save(df, operation="overwrite")
+    vt.save(df, operation="overwrite")
+    assert vt.changes_between(0, 1, ["id"]).count() == 0
+
+
+def test_deletion_vectors_lifecycle(spark, tmp_path):
+    """DV semantics: accumulate, no-op re-delete, exact fold-out,
+    physical apply ≡ logical view, sidecar cleared by apply."""
+    import os
+
+    from databricks_demo_feature_store_spark.sources.deletion_vectors import (
+        apply_deletes,
+        delete_rows,
+        dv_path,
+        read_with_deletes,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dv")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("g")
+    ).coalesce(4).write.parquet(path)
+
+    # no sidecar: plain scan
+    assert read_with_deletes(spark, path).count() == 100
+    assert apply_deletes(spark, path) == 0
+
+    assert delete_rows(spark, path, "g = 3") == 10
+    # overlapping second wave: only NEW coordinates count
+    assert delete_rows(spark, path, "g IN (3, 4)") == 10
+    logical = read_with_deletes(spark, path)
+    assert logical.count() == 80
+    assert logical.filter("g IN (3, 4)").count() == 0
+    want = sorted(r.id for r in logical.collect())
+
+    # data files untouched so far
+    assert spark.read.parquet(path).count() == 100
+
+    # physical apply: rewrite minus deletes, sidecar gone, idempotent
+    assert apply_deletes(spark, path) == 20
+    assert not os.path.isdir(dv_path(path))
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == want
+    assert apply_deletes(spark, path) == 0
+    # coordinates of the NEW files start fresh
+    assert delete_rows(spark, path, "g = 5") == 10
+    assert read_with_deletes(spark, path).count() == 70
