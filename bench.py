@@ -47,6 +47,7 @@ HEADLINE = [
     "q_skipping_bloom",
     "q_version_changes",
     "q_deletion_vectors",
+    "q_skipping_incremental",
     "q_fs_forget",
     "q_incr_join_refresh",
     "q_incr_agg_join_refresh",

@@ -621,8 +621,8 @@ both BPE queries, right-to-be-forgotten, both IVM join refreshes, the
 classifier/quality-filter/curriculum trio, the backoff LM, both
 seasonal queries, both leakage-safe splits, URL dedup, index
 doctor/refine — plus the 3 round-12 births: q_skipping_bloom,
-q_ext_index_partitioned, q_ext_index_rebuild_policy) + 9 of the 37
-r6-stale queries, prioritized by module churn since their last cert
+q_ext_index_partitioned, q_ext_index_rebuild_policy) + (after the late-birth swaps below) 9 of the 37 r6-stale queries,
+prioritized by module churn since their last cert
 (similarity.py: q_ext_ivfpq_topk + q_ext_pq_refined_topk, reused by
 the index store; writers.py changed THIS round: q_layer_roundtrip +
 q_stream_feature_store; manager.py changed THIS round — its broader
@@ -637,8 +637,14 @@ q_event_path_conversion driver-certs in r11, and the distributed
 global-rank primitive behind quantile_bin was re-certified via
 q_rank_normalize (r8) and rides inside in-window q_ext_curriculum_mixture's
 token-budget ranking; both stay in the full local gate + pytest —
-births-before-stale keeps never-certified debt at zero). The third
-late birth q_deletion_vectors (row-level deletes on the storage core —
+births-before-stale keeps never-certified debt at zero). Late birth
+q_skipping_incremental stays OUT of this window with documented cover
+(the r11 TPC-H precedent): its append + incremental-sidecar machinery
+is pytest-pinned maintained-≡-rebuilt bit-for-bit, it is green in the
+full local gate, and the skipping family carries FOUR in-window
+anchors this round (scan / zorder / bloom / index_partitioned) over
+the same prune-and-residual read path; it rotates into r13's window.
+The third late birth q_deletion_vectors (row-level deletes on the storage core —
 new machinery, must not accrue debt) takes q_stream_sliding's slot
 (r6-green; the streaming family keeps q_stream_feature_store in-window
 this round and sliding's window machinery carried driver certs through
@@ -651,13 +657,12 @@ current code, the freshest certification any query can carry) and
 stays exact-checked by the full local differential gate (256 queries,
 judge-rerun each round) + pytest; rotating the freshest-certified out
 for the never-certified is precisely the policy VERDICT r11 directed.
-Remaining debt after this round: the 25 other r6-stale queries
-(q_bin_by_cutpoints, q_chi2_association, q_event_attribution,
-q_event_transitions, q_ext_ann_recall, q_ext_bm25_topk, q_ext_lm_score,
-q_ext_simhash, q_ext_weighted_sample, q_feature_chain,
-q_feature_correlations, q_layer… — full list = r6 set minus the 12
-above) plus the r7 cohort (21) — they fit the next two windows,
-oldest-first; each keeps an in-window family anchor this round
+Remaining debt after this round: the 28 other r6-stale queries (the
+r6 set minus the NINE re-certified here — q_funnel_steps /
+q_quantile_bin / q_stream_sliding stayed r6-certified after the late
+r12 births took their slots) plus the r7 cohort (21) — they fit the
+next two windows, oldest-first; each keeps an in-window family anchor
+this round
 (pipelines via supplier_risk/customer_tx, streaming via
 feature_store/sliding, events via funnel_steps, eval/monitor via
 crosscheck, sampling via token_mixture, PQ/ANN via ivfpq/pq_refined,
@@ -712,7 +717,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_version_changes",
     "q_ext_image_dhash",
     "q_deletion_vectors",
-    # r6-stale re-certifications (12 of 37; priority = module churn)
+    # r6-stale re-certifications (9 of 37; priority = module churn)
     "q_ext_ivfpq_topk",
     "q_ext_pq_refined_topk",
     "q_layer_roundtrip",
@@ -724,99 +729,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_val_crosscheck",
 )
 
-_ROUND11_WINDOW: tuple[str, ...] = (
-    # Round-11 window (VERDICT r10 task 1: oldest-first freshness — the
-    # r4/r5 cohorts rotate in completely, plus the most-changed r6
-    # queries). Every round-10 window member rotating OUT carries a
-    # green CORRECTNESS_r10.json row on effectively-current code and
-    # stays in the full local differential gate (250 queries at session end) + pytest.
-    "q01_pricing_summary",  # flagship (entry())
-    # queries over code changed THIS round (ADVICE r10 fixes):
-    # windows.py RANGE-frame cumsum → the three anchor-carry queries;
-    # cdc.py/streaming NULL-op guard → both CDC applies; joins.py
-    # valid_to collision → scd2; curation.py tie-break → contamination;
-    # events.py null-step rule → event_paths
-    "q_trailing_features",
-    "q_label_window",
-    "q_trailing_multi_window",
-    "q_cdc_apply_changes",
-    "q_stream_cdc_apply",
-    "q_scd2_dim_join",
-    "q_ext_semantic_contamination",
-    "q_event_paths",
-    # round-11 births (rotate straight in — no new debt)
-    "q_ext_index_refresh",
-    "q_stream_trailing_features",
-    "q_event_path_conversion",
-    # freshness rotation: ALL 15 queries last driver-certified in r4
-    "q_agg_dispatch",
-    "q_anti_join",
-    "q_ext_ann_ivf",
-    "q_ext_ann_lsh",
-    "q_ext_embedding_near_dup",
-    "q_ext_fingerprint_dedup",
-    "q_ext_lang_id",
-    "q_ext_repetition",
-    "q_ext_stratified_sample",
-    "q_ext_text_stats",
-    "q_ext_winnowing",
-    "q_filter_fold",
-    "q_rsi",
-    "q_val_dimension_drift",
-    "q_val_profile",
-    # freshness rotation: ALL 18 queries last driver-certified in r5
-    "q_equi_join_left_wins",
-    "q_ext_corpus_roundtrip",
-    "q_ext_dedup_keep_best",
-    "q_ext_dsir_weights",
-    "q_ext_paragraph_dedup",
-    "q_ext_pii_scrub",
-    "q_ext_semantic_dedup",
-    "q_ext_session_features",
-    "q_ext_sketch_profile",
-    "q_fill_gaps_interpolate",
-    "q_fs_online_snapshot",
-    "q_gen_payment_golden",
-    "q_interval_join",
-    "q_rolling_ewma",
-    "q_rollup_hierarchy",
-    "q_target_encoding",
-    "q_val_expectations",
-    "q_window_dispatch",
-    # r6-certified queries whose implementing modules changed in r7-r11
-    # (similarity.py: reused by the index store; curation.py + events.py:
-    # ADVICE fixes this round)
-    # late round-11 birth: search over the MAINTAINED index — takes the
-    # slot earmarked for q_ext_ivfpq_topk (r6-green, full-gate-covered;
-    # the refinement variant q_ext_index_refine stays OUT of the window
-    # with cover: its probe/ADC/maintenance machinery is triple-anchored
-    # here (index_search/index_refresh/stream_index_upserts) and the
-    # exact-rerank delta is pytest-pinned to brute-force equality —
-    # displacing a freshness-rotation member for a 4th family anchor
-    # would work against this round's priority; full local gate checks
-    # it exactly;
-    # its coarse-assign + codebook + probe + LUT + fold-ordered-ADC
-    # machinery is exactly what q_ext_index_search and
-    # q_ext_index_refresh certify in-window this round, on the same
-    # similarity.py code paths)
-    "q_ext_index_search",
-    "q_ext_curation_pipeline",
-    "q_ext_contamination",
-    # late round-11 birth: streamed histogram state → trailing p50/p90
-    # (the quantile-type aggregation feature) — takes the slot of
-    # q_funnel_steps (r6-green, full-gate-covered; its single function
-    # is untouched since r6 and the events.py family keeps TWO
-    # in-window anchors over this round's exact changed code:
-    # q_event_paths and q_event_path_conversion)
-    "q_stream_trailing_quantile",
-    # late round-11 birth: streamed index maintenance (foreachBatch
-    # upserts, exactly-once by idempotent MERGE) — takes the slot of
-    # q_event_attribution (r6-green, full-gate-covered; the events.py
-    # family keeps THREE in-window anchors: q_funnel_steps,
-    # q_event_paths and q_event_path_conversion, the latter two over
-    # this round's exact changed code)
-    "q_stream_index_upserts",
-)
+# (the round-11 window tuple lives in git history — commit 0934e9c)
 
 WINDOW_SIZE = 50
 

@@ -3871,3 +3871,72 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_skipping_incremental",
+    oracle=f"""
+    SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+           {_o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+    GROUP BY 1
+    ORDER BY ship_month
+    """,
+)
+def q_skipping_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained skipping sidecar on an APPEND-mode
+    table: the base load writes pre-1996 lineitem with a stats sidecar;
+    the append wave adds 1996+ rows and `save_table(mode="append")`
+    refreshes the sidecar INCREMENTALLY (immutable files' rows carry
+    over verbatim, only the new files' footers are read). The range
+    predicate then prunes through the MAINTAINED stats — the pre-1996
+    base files drop without being re-harvested — and the oracle's
+    full-scan equality proves maintained ≡ correct. The Bloom sidecar's
+    incremental twin and maintained ≡ rebuilt (bit-for-bit, both
+    sidecars) are pinned in tests/test_skipping.py; the full
+    write-time Bloom path is gate-certified by q_skipping_bloom.
+    """
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_file_stats,
+        read_with_skipping,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import save_table
+
+    root = scratch_dir("skipping_inc")
+    path = os.path.join(root, "lineitem_inc")
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_shipdate") < "1996-01-01")
+    wave = li.filter(F.col("l_shipdate") >= "1996-01-01")
+    save_table(
+        base.repartitionByRange(4, "l_shipdate"),
+        path,
+        stats_columns=["l_shipdate"],
+    )
+    save_table(
+        wave.repartitionByRange(4, "l_shipdate"),
+        path,
+        mode="append",
+        stats_columns=["l_shipdate"],
+    )
+    stats = load_file_stats(spark, path)
+    cut = dt.datetime(1996, 6, 1, tzinfo=dt.timezone.utc).timestamp()
+    df, _report = read_with_skipping(
+        spark,
+        path,
+        stats,
+        [("l_shipdate", ">=", cut)],
+        residual="l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'",
+    )
+    return (
+        df.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("ship_month")
+    )

@@ -104,7 +104,9 @@ def apply_deletes(spark: SparkSession, table_path: str) -> int:
     out = dv_path(table_path)
     if not os.path.isdir(out):
         return 0
-    dv_count = spark.read.parquet(out).count()
+    # concurrent delete waves may append duplicate coordinates; the
+    # physical count is over DISTINCT (file, row) pairs
+    dv_count = spark.read.parquet(out).distinct().count()
     if not dv_count:
         return 0
     live = read_with_deletes(spark, table_path).localCheckpoint(eager=True)

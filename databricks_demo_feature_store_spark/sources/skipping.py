@@ -596,6 +596,10 @@ def write_bloom_sidecar(
         kept, have = _keep_present_rows(spark, stored, current)
         new_files = sorted(current - have)
         if not new_files:
+            if have <= current:
+                # nothing new, nothing vanished: the sidecar is already
+                # exact — skip the pointless rewrite-and-swap cycle
+                return stored
             return _promote_bloom(spark, table_path, kept)
     from databricks_demo_feature_store_spark.operators.sketches import (
         _bloom_positions,

@@ -33,6 +33,43 @@ def _write(df: DataFrame, path: str, fmt: str, mode: str, partition_by: Sequence
     writer.save(path)
 
 
+class CheckConstraintViolation(ValueError):
+    """Raised by :func:`enforce_check_constraints`; carries per-constraint
+    violation counts in ``.counts``."""
+
+    def __init__(self, counts: dict):
+        self.counts = counts
+        super().__init__(
+            "check constraint(s) violated: "
+            + ", ".join(f"{k!r} ({v} rows)" for k, v in counts.items())
+        )
+
+
+def enforce_check_constraints(df: DataFrame, constraints: Sequence[str]) -> None:
+    """Validate every constraint in ONE aggregation job (conditional
+    counts — map-side combinable); raise :class:`CheckConstraintViolation`
+    with the per-constraint violation counts if any row fails. NULL
+    results PASS (SQL CHECK semantics), so ``x > 0`` does not reject
+    NULL x — add ``x IS NOT NULL`` explicitly for that."""
+    from pyspark.sql import functions as F
+
+    constraints = list(constraints)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(c), F.lit(True)), 1).otherwise(0)
+        ).alias(f"__c{i}")
+        for i, c in enumerate(constraints)
+    ]
+    row = df.agg(*aggs).first()
+    counts = {
+        c: int(row[f"__c{i}"] or 0)
+        for i, c in enumerate(constraints)
+        if (row[f"__c{i}"] or 0) > 0
+    }
+    if counts:
+        raise CheckConstraintViolation(counts)
+
+
 def _swap_dirs(live: str, staging: str) -> None:
     """Promote ``staging`` to ``live`` via directory renames, never a
     delete-then-rewrite of the live table.
@@ -66,6 +103,7 @@ def save_table(
     partition_overwrite: bool = False,
     stats_columns: Sequence[str] | None = None,
     bloom_columns: Sequence[str] | None = None,
+    check_constraints: Sequence[str] | None = None,
 ) -> None:
     """Write a layer table.
 
@@ -74,8 +112,21 @@ def save_table(
       dynamic ``partitionOverwriteMode``, ``storage_operations.py:161-199``).
     - ``mode="merge"`` upserts on ``merge_keys`` (Delta MERGE when
       available, anti-join emulation otherwise).
+    - ``check_constraints`` — SQL boolean expressions enforced BEFORE any
+      byte lands (the Delta ``ALTER TABLE ADD CONSTRAINT CHECK`` twin):
+      a row violates a constraint iff the expression is FALSE (NULL
+      passes, SQL CHECK semantics). All constraints validate in ONE
+      aggregation pass; any violation raises with per-constraint counts
+      and the write never starts — a constrained table can't be
+      half-poisoned.
     """
     spark = df.sparkSession
+    if check_constraints:
+        # pin the plan FIRST: validating one evaluation and writing a
+        # re-evaluation would un-guarantee 'no half-poisoned table' for
+        # non-deterministic plans (and pays a second full computation)
+        df = df.localCheckpoint(eager=True)
+        enforce_check_constraints(df, check_constraints)
     if mode == "merge":
         if not merge_keys:
             raise ValueError("merge mode requires merge_keys")

@@ -136,11 +136,27 @@ class VectorIndexStore:
     def codebooks(self) -> DataFrame:
         return self.manager.read(self.codebooks_table)
 
-    def postings(self, include_deleted: bool = False) -> DataFrame:
+    def postings(
+        self,
+        include_deleted: bool = False,
+        clusters: list[int] | None = None,
+    ) -> DataFrame:
         """The inverted lists; tombstones folded out unless asked for.
         The layout column (partitioned mode) is dropped — consumers see
-        one schema regardless of layout."""
+        one schema regardless of layout. ``clusters`` restricts a
+        partitioned store to the given lists via a STATIC partition
+        filter (the probe path); on an unpartitioned store it degrades
+        to a plain post-scan filter — same rows either way."""
         df = self.manager.read(self.postings_table)
+        if clusters is not None:
+            if self.partition_postings and self.PART_COL in df.columns:
+                df = df.filter(
+                    F.col(self.PART_COL).isin(
+                        ["c%04d" % int(c) for c in clusters]
+                    )
+                )
+            else:
+                df = df.filter(F.col("cluster").isin([int(c) for c in clusters]))
         if self.PART_COL in df.columns:
             df = df.drop(self.PART_COL)
         return df if include_deleted else df.filter(~F.col("deleted"))
@@ -551,18 +567,15 @@ class VectorIndexStore:
             # by nlist (broadcast-sized by construction), so collecting it
             # and pushing an IN filter on the layout column turns the
             # postings read into a scan of ~nprobe directories — the
-            # explicit form of what Delta/DPP would do at runtime
+            # explicit form of what Delta/DPP would do at runtime.
+            # Checkpoint probes first: the collect AND the join below
+            # reuse it, so the centroid assignment runs once, not twice.
+            probes = probes.localCheckpoint(eager=True)
             probed = sorted(
                 int(r["cluster"])
                 for r in probes.select("cluster").distinct().collect()
             )
-            parts = ["c%04d" % c for c in probed]
-            live = (
-                self.manager.read(self.postings_table)
-                .filter(F.col(self.PART_COL).isin(parts))
-                .drop(self.PART_COL)
-                .filter(~F.col("deleted"))
-            )
+            live = self.postings(clusters=probed)
         cand = (
             live
             .join(F.broadcast(probes.select("query_id", "cluster")), on="cluster")

@@ -220,3 +220,31 @@ def test_scratch_dir_process_isolated():
         text=True,
     ).strip()
     assert other != root  # per-process mkdtemp root
+
+
+def test_check_constraints_enforced_before_write(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from databricks_demo_feature_store_spark.sources.writers import (
+        CheckConstraintViolation,
+        save_table,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cc")
+    good = spark.createDataFrame([(1, 5.0), (2, None)], "id int, bal double")
+    # NULL passes (SQL CHECK semantics)
+    save_table(good, path, check_constraints=["bal > 0", "id IS NOT NULL"])
+    assert spark.read.parquet(path).count() == 2
+
+    bad = spark.createDataFrame(
+        [(3, -1.0), (4, 2.0), (None, 3.0)], "id int, bal double"
+    )
+    with _pytest.raises(CheckConstraintViolation) as exc:
+        save_table(bad, path, mode="append",
+                   check_constraints=["bal > 0", "id IS NOT NULL"])
+    assert exc.value.counts == {"bal > 0": 1, "id IS NOT NULL": 1}
+    # the write never started: table unchanged
+    assert spark.read.parquet(path).count() == 2
