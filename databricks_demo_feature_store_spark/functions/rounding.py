@@ -25,3 +25,36 @@ def dround(col: Column | str, scale: int = 4) -> Column:
 def oracle_dround(expr: str, scale: int = 4) -> str:
     """The DuckDB-SQL twin of :func:`dround` for oracle queries."""
     return f"CAST(ROUND(CAST({expr} AS DECIMAL(38,10)), {scale}) AS DOUBLE)"
+
+
+def decimal_half_up_div(num: Column, den: Column) -> Column:
+    """Sign-aware HALF_UP integer division over DECIMAL(38,0) operands —
+    ``round(num/den)`` computed exactly for operands far past 2^53:
+    ``sign(n) · floor((2|n| + d) / (2d))``.
+
+    The floor runs through ``pmod`` so the decimal division is exactly
+    integer-valued: a direct ``floor(a/b)`` is NOT provably exact for
+    large denominators, because Spark's decimal ``/`` rounds at a finite
+    result scale (6) and the true quotient can sit within 10^-6 of the
+    floor boundary when ``1/(2d) < 10^-6`` (the seasonal_decompose
+    helper's proof needs small denominators; this form needs none).
+    Returns DECIMAL(38,0).
+    """
+    two = F.lit(2).cast("decimal(38,0)")
+    a = (two * F.abs(num.cast("decimal(38,0)")) + den.cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    b = (two * den.cast("decimal(38,0)")).cast("decimal(38,0)")
+    r = F.pmod(a, b)
+    q = ((a - r) / b).cast("decimal(38,0)")  # exactly divisible ⇒ exact
+    return (F.signum(num).cast("decimal(2,0)") * q).cast("decimal(38,0)")
+
+
+def oracle_half_up_div(num: str, den: str) -> str:
+    """DuckDB twin of :func:`decimal_half_up_div` (HUGEINT floor
+    division; ``//`` floors toward −∞, hence the abs/sign form)."""
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 WHEN ({num}) > 0 THEN 1 ELSE 0 END)"
+        f" * ((2 * ABS(CAST(({num}) AS HUGEINT)) + CAST(({den}) AS HUGEINT))"
+        f" // (2 * CAST(({den}) AS HUGEINT)))"
+    )

@@ -308,6 +308,7 @@ def fill_monthly_gaps(
     value_cols: Sequence[str],
     interpolate: bool = True,
     round_to: int = 6,
+    exact_unit_scale: int | None = None,
 ) -> DataFrame:
     """Densify a sparse per-entity monthly series: emit EVERY month
     between each entity's first and last observation, then (optionally)
@@ -329,6 +330,16 @@ def fill_monthly_gaps(
     O(n²) (measured 4s → 1s at sf0.1 on 30-80-row partitions). Same
     hash partitioning on the entity → ONE exchange; the descending pass
     adds an in-partition re-sort only.
+
+    ``exact_unit_scale=k`` declares the value columns exact k-decimal
+    quantities (money sums etc.): interpolation then runs in INTEGER
+    units of 10^-k with explicit HALF_UP at ``round_to`` (the
+    seasonal_decompose discipline) — a double-based
+    ``prev + (nxt−prev)·frac`` lands exactly on 10^-round_to rounding
+    boundaries whenever ``gap | (prev_u·(gap−step) + nxt_u·step)·10^…``,
+    where Spark (shortest-repr) and DuckDB (binary) round apart
+    (measured last-digit flips at sf0.1, round 12). Requires
+    ``round_to ≥ exact_unit_scale``.
     """
     ent, mon = F.col(entity_col), F.col(month_col)
     spine = (
@@ -355,8 +366,45 @@ def fill_monthly_gaps(
         .orderBy(F.col(month_col).desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if exact_unit_scale is not None and round_to < exact_unit_scale:
+        raise ValueError("fill_monthly_gaps: round_to must be >= exact_unit_scale")
     out = dense
     for c in value_cols:
+        if exact_unit_scale is not None:
+            from databricks_demo_feature_store_spark.functions.rounding import (
+                decimal_half_up_div,
+            )
+
+            unit = 10**exact_unit_scale
+            boost = 10 ** (round_to - exact_unit_scale)
+            xu = (
+                F.col(c).cast(f"decimal(38,{exact_unit_scale})") * unit
+            ).cast("decimal(38,0)")
+            prev_u = F.last(xu, ignorenulls=True).over(back)
+            prev_m = F.last(
+                F.when(xu.isNotNull(), F.col(month_col)), True
+            ).over(back)
+            nxt_u = F.last(xu, ignorenulls=True).over(fwd)
+            nxt_m = F.last(
+                F.when(xu.isNotNull(), F.col(month_col)), True
+            ).over(fwd)
+            step = F.months_between(F.col(month_col), prev_m).cast("decimal(38,0)")
+            gap = F.months_between(nxt_m, prev_m).cast("decimal(38,0)")
+            # exact rational: (prev_u·(gap−step) + nxt_u·step) / gap,
+            # HALF_UP at round_to decimals through integer division
+            num = (
+                (prev_u * (gap - step) + nxt_u * step) * F.lit(boost)
+            ).cast("decimal(38,0)")
+            interp_r = decimal_half_up_div(num, gap)
+            own_r = (xu * F.lit(boost)).cast("decimal(38,0)")
+            filled_r = F.when(xu.isNotNull(), own_r).otherwise(
+                F.when(prev_u.isNotNull() & nxt_u.isNotNull(), interp_r)
+            )
+            out = out.withColumn(
+                f"{c}_filled",
+                filled_r.cast("double") / F.lit(float(10**round_to)),
+            )
+            continue
         x = F.col(c).cast("double")
         prev = F.last(x, ignorenulls=True).over(back)
         prev_m = F.last(F.when(x.isNotNull(), F.col(month_col)), True).over(back)

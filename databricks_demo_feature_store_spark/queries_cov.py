@@ -820,7 +820,26 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT custkey, order_month, total_spend,
-           {oracle_dround("CASE WHEN total_spend IS NOT NULL THEN total_spend WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN prev + (nxt - prev) * (CAST(date_diff('month', prev_m, order_month) AS DOUBLE) / CAST(date_diff('month', prev_m, nxt_m) AS DOUBLE)) END", 6)} AS total_spend_filled
+           -- integer-unit exact interpolation (centi-unit spends, HALF_UP
+           -- at 6 decimals via exact HUGEINT division — double math lands
+           -- on 1e-6 rounding boundaries whenever gap | numerator, where
+           -- the engines round apart; measured at sf0.1, round 12)
+           CAST(CASE
+             WHEN total_spend IS NOT NULL THEN
+               CAST(CAST(total_spend AS DECIMAL(25,2)) * 100 AS HUGEINT) * 10000
+             WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+               (CASE WHEN (CAST(CAST(prev AS DECIMAL(25,2)) * 100 AS HUGEINT)
+                             * (date_diff('month', prev_m, nxt_m) - date_diff('month', prev_m, order_month))
+                           + CAST(CAST(nxt AS DECIMAL(25,2)) * 100 AS HUGEINT)
+                             * date_diff('month', prev_m, order_month)) < 0
+                     THEN -1 ELSE 1 END)
+               * ((2 * ABS((CAST(CAST(prev AS DECIMAL(25,2)) * 100 AS HUGEINT)
+                           * (date_diff('month', prev_m, nxt_m) - date_diff('month', prev_m, order_month))
+                         + CAST(CAST(nxt AS DECIMAL(25,2)) * 100 AS HUGEINT)
+                           * date_diff('month', prev_m, order_month)) * 10000)
+                + CAST(date_diff('month', prev_m, nxt_m) AS HUGEINT))
+               // (2 * CAST(date_diff('month', prev_m, nxt_m) AS HUGEINT)))
+           END AS DOUBLE) / 1000000 AS total_spend_filled
     FROM n
     """,
 )
@@ -840,33 +859,47 @@ def q_fill_gaps_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_spend").cast("double").alias("total_spend"),
     )
     return fill_monthly_gaps(
-        m, "custkey", "order_month", ["total_spend"], round_to=6
+        m, "custkey", "order_month", ["total_spend"], round_to=6,
+        exact_unit_scale=2,
     )
 
 
 @register(
     "q_target_encoding",
     oracle="""
-    WITH stats AS (
-      SELECT o_orderpriority,
-             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s,
-             COUNT(o_totalprice) AS c
-      FROM orders GROUP BY o_orderpriority
-    ),
-    g AS (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
-               / COUNT(o_totalprice) AS gmean
+    -- integer-unit exact replay (micro-units of the target):
+    --   enc = (s·Gc + m·Gs) / (Gc·(c + m)), HALF_UP at 6 decimals via
+    -- exact HUGEINT division — double-based rounding flips last digits
+    -- against Spark exactly at the 1e-6 boundaries a sum/count ratio
+    -- hits (measured at sf0.1, round 12)
+    WITH su AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS HUGEINT) AS y_u
       FROM orders
+    ),
+    stats AS (
+      SELECT o_orderpriority, SUM(y_u) AS s_u, COUNT(*) AS c
+      FROM su GROUP BY o_orderpriority
+    ),
+    g AS (SELECT SUM(y_u) AS gs_u, COUNT(*) AS gc FROM su),
+    parts AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             (st.s_u - o.y_u) * g.gc + 20 * g.gs_u AS n,
+             g.gc * (st.c - 1 + 20) AS d,
+             g.gs_u AS gs_u, g.gc AS gc
+      FROM su o
+      LEFT JOIN stats st ON o.o_orderpriority = st.o_orderpriority
+      CROSS JOIN g
     )
-    SELECT o.o_orderkey, o.o_orderpriority,
-           ROUND(COALESCE(
-             (CAST(st.s - CAST(o.o_totalprice AS DECIMAL(25,6)) AS DOUBLE)
-                + 20.0 * g.gmean)
-             / (CAST(st.c - 1 AS DOUBLE) + 20.0),
-             g.gmean), 6) AS o_orderpriority_target_enc
-    FROM orders o
-    LEFT JOIN stats st ON o.o_orderpriority = st.o_orderpriority
-    CROSS JOIN g
+    SELECT o_orderkey, o_orderpriority,
+           CAST(COALESCE(
+             CASE WHEN d > 0 THEN
+               (CASE WHEN n < 0 THEN -1 WHEN n > 0 THEN 1 ELSE 0 END)
+                 * ((2 * ABS(n) + d) // (2 * d))
+             END,
+             (2 * gs_u + gc) // (2 * gc)
+           ) AS DOUBLE) / 1000000 AS o_orderpriority_target_enc
+    FROM parts
     """,
 )
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,7 +1719,7 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     prev = "r0"
     for i in range(1, iterations + 1):
         its.append(f"""
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT e.dst AS node,
              SUM({r12(f'CAST({prev}.rank AS DOUBLE) / CAST({prev}.d AS DOUBLE)')}) AS inm
       FROM {prev} JOIN e ON {prev}.node = e.src
@@ -1697,7 +1730,7 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
       SELECT COALESCE(SUM(rank), CAST(0 AS DECIMAL(38,12))) AS dang
       FROM {prev} WHERE d IS NULL
     ),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT b.node, b.d,
              {r12(
                  f"{tele} / CAST(nn.n AS DOUBLE) + {d} * ("
@@ -1710,7 +1743,11 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
     )""")
         prev = f"r{i}"
     return f"""
-    WITH e AS (
+    -- MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
+    -- iteration references its predecessor 3x — unrolled, that is 3^5
+    -- copies of the whole pipeline (measured: >23 GB of spill at sf0.1
+    -- before filling the disk). Materialization makes the unroll linear.
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
@@ -1720,7 +1757,7 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
       SELECT node, deg.d FROM nodes LEFT JOIN deg ON nodes.node = deg.src
     ),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT node, d, {r12('1.0 / CAST(nn.n AS DOUBLE)')} AS rank
       FROM base CROSS JOIN nn
     ),{",".join(its)}

@@ -1523,11 +1523,15 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts CROSS JOIN st
     ),
     terms AS (
+      -- z quantized to integer NANO-units with pure double ops (both
+      -- engines evaluate floor(z*1e9 + 0.5) bit-identically); every
+      -- later step is exact integer arithmetic — the double->DECIMAL
+      -- quantization this replaces is engine-dependent at 1e-9 ties
       SELECT period, n_rows, zv,
-             CAST(ROUND(CAST(COALESCE(zv, 0) - 0.5 AS DECIMAL(38,10)), 9)
-                  AS DECIMAL(38,9)) AS up,
-             CAST(ROUND(CAST(-COALESCE(zv, 0) - 0.5 AS DECIMAL(38,10)), 9)
-                  AS DECIMAL(38,9)) AS dn
+             CAST(floor(COALESCE(zv, 0) * 1000000000 + 0.5) AS BIGINT)
+               - 500000000 AS up,
+             -CAST(floor(COALESCE(zv, 0) * 1000000000 + 0.5) AS BIGINT)
+               - 500000000 AS dn
       FROM z
     ),
     cum AS (
@@ -1536,19 +1540,18 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms
     ),
     mins AS (
-      SELECT *, LEAST(CAST(0 AS DECIMAL(38,9)), MIN(cu) OVER (ORDER BY period)) AS mu,
-                LEAST(CAST(0 AS DECIMAL(38,9)), MIN(cd) OVER (ORDER BY period)) AS md
+      SELECT *, LEAST(0, MIN(cu) OVER (ORDER BY period)) AS mu,
+                LEAST(0, MIN(cd) OVER (ORDER BY period)) AS md
       FROM cum
     )
     SELECT period,
            CAST(n_rows AS BIGINT) AS n_rows,
-           CAST(ROUND(CAST(zv AS DECIMAL(38,10)), 6) AS DOUBLE) AS zscore,
-           CAST(ROUND(CAST(CAST(cu - mu AS DOUBLE) AS DECIMAL(38,10)), 6)
-                AS DOUBLE) AS cusum_pos,
-           CAST(ROUND(CAST(CAST(cd - md AS DOUBLE) AS DECIMAL(38,10)), 6)
-                AS DOUBLE) AS cusum_neg,
-           (cu - mu > CAST(4.0 AS DECIMAL(38,9))
-            OR cd - md > CAST(4.0 AS DECIMAL(38,9))) AS is_changepoint
+           CASE WHEN zv IS NOT NULL THEN
+             CAST(CAST(floor(zv * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000
+           END AS zscore,
+           CAST((2 * (cu - mu) + 1000) // 2000 AS DOUBLE) / 1000000 AS cusum_pos,
+           CAST((2 * (cd - md) + 1000) // 2000 AS DOUBLE) / 1000000 AS cusum_neg,
+           (cu - mu > 4000000000 OR cd - md > 4000000000) AS is_changepoint
     FROM mins
     """,
 )

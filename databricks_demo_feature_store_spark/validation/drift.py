@@ -441,31 +441,61 @@ def cusum_from_counts(
             F.sqrt(var) > 0, (F.col("n_rows").cast("double") - mean) / F.sqrt(var)
         ).alias("__z"),
     )
-    sl = float(slack)
-    up = dround(F.coalesce(F.col("__z"), F.lit(0.0)) - F.lit(sl), 9).cast(dec)
-    dn = dround(-F.coalesce(F.col("__z"), F.lit(0.0)) - F.lit(sl), 9).cast(dec)
+    # Quantize the (irrational) z-score to integer NANO-units with PURE
+    # double ops — floor(z·1e9 + 0.5) — which both engines evaluate
+    # bit-identically (IEEE multiply/add/floor on the same double).
+    # The previous dround(z, 9) quantized through a double→DECIMAL cast,
+    # which is engine-DEPENDENT at the 1e-9 boundaries (Spark rounds the
+    # shortest repr, DuckDB the binary value); one flipped nano-unit then
+    # propagated through the running sum and flipped the 6th decimal of a
+    # RUN of output rows (measured at sf0.1, round 12). Everything after
+    # the quantization is exact integer arithmetic.
+    nano = 1_000_000_000
+    slack_u = int(round(float(slack) * nano))
+    thresh_u = int(round(float(threshold) * nano))
+    zq = F.floor(
+        F.coalesce(F.col("__z"), F.lit(0.0)) * F.lit(float(nano)) + F.lit(0.5)
+    ).cast("long")
+    up = zq - F.lit(slack_u)
+    dn = -zq - F.lit(slack_u)
     w = W.orderBy("period").rowsBetween(W.unboundedPreceding, 0)
     cum = base.select(
         "*",
         F.sum(up).over(w).alias("__cu"),
         F.sum(dn).over(w).alias("__cd"),
     )
-    zero = F.lit(0).cast(dec)
+    zero = F.lit(0).cast("long")
     cum = cum.select(
         "*",
         F.least(zero, F.min("__cu").over(w)).alias("__mu"),
         F.least(zero, F.min("__cd").over(w)).alias("__md"),
     )
-    s_pos = (F.col("__cu") - F.col("__mu")).cast("double")
-    s_neg = (F.col("__cd") - F.col("__md")).cast("double")
+    from databricks_demo_feature_store_spark.functions.rounding import (
+        decimal_half_up_div,
+    )
+
+    rscale = 10 ** (9 - round_to)
+    s_pos = decimal_half_up_div(
+        F.col("__cu") - F.col("__mu"), F.lit(rscale)
+    ).cast("double") / F.lit(float(10**round_to))
+    s_neg = decimal_half_up_div(
+        F.col("__cd") - F.col("__md"), F.lit(rscale)
+    ).cast("double") / F.lit(float(10**round_to))
+    zs = F.when(
+        F.col("__z").isNotNull(),
+        F.floor(
+            F.col("__z") * F.lit(float(10**round_to)) + F.lit(0.5)
+        ).cast("long").cast("double")
+        / F.lit(float(10**round_to)),
+    )
     return cum.select(
         "period",
         F.col("n_rows").cast("long").alias("n_rows"),
-        dround(F.col("__z"), round_to).alias("zscore"),
-        dround(s_pos, round_to).alias("cusum_pos"),
-        dround(s_neg, round_to).alias("cusum_neg"),
+        zs.alias("zscore"),
+        s_pos.alias("cusum_pos"),
+        s_neg.alias("cusum_neg"),
         (
-            (F.col("__cu") - F.col("__mu") > F.lit(float(threshold)).cast(dec))
-            | (F.col("__cd") - F.col("__md") > F.lit(float(threshold)).cast(dec))
+            (F.col("__cu") - F.col("__mu") > F.lit(thresh_u))
+            | (F.col("__cd") - F.col("__md") > F.lit(thresh_u))
         ).alias("is_changepoint"),
     )
