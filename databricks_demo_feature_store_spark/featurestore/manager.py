@@ -193,7 +193,13 @@ class FeatureStoreManager:
         if needs_overwrite or not self.exists(spec.name):
             # Unpartitioned by default (reference :1656-1663); spec can
             # opt into a hive layout (see FeatureTableSpec.partition_by).
-            writer = df.write.format(self.fmt).mode("overwrite")
+            out_df = df
+            if spec.partition_by:
+                # one shuffle on the layout columns: without it every
+                # task writes into every partition dir (tasks × dirs
+                # small files — writers._write has the same guard)
+                out_df = df.repartition(*spec.partition_by)
+            writer = out_df.write.format(self.fmt).mode("overwrite")
             if spec.partition_by:
                 writer = writer.partitionBy(*spec.partition_by)
             writer.save(path)
