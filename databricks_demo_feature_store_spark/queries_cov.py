@@ -820,26 +820,19 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT custkey, order_month, total_spend,
-           -- integer-unit exact interpolation (centi-unit spends, HALF_UP
-           -- at 6 decimals via exact HUGEINT division — double math lands
-           -- on 1e-6 rounding boundaries whenever gap | numerator, where
-           -- the engines round apart; measured at sf0.1, round 12)
-           CAST(CASE
-             WHEN total_spend IS NOT NULL THEN
-               CAST(CAST(total_spend AS DECIMAL(25,2)) * 100 AS HUGEINT) * 10000
+           -- floor-quantized double interpolation: the blend is pure
+           -- IEEE arithmetic both engines evaluate identically; the
+           -- quantization is floor(x*1e6 + 0.5), never a double->DECIMAL
+           -- ROUND (engine-dependent at the 1e-6 boundaries the blend
+           -- hits whenever gap | numerator; measured at sf0.1, round 12)
+           CAST(CAST(floor((CASE
+             WHEN total_spend IS NOT NULL THEN total_spend
              WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
-               (CASE WHEN (CAST(CAST(prev AS DECIMAL(25,2)) * 100 AS HUGEINT)
-                             * (date_diff('month', prev_m, nxt_m) - date_diff('month', prev_m, order_month))
-                           + CAST(CAST(nxt AS DECIMAL(25,2)) * 100 AS HUGEINT)
-                             * date_diff('month', prev_m, order_month)) < 0
-                     THEN -1 ELSE 1 END)
-               * ((2 * ABS((CAST(CAST(prev AS DECIMAL(25,2)) * 100 AS HUGEINT)
-                           * (date_diff('month', prev_m, nxt_m) - date_diff('month', prev_m, order_month))
-                         + CAST(CAST(nxt AS DECIMAL(25,2)) * 100 AS HUGEINT)
-                           * date_diff('month', prev_m, order_month)) * 10000)
-                + CAST(date_diff('month', prev_m, nxt_m) AS HUGEINT))
-               // (2 * CAST(date_diff('month', prev_m, nxt_m) AS HUGEINT)))
-           END AS DOUBLE) / 1000000 AS total_spend_filled
+               prev + (nxt - prev)
+                 * (CAST(date_diff('month', prev_m, order_month) AS DOUBLE)
+                    / CAST(date_diff('month', prev_m, nxt_m) AS DOUBLE))
+           END) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS total_spend_filled
     FROM n
     """,
 )
@@ -867,40 +860,32 @@ def q_fill_gaps_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_target_encoding",
     oracle="""
-    -- integer-unit exact replay (micro-units of the target):
-    --   enc = (s·Gc + m·Gs) / (Gc·(c + m)), HALF_UP at 6 decimals via
-    -- exact HUGEINT division — double-based rounding flips last digits
-    -- against Spark exactly at the 1e-6 boundaries a sum/count ratio
-    -- hits (measured at sf0.1, round 12)
-    WITH su AS (
-      SELECT o_orderkey, o_orderpriority,
-             CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS HUGEINT) AS y_u
+    -- floor-quantized double replay: the encoding expression is pure
+    -- IEEE double arithmetic evaluated identically by both engines; the
+    -- final quantization is floor(x*1e6 + 0.5) (engine-stable), NOT a
+    -- double->DECIMAL ROUND, which flips last digits at the 1e-6
+    -- boundaries a sum/count ratio hits (measured at sf0.1, round 12)
+    WITH stats AS (
+      SELECT o_orderpriority,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS s,
+             COUNT(o_totalprice) AS c
+      FROM orders GROUP BY o_orderpriority
+    ),
+    g AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(o_totalprice) AS gmean
       FROM orders
-    ),
-    stats AS (
-      SELECT o_orderpriority, SUM(y_u) AS s_u, COUNT(*) AS c
-      FROM su GROUP BY o_orderpriority
-    ),
-    g AS (SELECT SUM(y_u) AS gs_u, COUNT(*) AS gc FROM su),
-    parts AS (
-      SELECT o.o_orderkey, o.o_orderpriority,
-             (st.s_u - o.y_u) * g.gc + 20 * g.gs_u AS n,
-             g.gc * (st.c - 1 + 20) AS d,
-             g.gs_u AS gs_u, g.gc AS gc
-      FROM su o
-      LEFT JOIN stats st ON o.o_orderpriority = st.o_orderpriority
-      CROSS JOIN g
     )
-    SELECT o_orderkey, o_orderpriority,
-           CAST(COALESCE(
-             CASE WHEN d > 0 THEN
-               (CASE WHEN n < 0 THEN -1 WHEN n > 0 THEN 1 ELSE 0 END)
-                 * ((2 * ABS(n) + d) // (2 * d))
-             END,
-             (2 * gs_u + gc) // (2 * gc)
-           ) AS DOUBLE) / 1000000 AS o_orderpriority_target_enc
-    FROM parts
-    """,
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(CAST(floor(COALESCE(
+             (CAST(st.s - CAST(o.o_totalprice AS DECIMAL(25,6)) AS DOUBLE)
+                + 20.0 * g.gmean)
+             / (CAST(st.c - 1 AS DOUBLE) + 20.0),
+             g.gmean) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS o_orderpriority_target_enc
+    FROM orders o
+    LEFT JOIN stats st ON o.o_orderpriority = st.o_orderpriority
+    CROSS JOIN g""",
 )
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out smoothed target encoding of order priority against
