@@ -667,66 +667,91 @@ this round
 feature_store/sliding, events via funnel_steps, eval/monitor via
 crosscheck, sampling via token_mixture, PQ/ANN via ivfpq/pq_refined,
 rank primitives via quantile_bin).
+Round-13 rotation (VERDICT r12 task 1, verbatim: "the r13 window = the
+28 r6-stale + 21 r7-stale re-certs + q_skipping_incremental — exactly
+50. Oldest-first per driver_window.py discipline."): the window takes
+every query whose newest driver certification is round 6 (28 queries)
+or round 7 (21 queries), oldest cohort first, plus q_skipping_incremental
+(born after the r12 window was pinned — its first-ever driver row).
+After this gate runs green, NO registered query's newest driver cert is
+older than round 8 and never-certified debt is zero again.
+
+OUT: all 50 round-12 window members, including the flagship
+q01_pricing_summary — every one is round-12 driver-green
+(CORRECTNESS_r12 was 50/50 on current code, the freshest certification
+any query can carry), the flagship additionally runs EVERY round as the
+driver's entry() smoke check, and all 50 stay exact-checked by the full
+local differential gate (260 queries, judge-rerun each round) + pytest.
+Rotating the freshest-certified out for the stalest-certified is
+precisely the freshness policy VERDICT r12 directed.
+
+Round-13 births (q_incr_cdf_refresh, q_compact_policy,
+q_stream_late_metrics, ...) stay OUT of this window with documented
+cover (the r11 TPC-H / r12 q_skipping_incremental precedent): adding
+them would displace stale re-certs and break the judge's explicit
+"no cert older than r8" done-criterion. Each birth is green in the
+full local differential gate on current code and carries dedicated
+pytest pinning beyond the oracle; they rotate into r14's window
+first, before any further freshness re-certs.
 """
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- round-12 window (see docstring tail) ----
-    "q01_pricing_summary",  # flagship (entry())
-    # never-certified: round-11 TPC-H completion
-    "q02_min_cost_supplier",
-    "q04_priority_returns",
-    "q10_returned_revenue",
-    "q11_important_value",
-    "q12_priority_lines",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_sole_return_suppliers",
-    "q22_dormant_customers",
-    # never-certified: round-11 births
-    "q_skipping_scan",
-    "q_skipping_zorder",
-    "q_bloom_join_reduce",
-    "q_ext_bpe_pair_stats",
-    "q_ext_bpe_roundtrip",
-    "q_fs_forget",
-    "q_incr_join_refresh",
-    "q_incr_agg_join_refresh",
-    "q_ext_classifier_train",
-    "q_ext_quality_filter_e2e",
-    "q_ext_curriculum_mixture",
-    "q_ext_lm_backoff",
-    "q_seasonal_decompose",
-    "q_seasonal_anomalies",
-    "q_ext_cluster_split",
-    "q_ext_neardup_split",
-    "q_ext_url_dedup",
-    "q_ext_index_doctor",
-    "q_ext_index_refine",
-    # round-12 births (rotate straight in — no new debt)
-    "q_skipping_bloom",
-    "q_ext_index_partitioned",
-    "q_ext_index_rebuild_policy",
-    "q_version_changes",
-    "q_ext_image_dhash",
-    "q_deletion_vectors",
-    # r6-stale re-certifications (9 of 37; priority = module churn)
-    "q_ext_ivfpq_topk",
-    "q_ext_pq_refined_topk",
-    "q_layer_roundtrip",
-    "q_stream_feature_store",
-    "q_pipeline_supplier_risk",
-    "q_pipeline_customer_tx",
-    "q_ext_substring_dedup",
-    "q_ext_token_mixture",
-    "q_val_crosscheck",
+    # ---- round-13 window (see docstring tail) ----
+    # first-ever driver row (born after the r12 window was pinned)
+    "q_skipping_incremental",
+    # r6-stale re-certifications (all 28 — oldest cohort first)
+    "q_bin_by_cutpoints",
+    "q_chi2_association",
+    "q_event_attribution",
+    "q_event_transitions",
+    "q_ext_ann_recall",
+    "q_ext_bm25_topk",
+    "q_ext_lm_score",
+    "q_ext_simhash",
+    "q_ext_weighted_sample",
+    "q_feature_chain",
+    "q_feature_correlations",
+    "q_funnel_steps",
+    "q_pipeline_demographic",
+    "q_pipeline_incremental",
+    "q_pipeline_product_holdings",
+    "q_quantile_bin",
+    "q_retention_cohorts",
+    "q_stream_dedup",
+    "q_stream_distinct_sketch",
+    "q_stream_enrich",
+    "q_stream_hourly",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_train_test_split",
+    "q_unpivot_melt",
+    "q_val_ks_drift",
+    "q_val_psi_drift",
+    "q_val_schema_cast",
+    # r7-stale re-certifications (all 21)
+    "q_ext_hybrid_rrf",
+    "q_ext_line_clean",
+    "q_ext_ndcg_eval",
+    "q_ext_ngram_jaccard_cutoff",
+    "q_ext_pack_sequences",
+    "q_feature_scaling",
+    "q_frequent_pairs",
+    "q_key_skew_profile",
+    "q_name_linkage",
+    "q_rank_normalize",
+    "q_rolling_quantile",
+    "q_salted_join",
+    "q_scd2_intervals",
+    "q_stream_count_anomalies",
+    "q_stream_psi_drift",
+    "q_val_calibration",
+    "q_val_cusum",
+    "q_val_freshness",
+    "q_val_pr_auc",
+    "q_val_roc_auc",
+    "q_val_threshold_metrics",
 )
 
 # (the round-11 window tuple lives in git history — commit 0934e9c)
