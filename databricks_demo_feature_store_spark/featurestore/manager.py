@@ -134,15 +134,40 @@ class FeatureStoreManager:
     # name-based exclusion is the only reliable tell
     _INTERNAL_SUFFIXES = ("__old", "__staging", "__compact", "__forget")
 
+    def _is_writer_debris(self, name: str, siblings: set[str]) -> bool:
+        """Precise writer-internal match (ADVICE r12: a bare endswith hid a
+        legitimately-registered table named e.g. ``prices__old``): strip the
+        writer suffix chain (``_swap_dirs`` can stack them, e.g.
+        ``tbl__staging__old``) plus an optional random tail, and call it
+        debris only when a suffix WAS stripped and either (a) the remaining
+        base is an existing sibling table — the exact name every writer
+        derives staging/old dirs from — or (b) the dir carries no registry
+        metadata file, so it was never a registered table at all."""
+        import re
+
+        base, stripped = name, False
+        while True:
+            m = re.match(
+                r"^(.+?)(?:__old|__staging|__compact|__forget)(?:-\w+)?$", base
+            )
+            if not m:
+                break
+            base, stripped = m.group(1), True
+        if not stripped:
+            return False
+        if base in siblings:
+            return True
+        return not os.path.exists(os.path.join(self.root, name, METADATA_FILE))
+
     def list_tables(self) -> list[str]:
         if not os.path.exists(self.root):
             return []
-        return sorted(
+        dirs = {
             d
             for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
-            and not d.endswith(self._INTERNAL_SUFFIXES)
-        )
+        }
+        return sorted(d for d in dirs if not self._is_writer_debris(d, dirs))
 
     # -- schema validation --------------------------------------------------
     def validate_schema(self, name: str, df: DataFrame) -> SchemaDiff:

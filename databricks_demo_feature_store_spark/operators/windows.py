@@ -308,7 +308,7 @@ def fill_monthly_gaps(
     value_cols: Sequence[str],
     interpolate: bool = True,
     round_to: int = 6,
-    exact_unit_scale: int | None = None,
+    stable_quantize: bool = False,
 ) -> DataFrame:
     """Densify a sparse per-entity monthly series: emit EVERY month
     between each entity's first and last observation, then (optionally)
@@ -331,15 +331,18 @@ def fill_monthly_gaps(
     hash partitioning on the entity → ONE exchange; the descending pass
     adds an in-partition re-sort only.
 
-    ``exact_unit_scale=k`` declares the value columns exact k-decimal
-    quantities (money sums etc.): interpolation then runs in INTEGER
-    units of 10^-k with explicit HALF_UP at ``round_to`` (the
-    seasonal_decompose discipline) — a double-based
-    ``prev + (nxt−prev)·frac`` lands exactly on 10^-round_to rounding
-    boundaries whenever ``gap | (prev_u·(gap−step) + nxt_u·step)·10^…``,
-    where Spark (shortest-repr) and DuckDB (binary) round apart
-    (measured last-digit flips at sf0.1, round 12). Requires
-    ``round_to ≥ exact_unit_scale``.
+    ``stable_quantize=True`` switches the final rounding of the
+    interpolated value from ``dround`` (double→DECIMAL HALF_UP cast —
+    engine-dependent exactly ON 10^-round_to boundaries) to
+    ``floor_quantize`` = floor(x·10^round_to + 0.5) in pure IEEE
+    doubles, bit-identical across engines. Use it when the value
+    columns are exact decimal quantities (money sums etc.):
+    interpolations of such values land ON rounding boundaries whenever
+    the month gap divides the blend numerator, which is where Spark
+    (shortest-repr) and DuckDB (binary) round apart (measured
+    last-digit flips at sf0.1, round 12). The blend itself is the same
+    pure-double ``prev + (nxt−prev)·frac`` either way — only the
+    quantizer differs.
     """
     ent, mon = F.col(entity_col), F.col(month_col)
     spine = (
@@ -366,43 +369,19 @@ def fill_monthly_gaps(
         .orderBy(F.col(month_col).desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    if stable_quantize:
+        # The linear blend is pure IEEE double arithmetic (bit-identical
+        # across engines on identical inputs); only the final quantization
+        # is engine-sensitive — floor_quantize, never a double→DECIMAL
+        # cast (engine-dependent at the 10^-round_to boundaries the blend
+        # hits whenever gap | numerator; measured at sf0.1, r12).
+        from databricks_demo_feature_store_spark.functions.rounding import (
+            floor_quantize as _quantize,
+        )
+    else:
+        _quantize = dround
     out = dense
     for c in value_cols:
-        if exact_unit_scale is not None:
-            # Engine-stable interpolation: the linear blend is pure IEEE
-            # double arithmetic (identical bit-for-bit across engines on
-            # identical inputs); only the final quantization needs care —
-            # floor_quantize, never a double→DECIMAL cast (that cast is
-            # engine-dependent at the 10^-round_to boundaries the blend
-            # hits whenever gap | numerator; measured at sf0.1, r12).
-            # exact_unit_scale documents the inputs as exact k-decimal
-            # quantities — interpolations of such values land ON
-            # boundaries often, which is why this column class needs the
-            # stable quantizer while generic dround output never flaked.
-            from databricks_demo_feature_store_spark.functions.rounding import (
-                floor_quantize,
-            )
-
-            x = F.col(c).cast("double")
-            prev = F.last(x, ignorenulls=True).over(back)
-            prev_m = F.last(
-                F.when(x.isNotNull(), F.col(month_col)), True
-            ).over(back)
-            nxt = F.last(x, ignorenulls=True).over(fwd)
-            nxt_m = F.last(
-                F.when(x.isNotNull(), F.col(month_col)), True
-            ).over(fwd)
-            frac = F.months_between(F.col(month_col), prev_m) / F.months_between(
-                nxt_m, prev_m
-            )
-            filled = F.when(x.isNotNull(), x).otherwise(
-                F.when(
-                    prev.isNotNull() & nxt.isNotNull(),
-                    prev + (nxt - prev) * frac,
-                )
-            )
-            out = out.withColumn(f"{c}_filled", floor_quantize(filled, round_to))
-            continue
         x = F.col(c).cast("double")
         prev = F.last(x, ignorenulls=True).over(back)
         prev_m = F.last(F.when(x.isNotNull(), F.col(month_col)), True).over(back)
@@ -417,7 +396,7 @@ def fill_monthly_gaps(
                 prev + (nxt - prev) * frac,
             )
         )
-        out = out.withColumn(f"{c}_filled", dround(filled, round_to))
+        out = out.withColumn(f"{c}_filled", _quantize(filled, round_to))
     return out
 
 

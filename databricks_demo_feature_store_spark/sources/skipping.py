@@ -660,6 +660,23 @@ def write_bloom_sidecar(
         .withColumn("n_bits", F.lit(n_bits))
         .withColumn("n_hashes", F.lit(n_hashes))
     )
+    # One marker row per HARVESTED file (column=NULL, bloom=NULL): a file
+    # whose bloom columns are entirely NULL emits no bitset rows, so
+    # without a marker it would read as never-harvested and incremental
+    # refreshes would rescan its data pages forever (and the nothing-new
+    # early-exit above could never fire). Markers never prune — probes
+    # match on `column`, which is NULL here — they only record coverage.
+    harvested = new_files if new_files is not None else _list_part_files(table_path)
+    markers = spark.createDataFrame(
+        [(f,) for f in sorted(harvested)], "file_path string"
+    ).select(
+        "file_path",
+        F.lit(None).cast("string").alias("column"),
+        F.lit(None).cast("map<int,bigint>").alias("bloom"),
+        F.lit(n_bits).alias("n_bits"),
+        F.lit(n_hashes).alias("n_hashes"),
+    )
+    blooms = blooms.unionByName(markers)
     if kept is not None:
         # carried-over rows of immutable files + fresh rows of new ones
         blooms = kept.unionByName(blooms)

@@ -102,6 +102,30 @@ def _swap_dirs(live: str, staging: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _read_folding_dv(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Scan ``path`` with pending deletion-vector deletes FOLDED OUT.
+
+    Every staged full rewrite (``compact``, ``merge_upsert``) promotes a
+    fresh directory over the live one, discarding the ``_dv`` sidecar with
+    it — so a plain scan here would silently RESURRECT rows the user
+    deleted (for GDPR erasure that is silent un-deletion, the exact
+    failure ``read_with_skipping`` guards against for stale stats). Any
+    rewrite must therefore read through the DV fold; the subsequent swap
+    then bakes the deletes in, mirroring ``apply_deletes``.
+    """
+    if fmt == "parquet":
+        import os
+
+        from databricks_demo_feature_store_spark.sources.deletion_vectors import (
+            dv_path,
+            read_with_deletes,
+        )
+
+        if os.path.isdir(dv_path(path.removeprefix("file:"))):
+            return read_with_deletes(spark, path)
+    return spark.read.format(fmt).load(path)
+
+
 def save_table(
     df: DataFrame,
     path: str,
@@ -113,6 +137,7 @@ def save_table(
     stats_columns: Sequence[str] | None = None,
     bloom_columns: Sequence[str] | None = None,
     check_constraints: Sequence[str] | None = None,
+    auto_compact: "CompactionPolicy | None" = None,
 ) -> None:
     """Write a layer table.
 
@@ -128,6 +153,11 @@ def save_table(
       aggregation pass; any violation raises with per-constraint counts
       and the write never starts — a constrained table can't be
       half-poisoned.
+    - ``auto_compact`` — a :class:`CompactionPolicy` makes append-mode
+      writes self-maintaining: after the append (and its incremental
+      sidecar refresh), the policy inspects the file listing and
+      triggers :func:`maybe_compact` when the small-file threshold
+      trips — the Delta auto-compaction twin. No-op below threshold.
     """
     spark = df.sparkSession
     if check_constraints:
@@ -158,6 +188,11 @@ def save_table(
         spark, path, fmt, stats_columns, bloom_columns,
         incremental=(mode == "append"),
     )
+    if auto_compact is not None and mode == "append":
+        maybe_compact(
+            spark, path, fmt, policy=auto_compact,
+            stats_columns=stats_columns, bloom_columns=bloom_columns,
+        )
 
 
 def _refresh_stats(
@@ -239,7 +274,9 @@ def merge_upsert(
     from pyspark.errors import AnalysisException
 
     try:
-        existing = spark.read.format(fmt).load(path)
+        # DV-aware: a staged rewrite discards the _dv sidecar, so pending
+        # row-level deletes MUST fold into `existing` here or they resurrect
+        existing = _read_folding_dv(spark, path, fmt)
         table_exists = True
     except AnalysisException:
         # only the analysis-time path miss means "no table yet" — any
@@ -301,9 +338,90 @@ def compact(
 
         DeltaTable.forPath(spark, path).optimize().executeCompaction()
         return
-    df = spark.read.format(fmt).load(path)
+    # DV-aware for the same reason as merge_upsert: the swap below drops
+    # any _dv sidecar, so the rewrite must bake pending deletes in
+    df = _read_folding_dv(spark, path, fmt)
     n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
     staging = path.rstrip("/") + "__compact"
     df.coalesce(n).write.format(fmt).mode("overwrite").save(staging)
     _swap_dirs(path, staging)
     _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
+
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class CompactionPolicy:
+    """Auto-compaction thresholds (the Delta auto-compaction /
+    ``optimizeWrite`` policy twin, driven like the round-12
+    drift-triggered index rebuild: measure → threshold → act).
+
+    A table qualifies when at least ``min_small_files`` data files are
+    smaller than ``small_file_bytes`` — the steady-state failure mode of
+    append-heavy ingestion (every micro-batch lands a sliver; at 100 TB
+    the file count, not the byte count, kills scan planning). The
+    rewrite targets ``target_file_bytes`` per output file, and
+    ``zorder_by`` additionally re-clusters along the Z-curve so the
+    compaction that has to rewrite everything anyway also restores
+    multi-column min/max pruning.
+    """
+
+    small_file_bytes: int = 32 << 20
+    min_small_files: int = 8
+    target_file_bytes: int = 128 << 20
+    zorder_by: tuple[str, ...] | None = None
+    zorder_bits: int = 16
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    policy: CompactionPolicy = CompactionPolicy(),
+    stats_columns: Sequence[str] | None = None,
+    bloom_columns: Sequence[str] | None = None,
+) -> bool:
+    """Policy-gated compaction: inspect the live file listing (driver-side
+    metadata, O(files), no Spark job) and rewrite only when the policy
+    trips. Returns whether a compaction ran.
+
+    The decision is size-based, not sidecar-based, so it works on tables
+    that never opted into stats. The rewrite itself goes through the same
+    staged-swap + DV-fold discipline as :func:`compact`; with
+    ``zorder_by`` it is a :func:`cluster_by_zorder` rewrite (one range
+    exchange + local sort) instead of a plain coalesce."""
+    import math
+    import os
+
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        _list_part_files,
+    )
+
+    files = _list_part_files(path.removeprefix("file:"))
+    if not files:
+        return False
+    sizes = [os.path.getsize(f) for f in files]
+    small = sum(1 for s in sizes if s < policy.small_file_bytes)
+    if small < policy.min_small_files:
+        return False
+    n = max(1, math.ceil(sum(sizes) / policy.target_file_bytes))
+    if policy.zorder_by:
+        from databricks_demo_feature_store_spark.operators.layout import (
+            cluster_by_zorder,
+        )
+
+        df = _read_folding_dv(spark, path, fmt)
+        clustered = cluster_by_zorder(
+            df, list(policy.zorder_by), bits=policy.zorder_bits, num_partitions=n
+        )
+        staging = path.rstrip("/") + "__compact"
+        clustered.write.format(fmt).mode("overwrite").save(staging)
+        _swap_dirs(path, staging)
+        _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
+    else:
+        compact(
+            spark, path, fmt, target_partitions=n,
+            stats_columns=stats_columns, bloom_columns=bloom_columns,
+        )
+    return True

@@ -532,6 +532,15 @@ class VectorIndexStore:
             .where(F.col("__rn") <= nprobe)
             .select("query_id", "__qv", F.col("centroid_id").alias("cluster"))
         )
+        if self.partition_postings:
+            # Checkpoint BEFORE anything derives from probes: the lut
+            # below is built from qsubs ← probes, the partition-pruning
+            # collect reads probes, and the cand join reads probes again —
+            # materializing here makes all three share ONE centroid
+            # assignment instead of recomputing it per consumer (ADVICE
+            # r12: a post-lut checkpoint left the lut on the un-materialized
+            # plan, so the assignment still ran twice).
+            probes = probes.localCheckpoint(eager=True)
         qsubs = (
             _pq_subvectors(
                 probes.select("query_id", "__qv").dropDuplicates(["query_id"]),
@@ -568,9 +577,8 @@ class VectorIndexStore:
             # and pushing an IN filter on the layout column turns the
             # postings read into a scan of ~nprobe directories — the
             # explicit form of what Delta/DPP would do at runtime.
-            # Checkpoint probes first: the collect AND the join below
-            # reuse it, so the centroid assignment runs once, not twice.
-            probes = probes.localCheckpoint(eager=True)
+            # (probes was checkpointed above, before the lut derivation,
+            # so this collect reads the materialized assignment.)
             probed = sorted(
                 int(r["cluster"])
                 for r in probes.select("cluster").distinct().collect()

@@ -539,7 +539,13 @@ def test_incremental_bloom_refresh_equals_rebuild(spark, tmp_path):
         1
     ).write.mode("append").parquet(path)
     key = lambda df: sorted(
-        (r.file_path, r.column, tuple(sorted(r.bloom.items())), r.n_bits, r.n_hashes)
+        (
+            r.file_path,
+            r.column or "",
+            tuple(sorted(r.bloom.items())) if r.bloom is not None else None,
+            r.n_bits,
+            r.n_hashes,
+        )
         for r in df.collect()
     )
     inc_rows = key(write_bloom_sidecar(spark, path, ["k"], incremental=True))
@@ -574,3 +580,45 @@ def test_incremental_noop_when_no_new_files(spark, tmp_path):
     b1 = write_bloom_sidecar(spark, path, ["id"]).count()
     b2 = write_bloom_sidecar(spark, path, ["id"], incremental=True).count()
     assert b1 == b2
+
+
+def test_bloom_marker_rows_cover_all_null_files(spark, tmp_path):
+    """ADVICE r12: a file whose bloom columns are entirely NULL emits no
+    bitset rows — the marker row (column IS NULL) must still record it as
+    harvested, so incremental refreshes early-exit instead of rescanning
+    its data pages forever, and markers must never prune."""
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        _list_part_files,
+        harvest_file_stats,
+        load_bloom_stats,
+        write_bloom_sidecar,
+    )
+
+    path = str(tmp_path / "blnull")
+    # file 0: real keys; file 1: k entirely NULL
+    spark.range(0, 100).select((F.col("id") * 3).alias("k")).coalesce(
+        1
+    ).write.parquet(path)
+    spark.range(0, 50).select(
+        F.lit(None).cast("bigint").alias("k")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    bloom = write_bloom_sidecar(spark, path, ["k"])
+    files = set(_list_part_files(path))
+    covered = {r.file_path for r in bloom.select("file_path").distinct().collect()}
+    assert covered == files  # the all-NULL file is recorded via its marker
+
+    # no new files → the refresh is a pure no-op (returns the stored rows)
+    again = write_bloom_sidecar(spark, path, ["k"], incremental=True)
+    k = lambda df: sorted(
+        (r.file_path, r.column or "", r.n_bits) for r in df.collect()
+    )
+    assert k(again) == k(bloom)
+
+    # markers never prune: a probe for a key that exists is still found
+    stats = harvest_file_stats(spark, path, ["k"])
+    got, rep = read_with_skipping(
+        spark, path, stats, [("k", "=", 150.0)],
+        bloom=load_bloom_stats(spark, path),
+    )
+    assert [r.k for r in got.collect()] == [150]

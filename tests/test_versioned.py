@@ -174,3 +174,50 @@ def test_deletion_vectors_lifecycle(spark, tmp_path):
     # coordinates of the NEW files start fresh
     assert delete_rows(spark, path, "g = 5") == 10
     assert read_with_deletes(spark, path).count() == 70
+
+
+def test_staged_rewrites_fold_pending_deletes(spark, tmp_path):
+    """ADVICE r12 (medium): compact() and merge_upsert() promote a staged
+    rewrite over the live dir, discarding the _dv sidecar — pending
+    row-level deletes must fold INTO the rewrite, never resurrect."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources.deletion_vectors import (
+        delete_rows,
+        dv_path,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import (
+        compact,
+        merge_upsert,
+    )
+
+    # --- compact() bakes deletes in and the sidecar dies with the swap
+    path = str(tmp_path / "dvc")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("g")
+    ).coalesce(4).write.parquet(path)
+    assert delete_rows(spark, path, "g = 3") == 10
+    compact(spark, path, target_partitions=1)
+    assert not os.path.isdir(dv_path(path))
+    got = spark.read.parquet(path)
+    assert got.count() == 90 and got.filter("g = 3").count() == 0
+
+    # --- merge_upsert(): kept rows exclude deleted ones; an incoming row
+    # may legitimately re-insert a deleted key (it is a NEW row)
+    path2 = str(tmp_path / "dvm")
+    spark.range(0, 50).select(
+        F.col("id"), F.lit("old").alias("v")
+    ).coalesce(2).write.parquet(path2)
+    assert delete_rows(spark, path2, "id >= 40") == 10
+    upd = spark.range(45, 55).select(F.col("id"), F.lit("new").alias("v"))
+    merge_upsert(upd, path2, keys=["id"])
+    assert not os.path.isdir(dv_path(path2))
+    rows = {r.id: r.v for r in spark.read.parquet(path2).collect()}
+    # ids 40-44: deleted, not in incoming → gone for good
+    assert all(i not in rows for i in range(40, 45))
+    # ids 45-54: re-inserted by the merge
+    assert all(rows[i] == "new" for i in range(45, 55))
+    # ids 0-39: untouched
+    assert sum(1 for i in rows if i < 40) == 40 and rows[0] == "old"
