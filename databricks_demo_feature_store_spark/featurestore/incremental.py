@@ -238,3 +238,60 @@ def refresh_join_view(
     else:
         add = delta.join(other, on)
     return kept.unionByName(add.select(*view.columns))
+
+
+def cdf_deltas(
+    changes: DataFrame, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split a change feed (``VersionedTable.changes_between`` /
+    Delta ``table_changes`` schema) into the ``(delta, deletes)`` pair
+    :func:`refresh_join_view` consumes: post-image rows (inserts +
+    update post-images, CDF meta columns dropped) and deleted keys.
+    Update PRE-images drop — IVM replaces by key, so only the new row
+    matters; the delete frame carries keys that left the table."""
+    post = changes.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_commit_version")
+    dels = changes.where(F.col("_change_type") == "delete").select(key)
+    return post, dels
+
+
+def refresh_join_view_from_cdf(
+    view: DataFrame,
+    versioned,
+    key: str,
+    other: DataFrame,
+    on: str | tuple[str, str],
+    v_from: int | None = None,
+    v_to: int | None = None,
+) -> DataFrame:
+    """CDF-driven incremental join-view maintenance: derive the Δ frames
+    FROM a versioned table's change feed instead of making the caller
+    construct them — the Delta Live Tables pattern (CDF → MV refresh).
+    ``versioned`` is a :class:`~...sources.versioned.VersionedTable` (or
+    anything with ``history()`` + ``changes_between()``); by default the
+    refresh covers the last commit (previous version → latest).
+
+    The change feed costs ONE full-outer key join between the two
+    versions (`changes_between`); the view refresh then touches only
+    changed keys (broadcast anti-join + delta-sized re-join) — the view's
+    history is never rescanned, so a daily refresh is O(day's changes)
+    no matter how large the view has grown. Equality with a full
+    recompute of the join on the post-commit table is proven by the
+    driver gate (``q_incr_cdf_refresh``), not assumed.
+    """
+    versions = sorted(v.version for v in versioned.history())
+    if v_to is None:
+        if not versions:
+            raise ValueError("versioned table has no commits")
+        v_to = versions[-1]
+    if v_from is None:
+        older = [v for v in versions if v < v_to]
+        if not older:
+            raise ValueError(f"no version before {v_to} to diff against")
+        v_from = older[-1]
+    changes = versioned.changes_between(v_from, v_to, [key])
+    delta, deletes = cdf_deltas(changes, key)
+    return refresh_join_view(
+        view, delta, other, on=on, replace_key=key, deletes=deletes
+    )

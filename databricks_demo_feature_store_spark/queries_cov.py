@@ -853,7 +853,7 @@ def q_fill_gaps_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fill_monthly_gaps(
         m, "custkey", "order_month", ["total_spend"], round_to=6,
-        exact_unit_scale=2,
+        stable_quantize=True,
     )
 
 
@@ -3961,4 +3961,160 @@ def q_skipping_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("ship_month")
+    )
+
+
+@register(
+    "q_incr_cdf_refresh",
+    oracle=f"""
+    WITH final_orders AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND o_orderstatus <> 'P'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {_o_dsum('fo.o_totalprice', 2)} AS sum_price
+    FROM final_orders fo JOIN customer c ON fo.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q_incr_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven incremental view maintenance (featurestore/incremental.py
+    refresh_join_view_from_cdf): the materialized orders⋈customer view is
+    refreshed from the VERSIONED fact table's change feed — the caller
+    never constructs Δ frames (the Delta Live Tables CDF→MV pattern,
+    closing the loop between sources/versioned.py changes_between and
+    refresh_join_view; the reference reads previous versions for its
+    cross-checks at monitor.py:57-71). One commit mutates the fact table
+    three ways at once — deletes (pending orders cancelled), updates
+    (urgent orders re-priced ×2) and inserts (the 1999+ orders arrive) —
+    and ONE change feed drives all three through the view. The oracle
+    recomputes the join from the post-commit table in plain SQL:
+    equality of the grouped digest proves CDF-maintained ≡ recomputed.
+    """
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        refresh_join_view_from_cdf,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate", "o_orderpriority",
+    )
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    f0 = o.filter(F.col("o_orderdate") < cutoff).select(fact_cols)
+    f1 = (
+        o.filter((F.col("o_orderdate") < cutoff) & (F.col("o_orderstatus") != "P"))
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(fact_cols)
+        .unionByName(o.filter(F.col("o_orderdate") >= cutoff).select(fact_cols))
+    )
+    vt = VersionedTable(spark, os.path.join(scratch_dir("cdf_ivm"), "orders_v"))
+    vt.save(f0, operation="overwrite")
+    vt.save(f1, operation="overwrite")
+
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    view = vt.read(0).join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+    view = refresh_join_view_from_cdf(
+        view, vt, "o_orderkey", dim, on=("o_custkey", "c_custkey")
+    )
+    return (
+        view.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_compact_policy",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {_o_dsum('l_quantity', 2)} AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey >= 1
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_compact_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-triggered auto-compaction (sources/writers.py
+    CompactionPolicy / maybe_compact) — the Delta auto-compaction twin,
+    driven like the round-12 drift-triggered index rebuild: two append
+    waves land the table as 20 slivers; the policy attached to the
+    second ``save_table(mode="append")`` sees the small-file count trip
+    the threshold and rewrites the table through the staged-swap
+    Z-order re-cluster (one range exchange), refreshing the stats
+    sidecar for the NEW file layout in the same call. The query then
+    reads back THROUGH ``read_with_skipping`` — its stale-stats
+    coverage guard would raise if the policy had rewritten files
+    without refreshing the sidecar — and returns the full-table digest
+    the plain-scan oracle certifies: policy-compacted ≡ original,
+    row for row. Threshold no-op, file-count reduction and DV folding
+    are pinned in tests/test_catalog.py.
+    """
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        load_file_stats,
+        read_with_skipping,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import (
+        CompactionPolicy,
+        save_table,
+    )
+
+    root = scratch_dir("compact_policy")
+    path = os.path.join(root, "lineitem_ac")
+    li = load(spark, sf_dir, "lineitem")
+    pre = li.filter(F.col("l_shipdate") < "1996-01-01")
+    post = li.filter(F.col("l_shipdate") >= "1996-01-01")
+    policy = CompactionPolicy(
+        small_file_bytes=1 << 30,   # every local file counts as small
+        min_small_files=12,         # wave 1 alone (10 files) must NOT trip
+        target_file_bytes=1 << 30,
+        zorder_by=("l_orderkey", "l_partkey"),
+    )
+    save_table(
+        pre.repartition(10), path,
+        stats_columns=["l_orderkey"], auto_compact=policy,
+    )
+    save_table(
+        post.repartition(10), path, mode="append",
+        stats_columns=["l_orderkey"], auto_compact=policy,
+    )
+    stats = load_file_stats(spark, path)
+    df, _report = read_with_skipping(
+        spark, path, stats, [("l_orderkey", ">=", 1.0)], residual="l_orderkey >= 1"
+    )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
     )

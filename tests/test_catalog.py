@@ -248,3 +248,68 @@ def test_check_constraints_enforced_before_write(spark, tmp_path):
     assert exc.value.counts == {"bal > 0": 1, "id IS NOT NULL": 1}
     # the write never started: table unchanged
     assert spark.read.parquet(path).count() == 2
+
+
+def test_compaction_policy_thresholds_and_zorder(spark, tmp_path):
+    """maybe_compact: below-threshold no-op, triggered rewrite reduces the
+    file count to the byte-derived target, z-order path preserves rows,
+    and pending DV deletes fold into the policy rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources.deletion_vectors import (
+        delete_rows,
+        dv_path,
+    )
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        _list_part_files,
+    )
+    from databricks_demo_feature_store_spark.sources.writers import (
+        CompactionPolicy,
+        maybe_compact,
+        save_table,
+    )
+
+    path = str(tmp_path / "ac")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("a"), (F.col("id") % 97).alias("b")
+    )
+    df.repartition(6).write.parquet(path)
+    assert len(_list_part_files(path)) == 6
+
+    # 6 small files < min_small_files=8 → no-op, nothing rewritten
+    policy = CompactionPolicy(
+        small_file_bytes=1 << 30, min_small_files=8, target_file_bytes=1 << 30
+    )
+    assert maybe_compact(spark, path, policy=policy) is False
+    assert len(_list_part_files(path)) == 6
+
+    # append two more slivers + a pending DV delete → trips the threshold;
+    # the rewrite must bake the delete in and coalesce to ONE file
+    df.limit(500).repartition(2).write.mode("append").parquet(path)
+    assert delete_rows(spark, path, "a < 10") > 0
+    assert maybe_compact(spark, path, policy=policy) is True
+    assert len(_list_part_files(path)) == 1
+    assert not os.path.isdir(dv_path(path))
+    got = spark.read.parquet(path)
+    assert got.filter("a < 10").count() == 0
+
+    # z-order variant via save_table(auto_compact=...): values preserved
+    zpath = str(tmp_path / "acz")
+    zpolicy = CompactionPolicy(
+        small_file_bytes=1 << 30, min_small_files=8,
+        target_file_bytes=1 << 30, zorder_by=("a", "b"),
+    )
+    save_table(df.repartition(6), zpath, auto_compact=zpolicy)
+    assert len(_list_part_files(zpath)) == 6  # overwrite mode: policy idle
+    save_table(
+        df.repartition(6), zpath, mode="append", auto_compact=zpolicy
+    )
+    assert len(_list_part_files(zpath)) == 1  # 12 slivers → tripped
+    both = df.unionByName(df)
+    assert spark.read.parquet(zpath).count() == both.count()
+    assert (
+        spark.read.parquet(zpath).agg(F.sum("a")).first()[0]
+        == both.agg(F.sum("a")).first()[0]
+    )

@@ -713,3 +713,67 @@ def test_forget_metadata_promoted_atomically(spark, tmp_path, monkeypatch):
     audit = {r["table"]: r for r in forget_entities(mgr, forget, "uid").collect()}
     assert audit["ta"]["key_matched"] is True and audit["ta"]["rows_deleted"] == 1
     assert mgr.get_metadata("ta")["primary_keys"] == ["uid"]
+
+
+def test_list_tables_debris_vs_legit_suffix_names(spark, manager, tmp_path):
+    """ADVICE r12: list_tables must hide writer crash debris precisely —
+    a registered table whose NAME merely ends in __old stays listed, while
+    `<existing sibling>__staging` (any random tail) and unregistered
+    suffix dirs are excluded."""
+    import dataclasses
+    import os
+
+    manager.save(_df(spark, [(1, dt.date(2024, 1, 1), 1.0)]), SPEC, mode="overwrite")
+    # a LEGITIMATE table whose name ends with a writer suffix, with no
+    # 'prices' sibling: must stay visible
+    legit = dataclasses.replace(SPEC, name="prices__old")
+    manager.save(_df(spark, [(2, dt.date(2024, 1, 1), 2.0)]), legit, mode="overwrite")
+    # crash debris: sibling-derived names, including a random staging tail
+    # and a stacked _swap_dirs chain — all must be hidden
+    for debris in (
+        "cust_features__old",
+        "cust_features__staging-ab12cd",
+        "cust_features__staging__old",
+    ):
+        os.makedirs(os.path.join(manager.root, debris), exist_ok=True)
+    # an unregistered suffix dir with no sibling base (no metadata file):
+    # never a table either
+    os.makedirs(os.path.join(manager.root, "ghost__compact"), exist_ok=True)
+    assert manager.list_tables() == ["cust_features", "prices__old"]
+
+
+def test_refresh_join_view_from_cdf(spark, tmp_path):
+    """CDF-driven IVM: deltas derived from the change feed, default
+    version resolution = last commit, maintained ≡ recomputed."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        cdf_deltas,
+        refresh_join_view_from_cdf,
+    )
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    fact0 = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0)], "fk int, dk int, x double"
+    )
+    # commit: delete fk=3, update fk=2, insert fk=4
+    fact1 = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 70.0), (4, 20, 9.0)], "fk int, dk int, x double"
+    )
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], "dk2 int, attr string")
+
+    vt = VersionedTable(spark, str(tmp_path / "fact_v"))
+    with pytest.raises(ValueError, match="no commits"):
+        refresh_join_view_from_cdf(fact0, vt, "fk", dim, on=("dk", "dk2"))
+    vt.save(fact0)
+    with pytest.raises(ValueError, match="no version before"):
+        refresh_join_view_from_cdf(fact0, vt, "fk", dim, on=("dk", "dk2"))
+    vt.save(fact1)
+
+    delta, dels = cdf_deltas(vt.changes_between(0, 1, ["fk"]), "fk")
+    assert {r.fk for r in delta.collect()} == {2, 4}
+    assert "_change_type" not in delta.columns
+    assert [r.fk for r in dels.collect()] == [3]
+
+    view0 = vt.read(0).join(dim, F.col("dk") == F.col("dk2"))
+    got = refresh_join_view_from_cdf(view0, vt, "fk", dim, on=("dk", "dk2"))
+    want = fact1.join(dim, F.col("dk") == F.col("dk2"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
