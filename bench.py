@@ -51,6 +51,9 @@ HEADLINE = [
     "q_fs_forget",
     "q_incr_join_refresh",
     "q_incr_agg_join_refresh",
+    "q_incr_cdf_refresh",
+    "q_compact_policy",
+    "q_stream_late_metrics",
     "q_seasonal_decompose",
     "q_seasonal_anomalies",
     "q_cdc_apply_changes",
@@ -158,12 +161,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
-    from databricks_demo_feature_store_spark import get_spark
+def _register_all():
     from databricks_demo_feature_store_spark.queries import QUERIES
     # register every query family (ext/cov/val/pipe) into QUERIES
     import databricks_demo_feature_store_spark.queries_ext  # noqa: F401
@@ -173,13 +171,79 @@ def main() -> None:
     import databricks_demo_feature_store_spark.queries_clean  # noqa: F401
     import databricks_demo_feature_store_spark.queries_tpch  # noqa: F401
 
-    spark = get_spark("bench")
-    names = [n for n in HEADLINE if n in QUERIES] + [
+    return QUERIES
+
+
+def _sweep_names(QUERIES) -> list[str]:
+    return [n for n in HEADLINE if n in QUERIES] + [
         n for n in QUERIES if n.startswith("q_ext_") and n not in HEADLINE
     ]
+
+
+def _orchestrate(sf_dir: str, sf: float | None) -> None:
+    """Full-sweep mode: run the suite as SEQUENTIAL fresh-JVM chunks of
+    ~CHUNK queries instead of one JVM marathon. Measured round 12: a
+    220-query single JVM inflates late-suite rows up to ~3.7x of their
+    targeted-idle records (GC/code-cache/scratch accumulation), which
+    made the committed BENCH_r{N}.json artifact untrustworthy without
+    targeted re-measures. A fresh JVM per chunk costs ~15 s startup each
+    but keeps every row within normal noise of its standing record —
+    the artifact itself becomes the evidence. Children are sequential
+    (parallel JVMs on one host would recreate the contention this
+    removes) and write raw timings to a temp file; the parent merges,
+    maintains BENCH_FULL.json and prints the single driver line."""
+    import subprocess
+    import tempfile
+
+    QUERIES = _register_all()
+    names = _sweep_names(QUERIES)
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "0"))
+    if limit:  # smoke-testing the fork machinery itself
+        names = names[:limit]
+    chunk_size = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "50")))
+    timings: dict[str, float] = {}
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    for i in range(0, len(names), chunk_size):
+        chunk = names[i : i + chunk_size]
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(chunk)
+        env["SPARK_GRAFT_BENCH_OUT"] = out_path
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"bench chunk {i // chunk_size} failed (queries {chunk[:3]}...)"
+            )
+        with open(out_path) as fh:
+            timings.update(json.load(fh)["queries"])
+        os.unlink(out_path)
+    _finalize(timings, QUERIES, sf, runs)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
     # targeted re-measure (standing-record protocol): run only the named
     # queries, e.g. SPARK_GRAFT_BENCH_ONLY=q_ext_dsir_weights,q_pagerank
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_FORK", "1") != "0":
+        _orchestrate(sf_dir, sf)
+        return
+
+    from databricks_demo_feature_store_spark import get_spark
+
+    QUERIES = _register_all()
+
+    spark = get_spark("bench")
+    names = _sweep_names(QUERIES)
     if only:
         wanted = [n.strip() for n in only.split(",") if n.strip()]
         missing = [n for n in wanted if n not in QUERIES]
@@ -209,6 +273,20 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
 
+    # chunk-child mode (_orchestrate): hand raw timings to the parent and
+    # leave BENCH_FULL bookkeeping + the driver line to it
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({"queries": timings, "sf": sf}, fh)
+        spark.stop()
+        return
+
+    _finalize(timings, QUERIES, sf, runs)
+    spark.stop()
+
+
+def _finalize(timings: dict[str, float], QUERIES, sf: float | None, runs: int) -> None:
     total = round(sum(timings.values()), 3)
 
     # The driver captures only the LAST ~2000 characters of stdout and
@@ -289,7 +367,6 @@ def main() -> None:
         )
         out = json.dumps(line)
     print(out)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -2696,3 +2696,120 @@ def q_stream_trailing_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         probs={"p50": 0.5, "p90": 0.9},
         lo=_QLO, hi=_QHI, nbins=_QBINS,
     )
+
+
+@register(
+    "q_stream_late_metrics",
+    oracle="""
+    WITH r AS (
+      SELECT ts,
+             CASE
+               WHEN EXTRACT(day FROM ts) <= 12 AND event_id % 2 = 0 THEN 0
+               WHEN (EXTRACT(day FROM ts) BETWEEN 13 AND 22 AND event_id % 2 = 0)
+                 OR (EXTRACT(day FROM ts) <= 12 AND event_id % 2 = 1) THEN 1
+               ELSE 2
+             END AS round
+      FROM events
+    ),
+    wm AS (
+      SELECT 0 AS round, TIMESTAMP '1970-01-01 00:00:00' AS watermark
+      UNION ALL
+      SELECT 1, date_trunc('milliseconds',
+                 (SELECT MAX(ts) FROM r WHERE round <= 0)) - INTERVAL 2 DAY
+      UNION ALL
+      SELECT 2, date_trunc('milliseconds',
+                 (SELECT MAX(ts) FROM r WHERE round <= 1)) - INTERVAL 2 DAY
+    )
+    SELECT r.round,
+           COUNT(*) AS input_rows,
+           CAST(SUM(CASE WHEN r.ts < w.watermark THEN 1 ELSE 0 END)
+                  AS BIGINT) AS late_dropped,
+           w.watermark AS watermark,
+           date_trunc('milliseconds', MAX(r.ts)) AS max_event
+    FROM r JOIN wm w USING (round)
+    GROUP BY r.round, w.watermark
+    ORDER BY r.round
+    """,
+)
+def q_stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming late-data / watermark observability (streaming/ops.py
+    watermark_progress_metrics): the events table arrives as three
+    sequential drops against one checkpoint — round 1 and round 2 each
+    carry a straggler tail (the odd-id half of the previous rounds'
+    days, arriving one round late). Each availableNow run drains one
+    drop, runs it through a watermarked stateful operator whose state
+    rows ARE events (dedup on the unique event_id — a windowed agg would
+    account post-partial-agg rows, i.e. windows, not events), and
+    harvests the engine's own per-batch StreamingQueryProgress: events
+    DROPPED for arriving behind the watermark, the batch-start watermark
+    that decided the drops, and the max observed event time. The oracle
+    replays the engine's exact semantics in SQL (verified empirically:
+    drop iff event time < batch-start watermark; watermark =
+    ms-truncated running max event time - delay) — equality
+    proves the published metrics are the true late-data account, not an
+    approximation. At scale this is the monitor a 100-TB ingestion
+    pipeline alarms on: silently dropped late rows are data loss.
+    """
+    import datetime as _dt
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        watermark_progress_metrics,
+    )
+
+    root = scratch_dir("stream_late")
+    inbox = os.path.join(root, "inbox")
+    sink_dir = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    d = F.dayofmonth("ts")
+    eid = F.col("event_id")
+    rounds = [
+        (d <= 12) & (eid % 2 == 0),
+        (d.between(13, 22) & (eid % 2 == 0)) | ((d <= 12) & (eid % 2 == 1)),
+        ((d >= 23) & (eid % 2 == 0)) | ((d >= 13) & (eid % 2 == 1)),
+    ]
+
+    def write_sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    metrics: list[tuple] = []
+    stream = None
+    for i, pred in enumerate(rounds):
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(inbox)
+        if stream is None:
+            schema = spark.read.parquet(inbox).schema
+            stream = spark.readStream.schema(schema).parquet(inbox + "/*.parquet")
+            # state rows == events (watermarked dedup on the unique id), so
+            # numRowsDroppedByWatermark counts dropped EVENTS exactly; a
+            # windowed agg would count post-partial-agg rows (≈ windows),
+            # which depends on input partitioning
+            deduped = stream.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
+                ["event_id"]
+            )
+        q = (
+            deduped.writeStream.foreachBatch(write_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = [
+            b for b in watermark_progress_metrics(q) if b["input_rows"] > 0
+        ]
+        parse = lambda s: _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ")
+        metrics.append(
+            (
+                i,
+                sum(b["input_rows"] for b in batches),
+                sum(b["late_dropped"] for b in batches),
+                parse(batches[0]["watermark"]),
+                parse(max(b["max_event"] for b in batches)),
+            )
+        )
+    return spark.createDataFrame(
+        metrics,
+        "round int, input_rows bigint, late_dropped bigint, "
+        "watermark timestamp, max_event timestamp",
+    ).orderBy("round")

@@ -1112,3 +1112,45 @@ def trailing_quantile_from_state(
         for name, p in probs.items()
     ]
     return served.select(*out_cols, *qcols)
+
+
+def watermark_progress_metrics(query) -> list[dict]:
+    """Per-batch watermark / late-data observability harvested from a
+    finished run's ``StreamingQueryProgress`` — the numbers Spark already
+    tracks but availableNow replays normally discard: rows the stateful
+    operator DROPPED because their window closed behind the watermark
+    (``numRowsDroppedByWatermark``), the watermark the batch was planned
+    with (drops are decided against the watermark at batch START; the
+    post-batch advance shows up in the trailing zero-input batch), and
+    the batch's max observed event time.
+
+    Returns one dict per batch of THIS run (a fresh query object's
+    ``recentProgress`` covers exactly its own batches):
+    ``batch_id / input_rows / late_dropped / watermark / max_event``
+    (timestamps as Spark's ISO-ms strings, or None before any data).
+    Drop semantics (verified empirically, round 13) depend on what the
+    stateful operator's input rows ARE: a per-event operator
+    (``dropDuplicatesWithinWatermark``) drops and counts EVENTS with
+    event time < the batch-start watermark; a windowed aggregation
+    receives partially-aggregated rows, so it drops rows whose WINDOW
+    END <= the watermark and the count is in post-partial-agg units
+    (≈ windows × input partitions), not events. For event-exact late
+    accounting, meter through a per-event operator. The watermark
+    itself advances to ``ms_trunc(max event time seen) - delay``.
+    """
+    rows = []
+    for p in query.recentProgress:
+        et = p.get("eventTime") or {}
+        so = p.get("stateOperators") or []
+        rows.append(
+            {
+                "batch_id": int(p["batchId"]),
+                "input_rows": int(p.get("numInputRows", 0) or 0),
+                "late_dropped": int(
+                    (so[0].get("numRowsDroppedByWatermark", 0) or 0) if so else 0
+                ),
+                "watermark": et.get("watermark"),
+                "max_event": et.get("max"),
+            }
+        )
+    return rows

@@ -1153,3 +1153,56 @@ def test_stream_trailing_quantile_from_hist_state(spark, tmp_path):
     # hand value, user 1 (values 1,3,5,7,7.5): bins [1|1|1|2], n=5:
     # p50 target ceil(2.5)=3 -> bin 2 (cum 2->3): 4 + (3-2)/1*2 = 6.0
     assert got[1][0] == 6.0
+
+
+def test_watermark_progress_metrics_counts_late_events(spark, tmp_path):
+    """Per-batch late-data observability: the dedup state operator counts
+    dropped EVENTS (ts < batch-start watermark), the watermark advances to
+    ms-truncated max event time - delay, and the sink holds exactly
+    input - dropped rows."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        watermark_progress_metrics,
+    )
+
+    inbox = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, ts timestamp")
+    r0 = [(d, dt.datetime(2024, 1, d, 12, 0, 0, 500000)) for d in range(1, 13)]
+    # round 1: fresh days 13-22 plus a late tail for days 1-12
+    r1 = [(100 + d, dt.datetime(2024, 1, d, 18, 0, 0, 500000)) for d in range(13, 23)]
+    r1 += [(200 + d, dt.datetime(2024, 1, d, 3, 0, 0, 500000)) for d in range(1, 13)]
+
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(
+        inbox + "/*.parquet"
+    )
+    res = stream.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(["id"])
+
+    def run(rows):
+        mk(rows).repartition(3).write.mode("append").parquet(inbox)
+        q = (
+            res.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [b for b in watermark_progress_metrics(q) if b["input_rows"] > 0]
+
+    b0 = run(r0)
+    assert sum(b["input_rows"] for b in b0) == 12
+    assert sum(b["late_dropped"] for b in b0) == 0
+    assert b0[0]["watermark"] == "1970-01-01T00:00:00.000Z"
+
+    b1 = run(r1)
+    # wm at batch start = max ts(r0) - 2d = Jan 10 12:00:00.500; late tail
+    # rows at 03:00 are < wm for days 1..10 → 10 dropped, days 11-12 kept
+    assert b1[0]["watermark"] == "2024-01-10T12:00:00.500Z"
+    assert sum(b["input_rows"] for b in b1) == 22
+    assert sum(b["late_dropped"] for b in b1) == 10
+    assert spark.read.parquet(out).count() == 12 + 22 - 10
