@@ -53,6 +53,7 @@ HEADLINE = [
     "q_incr_agg_join_refresh",
     "q_incr_cdf_refresh",
     "q_compact_policy",
+    "q_check_constraints",
     "q_stream_late_metrics",
     "q_seasonal_decompose",
     "q_seasonal_anomalies",

@@ -4118,3 +4118,53 @@ def q_compact_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_check_constraints",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_o_dsum('o_totalprice', 2)} AS sum_price
+    FROM orders
+    WHERE o_totalprice >= 0 AND o_orderdate IS NOT NULL
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints end-to-end (sources/writers.py
+    enforce_check_constraints, the Delta ``ADD CONSTRAINT CHECK`` twin):
+    the orders table is filtered to the constraint domain, written
+    through ``save_table(check_constraints=[...])`` — ALL constraints
+    validate in ONE conditional-count aggregation over the checkpointed
+    plan BEFORE any byte lands — and read back for the digest the
+    plain-SQL oracle certifies: a constrained write is byte-equivalent
+    to an unconstrained one when every row passes (the enforcement cost
+    is one extra aggregation pass, not a rewrite). The rejection path
+    (violations raise with per-constraint counts, table never
+    half-poisoned) is pinned in tests/test_catalog.py. Registered in
+    round 13 so the constraint machinery carries its own scaling row
+    (VERDICT r12 task 4) and driver-gate surface.
+    """
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+
+    root = scratch_dir("check_constraints")
+    path = os.path.join(root, "orders_checked")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 0) & F.col("o_orderdate").isNotNull()
+    )
+    save_table(
+        o,
+        path,
+        check_constraints=["o_totalprice >= 0", "o_orderdate IS NOT NULL"],
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
