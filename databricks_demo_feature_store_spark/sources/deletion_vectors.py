@@ -66,17 +66,44 @@ def delete_rows(spark: SparkSession, table_path: str, predicate: str) -> int:
     return n_new
 
 
+# Above this many sidecar bytes the DV fold stops forcing a broadcast:
+# a GDPR-sized delete set is tiny, but nothing architecturally bounds the
+# sidecar (a huge predicate delete before apply_deletes), and a forced
+# broadcast of an unbounded side is exactly the shape that OOMs the
+# driver at 100 TB. Past the cap the anti-join degrades gracefully to a
+# shuffle join (AQE still picks broadcast if runtime stats allow).
+DV_BROADCAST_MAX_BYTES = 128 << 20
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if not n.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, n))
+    return total
+
+
 def read_with_deletes(spark: SparkSession, table_path: str) -> DataFrame:
     """DV-aware scan: the base table minus all recorded coordinates —
-    ONE broadcast anti-join on (file, row_index); no sidecar ⇒ plain
-    scan. Delete waves accumulate, so the sidecar may hold duplicate
-    coordinates only across concurrent writers — the anti-join is
-    insensitive to duplicates by construction."""
+    ONE anti-join on (file, row_index); no sidecar ⇒ plain scan. Delete
+    waves accumulate, so the sidecar may hold duplicate coordinates only
+    across concurrent writers — the anti-join is insensitive to
+    duplicates by construction.
+
+    The anti-join is broadcast while the sidecar is broadcast-sized
+    (checked driver-side from file sizes, O(files)); a sidecar past
+    ``DV_BROADCAST_MAX_BYTES`` falls back to a shuffle anti-join instead
+    of force-broadcasting an unbounded side (round-13 scaling row: the
+    sidecar grows with the deleted-row count, which nothing bounds
+    before ``apply_deletes``)."""
     base = spark.read.parquet(table_path)
     out = dv_path(table_path)
     if not os.path.isdir(out):
         return base
     dv = spark.read.parquet(out)
+    if _dir_bytes(out) <= DV_BROADCAST_MAX_BYTES:
+        dv = F.broadcast(dv)
     cols = base.columns
     return (
         base.select(
@@ -84,7 +111,7 @@ def read_with_deletes(spark: SparkSession, table_path: str) -> DataFrame:
             F.col("_metadata.row_index").alias("__row"),
             "*",
         )
-        .join(F.broadcast(dv), on=["__file", "__row"], how="left_anti")
+        .join(dv, on=["__file", "__row"], how="left_anti")
         .select(*cols)
     )
 
