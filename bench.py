@@ -52,6 +52,7 @@ HEADLINE = [
     "q_incr_join_refresh",
     "q_incr_agg_join_refresh",
     "q_incr_cdf_refresh",
+    "q_incr_cdf_agg_refresh",
     "q_compact_policy",
     "q_check_constraints",
     "q_stream_late_metrics",
@@ -289,6 +290,28 @@ def main() -> None:
 
 def _finalize(timings: dict[str, float], QUERIES, sf: float | None, runs: int) -> None:
     total = round(sum(timings.values()), 3)
+
+    # Raw sweep artifact: BENCH_FULL.json keeps standing MINIMA, which
+    # hides what THIS sweep actually measured — persist the un-merged
+    # map so the tail-inflation audit (sweep value / standing record per
+    # query) is computable from committed artifacts alone.
+    if sf == 0.1:
+        sweep_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json"
+        )
+        with open(sweep_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "raw_sweep_wall_sec",
+                    "value": total,
+                    "queries": timings,
+                    "sf": sf,
+                    "runs_per_query": runs,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
 
     # The driver captures only the LAST ~2000 characters of stdout and
     # json-parses them; a per-query map over the full 170+ query suite

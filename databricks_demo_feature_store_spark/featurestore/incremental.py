@@ -295,3 +295,80 @@ def refresh_join_view_from_cdf(
     return refresh_join_view(
         view, delta, other, on=on, replace_key=key, deletes=deletes
     )
+
+
+def cdf_aggregate_delta(
+    changes: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Signed moment state of a change feed: pre-images (deletes, update
+    pre-images) contribute NEGATED cells, post-images contribute plain
+    cells — the invertible-monoid half of aggregate IVM. ONE hash
+    aggregation over the feed; because every cell is an exact DECIMAL
+    (or integer) sum, the negation is exact, so folding the delta into
+    stored state reproduces full-recompute state bit-for-bit —
+    something IEEE doubles could not promise."""
+    keys = list(keys)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    v = F.col(value_col)
+    dec = f"decimal(38,{scale})"
+    return changes.groupBy(*keys).agg(
+        F.coalesce(
+            F.sum(F.when(v.isNotNull(), sign)), F.lit(0)
+        ).cast("long").alias("n"),
+        F.coalesce(F.sum((sign * v).cast(dec)), F.lit(0).cast(dec)).alias("s"),
+        F.coalesce(
+            F.sum((sign * v * v).cast(dec)), F.lit(0).cast(dec)
+        ).alias("s2"),
+    )
+
+
+def refresh_aggregate_state_from_cdf(
+    state: DataFrame,
+    versioned,
+    id_keys: Sequence[str],
+    agg_keys: Sequence[str],
+    value_col: str,
+    scale: int = 2,
+    v_from: int | None = None,
+    v_to: int | None = None,
+) -> DataFrame:
+    """CDF-driven AGGREGATE view maintenance: fold a versioned fact
+    table's change feed into stored per-key moment state — updates and
+    deletes included, not just appends (``merge_aggregate_state`` alone
+    only covers the append-only case). Pre-images subtract, post-images
+    add; both land in the same cell-sum merge, and keys whose state
+    empties out drop (a full recompute would not emit them — exact when
+    ``value_col`` is non-null on every row; a key carrying ONLY null
+    values keeps a zero row, the one divergence, documented here).
+
+    ``id_keys`` identify a ROW in the versioned table (drive the change
+    feed); ``agg_keys`` are the state's grouping. The refresh is
+    O(changed rows): one version diff + one delta-sized hash agg + one
+    state-sized cell-sum — fact history is never rescanned.
+    """
+    versions = sorted(v.version for v in versioned.history())
+    if v_to is None:
+        if not versions:
+            raise ValueError("versioned table has no commits")
+        v_to = versions[-1]
+    if v_from is None:
+        older = [v for v in versions if v < v_to]
+        if not older:
+            raise ValueError(f"no version before {v_to} to diff against")
+        v_from = older[-1]
+    changes = versioned.changes_between(v_from, v_to, list(id_keys))
+    delta = cdf_aggregate_delta(changes, agg_keys, value_col, scale=scale)
+    merged = merge_aggregate_state(state, delta, keys=list(agg_keys))
+    zero = F.lit(0).cast(f"decimal(38,{scale})")
+    return merged.where(
+        ~(
+            (F.col("n") == 0)
+            & (F.col("s").eqNullSafe(zero))
+            & (F.col("s2").eqNullSafe(zero))
+        )
+    )

@@ -4168,3 +4168,87 @@ def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_incr_cdf_agg_refresh",
+    oracle="""
+    WITH final_orders AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND o_orderstatus <> 'P'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(o_totalprice) AS spend_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(COUNT(o_totalprice) AS DOUBLE) AS spend_mean,
+           SQRT(GREATEST(
+             (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+              - (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE))
+                / CAST(COUNT(o_totalprice) AS DOUBLE))
+             / CAST(COUNT(o_totalprice) AS DOUBLE), 0.0)) AS spend_std
+    FROM final_orders
+    GROUP BY o_custkey
+    """,
+)
+def q_incr_cdf_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-driven AGGREGATE view maintenance (featurestore/incremental.py
+    refresh_aggregate_state_from_cdf): per-customer spend moments built
+    at v0 are folded forward through the versioned fact table's change
+    feed — one commit carrying deletes (pending orders cancelled),
+    updates (urgent orders re-priced ×2, pre-image subtracted AND
+    post-image added) and inserts (the 1999+ orders). Because every
+    state cell is an exact DECIMAL/integer sum, pre-image negation is
+    exact and the maintained state is bit-identical to a full recompute
+    over the post-commit table — which is what the oracle computes,
+    finalized to count/sum/mean/std. This closes the update/delete gap
+    that append-only merge_aggregate_state (q_incr_agg_refresh) leaves:
+    O(changed rows) per refresh, fact history never rescanned.
+    """
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        finalize_aggregates,
+        refresh_aggregate_state_from_cdf,
+    )
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate", "o_orderpriority",
+    )
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    f0 = o.filter(F.col("o_orderdate") < cutoff).select(fact_cols)
+    f1 = (
+        o.filter((F.col("o_orderdate") < cutoff) & (F.col("o_orderstatus") != "P"))
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(fact_cols)
+        .unionByName(o.filter(F.col("o_orderdate") >= cutoff).select(fact_cols))
+    )
+    vt = VersionedTable(spark, os.path.join(scratch_dir("cdf_agg_ivm"), "orders_v"))
+    vt.save(f0, operation="overwrite")
+    vt.save(f1, operation="overwrite")
+
+    state0 = aggregate_state(vt.read(0), ["o_custkey"], "o_totalprice")
+    state1 = refresh_aggregate_state_from_cdf(
+        state0, vt, id_keys=["o_orderkey"], agg_keys=["o_custkey"],
+        value_col="o_totalprice",
+    )
+    return finalize_aggregates(
+        state1.withColumnRenamed("o_custkey", "custkey"), ["custkey"], prefix="spend"
+    )

@@ -777,3 +777,34 @@ def test_refresh_join_view_from_cdf(spark, tmp_path):
     got = refresh_join_view_from_cdf(view0, vt, "fk", dim, on=("dk", "dk2"))
     want = fact1.join(dim, F.col("dk") == F.col("dk2"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_refresh_aggregate_state_from_cdf(spark, tmp_path):
+    """Aggregate IVM over a change feed: pre-image negation is exact,
+    vanished keys drop, maintained state ≡ full recompute bit-for-bit."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        refresh_aggregate_state_from_cdf,
+    )
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    f0 = spark.createDataFrame(
+        [(1, "a", 1.25), (2, "a", 2.50), (3, "b", 4.00), (4, "c", 8.00)],
+        "rid int, k string, v double",
+    )
+    # commit: update rid=2 (a: 2.50 -> 5.00), delete rid=3 (b vanishes
+    # entirely), insert rid=5 into c
+    f1 = spark.createDataFrame(
+        [(1, "a", 1.25), (2, "a", 5.00), (4, "c", 8.00), (5, "c", 0.75)],
+        "rid int, k string, v double",
+    )
+    vt = VersionedTable(spark, str(tmp_path / "f"))
+    vt.save(f0)
+    vt.save(f1)
+    state0 = aggregate_state(f0, ["k"], "v")
+    got = refresh_aggregate_state_from_cdf(
+        state0, vt, id_keys=["rid"], agg_keys=["k"], value_col="v"
+    )
+    want = aggregate_state(f1, ["k"], "v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert {r.k for r in got.collect()} == {"a", "c"}  # b dropped
