@@ -225,6 +225,29 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
         with open(out_path) as fh:
             timings.update(json.load(fh)["queries"])
         os.unlink(out_path)
+    # Raw sweep artifact: BENCH_FULL.json keeps standing MINIMA, which
+    # hides what THIS sweep actually measured — persist the un-merged map
+    # so the tail-inflation audit (sweep value / standing record) is
+    # computable from committed artifacts. Written ONLY here (full
+    # sweeps): a targeted SPARK_GRAFT_BENCH_ONLY re-measure must not
+    # clobber the suite-wide evidence with its handful of names.
+    if sf == 0.1:
+        sweep_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json"
+        )
+        with open(sweep_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "raw_sweep_wall_sec",
+                    "value": round(sum(timings.values()), 3),
+                    "queries": timings,
+                    "sf": sf,
+                    "runs_per_query": runs,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     _finalize(timings, QUERIES, sf, runs)
 
 
@@ -253,11 +276,16 @@ def main() -> None:
             raise SystemExit(f"unknown bench queries: {missing}")
         names = wanted
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch overheads
-    QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # query, not first-touch overheads. Two rounds: a fresh chunk JVM's
+    # early queries otherwise pay residual C2-compilation of Spark's
+    # scan/shuffle/codegen infrastructure (sweep-3 audit: in-chunk
+    # positions 0-12 ran a 1.23 median ratio vs 1.06-1.14 later — the
+    # small, front-loaded inverse of the old single-JVM tail inflation)
+    for _ in range(2):
+        QUERIES["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # Per-query time = best of N timed runs. The single-JVM environment
     # shows heavy run-to-run drift (shared-host scheduling noise measured
@@ -290,28 +318,6 @@ def main() -> None:
 
 def _finalize(timings: dict[str, float], QUERIES, sf: float | None, runs: int) -> None:
     total = round(sum(timings.values()), 3)
-
-    # Raw sweep artifact: BENCH_FULL.json keeps standing MINIMA, which
-    # hides what THIS sweep actually measured — persist the un-merged
-    # map so the tail-inflation audit (sweep value / standing record per
-    # query) is computable from committed artifacts alone.
-    if sf == 0.1:
-        sweep_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json"
-        )
-        with open(sweep_path, "w") as fh:
-            json.dump(
-                {
-                    "metric": "raw_sweep_wall_sec",
-                    "value": total,
-                    "queries": timings,
-                    "sf": sf,
-                    "runs_per_query": runs,
-                },
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
 
     # The driver captures only the LAST ~2000 characters of stdout and
     # json-parses them; a per-query map over the full 170+ query suite
