@@ -89,7 +89,15 @@ def main() -> int:
     ok, out = run(
         "bench smoke (sf0.001)",
         [PY, f"{REPO}/bench.py"],
-        env={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001"},
+        # exercise the fork-mode orchestration itself (r13: full sweeps
+        # run as fresh-JVM chunks) but bound the smoke to 2 chunks × 2
+        # queries — the contract under test is the printed JSON line,
+        # not the suite
+        env={
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_BENCH_LIMIT": "4",
+            "SPARK_GRAFT_BENCH_CHUNK": "2",
+        },
     )
     payload = None
     for line in reversed(out.strip().splitlines()):
