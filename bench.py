@@ -55,6 +55,8 @@ HEADLINE = [
     "q_incr_cdf_agg_refresh",
     "q_compact_policy",
     "q_check_constraints",
+    "q_column_mapping",
+    "q_manifest_snapshot",
     "q_stream_late_metrics",
     "q_seasonal_decompose",
     "q_seasonal_anomalies",

@@ -4252,3 +4252,113 @@ def q_incr_cdf_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_aggregates(
         state1.withColumnRenamed("o_custkey", "custkey"), ["custkey"], prefix="spend"
     )
+
+
+@register(
+    "q_column_mapping",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_cust,
+           {_o_dsum('c_acctbal', 2)} AS sum_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping — rename WITHOUT rewriting data files
+    (sources/column_mapping.py, the Delta ``columnMapping.mode=name``
+    twin; the reference renames via full rewrite): half the customer
+    table lands under the original physical names, the logical schema
+    then renames c_mktsegment→segment and c_acctbal→balance as PURE
+    metadata (one sidecar write, zero data IO), and the second half is
+    appended THROUGH the mapping writer — logical names translated back
+    to physical so both file generations stay consistent. The mapped
+    read projects physical→logical with a zero-cost alias select
+    (pushdown and pruning untouched), and its digest must equal the
+    plain-SQL oracle over the base table: proof the rename lost, gained
+    and mislabeled nothing across both file generations. Rename chains,
+    collisions and the materialize escape hatch are pinned in
+    tests/test_catalog.py.
+    """
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.column_mapping import (
+        read_with_mapping,
+        rename_column,
+        write_with_mapping,
+    )
+
+    root = scratch_dir("column_mapping")
+    path = os.path.join(root, "customer_cm")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    c.filter(F.col("c_custkey") % 2 == 0).write.parquet(path)
+    rename_column(spark, path, "c_mktsegment", "segment")
+    rename_column(spark, path, "c_acctbal", "balance")
+    late = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    write_with_mapping(late, path, mode="append")
+    return (
+        read_with_mapping(spark, path)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(F.col("balance"), 2).alias("sum_balance"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_manifest_snapshot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest export + snapshot read (sources/manifest.py, the Delta
+    ``GENERATE symlink_format_manifest`` twin): the pre-1996 lineitem
+    wave lands, a manifest pins its file list, and THEN the 1996+ wave
+    is appended — the manifest reader must see exactly the pinned
+    snapshot, proving both the interop contract (an external engine
+    consuming the file list gets a consistent table) and snapshot
+    isolation on an append-only directory. The oracle computes the
+    pre-1996 digest from the base table; equality means the manifest
+    listed every pinned file and nothing else. The DV / column-mapping
+    refusal guards (Delta's own symlink-manifest restrictions) are
+    pinned in tests/test_catalog.py.
+    """
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.manifest import (
+        read_manifest,
+        write_manifest,
+    )
+
+    root = scratch_dir("manifest")
+    path = os.path.join(root, "lineitem_m")
+    li = load(spark, sf_dir, "lineitem")
+    li.filter(F.col("l_shipdate") < "1996-01-01").repartition(4).write.parquet(path)
+    write_manifest(spark, path)
+    # post-manifest append: invisible to the pinned snapshot
+    li.filter(F.col("l_shipdate") >= "1996-01-01").repartition(2).write.mode(
+        "append"
+    ).parquet(path)
+    return (
+        read_manifest(spark, path)
+        .groupBy("l_returnflag")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

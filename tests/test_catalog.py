@@ -313,3 +313,100 @@ def test_compaction_policy_thresholds_and_zorder(spark, tmp_path):
         spark.read.parquet(zpath).agg(F.sum("a")).first()[0]
         == both.agg(F.sum("a")).first()[0]
     )
+
+
+def test_column_mapping_rename_chain_and_materialize(spark, tmp_path):
+    """Column mapping: chained renames fold to one physical→logical hop,
+    collisions and unknown names raise, appends through the mapping
+    writer line up, and materialize bakes names in + drops the sidecar."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources.column_mapping import (
+        load_mapping,
+        mapping_path,
+        materialize_mapping,
+        read_with_mapping,
+        rename_column,
+        write_with_mapping,
+    )
+
+    path = str(tmp_path / "cm")
+    spark.range(0, 10).select(F.col("id"), (F.col("id") * 2.0).alias("v")).write.parquet(path)
+
+    rename_column(spark, path, "v", "value")
+    rename_column(spark, path, "value", "amount")  # chain a→b→c
+    assert load_mapping(path) == {"v": "amount"}
+    assert set(read_with_mapping(spark, path).columns) == {"id", "amount"}
+
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(spark, path, "v", "x")  # 'v' is physical, not logical
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, path, "amount", "id")
+
+    write_with_mapping(
+        spark.range(10, 15).select(F.col("id"), (F.col("id") * 2.0).alias("amount")),
+        path,
+    )
+    got = read_with_mapping(spark, path)
+    assert got.count() == 15
+    assert got.agg(F.sum("amount")).first()[0] == sum(i * 2.0 for i in range(15))
+
+    assert materialize_mapping(spark, path) == 1
+    assert not os.path.exists(mapping_path(path))
+    assert set(spark.read.parquet(path).columns) == {"id", "amount"}
+    assert materialize_mapping(spark, path) == 0
+
+
+def test_manifest_guards_and_snapshot(spark, tmp_path):
+    """Manifest: DV / column-mapping refusal guards, snapshot pinning,
+    missing-manifest error, atomicity artifact absent."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources.column_mapping import (
+        materialize_mapping,
+        rename_column,
+    )
+    from databricks_demo_feature_store_spark.sources.deletion_vectors import (
+        apply_deletes,
+        delete_rows,
+    )
+    from databricks_demo_feature_store_spark.sources.manifest import (
+        manifest_file,
+        read_manifest,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "mf")
+    spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("g")).coalesce(
+        2
+    ).write.parquet(path)
+
+    with pytest.raises(FileNotFoundError, match="no manifest"):
+        read_manifest(spark, path)
+
+    # pending DVs refuse (Delta's symlink-manifest restriction)
+    delete_rows(spark, path, "g = 0")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        write_manifest(spark, path)
+    apply_deletes(spark, path)
+
+    # live column mapping refuses until materialized
+    rename_column(spark, path, "g", "grp")
+    with pytest.raises(ValueError, match="column mapping"):
+        write_manifest(spark, path)
+    materialize_mapping(spark, path)
+
+    files = write_manifest(spark, path)
+    assert files and not os.path.exists(manifest_file(path) + ".tmp")
+    pinned = read_manifest(spark, path).count()
+    spark.range(100, 150).select(
+        F.col("id"), (F.col("id") % 5).alias("grp")
+    ).coalesce(1).write.mode("append").parquet(path)
+    assert read_manifest(spark, path).count() == pinned == 80
+    assert spark.read.parquet(path).count() == 130
