@@ -57,6 +57,7 @@ HEADLINE = [
     "q_check_constraints",
     "q_column_mapping",
     "q_manifest_snapshot",
+    "q_generated_columns",
     "q_stream_late_metrics",
     "q_seasonal_decompose",
     "q_seasonal_anomalies",

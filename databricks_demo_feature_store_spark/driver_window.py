@@ -687,7 +687,8 @@ precisely the freshness policy VERDICT r12 directed.
 
 Round-13 births (q_incr_cdf_refresh, q_compact_policy,
 q_stream_late_metrics, q_check_constraints, q_incr_cdf_agg_refresh,
-q_column_mapping, q_manifest_snapshot) stay OUT of this window
+q_column_mapping, q_manifest_snapshot, q_generated_columns) stay OUT
+of this window
 with documented cover (the r11 TPC-H / r12 q_skipping_incremental
 precedent): adding
 them would displace stale re-certs and break the judge's explicit

@@ -4362,3 +4362,53 @@ def q_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_generated_columns",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           {_o_dsum('o_totalprice', 2)} AS sum_price
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) >= 1997
+    GROUP BY 1
+    ORDER BY o_year
+    """,
+)
+def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (sources/writers.py save_table
+    generated_columns, the Delta ``GENERATED ALWAYS AS`` twin): orders
+    land with a DERIVED partition column ``o_year = year(o_orderdate)``
+    computed at write time and used as the hive layout — the canonical
+    Delta pattern that buys date partition-pruning without trusting
+    callers to derive the column consistently (a caller-supplied wrong
+    value rejects the write through the one-pass CHECK machinery,
+    pinned in tests/test_catalog.py). The read back filters on the
+    GENERATED column, so the pruning happens on partition directories,
+    and the digest must equal the oracle computing the year directly
+    from the base table — generation, layout and pruning lost nothing.
+    """
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+
+    root = scratch_dir("generated_cols")
+    path = os.path.join(root, "orders_gen")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    save_table(
+        o,
+        path,
+        partition_by=["o_year"],
+        generated_columns={"o_year": "year(o_orderdate)"},
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_year") >= 1997)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_year")
+    )

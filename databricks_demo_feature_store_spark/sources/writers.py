@@ -138,6 +138,7 @@ def save_table(
     bloom_columns: Sequence[str] | None = None,
     check_constraints: Sequence[str] | None = None,
     auto_compact: "CompactionPolicy | None" = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> None:
     """Write a layer table.
 
@@ -158,8 +159,28 @@ def save_table(
       sidecar refresh), the policy inspects the file listing and
       triggers :func:`maybe_compact` when the small-file threshold
       trips — the Delta auto-compaction twin. No-op below threshold.
+    - ``generated_columns`` — ``{name: sql_expr}`` computed columns (the
+      Delta ``GENERATED ALWAYS AS`` twin): a missing column is computed
+      from its expression at write time; a PRESENT column is instead
+      VALIDATED against the expression through the same one-pass CHECK
+      machinery (null-safe equality, so a hand-supplied wrong value —
+      including a wrong NULL — rejects the write). The canonical use is
+      a derived partition column (``{"o_year": "year(o_orderdate)"}``,
+      ``partition_by=["o_year"]``), which buys partition pruning without
+      trusting callers to derive the column consistently.
     """
     spark = df.sparkSession
+    if generated_columns:
+        extra_checks: list[str] = []
+        for name, expr in generated_columns.items():
+            if name in df.columns:
+                # caller supplied the column: every row must MATCH the
+                # generation expression (Delta rejects mismatches too)
+                extra_checks.append(f"{name} <=> ({expr})")
+            else:
+                df = df.withColumn(name, F.expr(expr))
+        if extra_checks:
+            check_constraints = list(check_constraints or []) + extra_checks
     if check_constraints:
         # pin the plan FIRST: validating one evaluation and writing a
         # re-evaluation would un-guarantee 'no half-poisoned table' for

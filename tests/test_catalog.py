@@ -410,3 +410,46 @@ def test_manifest_guards_and_snapshot(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(path)
     assert read_manifest(spark, path).count() == pinned == 80
     assert spark.read.parquet(path).count() == 130
+
+
+def test_generated_columns_compute_and_validate(spark, tmp_path):
+    """generated_columns: missing column computed at write time; a
+    caller-supplied column is validated row-for-row (wrong values and
+    wrong NULLs reject through CheckConstraintViolation)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources.writers import (
+        CheckConstraintViolation,
+        save_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-05"), (2, "2023-07-01")], "id int, d string"
+    ).select("id", F.col("d").cast("date").alias("d"))
+
+    # computed when missing
+    path = str(tmp_path / "gen1")
+    save_table(df, path, generated_columns={"y": "year(d)"})
+    got = {(r.id, r.y) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 2024), (2, 2023)}
+
+    # validated when present — correct values pass
+    path2 = str(tmp_path / "gen2")
+    save_table(
+        df.withColumn("y", F.year("d")), path2, generated_columns={"y": "year(d)"}
+    )
+    assert spark.read.parquet(path2).count() == 2
+
+    # wrong value rejects, nothing lands
+    bad = df.withColumn("y", F.lit(1999))
+    path3 = str(tmp_path / "gen3")
+    with pytest.raises(CheckConstraintViolation):
+        save_table(bad, path3, generated_columns={"y": "year(d)"})
+    import os
+    assert not os.path.exists(path3)
+
+    # wrong NULL rejects too (null-safe equality, unlike plain CHECK)
+    badnull = df.withColumn("y", F.lit(None).cast("int"))
+    with pytest.raises(CheckConstraintViolation):
+        save_table(badnull, path3, generated_columns={"y": "year(d)"})
