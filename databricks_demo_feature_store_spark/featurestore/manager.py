@@ -55,6 +55,13 @@ class FeatureTableSpec:
     # vector index's inverted lists keyed by cluster). Both the overwrite
     # and the merge write path honor it, so the layout survives upserts.
     partition_by: tuple[str, ...] = ()
+    # Table-level CHECK constraints (SQL boolean expressions, the Delta
+    # ``ADD CONSTRAINT CHECK`` twin at the feature-store tier): EVERY
+    # save — overwrite and merge alike — validates the incoming frame in
+    # one aggregation pass BEFORE any byte lands, and the registry
+    # metadata records the contract so readers/auditors can see what the
+    # table guarantees. NULL passes (SQL CHECK semantics).
+    check_constraints: tuple[str, ...] = ()
 
 
 @dataclass
@@ -122,6 +129,7 @@ class FeatureStoreManager:
             "timestamp_keys": list(spec.timestamp_keys),
             "tags": dict(spec.tags),
             "source_tables": list(spec.source_tables),
+            "check_constraints": list(spec.check_constraints),
         }
         os.makedirs(self.path(spec.name), exist_ok=True)
         with open(os.path.join(self.path(spec.name), METADATA_FILE), "w") as fh:
@@ -203,6 +211,16 @@ class FeatureStoreManager:
         they force a full overwrite (the reference asks interactively —
         :1991-2014 — which a batch engine must not do).
         """
+        if spec.check_constraints:
+            from databricks_demo_feature_store_spark.sources.writers import (
+                enforce_check_constraints,
+            )
+
+            # pin the plan first (the writers.save_table discipline): a
+            # non-deterministic frame must not pass validation on one
+            # evaluation and write a different one
+            df = df.localCheckpoint(eager=True)
+            enforce_check_constraints(df, spec.check_constraints)
         diff = self.validate_schema(spec.name, df)
         path = self.path(spec.name)
 

@@ -808,3 +808,31 @@ def test_refresh_aggregate_state_from_cdf(spark, tmp_path):
     want = aggregate_state(f1, ["k"], "v")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert {r.k for r in got.collect()} == {"a", "c"}  # b dropped
+
+
+def test_spec_check_constraints_enforced_every_save(spark, manager):
+    """FeatureTableSpec.check_constraints: validated on overwrite AND
+    merge before any byte lands; recorded in the registry metadata."""
+    import dataclasses
+
+    from databricks_demo_feature_store_spark.sources.writers import (
+        CheckConstraintViolation,
+    )
+
+    spec = dataclasses.replace(
+        SPEC, name="checked_features", check_constraints=("f1 >= 0",)
+    )
+    manager.save(_df(spark, [(1, dt.date(2024, 1, 1), 1.0)]), spec, mode="overwrite")
+    assert manager.get_metadata("checked_features")["check_constraints"] == ["f1 >= 0"]
+
+    # merge path: a violating batch rejects, table unchanged
+    with pytest.raises(CheckConstraintViolation):
+        manager.save(
+            _df(spark, [(2, dt.date(2024, 1, 1), -5.0)]), spec, mode="merge"
+        )
+    got = manager.read("checked_features").collect()
+    assert len(got) == 1 and got[0].f1 == 1.0
+
+    # passing merge lands
+    manager.save(_df(spark, [(2, dt.date(2024, 1, 1), 2.0)]), spec, mode="merge")
+    assert manager.read("checked_features").count() == 2
