@@ -219,11 +219,16 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
         )
         if proc.returncode != 0:
+            # surface the child's actual failure (Spark/py4j traceback) —
+            # a bare "chunk N failed" leaves the error unrecoverable
+            tail = (proc.stderr or b"").decode(errors="replace").strip()
+            tail = "\n".join(tail.splitlines()[-40:])
             raise SystemExit(
-                f"bench chunk {i // chunk_size} failed (queries {chunk[:3]}...)"
+                f"bench chunk {i // chunk_size} failed "
+                f"(queries {chunk[:3]}...)\n--- child stderr tail ---\n{tail}"
             )
         with open(out_path) as fh:
             timings.update(json.load(fh)["queries"])
@@ -238,12 +243,30 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
         sweep_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json"
         )
+        # Rolling-window records (VERDICT r13 task 8): all-time minima in
+        # BENCH_FULL.json drift ever-further below reality as rounds
+        # accumulate (r13 sweep median 1.13 vs all-time on HEALTHY plans —
+        # old lucky timings, not plan regressions). Keep the last 3 full
+        # sweeps' raw maps and publish their per-query MIN as the
+        # rolling record; the "2x of baseline" ratchet should read the
+        # rolling column so it stays a signal about plans.
+        prev_sweeps: list[dict[str, float]] = []
+        try:
+            with open(sweep_path) as fh:
+                prev = json.load(fh)
+            prev_sweeps = prev.get("recent_sweeps") or []
+            if not prev_sweeps and prev.get("queries"):
+                prev_sweeps = [prev["queries"]]
+        except Exception:
+            pass
+        recent = (prev_sweeps + [timings])[-3:]
         with open(sweep_path, "w") as fh:
             json.dump(
                 {
                     "metric": "raw_sweep_wall_sec",
                     "value": round(sum(timings.values()), 3),
                     "queries": timings,
+                    "recent_sweeps": recent,
                     "sf": sf,
                     "runs_per_query": runs,
                 },
@@ -358,11 +381,31 @@ def _finalize(timings: dict[str, float], QUERIES, sf: float | None, runs: int) -
             full_timings = {**carried, **full_timings}
     except Exception:
         pass
+    # Rolling record next to the all-time minima (VERDICT r13 task 8):
+    # per-query MIN over the last <=3 full sweeps, read from
+    # BENCH_SWEEP.json's recent_sweeps history. The "within 2x of
+    # baseline" ratchet should compare against queries_rolling3, not the
+    # ever-tightening all-time column — a 13-round-old lucky timing says
+    # nothing about today's plan.
+    rolling: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json")
+        ) as fh:
+            recent = json.load(fh).get("recent_sweeps") or []
+        rolling = {
+            q: min(s[q] for s in recent if q in s)
+            for q in {k for s in recent for k in s}
+            if q in QUERIES
+        }
+    except Exception:
+        pass
     full = {
         "metric": "headline_queries_wall_sec",
         "value": round(sum(full_timings.values()), 3),
         "unit": "sec",
         "queries": full_timings,
+        "queries_rolling3": rolling,
         "sf": sf,
         "runs_per_query": runs,
     }

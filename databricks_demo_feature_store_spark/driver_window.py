@@ -696,68 +696,106 @@ them would displace stale re-certs and break the judge's explicit
 full local differential gate on current code and carries dedicated
 pytest pinning beyond the oracle; they rotate into r14's window
 first, before any further freshness re-certs.
+
+Round-14 rotation (VERDICT r13 task 1, verbatim: "8 r13 births first,
+then the 24 r8-stale re-certs and the 18 oldest r9-stale rows =
+exactly 50"): the window takes the 8 never-driver-certified r13
+births (q_incr_cdf_refresh, q_incr_cdf_agg_refresh, q_compact_policy,
+q_stream_late_metrics, q_check_constraints, q_column_mapping,
+q_manifest_snapshot, q_generated_columns — births-before-stale keeps
+never-certified debt at zero), then ALL 24 queries whose newest
+driver cert is round 8, then 18 of the 46 r9-stale queries. All 46
+are equally old by cert round, so the 18 are prioritized by MODULE
+CHURN this round — the queries most at risk from r14 code changes:
+q_val_timetravel_crosscheck (sources/versioned.py gains
+RESTORE/clone this round), q_training_set + q_training_set_refresh +
+q_training_set_stress + q_pipeline_credit_native +
+q_pipeline_payment_behavior (sources/writers.py gains the
+optimistic-concurrency swap guard + the compaction-aware refresh
+skip; the manager and every pipeline write through it),
+q_stream_ingest_dedup + q_stream_stateful_stats +
+q_stream_interval_join + q_stream_cusum (streaming family — the r14
+streaming-CDF source lands in this module cluster), plus the family
+anchors with the largest blast radius: q_ext_multimodal_decode (the
+one Python-UDF surface), q_ext_quality_classifier,
+q_ext_cross_corpus_dedup, q_ext_contamination_bloom (textops),
+q_golden_records, q_pagerank (iterative/graph),
+q_val_serving_skew, q_val_feature_screen (validation). After this
+gate runs green, never-certified debt is zero and no query's newest
+cert is older than round 9; the remaining 28 r9-stale queries fit
+one future window.
+
+OUT: all 50 round-13 window members — every one is round-13
+driver-green (CORRECTNESS_r13 was 50/50 on current code, the
+freshest certification any query can carry) and stays exact-checked
+by the full local differential gate (268 queries, judge-rerun each
+round) + pytest. Round-14 births (q_version_restore, q_version_clone,
+q_stream_cdf_ivm, …) born after this window is pinned follow the
+standing precedent: green in the full local gate + dedicated pytest
+pinning, they rotate into r15's window first.
 """
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- round-13 window (see docstring tail) ----
-    # first-ever driver row (born after the r12 window was pinned)
-    "q_skipping_incremental",
-    # r6-stale re-certifications (all 28 — oldest cohort first)
-    "q_bin_by_cutpoints",
-    "q_chi2_association",
-    "q_event_attribution",
-    "q_event_transitions",
-    "q_ext_ann_recall",
-    "q_ext_bm25_topk",
-    "q_ext_lm_score",
-    "q_ext_simhash",
-    "q_ext_weighted_sample",
-    "q_feature_chain",
-    "q_feature_correlations",
-    "q_funnel_steps",
-    "q_pipeline_demographic",
-    "q_pipeline_incremental",
-    "q_pipeline_product_holdings",
-    "q_quantile_bin",
-    "q_retention_cohorts",
-    "q_stream_dedup",
-    "q_stream_distinct_sketch",
-    "q_stream_enrich",
-    "q_stream_hourly",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_train_test_split",
-    "q_unpivot_melt",
-    "q_val_ks_drift",
-    "q_val_psi_drift",
-    "q_val_schema_cast",
-    # r7-stale re-certifications (all 21)
-    "q_ext_hybrid_rrf",
-    "q_ext_line_clean",
-    "q_ext_ndcg_eval",
-    "q_ext_ngram_jaccard_cutoff",
-    "q_ext_pack_sequences",
-    "q_feature_scaling",
-    "q_frequent_pairs",
-    "q_key_skew_profile",
-    "q_name_linkage",
-    "q_rank_normalize",
-    "q_rolling_quantile",
-    "q_salted_join",
-    "q_scd2_intervals",
-    "q_stream_count_anomalies",
-    "q_stream_psi_drift",
-    "q_val_calibration",
-    "q_val_cusum",
-    "q_val_freshness",
-    "q_val_pr_auc",
-    "q_val_roc_auc",
-    "q_val_threshold_metrics",
+    # ---- round-14 window (see docstring tail) ----
+    # first-ever driver rows: the 8 r13 births (never certified)
+    "q_incr_cdf_refresh",
+    "q_incr_cdf_agg_refresh",
+    "q_compact_policy",
+    "q_stream_late_metrics",
+    "q_check_constraints",
+    "q_column_mapping",
+    "q_manifest_snapshot",
+    "q_generated_columns",
+    # r8-stale re-certifications (all 24 — oldest cohort first)
+    "q_backtest_folds",
+    "q_event_decay",
+    "q_ext_chunk_documents",
+    "q_ext_curate_corpus",
+    "q_ext_dedup_clusters_twophase",
+    "q_ext_exact_sample",
+    "q_ext_frequent_items",
+    "q_ext_mmr_rerank",
+    "q_ext_pmi_collocations",
+    "q_ext_quantization_error",
+    "q_ext_shuffle_shards",
+    "q_join_size_estimate",
+    "q_mutual_information",
+    "q_robust_outliers",
+    "q_semi_join_exists",
+    "q_triangle_count",
+    "q_val_cohens_kappa",
+    "q_val_count_anomalies",
+    "q_val_decile_lift",
+    "q_val_pit_leakage",
+    "q_val_pr_curve",
+    "q_val_psi_numeric",
+    "q_winsorize",
+    "q_zorder_key",
+    # r9-stale re-certifications (18 of 46, churn-prioritized)
+    "q_val_timetravel_crosscheck",
+    "q_training_set",
+    "q_training_set_refresh",
+    "q_training_set_stress",
+    "q_pipeline_credit_native",
+    "q_pipeline_payment_behavior",
+    "q_stream_ingest_dedup",
+    "q_stream_stateful_stats",
+    "q_stream_interval_join",
+    "q_stream_cusum",
+    "q_ext_multimodal_decode",
+    "q_ext_quality_classifier",
+    "q_ext_cross_corpus_dedup",
+    "q_ext_contamination_bloom",
+    "q_golden_records",
+    "q_pagerank",
+    "q_val_serving_skew",
+    "q_val_feature_screen",
 )
 
-# (the round-11 window tuple lives in git history — commit 0934e9c)
+# (older window tuples live in git history — r11: commit 0934e9c,
+#  r13: commit 24812cb)
 
 WINDOW_SIZE = 50
 

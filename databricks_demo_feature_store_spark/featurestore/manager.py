@@ -374,11 +374,16 @@ def forget_entities(
         if key_col not in pks or key_col not in df.columns:
             rows.append((name, False, df.count(), 0))
             continue
+        from databricks_demo_feature_store_spark.sources.writers import (
+            table_generation,
+        )
+
+        path = manager.path(name)
+        generation = table_generation(path)
         before = df.count()
         kept = df.join(
             F.broadcast(forget), df[key_col] == forget[key_col], "left_anti"
         )
-        path = manager.path(name)
         staging = path.rstrip("/") + "__forget"
         kept.write.format(manager.fmt).mode("overwrite").save(staging)
         # Registry metadata rides IN the staging directory, so the rename
@@ -394,7 +399,7 @@ def forget_entities(
                 json.dump(meta, fh, indent=2, sort_keys=True)
         from databricks_demo_feature_store_spark.sources.writers import _swap_dirs
 
-        _swap_dirs(path, staging)
+        _swap_dirs(path, staging, expected_generation=generation)
         after = manager.read(name).count()
         rows.append((name, True, after, before - after))
     out = manager.spark.createDataFrame(

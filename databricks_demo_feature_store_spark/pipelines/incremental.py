@@ -51,7 +51,12 @@ def replace_entities(
     """
     from pyspark.errors import AnalysisException
 
+    from databricks_demo_feature_store_spark.sources.writers import (
+        table_generation,
+    )
+
     spark = df.sparkSession
+    generation = table_generation(path)
     try:
         existing = spark.read.format(fmt).load(path)
     except AnalysisException:
@@ -66,7 +71,7 @@ def replace_entities(
     out = kept.unionByName(df, allowMissingColumns=True)
     staging = path.rstrip("/") + "__staging"
     _write(out, staging, fmt, "overwrite", partition_by)
-    _swap_dirs(path, staging)
+    _swap_dirs(path, staging, expected_generation=generation)
 
 
 def incremental_entity_refresh(

@@ -4412,3 +4412,143 @@ def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q_version_restore",
+    oracle="""
+    WITH good AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    bad AS (
+      SELECT * FROM good WHERE c_acctbal > 1000
+    ),
+    appended AS (
+      SELECT c_custkey, c_acctbal FROM good
+      UNION ALL
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT * FROM (
+      SELECT 0 AS version, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS bal_sum
+      FROM good
+      UNION ALL
+      SELECT 1, COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE)
+      FROM bad
+      UNION ALL
+      SELECT 2, COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE)
+      FROM good
+      UNION ALL
+      SELECT 3, COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE)
+      FROM appended
+    )
+    ORDER BY version
+    """,
+)
+def q_version_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE-to-version (sources/versioned.py restore) — the Delta
+    ``RESTORE TABLE ... VERSION AS OF`` twin, the recovery op after a bad
+    write: v0 is the good customer load, v1 a bad overwrite that lost
+    the non-positive balances, restore(0) promotes v0's pinned file set
+    to the new head v2 as pure hardlink metadata (zero data rewrite,
+    history preserved — pinned in tests/test_versioned.py), and the
+    post-restore append v3 diverges normally on top of the restored
+    content. The result is the (version, count, exact balance sum)
+    profile of all four versions; the oracle recomputes each version's
+    content from the base table. Restore correctness is the v2 row
+    equaling the v0 row AFTER v1 lost rows, and v3 building on v2."""
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    good = cust.filter(F.col("c_custkey") % 3 != 0)
+    bad = good.filter(F.col("c_acctbal") > 1000)
+
+    vt = VersionedTable(spark, os.path.join(scratch_dir("restore"), "cust_v"))
+    vt.save(good, operation="WRITE")
+    vt.save(bad, operation="OVERWRITE")      # the bad write
+    vt.restore(0)                             # recovery: head v2 == v0
+    # post-restore append diverges from the restored head
+    vt.save(
+        vt.read().unionByName(cust.filter(F.col("c_custkey") % 3 == 0)),
+        operation="OVERWRITE",
+    )
+
+    profiles = [
+        vt.read(v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "bal_sum")
+        for v in (0, 1, 2, 3)
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+@register(
+    "q_version_clone",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    clone_next AS (
+      SELECT * FROM src WHERE o_totalprice < 150000
+    )
+    SELECT * FROM (
+      SELECT 'clone_v0' AS side, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS price_sum
+      FROM src
+      UNION ALL
+      SELECT 'clone_v1', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+      FROM clone_next
+      UNION ALL
+      SELECT 'source_head', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+      FROM src
+    )
+    ORDER BY side
+    """,
+)
+def q_version_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (sources/versioned.py clone) — the Delta ``SHALLOW
+    CLONE`` twin for cheap dev/test copies: the clone's v0 is the
+    source's latest version with ZERO data-file copies (hardlink
+    metadata, inode-asserted in tests/test_versioned.py), and each side
+    evolves independently afterwards — the clone writes a filtered v1
+    while the source head stays untouched. The result profiles clone v0
+    (≡ source), clone v1 (diverged) and the source head (unchanged);
+    the oracle recomputes all three from the base table."""
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    src_df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") % 4 != 0)
+
+    root = scratch_dir("clone")
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.save(src_df, operation="WRITE")
+    dst = src.clone(os.path.join(root, "dst"))
+    # post-clone divergence: clone evolves, source untouched
+    dst.save(dst.read().filter(F.col("o_totalprice") < 150000))
+
+    def profile(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("o_totalprice"), 2).alias("price_sum"),
+        ).select(F.lit(side).alias("side"), "n_rows", "price_sum")
+
+    return (
+        profile(dst.read(0), "clone_v0")
+        .unionByName(profile(dst.read(1), "clone_v1"))
+        .unionByName(profile(src.read(), "source_head"))
+        .orderBy("side")
+    )

@@ -2813,3 +2813,114 @@ def q_stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, input_rows bigint, late_dropped bigint, "
         "watermark timestamp, max_event timestamp",
     ).orderBy("round")
+
+
+from databricks_demo_feature_store_spark.queries import _dsum, _o_dsum  # noqa: E402
+
+
+@register(
+    "q_stream_cdf_ivm",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderstatus <> 'P'
+        AND o_orderkey % 13 <> 0
+    ),
+    final_fact AS (
+      SELECT * FROM survivors
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           {_o_dsum('ff.o_totalprice', 2)} AS sum_price
+    FROM final_fact ff JOIN customer c ON ff.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def q_stream_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF → incremental materialized view (streaming/ops.py
+    stream_cdf_ivm) — the full Delta Live Tables pattern run
+    CONTINUOUSLY: every VersionedTable commit writes an atomic marker
+    into its ``_commits/`` log (the _delta_log twin), a Structured
+    Streaming file source turns those markers into micro-batch
+    triggers, and each batch folds ONE span-shaped change feed
+    (changes_between(applied, max)) into the materialized
+    orders⋈customer view through the broadcast-anti-join keyed refresh.
+    Two commits stream through two separate availableNow drains (real
+    checkpoint resumption between them): commit 1 re-prices urgent
+    orders ×2 and cancels pending ones (updates + deletes), commit 2
+    drops every 13th order and lands the 1998 arrivals (deletes +
+    inserts). The oracle recomputes the final join from scratch in
+    plain SQL — equality proves streamed-IVM ≡ full recompute; the
+    batch-IVM ≡ streamed-IVM leg is pinned in
+    tests/test_streaming_cdf.py."""
+    from databricks_demo_feature_store_spark.queries import load as _load
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        init_cdf_view,
+        read_cdf_view,
+        stream_cdf_ivm,
+    )
+
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate", "o_orderpriority",
+    )
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    f0 = o.filter(F.col("o_orderdate") < cutoff).select(fact_cols)
+    f1 = (
+        o.filter((F.col("o_orderdate") < cutoff) & (F.col("o_orderstatus") != "P"))
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(fact_cols)
+    )
+    f2 = f1.filter(F.col("o_orderkey") % 13 != 0).unionByName(
+        o.filter(F.col("o_orderdate") >= cutoff).select(fact_cols)
+    )
+
+    root = scratch_dir("stream_cdf_ivm")
+    vt = VersionedTable(spark, os.path.join(root, "orders_v"))
+    view_path = os.path.join(root, "view")
+    ckpt = os.path.join(root, "ckpt")
+
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    vt.save(f0, operation="WRITE")
+    init_cdf_view(
+        vt.read(0).join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey")),
+        view_path,
+        source_version=0,
+    )
+    # two commits, two separate stream drains — checkpointed offsets
+    # carry across, each drain folds exactly the new span
+    for commit in (f1, f2):
+        vt.save(commit, operation="OVERWRITE")
+        q = stream_cdf_ivm(
+            spark, vt, view_path, ckpt,
+            key="o_orderkey", other=dim, on=("o_custkey", "c_custkey"),
+        )
+        q.awaitTermination()
+
+    return (
+        read_cdf_view(spark, view_path)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("segment")
+    )

@@ -108,8 +108,26 @@ def write_with_mapping(df: DataFrame, table_path: str, mode: str = "append") -> 
     translate logical→physical so post-rename appends line up with
     pre-rename files. Logical columns without a physical twin (genuine
     new columns) keep their name — parquet schema evolution adds them
-    under their logical (= new physical) name."""
+    under their logical (= new physical) name.
+
+    Collision guard: an incoming column whose name equals a MAPPED
+    physical name (``name in mapping`` with a different logical target)
+    is rejected. Writing it through would land it under physical
+    ``name``, and every subsequent read would alias that physical column
+    to its mapped logical target — silently merging two distinct logical
+    columns under one name. Delta's name-mode mapping forbids reusing a
+    renamed-away name for the same reason."""
     mapping = load_mapping(table_path)
+    collisions = sorted(
+        c for c in df.columns if c in mapping and mapping[c] != c
+    )
+    if collisions:
+        raise ValueError(
+            f"column name(s) {collisions} are physical names already mapped to "
+            f"logical name(s) {[mapping[c] for c in collisions]}; writing them "
+            "would merge two logical columns under one name. Rename the "
+            "incoming column, or materialize_mapping() first."
+        )
     to_physical = {log: phys for phys, log in mapping.items()}
     out = df.select(
         *[F.col(c).alias(to_physical.get(c, c)) for c in df.columns]
@@ -121,16 +139,30 @@ def materialize_mapping(spark: SparkSession, table_path: str) -> int:
     """Bake logical names into the files (staged-swap rewrite) and drop
     the sidecar — the escape hatch before handing the table to a reader
     or writer that does not speak the mapping. Returns renamed-column
-    count; no-op without a sidecar."""
-    from databricks_demo_feature_store_spark.sources.writers import _swap_dirs
+    count; no-op without a sidecar.
+
+    DV discipline (same contract as ``compact``/``merge_upsert`` via
+    ``_read_folding_dv``): the staged swap replaces the whole directory,
+    ``_dv`` sidecar included, so the rewrite MUST read with pending
+    row-level deletes folded out — a plain scan here would silently
+    resurrect deleted rows (for GDPR erasure, silent un-deletion)."""
+    from databricks_demo_feature_store_spark.sources.writers import (
+        _read_folding_dv,
+        _swap_dirs,
+        table_generation,
+    )
 
     mapping = load_mapping(table_path)
     if not mapping:
         return 0
-    live = read_with_mapping(spark, table_path).localCheckpoint(eager=True)
+    generation = table_generation(table_path)
+    base = _read_folding_dv(spark, table_path, "parquet")
+    live = base.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in base.columns]
+    ).localCheckpoint(eager=True)
     staging = table_path.rstrip("/") + "__staging"
     live.write.mode("overwrite").parquet(staging)
-    _swap_dirs(table_path, staging)
+    _swap_dirs(table_path, staging, expected_generation=generation)
     # the sidecar was inside the replaced directory, so it is already
     # gone; nothing to clean up
     return len(mapping)

@@ -126,11 +126,15 @@ def apply_deletes(spark: SparkSession, table_path: str) -> int:
     new, so the sidecar MUST go with the same promotion (it lives inside
     the table directory, and ``_swap_dirs`` replaces the whole dir —
     the staging side simply doesn't carry one)."""
-    from databricks_demo_feature_store_spark.sources.writers import _swap_dirs
+    from databricks_demo_feature_store_spark.sources.writers import (
+        _swap_dirs,
+        table_generation,
+    )
 
     out = dv_path(table_path)
     if not os.path.isdir(out):
         return 0
+    generation = table_generation(table_path)
     # concurrent delete waves may append duplicate coordinates; the
     # physical count is over DISTINCT (file, row) pairs
     dv_count = spark.read.parquet(out).distinct().count()
@@ -139,5 +143,5 @@ def apply_deletes(spark: SparkSession, table_path: str) -> int:
     live = read_with_deletes(spark, table_path).localCheckpoint(eager=True)
     staging = table_path.rstrip("/") + "__staging"
     live.write.mode("overwrite").parquet(staging)
-    _swap_dirs(table_path, staging)
+    _swap_dirs(table_path, staging, expected_generation=generation)
     return dv_count

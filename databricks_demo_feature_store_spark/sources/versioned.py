@@ -28,6 +28,30 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_versions.json"
+COMMITS_DIR = "_commits"
+
+
+def _link_tree(src: str, dst: str) -> int:
+    """Mirror ``src`` into ``dst`` with hardlinks (copy on EXDEV) —
+    zero-data-copy promotion of an immutable version directory. Returns
+    the number of data files linked. Hardlinks are safe here precisely
+    because version directories are immutable: nothing ever writes
+    through either name."""
+    n = 0
+    for root, _dirs, names in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out_dir = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out_dir, exist_ok=True)
+        for name in names:
+            s = os.path.join(root, name)
+            d = os.path.join(out_dir, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+            if not name.startswith(("_", ".")):
+                n += 1
+    return n
 
 
 def _parse_utc(ts: str) -> _dt.datetime:
@@ -71,6 +95,31 @@ class VersionedTable:
         h = self.history()
         return h[0].version if h else None
 
+    def _write_commit_marker(self, info: VersionInfo) -> None:
+        """One tiny JSON per commit under ``_commits/`` — the streamable
+        commit log (the Delta ``_delta_log`` twin at marker granularity).
+        A Structured Streaming file source over this directory turns
+        version commits into a micro-batch trigger
+        (``streaming/ops.py`` ``stream_cdf_ivm``). Atomic tmp+rename;
+        the dot-prefixed tmp name is invisible to Hadoop file listings,
+        so a reader can never observe a half-written marker."""
+        d = os.path.join(self.path, COMMITS_DIR)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".commit-{info.version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": info.version,
+                    "timestamp": info.timestamp,
+                    "operation": info.operation,
+                },
+                fh,
+            )
+        os.rename(tmp, os.path.join(d, f"commit-{info.version}.json"))
+
+    def commits_path(self) -> str:
+        return os.path.join(self.path, COMMITS_DIR)
+
     # -- write --------------------------------------------------------------
     def save(
         self,
@@ -104,6 +153,7 @@ class VersionedTable:
         os.makedirs(self.path, exist_ok=True)
         with open(self._manifest_path(), "w") as fh:
             json.dump(manifest, fh, indent=2)
+        self._write_commit_marker(info)
         return info
 
     # -- read ---------------------------------------------------------------
@@ -200,6 +250,79 @@ class VersionedTable:
             F.lit(int(v_to)).cast("long").alias("_commit_version"),
         )
 
+    # -- recovery / cloning --------------------------------------------------
+    def restore(self, version: int) -> VersionInfo:
+        """RESTORE the table to ``version`` by promoting its pinned file
+        set to a NEW head version — the Delta ``RESTORE TABLE ... VERSION
+        AS OF`` twin (the recovery op after a bad write; the reference's
+        own recovery story is Delta time travel,
+        ``src/packages/data_validation/monitor.py:57-71``).
+
+        History is PRESERVED: restore appends a version, it never erases
+        one — the bad write stays inspectable, and a restore can itself
+        be restored away. Zero data rewrite: version directories are
+        immutable, so the new head is built from hardlinks to the
+        restored version's files (O(files) metadata, no bytes copied —
+        the parquet-emulation equivalent of Delta's RESTORE commit that
+        just re-references old file paths in the log; copy-fallback for
+        cross-device links). Post-restore appends diverge normally.
+        """
+        history = self.history()
+        if not any(v.version == version for v in history):
+            raise ValueError(f"Version {version} not found at {self.path}")
+        new_version = history[0].version + 1
+        src = os.path.join(self.path, f"v={version}")
+        dst = os.path.join(self.path, f"v={new_version}")
+        n_linked = _link_tree(src, dst)
+        restored = next(v for v in history if v.version == version)
+        info = VersionInfo(
+            version=new_version,
+            timestamp=_dt.datetime.now(_dt.timezone.utc).isoformat(),
+            operation=f"RESTORE(v{version})",
+            num_rows=restored.num_rows,
+        )
+        manifest = [vars(v) for v in reversed(history)] + [vars(info)]
+        with open(self._manifest_path(), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        self._write_commit_marker(info)
+        assert n_linked > 0 or restored.num_rows in (0, None)
+        return info
+
+    def clone(self, target_path: str) -> "VersionedTable":
+        """Shallow clone: a NEW versioned table at ``target_path`` whose
+        v=0 is the source's latest version — the Delta ``CREATE TABLE ...
+        SHALLOW CLONE`` twin (cheap dev/test copies).
+
+        Zero data-file copies: the clone's v=0 is hardlinks to the
+        source's files (metadata-only, O(files) — the emulation of
+        Delta's clone commit that points at the source's data files;
+        hardlinks additionally keep the files alive if the source
+        vacuums, which Delta shallow clones do NOT survive). The clone
+        has its OWN manifest starting at v=0, so post-clone writes to
+        either table never affect the other.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"No versions to clone at {self.path}")
+        if os.path.exists(os.path.join(target_path, MANIFEST)):
+            raise FileExistsError(f"Target {target_path} is already a table")
+        src_info = self.history()[0]
+        src = os.path.join(self.path, f"v={latest}")
+        dst = os.path.join(target_path, "v=0")
+        _link_tree(src, dst)
+        info = VersionInfo(
+            version=0,
+            timestamp=_dt.datetime.now(_dt.timezone.utc).isoformat(),
+            operation=f"CLONE({self.path}@v{latest})",
+            num_rows=src_info.num_rows,
+        )
+        os.makedirs(target_path, exist_ok=True)
+        with open(os.path.join(target_path, MANIFEST), "w") as fh:
+            json.dump([vars(info)], fh, indent=2)
+        out = VersionedTable(self.spark, target_path, fmt=self.fmt)
+        out._write_commit_marker(info)
+        return out
+
     # -- maintenance --------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (Delta VACUUM)."""
@@ -208,6 +331,12 @@ class VersionedTable:
         dropped = []
         for v in history[keep_last:]:
             shutil.rmtree(os.path.join(self.path, f"v={v.version}"), ignore_errors=True)
+            try:
+                os.remove(
+                    os.path.join(self.commits_path(), f"commit-{v.version}.json")
+                )
+            except FileNotFoundError:
+                pass
             dropped.append(v.version)
         manifest = [vars(v) for v in reversed(history) if v.version in keep]
         with open(self._manifest_path(), "w") as fh:

@@ -79,7 +79,46 @@ def enforce_check_constraints(df: DataFrame, constraints: Sequence[str]) -> None
         raise CheckConstraintViolation(counts)
 
 
-def _swap_dirs(live: str, staging: str) -> None:
+class ConcurrentWriteError(RuntimeError):
+    """A staged-swap rewrite detected another writer's commit between its
+    read and its swap — the rewrite was computed from a stale snapshot,
+    and promoting it would silently erase the other writer's commit (the
+    lost update). The loser's staging directory is discarded; retry the
+    whole operation against the new table state."""
+
+
+def table_generation(path: str) -> tuple[int, int] | None:
+    """Generation token for optimistic concurrency over a staged-swap
+    table: ``(top-dir inode, max mtime_ns across the tree)``. Every
+    ``_swap_dirs`` promotion replaces the top directory (new inode) and
+    every append lands a newer-mtime file somewhere in the tree, so any
+    commit by another writer changes the token. Driver-side metadata,
+    O(files) — the same cost class as ``maybe_compact``'s listing.
+    ``None`` when the table does not exist yet."""
+    import os
+
+    p = path.removeprefix("file:").rstrip("/")
+    try:
+        top = os.stat(p)
+    except FileNotFoundError:
+        return None
+    newest = top.st_mtime_ns
+    for root, _dirs, names in os.walk(p):
+        newest = max(newest, os.stat(root).st_mtime_ns)
+        for n in names:
+            try:
+                newest = max(newest, os.stat(os.path.join(root, n)).st_mtime_ns)
+            except FileNotFoundError:
+                # a concurrent writer removing files mid-walk is itself a
+                # generation change; the mtime of its rename target wins
+                continue
+    return (top.st_ino, newest)
+
+
+_UNCHECKED = object()
+
+
+def _swap_dirs(live: str, staging: str, expected_generation=_UNCHECKED) -> None:
     """Promote ``staging`` to ``live`` via directory renames, never a
     delete-then-rewrite of the live table.
 
@@ -88,12 +127,32 @@ def _swap_dirs(live: str, staging: str) -> None:
     partially-deleted live directory. On POSIX/HDFS a directory rename is a
     single metadata op; on object stores the real fix is the Delta path
     (atomic log commit), which this fallback stands in for.
+
+    ``expected_generation`` (from :func:`table_generation`, captured when
+    the rewrite STARTED reading) arms the optimistic-concurrency check:
+    if the live table's generation changed between read and swap, another
+    writer committed in the window — the swap raises
+    :class:`ConcurrentWriteError` and discards ``staging`` instead of
+    silently clobbering that commit. Single-writer callers (bootstrap
+    writes, sidecar refreshes) omit it. The residual check→rename race is
+    microseconds wide and loses only to a writer that slipped a full
+    commit inside it; the zero-window fix is an atomic log commit (Delta),
+    which this emulation stands in for.
     """
     import os
     import shutil
 
     live = live.removeprefix("file:")
     staging = staging.removeprefix("file:")
+    if expected_generation is not _UNCHECKED:
+        current = table_generation(live)
+        if current != expected_generation:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"table {live!r} changed while this rewrite was running "
+                f"(generation {expected_generation} -> {current}); "
+                "its snapshot is stale — retry against the new state"
+            )
     old = live.rstrip("/") + "__old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(live):
@@ -203,12 +262,22 @@ def save_table(
         _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
         return
     _write(df, path, fmt, mode, partition_by)
-    # append adds immutable files — refresh the sidecars incrementally
-    # (only new files' footers/pages are read)
-    _refresh_stats(
-        spark, path, fmt, stats_columns, bloom_columns,
-        incremental=(mode == "append"),
+    compacting = (
+        mode == "append"
+        and auto_compact is not None
+        and _policy_trips(path, auto_compact)
     )
+    if not compacting:
+        # append adds immutable files — refresh the sidecars incrementally
+        # (only new files' footers/pages are read). When the compaction
+        # policy is about to trip, this pass is skipped outright: the
+        # rewrite replaces every file and re-harvests full sidecars
+        # itself, so an incremental refresh here (including the bloom
+        # data-page read of the new files) would be pure waste.
+        _refresh_stats(
+            spark, path, fmt, stats_columns, bloom_columns,
+            incremental=(mode == "append"),
+        )
     if auto_compact is not None and mode == "append":
         maybe_compact(
             spark, path, fmt, policy=auto_compact,
@@ -294,6 +363,9 @@ def merge_upsert(
 
     from pyspark.errors import AnalysisException
 
+    # optimistic concurrency: token BEFORE the read plan is built — any
+    # other writer's commit between here and the swap aborts the promotion
+    generation = table_generation(path)
     try:
         # DV-aware: a staged rewrite discards the _dv sidecar, so pending
         # row-level deletes MUST fold into `existing` here or they resurrect
@@ -335,7 +407,7 @@ def merge_upsert(
     # promote via rename (never delete-then-rewrite the live table).
     staging = path.rstrip("/") + "__staging"
     _write(out, staging, fmt, "overwrite", partition_by)
-    _swap_dirs(path, staging)
+    _swap_dirs(path, staging, expected_generation=generation)
 
 
 def compact(
@@ -359,13 +431,14 @@ def compact(
 
         DeltaTable.forPath(spark, path).optimize().executeCompaction()
         return
+    generation = table_generation(path)
     # DV-aware for the same reason as merge_upsert: the swap below drops
     # any _dv sidecar, so the rewrite must bake pending deletes in
     df = _read_folding_dv(spark, path, fmt)
     n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
     staging = path.rstrip("/") + "__compact"
     df.coalesce(n).write.format(fmt).mode("overwrite").save(staging)
-    _swap_dirs(path, staging)
+    _swap_dirs(path, staging, expected_generation=generation)
     _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
 
 
@@ -393,6 +466,26 @@ class CompactionPolicy:
     target_file_bytes: int = 128 << 20
     zorder_by: tuple[str, ...] | None = None
     zorder_bits: int = 16
+
+
+def _policy_trips(path: str, policy: CompactionPolicy) -> bool:
+    """Driver-side compaction pre-flight: does the live file listing
+    satisfy the policy's small-file trigger? O(files) metadata, no Spark
+    job — cheap enough that ``save_table`` runs it once per append to
+    decide whether the incremental sidecar refresh would be wasted."""
+    import os
+
+    from databricks_demo_feature_store_spark.sources.skipping import (
+        _list_part_files,
+    )
+
+    files = _list_part_files(path.removeprefix("file:"))
+    if not files:
+        return False
+    small = sum(
+        1 for f in files if os.path.getsize(f) < policy.small_file_bytes
+    )
+    return small >= policy.min_small_files
 
 
 def maybe_compact(
@@ -432,13 +525,14 @@ def maybe_compact(
             cluster_by_zorder,
         )
 
+        generation = table_generation(path)
         df = _read_folding_dv(spark, path, fmt)
         clustered = cluster_by_zorder(
             df, list(policy.zorder_by), bits=policy.zorder_bits, num_partitions=n
         )
         staging = path.rstrip("/") + "__compact"
         clustered.write.format(fmt).mode("overwrite").save(staging)
-        _swap_dirs(path, staging)
+        _swap_dirs(path, staging, expected_generation=generation)
         _refresh_stats(spark, path, fmt, stats_columns, bloom_columns)
     else:
         compact(

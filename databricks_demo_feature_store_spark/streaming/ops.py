@@ -1154,3 +1154,147 @@ def watermark_progress_metrics(query) -> list[dict]:
             }
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDF source → incremental materialized view (the DLT pattern)
+# ---------------------------------------------------------------------------
+
+_CDF_VIEW_MARKER = "_source_version.json"
+
+
+def _latest_cdf_view_version(view_path: str) -> int | None:
+    if not os.path.isdir(view_path):
+        return None
+    versions = [
+        int(n[1:])
+        for n in os.listdir(view_path)
+        if n.startswith("v") and n[1:].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def _cdf_view_source_version(view_path: str, view_version: int) -> int:
+    import json
+
+    with open(
+        os.path.join(view_path, f"v{view_version}", _CDF_VIEW_MARKER)
+    ) as fh:
+        return int(json.load(fh)["source_version"])
+
+
+def _commit_cdf_view(df: DataFrame, view_path: str, source_version: int) -> None:
+    """Atomic versioned commit of the view state (the CMS/CDC commit
+    protocol): staging dir carries the source-version marker, one rename
+    publishes both, the previous version is dropped after."""
+    import json
+    import shutil
+
+    latest = _latest_cdf_view_version(view_path)
+    next_version = (latest if latest is not None else -1) + 1
+    os.makedirs(view_path, exist_ok=True)
+    staging = os.path.join(view_path, f"_tmp_v{next_version}")
+    df.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, _CDF_VIEW_MARKER), "w") as fh:
+        json.dump({"source_version": int(source_version)}, fh)
+    os.rename(staging, os.path.join(view_path, f"v{next_version}"))
+    if latest is not None:
+        shutil.rmtree(os.path.join(view_path, f"v{latest}"), ignore_errors=True)
+
+
+def init_cdf_view(view_df: DataFrame, view_path: str, source_version: int) -> None:
+    """Bootstrap the materialized view: the FULL join computed at
+    ``source_version`` of the fact table. The stream then folds only
+    commits newer than this version."""
+    if _latest_cdf_view_version(view_path) is not None:
+        raise FileExistsError(f"CDF view already initialized at {view_path}")
+    _commit_cdf_view(view_df, view_path, source_version)
+
+
+def read_cdf_view(spark: SparkSession, view_path: str) -> DataFrame:
+    latest = _latest_cdf_view_version(view_path)
+    if latest is None:
+        raise FileNotFoundError(f"no CDF view at {view_path}")
+    return spark.read.parquet(os.path.join(view_path, f"v{latest}"))
+
+
+def stream_cdf_ivm(
+    spark: SparkSession,
+    versioned,
+    view_path: str,
+    checkpoint: str,
+    key: str,
+    other: DataFrame,
+    on,
+):
+    """Continuously maintain a materialized join view from a versioned
+    table's change feed — the full Delta Live Tables pattern (CDF →
+    incremental MV) as a STREAM, upgrading the batch
+    ``featurestore/incremental.py refresh_join_view_from_cdf`` to
+    continuous operation.
+
+    Source: a Structured Streaming FILE SOURCE over the table's commit
+    log (``VersionedTable`` writes one tiny atomic marker per commit
+    under ``_commits/`` — the Delta ``_delta_log`` twin), so a version
+    commit IS the micro-batch trigger; no polling loop, checkpointed
+    offsets, availableNow drains the backlog and stops.
+
+    Per micro-batch the fold is SPAN-SHAPED: whatever backlog of commit
+    markers the batch carries, the view refresh computes ONE
+    ``changes_between(applied, max_version)`` diff (one full-outer key
+    join) and ONE keyed view refresh (broadcast anti-join +
+    delta-sized re-join) — a 10-commit backlog costs the same jobs as a
+    1-commit backlog, and the view's history is never rescanned.
+
+    Exactly-once: the view commits via the atomic versioned-rename
+    protocol with the applied source version riding IN the commit; a
+    batch replayed after a crash between view commit and checkpoint
+    commit sees ``max_version <= applied`` and skips. Only the tiny
+    commit COORDINATES are ever collected to the driver (the markers are
+    bytes-sized; the data path stays distributed). Vacuum interplay: the
+    fact table must retain at least the last applied version
+    (``vacuum(keep_last=...)`` deeper than the stream's worst lag), or
+    the span diff loses its base snapshot.
+    """
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        cdf_deltas,
+        refresh_join_view,
+    )
+
+    stream = spark.readStream.schema(
+        "version long, timestamp string, operation string"
+    ).json(versioned.commits_path())
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        markers = [
+            int(r["version"])
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if not markers:
+            return
+        latest_view = _latest_cdf_view_version(view_path)
+        if latest_view is None:
+            raise FileNotFoundError(
+                f"CDF view at {view_path} not initialized — call "
+                "init_cdf_view with the bootstrap join first"
+            )
+        applied = _cdf_view_source_version(view_path, latest_view)
+        v_max = max(markers)
+        if v_max <= applied:
+            return  # replay after post-commit crash, or bootstrap marker
+        sess = batch_df.sparkSession
+        changes = versioned.changes_between(applied, v_max, [key])
+        delta, deletes = cdf_deltas(changes, key)
+        view = sess.read.parquet(os.path.join(view_path, f"v{latest_view}"))
+        refreshed = refresh_join_view(
+            view, delta, other, on=on, replace_key=key, deletes=deletes
+        )
+        _commit_cdf_view(refreshed, view_path, v_max)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -453,3 +453,209 @@ def test_generated_columns_compute_and_validate(spark, tmp_path):
     badnull = df.withColumn("y", F.lit(None).cast("int"))
     with pytest.raises(CheckConstraintViolation):
         save_table(badnull, path3, generated_columns={"y": "year(d)"})
+
+
+def test_materialize_mapping_folds_pending_deletion_vectors(spark, tmp_path):
+    """ADVICE r13 (high): materialize_mapping is a staged-swap full
+    rewrite, and the swap drops the _dv sidecar — so the rewrite MUST
+    read with pending row-level deletes folded out, or deleted rows
+    silently resurrect under the new (logical) column names."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources.column_mapping import (
+        materialize_mapping,
+        rename_column,
+    )
+    from databricks_demo_feature_store_spark.sources.deletion_vectors import (
+        delete_rows,
+        dv_path,
+    )
+
+    path = str(tmp_path / "cmdv")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    ).coalesce(2).write.parquet(path)
+
+    rename_column(spark, path, "g", "grp")
+    deleted = delete_rows(spark, path, "g = 0")  # physical names at the scan
+    assert deleted == 20
+
+    assert materialize_mapping(spark, path) == 1
+    got = spark.read.parquet(path)
+    assert set(got.columns) == {"id", "grp"}
+    assert got.count() == 80  # deletes baked in, NOT resurrected
+    assert got.filter(F.col("grp") == 0).count() == 0
+    assert not os.path.isdir(dv_path(path))  # sidecar gone with the swap
+
+
+def test_write_with_mapping_rejects_mapped_physical_name(spark, tmp_path):
+    """ADVICE r13 (medium): after rename a→b, appending a frame with a
+    genuinely NEW logical column named 'a' must raise — writing it
+    through would land it under physical 'a', which every read aliases
+    to 'b', silently merging two logical columns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources.column_mapping import (
+        read_with_mapping,
+        rename_column,
+        write_with_mapping,
+    )
+
+    path = str(tmp_path / "cmcol")
+    spark.range(0, 5).select(
+        F.col("id"), (F.col("id") * 2.0).alias("a")
+    ).write.parquet(path)
+    rename_column(spark, path, "a", "b")
+
+    clash = spark.range(5, 8).select(
+        F.col("id"),
+        (F.col("id") * 2.0).alias("b"),
+        F.lit("new").alias("a"),  # new logical column reusing old name
+    )
+    with pytest.raises(ValueError, match="physical names already mapped"):
+        write_with_mapping(clash, path)
+
+    # the legitimate append still works
+    write_with_mapping(
+        spark.range(5, 8).select(F.col("id"), (F.col("id") * 2.0).alias("b")),
+        path,
+    )
+    assert read_with_mapping(spark, path).count() == 8
+
+
+def test_append_skips_incremental_refresh_when_compaction_trips(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (low): when the auto-compaction policy is about to
+    trip, save_table must NOT run the incremental sidecar refresh first
+    — the compaction rewrites every file and re-harvests full sidecars
+    itself, so the incremental pass (incl. bloom data-page reads of the
+    new files) is pure waste."""
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources import writers
+
+    calls: list[bool] = []
+    real = writers._refresh_stats
+
+    def spy(spark_, path_, fmt_, stats_columns_, bloom_columns=None, incremental=False):
+        calls.append(incremental)
+        return real(spark_, path_, fmt_, stats_columns_, bloom_columns, incremental)
+
+    monkeypatch.setattr(writers, "_refresh_stats", spy)
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    path = str(tmp_path / "skipinc")
+    policy = writers.CompactionPolicy(
+        small_file_bytes=1 << 30, min_small_files=8, target_file_bytes=1 << 30
+    )
+    writers.save_table(df.repartition(4), path, stats_columns=["a"])
+    calls.clear()
+
+    # below threshold (4+4=8 needs min 8... use 3 files → 7 total): the
+    # incremental pass RUNS
+    below = writers.CompactionPolicy(
+        small_file_bytes=1 << 30, min_small_files=99, target_file_bytes=1 << 30
+    )
+    writers.save_table(
+        df.repartition(3), path, mode="append",
+        stats_columns=["a"], auto_compact=below,
+    )
+    assert True in calls  # incremental refresh ran
+    calls.clear()
+
+    # policy trips: NO incremental call; only the compaction's own full
+    # refresh (incremental=False) happens
+    writers.save_table(
+        df.repartition(4), path, mode="append",
+        stats_columns=["a"], auto_compact=policy,
+    )
+    assert True not in calls
+    assert False in calls  # compaction re-harvested full sidecars
+
+    # table contents intact after the skip-then-compact path
+    assert spark.read.parquet(path).count() == 600
+
+
+def test_concurrent_staged_swap_raises_no_lost_update(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency guard (VERDICT r13 task 4): writer B slips
+    a full commit inside writer A's read→swap window; A's swap must
+    raise ConcurrentWriteError and discard its staging — B's commit
+    survives, nothing is silently clobbered."""
+    import os
+
+    import pytest
+
+    from databricks_demo_feature_store_spark.sources import writers
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).write.parquet(path)
+
+    state = {"b_done": False}
+    real_read = writers._read_folding_dv
+
+    def interleave(spark_, path_, fmt_):
+        # pin A's snapshot BEFORE B commits (a real concurrent writer's
+        # plan would already have scanned the old files)
+        df = real_read(spark_, path_, fmt_).localCheckpoint(eager=True)
+        if not state["b_done"]:
+            state["b_done"] = True
+            writers.merge_upsert(
+                spark.createDataFrame([(3, "c")], "k int, v string"),
+                path_,
+                ["k"],
+            )
+        return df
+
+    monkeypatch.setattr(writers, "_read_folding_dv", interleave)
+    with pytest.raises(writers.ConcurrentWriteError, match="changed while"):
+        writers.merge_upsert(
+            spark.createDataFrame([(2, "A2")], "k int, v string"), path, ["k"]
+        )
+
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # B intact, A not applied
+    assert not os.path.exists(path + "__staging")  # loser's staging discarded
+
+    # A retried against the new state commits cleanly
+    monkeypatch.setattr(writers, "_read_folding_dv", real_read)
+    writers.merge_upsert(
+        spark.createDataFrame([(2, "A2")], "k int, v string"), path, ["k"]
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "A2"), (3, "c")}
+
+
+def test_table_generation_token_tracks_commits(spark, tmp_path):
+    """The generation token changes on every commit shape: staged swap
+    (new inode), plain append (new file mtime), hive-partitioned append
+    into an EXISTING partition directory (deep-tree mtime — the case a
+    top-dir-only token would miss)."""
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.sources import writers
+
+    path = str(tmp_path / "gen")
+    assert writers.table_generation(path) is None
+
+    df = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 2).alias("p")
+    )
+    df.write.partitionBy("p").parquet(path)
+    g0 = writers.table_generation(path)
+    assert g0 is not None
+    assert writers.table_generation(path) == g0  # stable when idle
+
+    # append into the SAME partition dirs
+    df.write.mode("append").partitionBy("p").parquet(path)
+    g1 = writers.table_generation(path)
+    assert g1 != g0
+
+    writers.compact(spark, path)
+    g2 = writers.table_generation(path)
+    assert g2 != g1

@@ -221,3 +221,92 @@ def test_staged_rewrites_fold_pending_deletes(spark, tmp_path):
     assert all(rows[i] == "new" for i in range(45, 55))
     # ids 0-39: untouched
     assert sum(1 for i in rows if i < 40) == 40 and rows[0] == "old"
+
+
+def test_restore_promotes_old_version_preserving_history(spark, tmp_path):
+    """RESTORE (Delta RESTORE TABLE ... VERSION AS OF twin): the restored
+    content becomes a NEW head version, the bad write stays in history,
+    zero data bytes are copied (hardlinks), and post-restore appends
+    diverge normally."""
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.save(spark.range(100), operation="WRITE", count_rows=True)      # v0 good
+    t.save(spark.range(7), operation="OVERWRITE", count_rows=True)    # v1 bad
+
+    info = t.restore(0)
+    assert info.version == 2 and info.operation == "RESTORE(v0)"
+    assert t.read().count() == 100                       # head == v0 content
+    assert t.read(1).count() == 7                        # bad write inspectable
+    assert [v.version for v in t.history()] == [2, 1, 0]
+
+    # zero-copy: every data file in v=2 is a hardlink into v=0's inodes
+    v2 = os.path.join(str(tmp_path / "tbl"), "v=2")
+    data_files = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(v2)
+        for n in ns
+        if not n.startswith(("_", "."))
+    ]
+    assert data_files and all(os.stat(f).st_nlink >= 2 for f in data_files)
+
+    # restore of a missing version raises
+    with pytest.raises(ValueError, match="not found"):
+        t.restore(99)
+
+    # post-restore writes diverge from the restored source
+    t.save(spark.range(150), operation="OVERWRITE")
+    assert t.read().count() == 150 and t.read(2).count() == 100
+
+    # a restore can itself be restored away
+    t.restore(1)
+    assert t.read().count() == 7
+
+
+def test_shallow_clone_zero_copy_and_independent_writes(spark, tmp_path):
+    """Shallow clone (Delta SHALLOW CLONE twin): clone read ≡ source
+    latest with ZERO data-file copies (hardlinks asserted by inode),
+    own history, and writes to either side never leak to the other."""
+    import os
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.save(spark.range(50), count_rows=True)
+    src.save(spark.range(80), count_rows=True)
+
+    dst = src.clone(str(tmp_path / "dst"))
+    assert dst.read().count() == 80
+    assert [v.version for v in dst.history()] == [0]
+    assert dst.history()[0].operation.startswith("CLONE(")
+
+    # zero-copy assertion: clone's data files share inodes with source
+    src_inodes = {
+        os.stat(os.path.join(r, n)).st_ino
+        for r, _d, ns in os.walk(os.path.join(str(tmp_path / "src"), "v=1"))
+        for n in ns
+        if not n.startswith(("_", "."))
+    }
+    dst_files = [
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(os.path.join(str(tmp_path / "dst"), "v=0"))
+        for n in ns
+        if not n.startswith(("_", "."))
+    ]
+    assert dst_files and all(os.stat(f).st_ino in src_inodes for f in dst_files)
+
+    # independent evolution, both directions
+    dst.save(spark.range(99))
+    src.save(spark.range(3))
+    assert dst.read().count() == 99 and dst.read(0).count() == 80
+    assert src.read().count() == 3 and src.read(1).count() == 80
+
+    # clone target must be fresh; empty source refuses
+    with pytest.raises(FileExistsError):
+        src.clone(str(tmp_path / "dst"))
+    with pytest.raises(FileNotFoundError):
+        VersionedTable(spark, str(tmp_path / "empty")).clone(
+            str(tmp_path / "dst2")
+        )
+
+    # clone survives source vacuum (hardlinks keep inodes alive)
+    src.vacuum(keep_last=1)
+    assert dst.read(0).count() == 80

@@ -17,6 +17,11 @@ JVM/session and one step's config can't mask another's failure):
    only persists the standing-record map at sf0.1).
 5. ``tools/compat35_audit.py`` — the PySpark-3.5 surface ratchet
    (functions + object methods); fails on any unratcheted usage.
+6. Round-artifact hygiene — fails on untracked or modified
+   ``BENCH_r*.json`` / ``CORRECTNESS_r*.json`` / ``BENCH_FULL.json`` /
+   ``BENCH_SWEEP.json`` (VERDICT r11/r12/r13 all flagged the same
+   drift: an auditor cloning the repo at any commit must see the
+   round's evidence).
 
 Usage::
 
@@ -122,6 +127,25 @@ def main() -> int:
     print(last)
     if not ok:
         failures.append("compat35")
+
+    # round-artifact hygiene: the per-round evidence files must be
+    # committed, not drifting in the working tree (recurring verdict item
+    # r11-r13)
+    print("== round-artifact hygiene ==", flush=True)
+    proc = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         "BENCH_r*.json", "CORRECTNESS_r*.json",
+         "BENCH_FULL.json", "BENCH_SWEEP.json", "BASELINE.md", "SCALING.md"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    drift = [l for l in proc.stdout.splitlines() if l.strip()]
+    if drift:
+        print("\n".join(drift))
+        print("^ commit these round artifacts (driver evidence must live "
+              "at every commit)")
+        failures.append("artifact-drift")
+    else:
+        print("clean")
 
     print(f"\nGATE {'OK' if not failures else 'FAILED: ' + ', '.join(failures)}")
     return 1 if failures else 0
