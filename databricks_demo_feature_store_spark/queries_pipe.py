@@ -2924,3 +2924,113 @@ def q_stream_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_stream_cdf_agg_ivm",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderstatus <> 'P'
+        AND o_orderkey % 13 <> 0
+    ),
+    final_fact AS (
+      SELECT * FROM survivors
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(o_totalprice) AS spend_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS spend_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(COUNT(o_totalprice) AS DOUBLE) AS spend_mean,
+           SQRT(GREATEST(
+             (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+              - (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE))
+                / CAST(COUNT(o_totalprice) AS DOUBLE))
+             / CAST(COUNT(o_totalprice) AS DOUBLE), 0.0)) AS spend_std
+    FROM final_fact
+    GROUP BY o_custkey
+    """,
+)
+def q_stream_cdf_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF → incremental AGGREGATE view (streaming/ops.py
+    stream_cdf_agg_ivm) — the aggregate-state twin of q_stream_cdf_ivm,
+    completing the streamed DLT pattern for both materialized-view
+    kinds: per-customer spend moments bootstrapped at v0 are folded
+    forward by the commit-marker stream, two commits through two
+    separate availableNow drains (checkpoint resumption between them).
+    Commit 1 cancels pending orders and re-prices urgent ones ×2
+    (pre-images subtract exactly — DECIMAL cells), commit 2 drops every
+    13th order and lands the 1998 arrivals. The streamed state is
+    finalized to count/sum/mean/std and must equal the oracle's full
+    recompute over the post-commit table; streamed ≡ batch
+    refresh_aggregate_state_from_cdf is pinned in
+    tests/test_streaming_cdf.py."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        finalize_aggregates,
+    )
+    from databricks_demo_feature_store_spark.queries import load as _load
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        init_cdf_view,
+        read_cdf_view,
+        stream_cdf_agg_ivm,
+    )
+
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderdate", "o_orderpriority",
+    )
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    f0 = o.filter(F.col("o_orderdate") < cutoff).select(fact_cols)
+    f1 = (
+        o.filter((F.col("o_orderdate") < cutoff) & (F.col("o_orderstatus") != "P"))
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(fact_cols)
+    )
+    f2 = f1.filter(F.col("o_orderkey") % 13 != 0).unionByName(
+        o.filter(F.col("o_orderdate") >= cutoff).select(fact_cols)
+    )
+
+    root = scratch_dir("stream_cdf_agg")
+    vt = VersionedTable(spark, os.path.join(root, "orders_v"))
+    state_path = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+
+    vt.save(f0, operation="WRITE")
+    init_cdf_view(
+        aggregate_state(vt.read(0), keys=["o_custkey"], value_col="o_totalprice"),
+        state_path,
+        source_version=0,
+    )
+    for commit in (f1, f2):
+        vt.save(commit, operation="OVERWRITE")
+        q = stream_cdf_agg_ivm(
+            spark, vt, state_path, ckpt,
+            id_keys=["o_orderkey"], agg_keys=["o_custkey"],
+            value_col="o_totalprice",
+        )
+        q.awaitTermination()
+
+    state = read_cdf_view(spark, state_path)
+    return finalize_aggregates(
+        state, keys=["o_custkey"], prefix="spend"
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        "spend_count", "spend_sum", "spend_mean", "spend_std",
+    )

@@ -115,6 +115,24 @@ def table_generation(path: str) -> tuple[int, int] | None:
     return (top.st_ino, newest)
 
 
+def retry_on_conflict(fn, attempts: int = 3):
+    """Run a staged-swap write, retrying on :class:`ConcurrentWriteError`
+    — the optimistic-concurrency loop every caller wants: each retry
+    re-reads the table (the writers capture a fresh generation token per
+    call), so the winning state is always built on the latest commit.
+    Linear backoff is deliberately absent: the conflict window is the
+    rewrite's own runtime, so an immediate retry cannot livelock two
+    writers the way lock-free counters can — one of them always
+    committed. Raises the last conflict after ``attempts`` tries."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return fn()
+        except ConcurrentWriteError as exc:
+            last = exc
+    raise last
+
+
 _UNCHECKED = object()
 
 

@@ -1298,3 +1298,69 @@ def stream_cdf_ivm(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cdf_agg_ivm(
+    spark: SparkSession,
+    versioned,
+    state_path: str,
+    checkpoint: str,
+    id_keys: Sequence[str],
+    agg_keys: Sequence[str],
+    value_col: str,
+    scale: int = 2,
+):
+    """The AGGREGATE-state twin of :func:`stream_cdf_ivm`: continuously
+    fold a versioned fact table's change feed into persisted per-key
+    moment state (n / exact-DECIMAL s / s2), completing the streamed DLT
+    pattern for both materialized-view kinds (join views AND aggregate
+    views). Same commit-marker file source, same span-shaped fold (one
+    ``changes_between(applied, max)`` however deep the backlog), same
+    exactly-once versioned state commit; deletes subtract and updates
+    re-price because pre-images fold with negated cells
+    (``cdf_aggregate_delta`` — the invertible-monoid half of aggregate
+    IVM). State is ≤ one row per key, so each commit is
+    O(changed rows + keys), never O(fact history). Bootstrap with
+    :func:`init_cdf_view` over ``aggregate_state(fact@v0)``; read with
+    :func:`read_cdf_view`; finalize with ``finalize_aggregates``.
+    """
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        refresh_aggregate_state_from_cdf,
+    )
+
+    stream = spark.readStream.schema(
+        "version long, timestamp string, operation string"
+    ).json(versioned.commits_path())
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        markers = [
+            int(r["version"])
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if not markers:
+            return
+        latest_state = _latest_cdf_view_version(state_path)
+        if latest_state is None:
+            raise FileNotFoundError(
+                f"CDF aggregate state at {state_path} not initialized — "
+                "call init_cdf_view with aggregate_state(fact@v0) first"
+            )
+        applied = _cdf_view_source_version(state_path, latest_state)
+        v_max = max(markers)
+        if v_max <= applied:
+            return  # replay after post-commit crash, or bootstrap marker
+        sess = batch_df.sparkSession
+        state = sess.read.parquet(os.path.join(state_path, f"v{latest_state}"))
+        refreshed = refresh_aggregate_state_from_cdf(
+            state, versioned, id_keys=id_keys, agg_keys=agg_keys,
+            value_col=value_col, scale=scale, v_from=applied, v_to=v_max,
+        )
+        _commit_cdf_view(refreshed, state_path, v_max)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

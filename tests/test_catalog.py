@@ -659,3 +659,35 @@ def test_table_generation_token_tracks_commits(spark, tmp_path):
     writers.compact(spark, path)
     g2 = writers.table_generation(path)
     assert g2 != g1
+
+
+def test_retry_on_conflict_wins_second_attempt(spark, tmp_path, monkeypatch):
+    """retry_on_conflict: the losing writer's retry re-reads the winner's
+    commit and lands BOTH changes (no lost update either way)."""
+    from databricks_demo_feature_store_spark.sources import writers
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(path)
+
+    state = {"b_done": False}
+    real_read = writers._read_folding_dv
+
+    def interleave(spark_, path_, fmt_):
+        df = real_read(spark_, path_, fmt_).localCheckpoint(eager=True)
+        if not state["b_done"]:
+            state["b_done"] = True
+            writers.merge_upsert(
+                spark.createDataFrame([(3, "c")], "k int, v string"),
+                path_,
+                ["k"],
+            )
+        return df
+
+    monkeypatch.setattr(writers, "_read_folding_dv", interleave)
+    writers.retry_on_conflict(
+        lambda: writers.merge_upsert(
+            spark.createDataFrame([(2, "b")], "k int, v string"), path, ["k"]
+        )
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # both writers' rows landed

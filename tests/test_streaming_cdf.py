@@ -150,3 +150,53 @@ def test_commit_markers_written_and_vacuumed(spark, tmp_path):
     vt.vacuum(keep_last=2)
     names = sorted(os.listdir(vt.commits_path()))
     assert names == ["commit-1.json", "commit-2.json"]
+
+
+def test_stream_cdf_agg_ivm_matches_batch_and_recompute(spark, tmp_path):
+    """Aggregate-state twin: streamed fold ≡ batch
+    refresh_aggregate_state_from_cdf ≡ full recompute, with deletes
+    subtracting and updates re-pricing through exact DECIMAL cells."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        refresh_aggregate_state_from_cdf,
+    )
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        stream_cdf_agg_ivm,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "fact"))
+    state_path = str(tmp_path / "state")
+
+    f0 = _fact(spark, [(1, 0, 10.0), (2, 0, 20.0), (3, 1, 30.0)])
+    f1 = _fact(spark, [(1, 0, 15.0), (3, 1, 30.0), (4, 1, 5.0)])  # upd/del/ins
+    f2 = _fact(spark, [(3, 1, 30.0), (4, 1, 5.0), (5, 0, 2.0)])
+
+    vt.save(f0)
+    init_cdf_view(
+        aggregate_state(vt.read(0), keys=["grp"], value_col="amt"),
+        state_path,
+        source_version=0,
+    )
+    for commit in (f1, f2):
+        vt.save(commit)
+        q = stream_cdf_agg_ivm(
+            spark, vt, state_path, str(tmp_path / "ckpt"),
+            id_keys=["k"], agg_keys=["grp"], value_col="amt",
+        )
+        q.awaitTermination()
+
+    streamed = read_cdf_view(spark, state_path)
+    recompute = aggregate_state(vt.read(), keys=["grp"], value_col="amt")
+    assert _rows(streamed.select("grp", "n", "s", "s2")) == _rows(
+        recompute.select("grp", "n", "s", "s2")
+    )
+
+    batch = aggregate_state(vt.read(0), keys=["grp"], value_col="amt")
+    for v in (1, 2):
+        batch = refresh_aggregate_state_from_cdf(
+            batch, vt, id_keys=["k"], agg_keys=["grp"], value_col="amt",
+            v_from=v - 1, v_to=v,
+        )
+    assert _rows(streamed.select("grp", "n", "s", "s2")) == _rows(
+        batch.select("grp", "n", "s", "s2")
+    )
