@@ -59,6 +59,13 @@ HEADLINE = [
     "q_manifest_snapshot",
     "q_generated_columns",
     "q_stream_late_metrics",
+    "q_version_restore",
+    "q_version_clone",
+    "q_version_schema_evolution",
+    "q_stream_cdf_ivm",
+    "q_stream_cdf_agg_ivm",
+    "q_ohlc_bars",
+    "q_row_policy",
     "q_seasonal_decompose",
     "q_seasonal_anomalies",
     "q_cdc_apply_changes",

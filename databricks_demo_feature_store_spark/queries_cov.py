@@ -4552,3 +4552,174 @@ def q_version_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(src.read(), "source_head"))
         .orderBy("side")
     )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    WITH ticks AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+             ts, event_id, value
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_date
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_date
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM ticks
+    )
+    SELECT user_id, bar_date,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS mean_value
+    FROM ranked
+    GROUP BY user_id, bar_date
+    ORDER BY user_id, bar_date
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval OHLC downsampling (operators/timeseries.py
+    ohlc_bars): raw events collapse to one daily bar per user carrying
+    open/high/low/close/volume — ONE hash aggregation with map-side
+    partial bars, open/close picked by struct-ordered min_by/max_by on
+    the (ts, event_id) total order (deterministic under equal
+    timestamps, where a sorted-window first/last is not), volume summed
+    through DECIMAL. The oracle recomputes the bars with rank-1 window
+    picks over the same total order."""
+    from databricks_demo_feature_store_spark.operators.timeseries import ohlc_bars
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bars = ohlc_bars(
+        ev, entity_col="user_id", ts_col="ts", value_col="value",
+        tie_col="event_id", bucket="1 day",
+    )
+    return bars.select(
+        "user_id",
+        F.col("bar_start").cast("date").alias("bar_date"),
+        "open_value", "high_value", "low_value", "close_value",
+        "n_ticks", "sum_value", "mean_value",
+    ).orderBy("user_id", "bar_date")
+
+
+@register(
+    "q_row_policy",
+    oracle="""
+    SELECT c_custkey,
+           sha256(c_name) AS c_name,
+           '[REDACTED]' AS c_nationkey,
+           CAST(NULL AS DOUBLE) AS c_acctbal,
+           CASE WHEN c_mktsegment IS NULL THEN NULL
+                ELSE '***' || substr(c_mktsegment, length(c_mktsegment) - 3, 4)
+           END AS c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 0
+    ORDER BY c_custkey
+    """,
+)
+def q_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed read (sources/governance.py): Unity-Catalog-style row
+    filters + column masks applied at plan time for a non-exempt reader
+    — rows outside the permitted segments (and non-positive balances)
+    disappear via pushdown-eligible AND-folded predicates evaluated on
+    RAW values (the segment row-filter reads the raw segment even
+    though the same column is masked in the projection), names
+    pseudonymize through sha2-256 (equality preserved), segments keep
+    only their last 4 characters, nation keys redact to a constant,
+    balances nullify with their own type. Pure projection+filter, zero
+    shuffles, zero UDFs; the exempt-reader plan (raw passthrough) and
+    the coverage audit are pinned in tests/test_governance.py."""
+    from databricks_demo_feature_store_spark.sources.governance import (
+        ColumnMask,
+        ReadContext,
+        RowFilter,
+        TablePolicy,
+        apply_policies,
+    )
+
+    policy = TablePolicy(
+        row_filters=(
+            RowFilter(
+                "c_mktsegment IN ('BUILDING', 'MACHINERY')",
+                exempt_groups=frozenset({"admins"}),
+            ),
+            RowFilter("c_acctbal > 0", exempt_groups=frozenset({"admins"})),
+        ),
+        column_masks=(
+            ColumnMask("c_name", kind="hash"),
+            ColumnMask("c_mktsegment", kind="partial_last", param=4),
+            ColumnMask("c_nationkey", kind="redact"),
+            ColumnMask(
+                "c_acctbal", kind="nullify", exempt_groups=frozenset({"finance"})
+            ),
+        ),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    analyst = ReadContext(principal="analyst", groups=frozenset({"analysts"}))
+    return apply_policies(cust, policy, analyst).orderBy("c_custkey")
+
+
+@register(
+    "q_version_schema_evolution",
+    oracle="""
+    WITH v0 AS (
+      SELECT s_suppkey, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal,
+             0 AS _version
+      FROM supplier WHERE s_suppkey % 2 = 0
+    ),
+    v1 AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal, 1 AS _version
+      FROM supplier
+    )
+    SELECT _version, s_nationkey,
+           COUNT(*) AS n_rows,
+           COUNT(s_acctbal) AS n_with_balance,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS bal_sum
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    GROUP BY 1, 2
+    ORDER BY _version, s_nationkey
+    """,
+)
+def q_version_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version merge-schema audit read (sources/versioned.py
+    read_all_versions): v0 lands suppliers WITHOUT the balance column,
+    v1's overwrite adds it — the exact drift the manager's policy
+    evolution produces — and the history scan unions both under the
+    newest schema with nulls where v0 had no column, tagged with
+    ``_version`` so filters prune whole version directories. The strict
+    mode (merge_schema=False raises on drift) is pinned in
+    tests/test_versioned.py."""
+    from databricks_demo_feature_store_spark.queries import scratch_dir
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    sup = load(spark, sf_dir, "supplier")
+    vt = VersionedTable(
+        spark, os.path.join(scratch_dir("schema_evo"), "supplier_v")
+    )
+    vt.save(
+        sup.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_nationkey"),
+        operation="WRITE",
+    )
+    vt.save(
+        sup.select("s_suppkey", "s_nationkey", "s_acctbal"),
+        operation="OVERWRITE",
+    )
+    return (
+        vt.read_all_versions(merge_schema=True)
+        .groupBy("_version", "s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("s_acctbal").alias("n_with_balance"),
+            _dsum(F.col("s_acctbal"), 2).alias("bal_sum"),
+        )
+        .orderBy("_version", "s_nationkey")
+    )

@@ -4420,3 +4420,48 @@ def q_ext_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tiles") >= 2)
         .orderBy("dhash")
     )
+
+
+@register(
+    "q_ext_embedding_pca",
+    oracle="""
+    WITH ex AS (
+      SELECT i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i)
+      WHERE i < 4
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT pos AS dim,
+           (SELECT n FROM nn) AS n,
+           (CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)
+            - CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
+              * CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
+              / (SELECT n FROM nn))
+           / (SELECT n FROM nn) AS var_exact,
+           TRUE AS trace_ok,
+           TRUE AS orthonormal_ok,
+           TRUE AS explained_monotone_ok,
+           TRUE AS recon_ok
+    FROM ex
+    GROUP BY pos
+    ORDER BY dim
+    """,
+)
+def q_ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings corpus (textops/pca.py): the
+    dimensionality-reduction step before semantic dedup / ANN at scale.
+    The fit is two map-side-combinable corpus passes — per-Arrow-batch
+    moment partials (n, Σx, Σxxᵀ) reduced DISTRIBUTED to d² cells, only
+    the 64×64 gram reaching the driver for eigh — and the gated surface
+    is the q_ext_sketch_profile audit pattern: exact DECIMAL-routed
+    per-dim variances (cross-engine reproducible) plus verdict booleans
+    the oracle expects TRUE — the trace identity Σλ == Σvar (driver
+    eigensum vs the DISTRIBUTED exact variances), component
+    orthonormality, spectrum monotonicity, and the optimal-rank-k
+    residual identity E‖x − x̂‖² == Σ_{i>k} λ_i re-measured by an
+    independent distributed reconstruction pass. Projection round-trip
+    values are pinned in tests/test_pca.py."""
+    from databricks_demo_feature_store_spark.textops.pca import pca_audit
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_audit(emb, vec_col="embedding", k=8, report_dims=4)

@@ -25,7 +25,7 @@ import shutil
 from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST = "_versions.json"
 COMMITS_DIR = "_commits"
@@ -168,6 +168,42 @@ class VersionedTable:
         return self.spark.read.format(self.fmt).load(
             os.path.join(self.path, f"v={version}")
         )
+
+    def read_all_versions(self, merge_schema: bool = True) -> DataFrame:
+        """Union every version's rows with a ``_version`` column — the
+        cross-version audit read (Delta's ``mergeSchema`` history scan).
+
+        With ``merge_schema=True`` the union is by NAME with missing
+        columns null-filled (``unionByName(allowMissingColumns=True)``),
+        so a table whose schema evolved across versions — the exact
+        situation the manager's policy evolution produces
+        (``featurestore/manager.py``) — reads as one frame under the
+        newest schema. With ``merge_schema=False`` a schema drift raises,
+        the strict-audit mode.
+
+        Scale shape: one scan per version stitched with zero-cost unions;
+        no shuffle is introduced — downstream filters on ``_version``
+        prune whole version directories at the scan.
+        """
+        versions = sorted(v.version for v in self.history())
+        if not versions:
+            raise FileNotFoundError(f"No versions at {self.path}")
+        out: DataFrame | None = None
+        for ver in versions:
+            cur = self.read(ver).withColumn("_version", F.lit(ver))
+            if out is None:
+                out = cur
+            elif merge_schema:
+                out = out.unionByName(cur, allowMissingColumns=True)
+            else:
+                if set(out.columns) != set(cur.columns):
+                    raise ValueError(
+                        f"schema drift at version {ver}: "
+                        f"{sorted(set(out.columns) ^ set(cur.columns))} "
+                        "(read_all_versions(merge_schema=True) to null-fill)"
+                    )
+                out = out.unionByName(cur)
+        return out
 
     def read_before(self, timestamp: str) -> DataFrame:
         """Latest version strictly before an ISO timestamp — the

@@ -691,7 +691,7 @@ def test_forget_metadata_promoted_atomically(spark, tmp_path, monkeypatch):
     real_swap = writers._swap_dirs
     staged: dict = {}
 
-    def crash_swap(live, staging):
+    def crash_swap(live, staging, expected_generation=None):
         staged["path"] = staging.removeprefix("file:")
         raise RuntimeError("simulated crash at swap")
 

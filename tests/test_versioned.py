@@ -310,3 +310,37 @@ def test_shallow_clone_zero_copy_and_independent_writes(spark, tmp_path):
     # clone survives source vacuum (hardlinks keep inodes alive)
     src.vacuum(keep_last=1)
     assert dst.read(0).count() == 80
+
+
+def test_read_all_versions_merge_schema(spark, tmp_path):
+    """Merge-schema history scan: missing columns null-fill under the
+    newest schema; strict mode raises on drift."""
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "evo"))
+    vt.save(spark.createDataFrame([(1, "x")], "k int, a string"))
+    vt.save(
+        spark.createDataFrame([(1, "x", 9.0), (2, "y", 4.0)], "k int, a string, b double"),
+        operation="OVERWRITE",
+    )
+    out = vt.read_all_versions(merge_schema=True)
+    assert set(out.columns) == {"k", "a", "b", "_version"}
+    rows = {(r._version, r.k): r for r in out.collect()}
+    assert rows[(0, 1)].b is None  # v0 had no b column
+    assert rows[(1, 2)].b == 4.0
+    assert len(rows) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema drift"):
+        vt.read_all_versions(merge_schema=False)
+
+
+def test_read_all_versions_same_schema_strict_ok(spark, tmp_path):
+    from databricks_demo_feature_store_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "same"))
+    vt.save(spark.createDataFrame([(1,)], "k int"))
+    vt.save(spark.createDataFrame([(2,)], "k int"), operation="OVERWRITE")
+    out = vt.read_all_versions(merge_schema=False)
+    assert sorted((r._version, r.k) for r in out.collect()) == [(0, 1), (1, 2)]

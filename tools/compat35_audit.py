@@ -52,6 +52,8 @@ PYSPARK_35_FUNCTIONS_VERIFIED = {
     "regexp_extract",  # 1.5.0
     "levenshtein",  # 1.5.0 (two-arg form only; the `threshold` kwarg is 3.5+)
     "split", "substring", "translate", "md5", "xxhash64",
+    "sha2",  # 1.5.0
+
     "reverse",  # 1.5.0 (string) / 2.4.0 (array)
     "get_json_object",  # 1.6.0
     "json_object_keys",  # python wrapper added 3.5.0
