@@ -4433,11 +4433,13 @@ def q_ext_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn AS (SELECT COUNT(*) AS n FROM embeddings)
     SELECT pos AS dim,
            (SELECT n FROM nn) AS n,
-           (CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)
-            - CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
-              * CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
-              / (SELECT n FROM nn))
-           / (SELECT n FROM nn) AS var_exact,
+           CAST(ROUND(CAST(
+             (CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
+                * CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE)
+                / (SELECT n FROM nn))
+             / (SELECT n FROM nn)
+           AS DECIMAL(38,10)), 9) AS DOUBLE) AS var_exact,
            TRUE AS trace_ok,
            TRUE AS orthonormal_ok,
            TRUE AS explained_monotone_ok,

@@ -35,6 +35,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from databricks_demo_feature_store_spark.functions.rounding import dround
+
 
 @dataclass(frozen=True)
 class PCAModel:
@@ -200,12 +202,16 @@ def pca_audit(
         .select(
             F.col("pos").alias("dim"),
             F.lit(n).alias("n"),
-            (
+            # dround: the DECIMAL sums are engine-identical but each
+            # engine's decimal→double conversion can differ by one ulp;
+            # quantizing at 1e-9 absorbs it (repo determinism contract).
+            dround(
                 (
                     F.col("sxx").cast("double")
                     - F.col("sx").cast("double") * F.col("sx").cast("double") / n
                 )
-                / n
+                / n,
+                9,
             ).alias("var_exact"),
         )
     )
