@@ -4467,3 +4467,86 @@ def q_ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return pca_audit(emb, vec_col="embedding", k=8, report_dims=4)
+
+
+@register(
+    "q_ext_pca_two_stage",
+    oracle=f"""
+    WITH raw AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             list_concat(list_transform(v0[1:8], x -> x * 5.0), v0[9:]) AS v
+      FROM raw
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id % 40 = 0 AND vec_id < 2000),
+    exact AS (
+      SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT q.query_id, e.vec_id,
+               {oracle_dround(_O_COS, 6)} AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {oracle_dround(_O_COS, 6)} DESC, e.vec_id ASC
+               ) AS rank
+        FROM e CROSS JOIN q
+      ) WHERE rank <= 10
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           MAX(CASE WHEN rank = 1 THEN vec_id END) AS top1_id,
+           MAX(CASE WHEN rank = 1 THEN cosine END) AS top1_cosine,
+           TRUE AS recall_ok
+    FROM exact
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def q_ext_pca_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-space two-stage ANN (textops/pca.py pca_two_stage_topk): fit
+    the top-8 basis on the corpus, retrieve 50 candidates per query by
+    cosine in 8-dim PCA space (the scan reads 8-dim projections, not
+    64-dim vectors), exact full-dim rerank of ONLY the candidates —
+    the data-adaptive twin of the Matryoshka prefix-dim retriever
+    (q_ext_two_stage_topk). Spectral truncation is only meaningful on
+    an ANISOTROPIC corpus: the raw synthetic embeddings are unit-norm
+    with a flat spectrum (top-8 explained variance 0.205 vs the 0.125
+    isotropic floor — measured, BASELINE.md round 14), where ANY linear
+    dim-reduction is provably uninformative, so the query constructs
+    the anisotropy it audits by amplifying the leading 8-dim block ×5
+    — replayed IDENTICALLY in the oracle (double-promoted before
+    scaling on both engines). The PCA basis is a float
+    eigendecomposition (deterministic per engine, not SQL-replayable),
+    so the gate is the pca_audit pattern: the EXACT brute-force side
+    stays value-hash-checked per query (n_exact + the top-1 neighbor id
+    and cosine, which the two-stage result must reproduce for recall to
+    hold) while the approximate side reports recall >= 0.6 as a verdict
+    the oracle expects TRUE (measured ≥ 0.9 at sf0.01 AND sf0.1; raw
+    recalls pinned in tests/test_pca.py). The audit's query sample is
+    CAPPED (vec_id < 2000 ∧ %40 — ≤ 50 queries at any scale), the
+    q_ext_ann_recall discipline: ground truth is a per-query corpus
+    pass, so an uncapped fraction would make the audit quadratic even
+    though the production retriever itself is not."""
+    from databricks_demo_feature_store_spark.textops.pca import (
+        pca_two_stage_recall,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vd = "transform(embedding, x -> cast(x as double))"
+    stretched = emb.select(
+        "vec_id",
+        F.expr(
+            f"concat(transform(slice({vd}, 1, 8), x -> x * 5.0D), "
+            f"slice({vd}, 9, size(embedding) - 8))"
+        ).alias("embedding"),
+    )
+    return pca_two_stage_recall(
+        stretched,
+        stretched.filter((F.col("vec_id") % 40 == 0) & (F.col("vec_id") < 2000)),
+        k=10,
+        m=50,
+        pca_k=8,
+        min_recall=0.6,
+    ).orderBy("query_id")

@@ -3034,3 +3034,58 @@ def q_stream_cdf_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         "spend_count", "spend_sum", "spend_mean", "spend_std",
     )
+
+
+@register(
+    "q_stream_ohlc",
+    oracle="""
+    WITH ticks AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+             ts, event_id, value
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_date
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_date
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM ticks
+    )
+    SELECT user_id, bar_date,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS mean_value
+    FROM ranked
+    GROUP BY user_id, bar_date
+    ORDER BY user_id, bar_date
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars through the REAL streaming engine
+    (streaming/ops.py ohlc_bars_stream): file source → watermarked
+    daily-window aggregation with struct-ordered min_by/max_by
+    open/close state → availableNow replay → memory sink. The (ts,
+    event_id) total order and the DECIMAL volume make the streamed bars
+    bit-identical to the batch operator's regardless of micro-batch
+    order — the same oracle gates both q_ohlc_bars and this query."""
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        ohlc_bars_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    bars = run_available_now(ohlc_bars_stream(stream))
+    return bars.select(
+        "user_id",
+        F.col("bar_start").cast("date").alias("bar_date"),
+        "open_value", "high_value", "low_value", "close_value",
+        "n_ticks", "sum_value", "mean_value",
+    ).orderBy("user_id", "bar_date")

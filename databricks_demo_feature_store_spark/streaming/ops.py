@@ -1364,3 +1364,53 @@ def stream_cdf_agg_ivm(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_bars_stream(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    bucket: str = "1 day",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Streaming OHLC bars: the continuous twin of
+    ``operators/timeseries.py ohlc_bars`` — the same ONE watermarked
+    windowed aggregation (min_by/max_by open/close on the (ts, tie)
+    total order, DECIMAL volume), so replaying the ticks in any
+    micro-batch order produces bit-identical bars to the batch
+    operator. State is one partial bar per (entity, window), evicted by
+    the watermark; late ticks inside the watermark fold into their bar
+    exactly like on-time ones.
+    """
+    key = F.struct(F.col(ts_col), F.col(tie_col))
+    return (
+        stream.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(entity_col),
+            F.window(F.col(ts_col), bucket).alias("w"),
+        )
+        .agg(
+            F.min_by(F.col(value_col), key).alias("open_value"),
+            F.max(F.col(value_col)).alias("high_value"),
+            F.min(F.col(value_col)).alias("low_value"),
+            F.max_by(F.col(value_col), key).alias("close_value"),
+            F.count(F.col(value_col)).alias("n_ticks"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__sum_dec"),
+        )
+        .select(
+            entity_col,
+            F.col("w.start").alias("bar_start"),
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_ticks",
+            F.col("__sum_dec").cast("double").alias("sum_value"),
+            (F.col("__sum_dec").cast("double") / F.col("n_ticks")).alias(
+                "mean_value"
+            ),
+        )
+    )

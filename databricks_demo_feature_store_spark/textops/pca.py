@@ -275,3 +275,121 @@ def pca_audit(
         F.lit(monotone).alias("explained_monotone_ok"),
         F.lit(recon_ok).alias("recon_ok"),
     ).orderBy("dim")
+
+
+def pca_two_stage_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    model: PCAModel,
+    k: int = 10,
+    m: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Two-stage ANN through the learned basis: stage 1 retrieves ``m``
+    candidates per query by cosine in PCA space (k′ ≪ d dims — the scan
+    reads k′-dim projections, not full vectors), stage 2 reranks ONLY
+    the m candidates with exact full-dim cosine and keeps the top ``k``.
+
+    The data-adaptive twin of ``similarity.two_stage_topk`` (prefix
+    dims): where Matryoshka-style prefixes need embeddings trained for
+    it, PCA gives any embedding table an importance-ordered basis. Same
+    scale shape — the full-dim rerank touches |queries|·m rows, never
+    the corpus.
+    """
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+        cosine_col,
+    )
+
+    qid = query_id_col or id_col
+    c_proj = project_pca(
+        corpus.select(id_col, vec_col), model, vec_col, out_col="__p"
+    ).select(id_col, F.col("__p").alias(vec_col))
+    q_proj = project_pca(
+        query.select(F.col(qid).alias("query_id"), vec_col),
+        model,
+        vec_col,
+        out_col="__p",
+    ).select("query_id", F.col("__p").alias(vec_col))
+    cands = brute_force_topk(
+        c_proj, q_proj, k=m, id_col=id_col, vec_col=vec_col,
+        query_id_col="query_id",
+    ).select("query_id", id_col)
+
+    qv = query.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    rerank = (
+        cands.join(corpus.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            id_col,
+            dround(cosine_col(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def pca_two_stage_recall(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 50,
+    pca_k: int = 8,
+    min_recall: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Recall audit of the PCA two-stage retriever vs the exact ranking.
+
+    The PCA basis is a float eigendecomposition — deterministic on one
+    engine, not SQL-replayable — so the gated surface is the
+    ``pca_audit`` pattern: the EXACT brute-force side stays
+    value-hash-checked (query_id, n_exact, plus the exact top-1
+    neighbor id/cosine per query, which two-stage must also return for
+    recall to hold) while the approximate side reports a
+    ``recall_ok = recall >= min_recall`` verdict the oracle expects
+    TRUE. Raw recalls stay pinned by tests/test_pca.py.
+    """
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+    )
+
+    model = fit_pca(corpus, vec_col=vec_col, k=pca_k)
+    exact = brute_force_topk(corpus, query, k, id_col, vec_col, query_id_col)
+    approx = pca_two_stage_topk(
+        corpus, query, model, k=k, m=m, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    hits = exact.join(
+        approx.select("query_id", id_col), on=["query_id", id_col], how="left_semi"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.min_by(F.col(id_col), F.col("rank")).alias("top1_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("top1_cosine"),
+    )
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.join(n_hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_exact",
+            "top1_id",
+            "top1_cosine",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact").cast("double")
+                >= min_recall
+            ).alias("recall_ok"),
+        )
+    )

@@ -81,3 +81,40 @@ def test_too_few_rows_raises(spark):
     one = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="at least 2"):
         fit_pca(one, k=1)
+
+
+def test_two_stage_recall_on_anisotropic(spark):
+    from databricks_demo_feature_store_spark.textops.pca import (
+        pca_two_stage_recall,
+    )
+
+    df, _ = _corpus(spark)  # dims 0/1 dominate by construction
+    out = pca_two_stage_recall(
+        df, df.filter("vec_id % 20 = 0"), k=5, m=30, pca_k=2, min_recall=0.6
+    ).collect()
+    assert len(out) == 10
+    assert all(r.recall_ok for r in out)
+    assert all(r.n_exact == 5 for r in out)
+    # the exact top-1 is the query itself (cosine 1.0 with itself)
+    assert all(r.top1_id == r.query_id for r in out)
+
+
+def test_two_stage_exact_when_candidates_cover_corpus(spark):
+    """m >= corpus: stage 1 returns everything, so the rerank IS the
+    exact ranking — two-stage must equal brute force row-for-row."""
+    from databricks_demo_feature_store_spark.textops.pca import (
+        fit_pca,
+        pca_two_stage_topk,
+    )
+    from databricks_demo_feature_store_spark.textops.similarity import (
+        brute_force_topk,
+    )
+
+    df, _ = _corpus(spark, n=60)
+    q = df.filter("vec_id < 3")
+    model = fit_pca(df, k=2)
+    approx = pca_two_stage_topk(df, q, model, k=5, m=60)
+    exact = brute_force_topk(df, q, k=5)
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, exact.collect())
+    )

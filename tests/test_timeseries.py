@@ -81,3 +81,28 @@ def test_deterministic_across_partitionings(spark):
     one = ohlc_bars(t.repartition(1), "entity", "ts", "price", tie_col="tick_id")
     many = ohlc_bars(t.repartition(5), "entity", "ts", "price", tie_col="tick_id")
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_stream_ohlc_equals_batch(spark, tmp_path):
+    """Streamed bars (availableNow over a file source, two partitions so
+    micro-batch order is nontrivial) ≡ the batch operator bit-for-bit."""
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        ohlc_bars_stream,
+        run_available_now,
+    )
+
+    ticks = _ticks(spark).withColumnRenamed("entity", "user_id").withColumnRenamed(
+        "tick_id", "event_id"
+    ).withColumnRenamed("price", "value")
+    src = str(tmp_path / "ticks")
+    ticks.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(ticks.schema).parquet(src)
+    streamed = run_available_now(
+        ohlc_bars_stream(stream, bucket="1 day")
+    )
+    batch = ohlc_bars(
+        spark.read.parquet(src), "user_id", "ts", "value", tie_col="event_id"
+    )
+    s = sorted(map(tuple, streamed.select(*batch.columns).collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
