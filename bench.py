@@ -65,6 +65,7 @@ HEADLINE = [
     "q_stream_cdf_ivm",
     "q_stream_cdf_agg_ivm",
     "q_ohlc_bars",
+    "q_ohlc_weekly_rollup",
     "q_stream_ohlc",
     "q_row_policy",
     "q_seasonal_decompose",

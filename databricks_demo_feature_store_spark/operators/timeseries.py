@@ -76,3 +76,54 @@ def ohlc_bars(
             ),
         )
     )
+
+
+def merge_ohlc_bars(
+    bars: DataFrame,
+    entity_col: str,
+    bucket: str = "7 days",
+    bar_col: str = "bar_start",
+    sum_scale: int = 6,
+) -> DataFrame:
+    """Re-aggregate finer bars into coarser ones WITHOUT the raw ticks —
+    OHLC state is a merge monoid: open = open of the earliest sub-bar,
+    close = close of the latest, high/low = max/min, counts and DECIMAL
+    sums add. ``merged(daily → weekly) ≡ weekly-from-raw`` is the gated
+    contract (q_ohlc_weekly_rollup) and the reason a 100 TB deployment
+    keeps daily bars: any coarser grain derives from them at bar cost,
+    never a tick rescan.
+
+    ``bar_col`` values are unique per entity at the finer grain (window
+    starts), so the min_by/max_by picks need no extra tie-break. The
+    DECIMAL round-trip is exact: ``sum_value`` doubles are decimals of
+    ≤15 significant digits, which survive double→decimal recast
+    losslessly.
+    """
+    dec = F.col("sum_value").cast(f"decimal(38,{sum_scale})")
+    return (
+        bars.groupBy(
+            F.col(entity_col),
+            F.window(F.col(bar_col), bucket)["start"].alias("bar_start"),
+        )
+        .agg(
+            F.min_by(F.col("open_value"), F.col(bar_col)).alias("open_value"),
+            F.max(F.col("high_value")).alias("high_value"),
+            F.min(F.col("low_value")).alias("low_value"),
+            F.max_by(F.col("close_value"), F.col(bar_col)).alias("close_value"),
+            F.sum(F.col("n_ticks")).alias("n_ticks"),
+            F.sum(dec).alias("__sum_dec"),
+        )
+        .select(
+            entity_col,
+            "bar_start",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_ticks",
+            F.col("__sum_dec").cast("double").alias("sum_value"),
+            (F.col("__sum_dec").cast("double") / F.col("n_ticks")).alias(
+                "mean_value"
+            ),
+        )
+    )

@@ -4723,3 +4723,67 @@ def q_version_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_version", "s_nationkey")
     )
+
+
+@register(
+    "q_ohlc_weekly_rollup",
+    oracle="""
+    WITH ticks AS (
+      SELECT user_id,
+             DATE '1970-01-01'
+               + CAST(7 * (date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) // 7) AS INTEGER)
+               AS week_date,
+             ts, event_id, value
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, week_date
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, week_date
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM ticks
+    )
+    SELECT user_id, week_date,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+             AS mean_value
+    FROM ranked
+    GROUP BY user_id, week_date
+    ORDER BY user_id, week_date
+    """,
+)
+def q_ohlc_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable OHLC rollup (operators/timeseries.py merge_ohlc_bars):
+    weekly bars derived from DAILY BARS ONLY — open carries from the
+    earliest sub-bar, close from the latest, high/low fold, DECIMAL
+    sums add — while the oracle computes the weekly bars DIRECTLY from
+    the raw ticks: equality proves OHLC state is a merge monoid, the
+    property that lets a 100 TB deployment re-grain bars at bar cost
+    instead of rescanning ticks (epoch-aligned 7-day windows on both
+    sides). merged ≡ direct is additionally pinned engine-side in
+    tests/test_timeseries.py."""
+    from databricks_demo_feature_store_spark.operators.timeseries import (
+        merge_ohlc_bars,
+        ohlc_bars,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ohlc_bars(
+        ev, entity_col="user_id", ts_col="ts", value_col="value",
+        tie_col="event_id", bucket="1 day",
+    )
+    weekly = merge_ohlc_bars(daily, entity_col="user_id", bucket="7 days")
+    return weekly.select(
+        "user_id",
+        F.col("bar_start").cast("date").alias("week_date"),
+        "open_value", "high_value", "low_value", "close_value",
+        "n_ticks", "sum_value", "mean_value",
+    ).orderBy("user_id", "week_date")

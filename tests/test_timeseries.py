@@ -106,3 +106,18 @@ def test_stream_ohlc_equals_batch(spark, tmp_path):
     s = sorted(map(tuple, streamed.select(*batch.columns).collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b
+
+
+def test_merge_daily_to_weekly_equals_direct(spark):
+    """OHLC merge monoid: merged(daily -> weekly) == weekly-from-raw."""
+    from databricks_demo_feature_store_spark.operators.timeseries import (
+        merge_ohlc_bars,
+    )
+
+    t = _ticks(spark)
+    daily = ohlc_bars(t, "entity", "ts", "price", tie_col="tick_id")
+    merged = merge_ohlc_bars(daily, "entity", bucket="7 days")
+    direct = ohlc_bars(t, "entity", "ts", "price", tie_col="tick_id", bucket="7 days")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
