@@ -73,6 +73,18 @@ def get_spark(
         # the driver testdata's events table carries TIMESTAMP(NANOS) which
         # Spark has no native type for; read as long and convert in load()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4.1's ChecksumCheckpointFileManager writes (and re-reads)
+        # a sidecar checksum file for EVERY streaming-checkpoint file —
+        # offsets, commits, and one state file per shuffle partition per
+        # micro-batch — doubling checkpoint file creates. The checksums
+        # only guard against storage bit-rot of checkpoint internals
+        # (never query results); on storage with its own integrity
+        # guarantees they are pure overhead, so default off and keep the
+        # knob for deployments on unreliable stores.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("SPARK_GRAFT_STREAM_CKPT_CHECKSUM", "false"),
+        )
         # parquet's default INT96 timestamps carry NO footer min/max
         # statistics, which silently disables every timestamp-column
         # data-skipping path (sources/skipping.py) on Spark-written

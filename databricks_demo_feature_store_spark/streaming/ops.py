@@ -26,14 +26,105 @@ are high-cardinality and uniform.
 
 from __future__ import annotations
 
+import contextlib
+import glob as _glob
 import itertools
+import math
 import os
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
 _MEMORY_QUERY_IDS = itertools.count()
+
+# ---------------------------------------------------------------------------
+# Scale-adaptive streaming shuffle/state partitioning
+# ---------------------------------------------------------------------------
+# Streaming has no AQE: every stateful operator shuffles into exactly
+# ``spark.sql.shuffle.partitions`` state partitions, and every micro-batch
+# pays one task + one state-store commit (delta file + metadata) PER
+# PARTITION regardless of how little data the batch carries. A constant
+# sized for either local mode or the cluster is wrong at the other end
+# (guide §2: derive partitioning from input size, don't hard-code), so the
+# partition count is derived from the source's size: ~one partition per
+# SPARK_GRAFT_STREAM_PARTITION_BYTES of input (default 32 MB), clamped to
+# [1, 4 × defaultParallelism] so huge inputs still spread over the cluster
+# without creating millions of state files. Correctness is unaffected —
+# state partitioning never changes query results, and a fresh checkpoint is
+# created per run (re-partitioning an EXISTING checkpoint is invalid).
+_STREAM_PARTITION_BYTES_ENV = "SPARK_GRAFT_STREAM_PARTITION_BYTES"
+
+
+def _source_bytes(*paths: str) -> int:
+    """Total bytes under the given files/dirs/globs (0 for missing)."""
+    total = 0
+    for p in paths:
+        matches = _glob.glob(p) if any(ch in p for ch in "*?[") else [p]
+        for m in matches:
+            if os.path.isdir(m):
+                for root, _dirs, files in os.walk(m):
+                    for f in files:
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+            else:
+                try:
+                    total += os.path.getsize(m)
+                except OSError:
+                    pass
+    return total
+
+
+def stream_partitions(spark: SparkSession, nbytes: int) -> int:
+    """Shuffle/state partition count for a stream fed by ``nbytes`` of
+    source data: ceil(nbytes / target-bytes-per-partition), clamped to
+    [1, 4 × defaultParallelism]."""
+    target = int(
+        os.environ.get(_STREAM_PARTITION_BYTES_ENV, str(32 * 1024 * 1024))
+    )
+    cap = 4 * spark.sparkContext.defaultParallelism
+    return max(1, min(math.ceil(nbytes / max(1, target)), cap))
+
+
+@contextlib.contextmanager
+def scaled_stream_partitions(spark: SparkSession, *paths: str, nbytes: int | None = None):
+    """Set ``spark.sql.shuffle.partitions`` from the stream's source size
+    for the duration of a bounded (availableNow) drain; restore after.
+
+    Must wrap the WHOLE start → awaitTermination span: the streaming
+    engine captures the partition count into the checkpoint's offset
+    metadata asynchronously after ``start()`` returns."""
+    if nbytes is None and not paths:
+        # unknown source size (e.g. a non-file source whose plan text we
+        # could not parse): leave the session's partitioning alone rather
+        # than guessing small
+        yield None
+        return
+    n = stream_partitions(spark, _source_bytes(*paths) if nbytes is None else nbytes)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _streaming_source_paths(result: DataFrame) -> list[str]:
+    """Best-effort extraction of file-source paths from a streaming
+    DataFrame's logical plan text (``FileSource[...]`` / ``FileStreamSource
+    [...]``); empty when the plan has no parsable file source."""
+    try:
+        text = result._jdf.queryExecution().logical().toString()
+    except Exception:
+        return []
+    # an un-started StreamingRelation prints its options as
+    # ``Map(path -> <path>)``; the path may itself contain glob brackets
+    # (our single-file sources read ``events.parque[t]``), so match up to
+    # the Map entry's terminating ``,`` or ``)``
+    return re.findall(r"path -> ([^,)\n]+)", text)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,17 +238,23 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     ``complete`` mode emits every window on the final micro-batch, so a
     bounded replay yields exactly the batch answer (append mode would hold
     back windows newer than the watermark — correct for unbounded streams,
-    lossy for a finite replay)."""
+    lossy for a finite replay).
+
+    State partitioning is derived from the source's size (see
+    ``scaled_stream_partitions``): a bounded replay of a small backlog
+    must not pay a per-micro-batch state commit on every one of the
+    session's batch shuffle partitions."""
     spark = result.sparkSession
     name = f"stream_result_{next(_MEMORY_QUERY_IDS)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scaled_stream_partitions(spark, *_streaming_source_paths(result)):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
