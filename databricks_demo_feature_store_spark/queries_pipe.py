@@ -613,10 +613,16 @@ def q_stream_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_start"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q = stream_features_to_store(
-        agg, manager, spec, checkpoint=os.path.join(root, "ckpt")
+    from databricks_demo_feature_store_spark.streaming.ops import (
+        _streaming_source_paths,
+        scaled_stream_partitions,
     )
-    q.awaitTermination()
+
+    with scaled_stream_partitions(spark, *_streaming_source_paths(agg)):
+        q = stream_features_to_store(
+            agg, manager, spec, checkpoint=os.path.join(root, "ckpt")
+        )
+        q.awaitTermination()
     return manager.read("user_hourly_counts")
 
 
@@ -2787,14 +2793,22 @@ def q_stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             deduped = stream.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
                 ["event_id"]
             )
-        q = (
-            deduped.writeStream.foreachBatch(write_sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        # state partitions sized to the backlog, not the session's batch
+        # shuffle partitions (streaming/ops.py scaled_stream_partitions);
+        # round 1 pins the count in the checkpoint, later rounds reuse it
+        from databricks_demo_feature_store_spark.streaming.ops import (
+            scaled_stream_partitions,
         )
-        q.awaitTermination()
+
+        with scaled_stream_partitions(spark, inbox):
+            q = (
+                deduped.writeStream.foreachBatch(write_sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         batches = [
             b for b in watermark_progress_metrics(q) if b["input_rows"] > 0
         ]

@@ -163,20 +163,31 @@ class VectorIndexStore:
 
     # -- encode against the FROZEN quantizers ---------------------------
     def _encode(self, vectors: DataFrame) -> DataFrame:
-        """(id, cluster, codes, deleted=false) for a batch — one
-        broadcast of each quantizer, O(batch) work, no corpus rescan."""
-        cents = F.broadcast(self.centroids())
-        cb = F.broadcast(self.codebooks())
-        assigned = ivf_assign(vectors, cents, self.id_col, self.vec_col).select(
-            self.id_col, "cluster"
+        """(id, cluster, codes, deleted=false) for a batch — ONE map-side
+        pass: both quantizers collapse to broadcast 1-row arrays
+        (similarity.py `_centroid_array` / `_codebook_map`) and the
+        assignment + PQ codes are computed in a single projection; the
+        previous assign⋈encode join (plus its two upstream shuffles) is
+        gone, so encoding never moves a vector over the network."""
+        from databricks_demo_feature_store_spark.textops.similarity import (
+            _centroid_array,
+            _codebook_map,
+            _nearest_centroid,
+            _pq_codes,
         )
-        codes = pq_encode(vectors, cb, self.m, self.id_col, self.vec_col)
+
         out = (
-            assigned.join(codes, on=self.id_col)
+            vectors.crossJoin(F.broadcast(_centroid_array(self.centroids())))
+            .crossJoin(F.broadcast(_codebook_map(self.codebooks())))
+            .where((F.size("__cents") > 0) & (F.size("__cb") > 0))
             .select(
                 self.id_col,
-                F.col("cluster").cast("long").alias("cluster"),
-                F.col("codes").cast("array<int>").alias("codes"),
+                _nearest_centroid(F.col(self.vec_col))
+                .cast("long")
+                .alias("cluster"),
+                _pq_codes(F.col(self.vec_col), self.m)
+                .cast("array<int>")
+                .alias("codes"),
                 F.lit(False).alias("deleted"),
             )
         )

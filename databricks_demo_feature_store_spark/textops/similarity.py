@@ -406,6 +406,40 @@ def kmeans_refine(
     return cents
 
 
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """nlist-row coarse quantizer → ONE broadcastable row holding the
+    (cid, cv) candidate array, sorted by centroid id."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("centroid").alias("cv"),
+                )
+            )
+        ).alias("__cents")
+    )
+
+
+def _nearest_centroid(vec) -> "Column":
+    """Cluster id of the nearest entry of the ``__cents`` candidate array
+    (max cosine, tie → smallest centroid id) — pure column algebra over a
+    broadcast 1-row array, argmax via ``array_max`` on a ``(cosine,
+    -cid)`` ordering struct (the exact ``max_by`` ordering the
+    shuffle-based form used: struct comparison is field-lexicographic
+    with the same null/NaN double ordering)."""
+    return F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                cosine_col(vec, s["cv"]).alias("c"),
+                (-s["cid"]).alias("nc"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -413,33 +447,18 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine,
-    centroid id as tie-break). One pass: corpus × broadcast(nlist).
-
-    argmax via ``max_by`` over a (cosine, -centroid_id) ordering struct —
-    a hash aggregate with MAP-SIDE partial combine (the per-row nlist
-    candidates collapse before the shuffle), where a row_number window
-    would shuffle all corpus×nlist rows and sort them. Tie on cosine →
-    smallest centroid id, deterministic."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    centroid id as tie-break). ZERO-shuffle: the nlist-row quantizer is
+    collapsed to a single broadcast row carrying the candidate array and
+    the argmax is per-row column algebra (``array_max`` over a
+    (cosine, -cid) ordering struct) — the assignment stage is a pure map
+    over the corpus scan. The previous form (explode to corpus×nlist,
+    ``max_by`` hash aggregate) paid a full shuffle of every vector; at
+    100 TB the assignment pass now moves zero bytes over the network."""
+    scored = corpus.crossJoin(F.broadcast(_centroid_array(centroids)))
+    return scored.where(F.size("__cents") > 0).select(
         F.col(id_col),
         F.col(vec_col),
-        "centroid_id",
-        cosine_col(F.col(vec_col), F.col("centroid")).alias("__cos"),
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(
-                F.col("centroid_id").alias("cid"), F.col(vec_col).alias("v")
-            ),
-            F.struct(
-                F.col("__cos").alias("c"), (-F.col("centroid_id")).alias("nc")
-            ),
-        ).alias("__best")
-    )
-    return best.select(
-        id_col,
-        F.col("__best.v").alias(vec_col),
-        F.col("__best.cid").alias("cluster"),
+        _nearest_centroid(F.col(vec_col)).alias("cluster"),
     )
 
 
@@ -806,31 +825,58 @@ def pq_encode(
     drops from d·4 bytes (float32) to m bytes — 32× at d=64, m=8 — which
     is what makes 100 TB embedding stores searchable in memory.
 
-    One pass: explode to (row, sub), broadcast-join the m·k codebook,
-    ``min_by`` argmin per (row, sub) with map-side combine, re-assemble
-    the code array in subspace order. Returns (id, codes array<int>).
+    ZERO-shuffle: the m·k codebook collapses to a single broadcast row
+    carrying a ``sub → (code, centroid)[]`` map, and each vector's m
+    codes are computed in one projection (per subspace, ``array_min``
+    over a (distance, code) ordering struct — the exact ``min_by``
+    ordering of the previous explode/join/aggregate form, which paid two
+    hash-aggregate shuffles of every subvector). The encode pass is now
+    a pure map over the corpus scan. Returns (id, codes array<int>).
     """
-    subs = _pq_subvectors(corpus, m, id_col, vec_col).withColumnRenamed(
-        "__id", id_col
+    scored = corpus.crossJoin(F.broadcast(_codebook_map(codebooks)))
+    return scored.where(F.size("__cb") > 0).select(
+        F.col(id_col),
+        _pq_codes(F.col(vec_col), m).alias("codes"),
     )
-    scored = subs.join(F.broadcast(codebooks), on="sub").select(
-        id_col,
-        "sub",
-        "code",
-        _l2sq(F.col("__sv"), F.col("centroid")).alias("__d"),
+
+
+def _codebook_map(codebooks: DataFrame) -> DataFrame:
+    """m·k-row codebook table → ONE broadcastable row holding a
+    ``sub → [(code, centroid), ...]`` map (entries sorted by code)."""
+    return (
+        codebooks.groupBy("sub")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("code", "centroid"))
+            ).alias("entries")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("sub", "entries"))
+            ).alias("__cb")
+        )
     )
-    best = scored.groupBy(id_col, "sub").agg(
-        F.min_by(
-            F.col("code"),
-            F.struct(F.col("__d").alias("d"), F.col("code").alias("c")),
-        ).alias("__code")
-    )
-    return best.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "__code"))),
-            lambda s: s["__code"],
-        ).alias("codes")
-    )
+
+
+def _pq_codes(vec, m: int) -> "Column":
+    """The m PQ codes of ``vec`` against the broadcast ``__cb`` codebook
+    map, in subspace order — per subspace the L2-argmin entry (tie →
+    smallest code), as column algebra."""
+    sd = (F.size(vec) / F.lit(m)).cast("int")
+
+    def code_for(sub):
+        sv = F.slice(vec, sub * sd + F.lit(1), sd)
+        return F.array_min(
+            F.transform(
+                F.element_at(F.col("__cb"), sub),
+                lambda e: F.struct(
+                    _l2sq(sv, e["centroid"]).alias("d"),
+                    e["code"].alias("c"),
+                ),
+            )
+        )["c"]
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
 
 def pq_adc_topk(
@@ -936,9 +982,19 @@ def ivfpq_topk(
 
     qid = query_id_col or id_col
     cents = ivf_centroids(corpus, nlist, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(id_col, "cluster")
     cb = pq_codebooks(corpus, m, pq_k, id_col, vec_col)
-    codes = pq_encode(corpus, cb, m, id_col, vec_col).join(assigned, on=id_col)
+    # assignment + encoding in ONE map-side projection (both quantizers
+    # broadcast as 1-row arrays) — no assign⋈encode shuffle join
+    codes = (
+        corpus.crossJoin(F.broadcast(_centroid_array(cents)))
+        .crossJoin(F.broadcast(_codebook_map(cb)))
+        .where((F.size("__cents") > 0) & (F.size("__cb") > 0))
+        .select(
+            F.col(id_col),
+            _pq_codes(F.col(vec_col), m).alias("codes"),
+            _nearest_centroid(F.col(vec_col)).alias("cluster"),
+        )
+    )
 
     q = query.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
     qscore = q.crossJoin(F.broadcast(cents)).select(
