@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): measured in round
+        # 14, advisory-size coalescing (false) cost +13% on a mixed
+        # 18-query sample (self-join-heavy plans — pair generation,
+        # wedge counting — do real compute AFTER their shuffles and lose
+        # core-width when a small shuffle collapses to one partition).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

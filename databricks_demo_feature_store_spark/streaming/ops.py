@@ -503,6 +503,7 @@ def stream_ingest_corpus_dedup(
         cross_corpus_dedup_pairs,
         minhash_dedup_pairs,
         portable_hash_col,
+        with_shingle_hashes,
     )
 
     stream = spark.readStream.schema(schema).json(input_path)
@@ -510,17 +511,27 @@ def stream_ingest_corpus_dedup(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch = (
+        spark_b = batch_df.sparkSession
+        # hash the batch text ONCE into the checkpointed frame: batch-side
+        # signatures, LSH verification and the cross-corpus step all reuse
+        # __hs (previously three separate md5 passes over the same text)
+        batch = with_shingle_hashes(
             batch_df.filter(F.col(text_field).isNotNull())
             .select(
                 portable_hash_col(F.col(text_field), seed="corpus").alias("doc_id"),
                 F.col(text_field).alias("text"),
             )
-            .dropDuplicates(["doc_id"])
-            .localCheckpoint(eager=True)  # several consumers below
-        )
+            .dropDuplicates(["doc_id"]),
+            "text",
+            3,
+            "__hs",
+        ).localCheckpoint(eager=True)  # several consumers below
         pairs = minhash_dedup_pairs(
-            batch, num_hashes=num_hashes, bands=bands, threshold=threshold
+            batch,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            hashes_col="__hs",
         )
         # greedy min-id representative: drop the larger side of each pair
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -528,7 +539,7 @@ def stream_ingest_corpus_dedup(
         from pyspark.errors import AnalysisException
 
         try:
-            corpus = batch_df.sparkSession.read.parquet(corpus_path)
+            corpus = spark_b.read.parquet(corpus_path)
             have_corpus = True
         except AnalysisException:
             # first batch only: the corpus path does not exist yet. ONLY
@@ -550,9 +561,10 @@ def stream_ingest_corpus_dedup(
                 bands=bands,
                 threshold=threshold,
                 max_bucket_witnesses=max_bucket_witnesses,
+                batch_hashes_col="__hs",
             ).select(F.col("id_batch").alias("doc_id")).distinct()
             batch = batch.join(flagged, on="doc_id", how="left_anti")
-        batch.write.mode("append").parquet(corpus_path)
+        batch.drop("__hs").write.mode("append").parquet(corpus_path)
         if after_append_hook is not None:
             after_append_hook(batch_id)
 

@@ -616,19 +616,28 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 16,
+    hashes_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature over the universal-hash family.
 
     ONE md5 per shingle (the base hash), then ``num_hashes`` affine
     derivations + array_min — pure column algebra, shuffle-free, and
     ~``num_hashes``× cheaper than hashing each shingle per seed. This is
-    the cost that dominates MinHash at corpus scale.
+    the cost that dominates MinHash at corpus scale — so callers that
+    already carry the shingle-hash array (a persisted signature sidecar,
+    or a frame hashed once for several consumers) pass it via
+    ``hashes_col`` and skip the text pass entirely.
     """
     # materialize base hashes in their own projection so the md5 pass runs
     # once, not once per derived component
-    based = with_shingle_hashes(df, text_col, k, "__base").select(
-        F.col(id_col).alias("id"), "__base"
-    )
+    if hashes_col is not None:
+        based = df.select(
+            F.col(id_col).alias("id"), F.col(hashes_col).alias("__base")
+        )
+    else:
+        based = with_shingle_hashes(df, text_col, k, "__base").select(
+            F.col(id_col).alias("id"), "__base"
+        )
     sig = F.array(
         *[
             F.array_min(
@@ -715,19 +724,28 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    hashes_col: str | None = None,
 ) -> DataFrame:
     """Full MinHash pipeline: signatures → LSH candidates → exact-Jaccard
-    verification of candidates only."""
+    verification of candidates only. ``hashes_col`` names a precomputed
+    shingle-hash array on ``df`` — both the signature and the
+    verification stage then reuse it instead of re-hashing the text
+    (one md5 pass instead of two)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, hashes_col)
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
 
     # verify on 60-bit shingle hashes, not strings: the intersect/union on
     # longs is far cheaper to shuffle and compare (collisions at 2^-60 are
     # negligible vs the 6-decimal similarity)
-    sh = with_shingle_hashes(df, text_col, k, "__hs").select(
-        F.col(id_col).alias("id"), F.col("__hs").alias("hs")
-    )
+    if hashes_col is not None:
+        sh = df.select(
+            F.col(id_col).alias("id"), F.col(hashes_col).alias("hs")
+        )
+    else:
+        sh = with_shingle_hashes(df, text_col, k, "__hs").select(
+            F.col(id_col).alias("id"), F.col("__hs").alias("hs")
+        )
     a = sh.withColumnsRenamed({"id": "id_a", "hs": "hs_a"})
     b = sh.withColumnsRenamed({"id": "id_b", "hs": "hs_b"})
     verified = (
@@ -1111,6 +1129,8 @@ def cross_corpus_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     max_bucket_witnesses: int | None = 64,
+    batch_hashes_col: str | None = None,
+    corpus_hashes_col: str | None = None,
 ) -> DataFrame:
     """Incremental (cross-corpus) near-dup detection: which documents of
     a NEW ``batch`` near-duplicate something in an EXISTING ``corpus`` —
@@ -1142,8 +1162,12 @@ def cross_corpus_dedup_pairs(
     ``max_shingle_df``. ``None`` keeps every witness (provably exact).
     """
     rows_per_band = num_hashes // bands
-    bsig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
-    csig = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
+    bsig = minhash_signatures(
+        batch, text_col, id_col, k, num_hashes, batch_hashes_col
+    )
+    csig = minhash_signatures(
+        corpus, text_col, id_col, k, num_hashes, corpus_hashes_col
+    )
     bb = _banded_signatures(bsig, bands, rows_per_band).select(
         F.col("id").alias("id_batch"), "band", "band_key"
     )
@@ -1164,12 +1188,24 @@ def cross_corpus_dedup_pairs(
         .select("id_batch", "id_corpus")
         .distinct()
     )
-    hb = with_shingle_hashes(batch, text_col, k, "__hs").select(
-        F.col(id_col).alias("id_batch"), F.col("__hs").alias("hs_b")
-    )
-    hc = with_shingle_hashes(corpus, text_col, k, "__hs").select(
-        F.col(id_col).alias("id_corpus"), F.col("__hs").alias("hs_c")
-    )
+    if batch_hashes_col is not None:
+        hb = batch.select(
+            F.col(id_col).alias("id_batch"),
+            F.col(batch_hashes_col).alias("hs_b"),
+        )
+    else:
+        hb = with_shingle_hashes(batch, text_col, k, "__hs").select(
+            F.col(id_col).alias("id_batch"), F.col("__hs").alias("hs_b")
+        )
+    if corpus_hashes_col is not None:
+        hc = corpus.select(
+            F.col(id_col).alias("id_corpus"),
+            F.col(corpus_hashes_col).alias("hs_c"),
+        )
+    else:
+        hc = with_shingle_hashes(corpus, text_col, k, "__hs").select(
+            F.col(id_col).alias("id_corpus"), F.col("__hs").alias("hs_c")
+        )
     return (
         cands.join(hb, on="id_batch")
         .join(hc, on="id_corpus")
