@@ -33,6 +33,9 @@ CUSTOMER_TX_STEPS = [
     # exact money arithmetic for the aggregation
     {"op": "with_columns", "params": {"expressions": {
         "price_dec": "CAST(o_totalprice AS DECIMAL(25,2))"}}},
+    # one exchange on the customer key serves the pivot aggregation AND the
+    # lag/rolling windows below (see runner._repartition_by)
+    {"op": "repartition", "params": {"columns": ["custkey"]}},
     # ONE hash aggregate: monthly totals + urgent-priority pivot + indicator
     {"op": "conditional_pivot", "params": {
         "group_by": ["custkey", "release_dt"],

@@ -99,6 +99,9 @@ PAYMENT_BEHAVIOR_STEPS = [
     {"op": "months_between", "params": {
         "start_column": "event_dt", "end_column": "closing_date",
         "new_column": "time_to_close_in_months"}},
+    # one exchange on the customer key serves the aggregation AND the
+    # rolling windows below (see runner._repartition_by)
+    {"op": "repartition", "params": {"columns": ["id_customer"]}},
     # calculate_aggregations (:264-313): count + SUM numerics + MAX
     # categoricals; the summed time features keep their base name, matching
     # the reference's withColumnsRenamed after the agg (:631-634)

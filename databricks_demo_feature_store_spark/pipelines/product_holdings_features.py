@@ -26,6 +26,9 @@ PRODUCT_HOLDINGS_STEPS = [
         "date_column": "o_orderdate", "new_column": "release_dt", "months_to_add": 1}},
     {"op": "with_columns", "params": {"expressions": {
         "price_dec": "CAST(o_totalprice AS DECIMAL(25,2))"}}},
+    # one exchange on the customer key serves the pivot aggregation AND the
+    # rolling window below (see runner._repartition_by)
+    {"op": "repartition", "params": {"columns": ["custkey"]}},
     # pivot-first: per-status amounts + holding indicators + multi-op aggs,
     # ONE hash aggregate
     {"op": "conditional_pivot", "params": {

@@ -196,6 +196,9 @@ CREDIT_BURO_STEPS = [
         "date_column": "event_dt", "new_column": "release_dt",
         "source_format": "yyyy-MM", "months_to_add": 1}},
     {"op": "normalize_strings", "params": {}},
+    # one exchange on the customer key serves the aggregation AND the
+    # rolling windows below (see runner._repartition_by)
+    {"op": "repartition", "params": {"columns": ["id_customer"]}},
     {"op": "aggregate", "params": {
         "group_by": ["id_customer", "release_dt"],
         "operations": [
@@ -308,6 +311,9 @@ HOLDINGS_PRODUCTOS_STEPS = [
     {"op": "shift_date", "params": {
         "date_column": "event_dt", "new_column": "release_dt", "months_to_add": 1}},
     {"op": "normalize_strings", "params": {}},
+    # one exchange on the customer key serves the pivot aggregation AND the
+    # rolling windows below (see runner._repartition_by)
+    {"op": "repartition", "params": {"columns": ["id_customer"]}},
     {"op": "conditional_pivot", "params": {
         "group_by": ["id_customer", "release_dt"],
         "pivot_column": "product",

@@ -43,6 +43,25 @@ def _select(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return df.select(*columns)
 
 
+def _repartition_by(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Hash-partition by key columns so every downstream operator keyed on
+    a superset of ``columns`` (groupBy, window partitionBy) reuses ONE
+    exchange instead of each inserting its own.
+
+    The feature pipelines' shape is ``(key, month)`` aggregation followed
+    by ``key``-partitioned rolling windows: planned naively that is two
+    exchanges — a partial-agg shuffle on (key, month) and a full-result
+    shuffle on key. Partitioning the RAW rows by key alone up front
+    satisfies both (hash partitioning on a subset of the clustering keys),
+    and because (key, month) group cardinality is high relative to
+    rows-per-map-partition, map-side partial aggregation was reducing
+    ~nothing while widening rows to N aggregation buffers — the raw-row
+    shuffle moves FEWER bytes than the partial-state shuffle it replaces.
+    No explicit partition count: AQE sizes the exchange from data volume
+    (scale-adaptive, not tuned to the local core count)."""
+    return df.repartition(*[F.col(c) for c in columns])
+
+
 def _drop(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     return df.drop(*columns)
 
@@ -52,6 +71,7 @@ OPS: dict[str, Callable[..., DataFrame]] = {
     # projections / filters
     "select": _select,
     "drop": _drop,
+    "repartition": _repartition_by,
     "select_distinct": ops.select_distinct,
     "filter": ops.filter_by_fixed_conditions,
     "filter_max": ops.filter_by_max_value,

@@ -29,6 +29,9 @@ SUPPLIER_RISK_STEPS = [
     {"op": "rename", "params": {"renames": {"l_suppkey": "suppkey"}}},
     {"op": "shift_date", "params": {
         "date_column": "l_shipdate", "new_column": "release_dt", "months_to_add": 1}},
+    # one exchange on the supplier key serves the aggregation AND the
+    # lag/rolling/RSI windows below (see runner._repartition_by)
+    {"op": "repartition", "params": {"columns": ["suppkey"]}},
     {"op": "aggregate", "params": {
         "group_by": ["suppkey", "release_dt"],
         "operations": [
