@@ -69,6 +69,13 @@ def pagerank(
         )
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        # checkpoint WITH src-hash partitioning and src order: the edge
+        # frame joins on src in EVERY iteration, and LogicalRDD preserves
+        # the checkpointed plan's partitioning/ordering — so the big side
+        # of the per-iteration join never re-shuffles or re-sorts
+        # (guide §2.4: establish the partitioning once)
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
         # the edge frame joins into EVERY iteration — without this the
         # upstream build (often a join + distinct) replays per iteration
         .localCheckpoint(eager=False)
@@ -77,6 +84,10 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        # AQE coalesces the small distinct to ~1 partition; the rank
+        # frame inherits that, serializing five iterations of DECIMAL
+        # arithmetic onto one task — spread it across the cluster
+        .repartition(F.col("node"))
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
@@ -85,22 +96,40 @@ def pagerank(
     base = nodes.join(deg, nodes["node"] == deg["src"], "left").select(
         "node", F.col("__deg")
     ).localCheckpoint(eager=False)
-    n_frame = nodes.agg(F.count("*").alias("__n"))
+    # n is needed as a scalar anyway (uniform teleport mass); counting the
+    # checkpointed node frame also tells us whether the rank table is
+    # broadcast-sized — below the threshold every per-iteration join can
+    # broadcast the O(nodes) side and the edge frame is NEVER shuffled
+    # after its checkpoint (guide §3.1: pick the strategy deliberately).
+    # Above it (billions of nodes) the joins fall back to the shuffle
+    # plan, which reuses e's checkpointed src-partitioning. Both plans
+    # compute identical values — only the join strategy differs.
+    n_nodes = nodes.count()
+    import os as _os
 
-    ranks = base.crossJoin(F.broadcast(n_frame)).select(
+    broadcast_ranks = n_nodes <= int(
+        _os.environ.get("SPARK_GRAFT_PAGERANK_BROADCAST_NODES", "4000000")
+    )
+
+    ranks = base.select(
         "node",
         "__deg",
-        "__n",
-        dround(F.lit(1.0) / F.col("__n").cast("double"), _RANK_SCALE)
+        F.lit(int(n_nodes)).alias("__n"),
+        dround(F.lit(1.0) / F.lit(float(n_nodes)), _RANK_SCALE)
         .cast(_DEC)
         .alias("rank"),
     )
     for _ in range(int(iterations)):
         # per-edge share; rounded so the dst-side DECIMAL sum is exact
+        rsrc = ranks.where(F.col("__deg").isNotNull()).select(
+            "node", "__deg", "rank"
+        )
+        if broadcast_ranks:
+            joined_src = e.join(F.broadcast(rsrc), rsrc["node"] == e["src"])
+        else:
+            joined_src = rsrc.join(e, rsrc["node"] == e["src"])
         contrib = (
-            ranks.where(F.col("__deg").isNotNull())
-            .join(e, ranks["node"] == e["src"])
-            .select(
+            joined_src.select(
                 F.col("dst"),
                 dround(
                     F.col("rank").cast("double") / F.col("__deg").cast("double"),
@@ -112,6 +141,8 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__share").alias("__in"))
         )
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
         dangling = ranks.agg(
             F.coalesce(
                 F.sum(F.when(F.col("__deg").isNull(), F.col("rank"))),

@@ -99,12 +99,23 @@ def main() -> None:
                     ts = si.get("Submission Time")
                     if ts is None or not (t_last0 <= ts / 1000.0 <= t_last1):
                         continue
-                    stages[si["Stage ID"]] = {
-                        "name": si.get("Stage Name", ""),
-                        "dur": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
-                        / 1000.0,
-                        "ntasks": si.get("Number of Tasks", 0),
-                    }
+                    sid = si["Stage ID"]
+                    st = stages.setdefault(sid, {"exec": 0.0, "sread": 0, "swrite": 0, "inrec": 0})
+                    st.update(
+                        name=si.get("Stage Name", ""),
+                        dur=(si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1000.0,
+                        ntasks=si.get("Number of Tasks", 0),
+                    )
+                elif et == "SparkListenerTaskEnd":
+                    tm = ev.get("Task Metrics") or {}
+                    sid = ev.get("Stage ID")
+                    st = stages.setdefault(sid, {"exec": 0.0, "sread": 0, "swrite": 0, "inrec": 0})
+                    st["exec"] += tm.get("Executor Run Time", 0) / 1000.0
+                    st["sread"] += (tm.get("Shuffle Read Metrics") or {}).get("Remote Bytes Read", 0) + (
+                        tm.get("Shuffle Read Metrics") or {}
+                    ).get("Local Bytes Read", 0)
+                    st["swrite"] += (tm.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
+                    st["inrec"] += (tm.get("Input Metrics") or {}).get("Records Read", 0)
 
     total = t_last1 - t_last0
     jlist = sorted(jobs.items())
@@ -123,10 +134,15 @@ def main() -> None:
             + (f"  [{'; '.join(sorted(snames))}]" if snames else "")
         )
     print(f"sum(job durations) = {jsum:.3f}s; driver/planning gap = {total - jsum:.3f}s")
-    top = sorted(stages.values(), key=lambda s: -s["dur"])[:15]
+    top = sorted(
+        (s for s in stages.values() if "dur" in s), key=lambda s: -s["dur"]
+    )[:15]
     print("\nslowest stages:")
     for s in top:
-        print(f"  {s['dur']:7.3f}s tasks={s['ntasks']:4d}  {s['name'][:120]}")
+        print(
+            f"  {s['dur']:7.3f}s exec={s['exec']:7.3f}s tasks={s['ntasks']:4d} "
+            f"in={s['inrec']:>9d}r sr={s['sread']:>10d}B sw={s['swrite']:>10d}B  {s['name'][:80]}"
+        )
 
 
 if __name__ == "__main__":
