@@ -28,25 +28,62 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
+def _moment_aggs(value_col: str, scale: int) -> list:
+    """The three moment aggregate expressions (shared by the plain and
+    the fused state builders so both produce identical values)."""
+    v = F.col(value_col)
+    vdec = v.cast(f"decimal(38,{scale})")
+    v2dec = (v * v).cast(f"decimal(38,{scale})")
+    return [
+        F.count(v).alias("n"),
+        F.coalesce(F.sum(vdec), F.lit(0).cast(f"decimal(38,{scale})")).alias("s"),
+        F.coalesce(F.sum(v2dec), F.lit(0).cast(f"decimal(38,{scale})")).alias("s2"),
+    ]
+
+
+def _hist_aggs(value_col: str, lo: float, hi: float, nbins: int) -> list:
+    """The per-bin count aggregate expressions (shared like
+    :func:`_moment_aggs`)."""
+    if nbins < 1:
+        raise ValueError("histogram_state requires nbins >= 1")
+    if not hi > lo:
+        raise ValueError("histogram_state requires hi > lo")
+    v = F.col(value_col).cast("double")
+    w = (float(hi) - float(lo)) / int(nbins)
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
+    b = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(nbins) - 1))
+    return [
+        F.sum(
+            F.when(v.isNotNull() & (b == i), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias(f"hist_{i}")
+        for i in range(int(nbins))
+    ]
+
+
 def aggregate_state(
     events: DataFrame,
     keys: Sequence[str],
     value_col: str,
     scale: int = 2,
+    hist: tuple[float, float, int] | None = None,
 ) -> DataFrame:
     """Per-key moment state of ``value_col``: ``n`` (rows with a
     non-null value), ``s`` (exact DECIMAL sum), ``s2`` (exact DECIMAL
     sum of squares). One hash aggregation with map-side combine — the
-    state is ≤ one row per key however large the batch."""
+    state is ≤ one row per key however large the batch.
+
+    ``hist=(lo, hi, nbins)`` additionally appends the fixed-bin
+    histogram columns of :func:`histogram_state` to the SAME
+    aggregation — value-identical to ``aggregate_state(...).join(
+    histogram_state(...), keys)`` (both group the same rows by the same
+    keys), but in ONE hash aggregate instead of two aggs plus a join
+    exchange (round-14 guide §2.4: two operations keyed the same way
+    share one pass)."""
     keys = list(keys)
-    v = F.col(value_col)
-    vdec = v.cast(f"decimal(38,{scale})")
-    v2dec = (v * v).cast(f"decimal(38,{scale})")
-    return events.groupBy(*keys).agg(
-        F.count(v).alias("n"),
-        F.coalesce(F.sum(vdec), F.lit(0).cast(f"decimal(38,{scale})")).alias("s"),
-        F.coalesce(F.sum(v2dec), F.lit(0).cast(f"decimal(38,{scale})")).alias("s2"),
-    )
+    aggs = _moment_aggs(value_col, scale)
+    if hist is not None:
+        aggs += _hist_aggs(value_col, float(hist[0]), float(hist[1]), int(hist[2]))
+    return events.groupBy(*keys).agg(*aggs)
 
 
 def merge_aggregate_state(
@@ -114,22 +151,7 @@ def histogram_state(
     per key regardless of event volume.
     """
     keys = list(keys)
-    if nbins < 1:
-        raise ValueError("histogram_state requires nbins >= 1")
-    if not hi > lo:
-        raise ValueError("histogram_state requires hi > lo")
-    v = F.col(value_col).cast("double")
-    w = (float(hi) - float(lo)) / int(nbins)
-    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
-    b = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(nbins) - 1))
-    return events.groupBy(*keys).agg(
-        *[
-            F.sum(
-                F.when(v.isNotNull() & (b == i), F.lit(1)).otherwise(F.lit(0))
-            ).cast("long").alias(f"hist_{i}")
-            for i in range(int(nbins))
-        ]
-    )
+    return events.groupBy(*keys).agg(*_hist_aggs(value_col, lo, hi, nbins))
 
 
 def merge_histogram_state(

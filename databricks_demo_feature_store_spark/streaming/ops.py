@@ -995,7 +995,6 @@ def stream_trailing_state(
 
     from databricks_demo_feature_store_spark.featurestore.incremental import (
         aggregate_state,
-        histogram_state,
         merge_aggregate_state,
     )
 
@@ -1018,14 +1017,14 @@ def stream_trailing_state(
         b = batch_df.withColumn(
             "bucket_start", F.date_trunc(bucket, F.col(event_time).cast("timestamp"))
         )
-        state = aggregate_state(b, [*keys, "bucket_start"], value_col, scale)
-        if hist is not None:
-            state = state.join(
-                histogram_state(
-                    b, [*keys, "bucket_start"], value_col, h_lo, h_hi, h_n
-                ),
-                on=[*keys, "bucket_start"],
-            )
+        # moments and bin counts in ONE hash aggregation (the old shape —
+        # aggregate_state joined to histogram_state on the same keys —
+        # paid a second agg plus a join exchange per micro-batch for
+        # columns the single groupBy computes side by side)
+        state = aggregate_state(
+            b, [*keys, "bucket_start"], value_col, scale,
+            hist=None if hist is None else (h_lo, h_hi, h_n),
+        )
         if latest is not None:
             standing = batch_df.sparkSession.read.parquet(
                 os.path.join(state_path, f"v{latest}")

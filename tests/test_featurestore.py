@@ -503,6 +503,30 @@ def test_aggregate_state_merge_is_exact(spark):
     assert out.x_std == 0.0 and out.x_mean == 5.0
 
 
+def test_fused_moment_histogram_state_matches_join_form(spark):
+    """aggregate_state(hist=...) — one hash aggregation — is value- and
+    column-order-identical to the old two-agg-plus-join shape the
+    round-14 optimization replaced in stream_trailing_state."""
+    from databricks_demo_feature_store_spark.featurestore.incremental import (
+        aggregate_state,
+        histogram_state,
+    )
+
+    rows = [
+        (i % 5, float(i * 7 % 40) - 3.0 if i % 11 else None) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double")
+    lo, hi, nbins = 0.0, 30.0, 8
+    fused = aggregate_state(df, ["k"], "v", scale=2, hist=(lo, hi, nbins))
+    joined = aggregate_state(df, ["k"], "v", scale=2).join(
+        histogram_state(df, ["k"], "v", lo, hi, nbins), on=["k"]
+    )
+    assert fused.columns == joined.columns
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+
+
 def test_window_lookup_collision_and_mixing(spark, manager):
     """WindowLookup output names join the collision validation, and a
     windowed training set with NO as-of lookups still assembles."""
