@@ -261,6 +261,47 @@ class FeatureStoreManager:
         return diff
 
 
+    def save_many(
+        self,
+        items,
+        mode: str = "merge",
+        policy: EvolutionPolicy = EvolutionPolicy.EVOLVE,
+        max_workers: int = 3,
+    ) -> dict:
+        """Save several INDEPENDENT feature tables with overlapped jobs
+        (guide §2.6: Spark happily runs several jobs at once inside one
+        application — actions are only sequential because driver code
+        calls them sequentially). Each save's write tail leaves most of
+        the cluster idle; submitting the next table's job from a small
+        thread pool back-fills those cores. 2–3 in flight is plenty.
+
+        ``items`` is an iterable of ``(df, spec)`` pairs targeting
+        DISTINCT tables (validated — two writers on one table would race
+        the non-atomic overwrite). Per-table writes and registry
+        sidecars are filesystem-independent, so concurrency cannot
+        change any table's content; result is the same per-name
+        :class:`SchemaDiff` map the sequential loop would produce."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(items)
+        names = [spec.name for _, spec in items]
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(f"save_many targets must be distinct tables: {dupes}")
+
+        def _one(item):
+            df, spec = item
+            return spec.name, self.save(df, spec, mode=mode, policy=policy)
+
+        max_workers = int(
+            os.environ.get("SPARK_GRAFT_SAVE_MANY_WORKERS", str(max_workers))
+        )
+        if len(items) <= 1 or max_workers <= 1:
+            return dict(map(_one, items))
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as pool:
+            return dict(pool.map(_one, items))
+
+
 def store_lineage(manager: "FeatureStoreManager"):
     """Lineage edges of a feature store from its registry metadata: one
     row per ``(source_table, feature_table)`` dependency declared via

@@ -1764,24 +1764,31 @@ def q_training_set_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = scratch_dir("stress_store")
     manager = FeatureStoreManager(spark, root)
-    for name, frame in (
-        ("fs_monthly_spend", f1),
-        ("fs_monthly_orders", f2),
-        ("fs_quarterly_priority", f3),
-        ("fs_customer_static", f4),
-        ("fs_monthly_quantity", f5),
-    ):
-        manager.save(
-            frame,
-            FeatureTableSpec(
-                name=name,
-                primary_keys=("custkey", "release_dt"),
-                timestamp_keys=("release_dt",),
-                description=f"stress-test feature table {name}",
-                source_tables=("orders", "lineitem", "customer"),
-            ),
-            mode="overwrite",
-        )
+    # five independent tables: overlapped writes (manager.save_many,
+    # guide §2.6) — each write's straggler tail back-fills with the next
+    # table's scan/agg instead of idling the cluster
+    manager.save_many(
+        [
+            (
+                frame,
+                FeatureTableSpec(
+                    name=name,
+                    primary_keys=("custkey", "release_dt"),
+                    timestamp_keys=("release_dt",),
+                    description=f"stress-test feature table {name}",
+                    source_tables=("orders", "lineitem", "customer"),
+                ),
+            )
+            for name, frame in (
+                ("fs_monthly_spend", f1),
+                ("fs_monthly_orders", f2),
+                ("fs_quarterly_priority", f3),
+                ("fs_customer_static", f4),
+                ("fs_monthly_quantity", f5),
+            )
+        ],
+        mode="overwrite",
+    )
 
     spine = o.filter(F.col("o_orderkey") % 5 == 0).select(
         F.col("o_orderkey").alias("label_id"),
@@ -2309,18 +2316,21 @@ def q_store_doctor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = scratch_dir("doctor_store")
     manager = FeatureStoreManager(spark, root)
-    manager.save(
-        clean,
-        FeatureTableSpec(
-            name="t_clean", primary_keys=("ck", "rd"), timestamp_keys=("rd",)
-        ),
-        mode="overwrite",
-    )
-    manager.save(
-        dirty,
-        FeatureTableSpec(
-            name="t_dirty", primary_keys=("ck",), timestamp_keys=("ts",)
-        ),
+    manager.save_many(
+        [
+            (
+                clean,
+                FeatureTableSpec(
+                    name="t_clean", primary_keys=("ck", "rd"), timestamp_keys=("rd",)
+                ),
+            ),
+            (
+                dirty,
+                FeatureTableSpec(
+                    name="t_dirty", primary_keys=("ck",), timestamp_keys=("ts",)
+                ),
+            ),
+        ],
         mode="overwrite",
     )
     return store_doctor(manager)
@@ -2472,27 +2482,30 @@ def q_training_set_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spend")
         )
     )
-    manager.save(
-        feats,
-        FeatureTableSpec(
-            name="monthly_spend",
-            primary_keys=("custkey", "release_dt"),
-            timestamp_keys=("release_dt",),
-        ),
-        mode="overwrite",
-    )
     events = o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderdate").alias("event_ts"),
         "o_totalprice",
     )
-    manager.save(
-        events,
-        FeatureTableSpec(
-            name="order_events",
-            primary_keys=("custkey", "event_ts"),
-            timestamp_keys=("event_ts",),
-        ),
+    manager.save_many(
+        [
+            (
+                feats,
+                FeatureTableSpec(
+                    name="monthly_spend",
+                    primary_keys=("custkey", "release_dt"),
+                    timestamp_keys=("release_dt",),
+                ),
+            ),
+            (
+                events,
+                FeatureTableSpec(
+                    name="order_events",
+                    primary_keys=("custkey", "event_ts"),
+                    timestamp_keys=("event_ts",),
+                ),
+            ),
+        ],
         mode="overwrite",
     )
     spine = o.where(F.col("o_orderkey") % 5 == 0).select(

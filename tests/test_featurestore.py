@@ -860,3 +860,52 @@ def test_spec_check_constraints_enforced_every_save(spark, manager):
     # passing merge lands
     manager.save(_df(spark, [(2, dt.date(2024, 1, 1), 2.0)]), spec, mode="merge")
     assert manager.read("checked_features").count() == 2
+
+
+def test_save_many_matches_sequential_saves(spark, tmp_path):
+    """save_many (overlapped independent writes) must produce tables and
+    registry metadata identical to the sequential loop, and refuse
+    duplicate targets (two writers on one table would race)."""
+    import datetime as dt
+
+    from databricks_demo_feature_store_spark.featurestore.manager import (
+        FeatureStoreManager,
+        FeatureTableSpec,
+    )
+
+    def spec(name):
+        return FeatureTableSpec(
+            name=name,
+            primary_keys=("pk_customer", "tpk_release_dt"),
+            timestamp_keys=("tpk_release_dt",),
+            description=f"tbl {name}",
+            source_tables=("orders",),
+        )
+
+    frames = {
+        f"t{i}": _df(
+            spark,
+            [(j, dt.date(2024, 1, 1 + j), float(i * 10 + j)) for j in range(3)],
+        )
+        for i in range(3)
+    }
+    seq = FeatureStoreManager(spark, str(tmp_path / "seq"))
+    for name, df in frames.items():
+        seq.save(df, spec(name), mode="overwrite")
+    par = FeatureStoreManager(spark, str(tmp_path / "par"))
+    diffs = par.save_many(
+        [(df, spec(name)) for name, df in frames.items()], mode="overwrite"
+    )
+    assert set(diffs) == set(frames)
+    assert par.list_tables() == seq.list_tables()
+    for name in frames:
+        a = sorted(map(tuple, seq.read(name).collect()))
+        b = sorted(map(tuple, par.read(name).collect()))
+        assert a == b
+        assert par.get_metadata(name) == seq.get_metadata(name)
+
+    with pytest.raises(ValueError, match="distinct"):
+        par.save_many(
+            [(frames["t0"], spec("dup")), (frames["t1"], spec("dup"))],
+            mode="overwrite",
+        )
