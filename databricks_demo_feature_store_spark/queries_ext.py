@@ -3969,7 +3969,10 @@ def q_ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=12, checkpoint_every=6)
-    enc = bpe_encode(docs, merges)
+    # mapInPandas is opaque to column pruning (guide §4.1): project to the
+    # two columns the encode needs, or lang/source/n_chars cross the
+    # Python boundary twice (and ride the scan fan-out exchange) unused
+    enc = bpe_encode(docs.select("doc_id", "text"), merges)
     recon = F.regexp_replace(F.concat_ws("", "tokens"), EOW, "")
     return enc.select(
         "doc_id",
