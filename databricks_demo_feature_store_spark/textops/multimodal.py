@@ -103,7 +103,14 @@ def decode_features(
     dataflow. Caution for cluster use: pass a ``decode_fn`` that pickles by
     value (nested closure) or ship the defining module to the executors.
     """
-    fn = decode_fn or _make_stub_decode()
+    fn = decode_fn
+    if fn is None:
+        fn = _make_stub_decode()
+        # the stub reads exactly these three columns; mapInPandas is opaque
+        # to column pruning, so project before the boundary (guide §4.1) —
+        # a custom decode_fn sees the full frame and projects at its call
+        # site if it wants the same saving
+        media = media.select("media_id", "media_type", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
