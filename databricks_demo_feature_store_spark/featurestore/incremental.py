@@ -312,7 +312,16 @@ def refresh_join_view_from_cdf(
         if not older:
             raise ValueError(f"no version before {v_to} to diff against")
         v_from = older[-1]
-    changes = versioned.changes_between(v_from, v_to, [key])
+    # Pin the change feed before splitting it: cdf_deltas fans `changes`
+    # out to THREE plan consumers (delta→touched, deletes→touched,
+    # delta→re-join), and without materialization each consumer re-runs
+    # the full-outer version diff — 3 two-snapshot joins per refresh
+    # (verified in plans/r14/q_incr_cdf_refresh_before.txt: three
+    # SortMergeJoin FullOuter nodes, zero ReusedExchange). The feed
+    # itself is delta-sized, so the checkpoint is cheap at any scale.
+    changes = versioned.changes_between(v_from, v_to, [key]).localCheckpoint(
+        eager=True
+    )
     delta, deletes = cdf_deltas(changes, key)
     return refresh_join_view(
         view, delta, other, on=on, replace_key=key, deletes=deletes

@@ -1391,7 +1391,12 @@ def stream_cdf_ivm(
         if v_max <= applied:
             return  # replay after post-commit crash, or bootstrap marker
         sess = batch_df.sparkSession
-        changes = versioned.changes_between(applied, v_max, [key])
+        # pin the span diff once: cdf_deltas fans it out to three plan
+        # consumers, each of which would re-run the full-outer version
+        # join (see refresh_join_view_from_cdf); the feed is delta-sized
+        changes = versioned.changes_between(applied, v_max, [key]).localCheckpoint(
+            eager=True
+        )
         delta, deletes = cdf_deltas(changes, key)
         view = sess.read.parquet(os.path.join(view_path, f"v{latest_view}"))
         refreshed = refresh_join_view(
