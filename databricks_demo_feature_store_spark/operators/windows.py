@@ -916,17 +916,22 @@ def seasonal_anomalies(
     # construction but arrives as resid_u/unit·unit — a double that can
     # sit an ulp below the integer, which cast(long) would TRUNCATE
     ru = F.round(F.col("residual") * F.lit(unit), 0).cast("long")
-    staged = dec.withColumn("__ru", ru)
-    med = staged.groupBy(*keys).agg(
-        F.expr("percentile(__ru, 0.5)").alias("__med")
-    )
-    madf = (
-        staged.join(med, on=keys)
+    # med and MAD are whole-partition aggregates over the SAME key
+    # partitioning the decomposition already established — compute them
+    # as window functions, not groupBy+join-back: the join form fanned
+    # the entire decompose subtree out to three plan consumers (3×
+    # SortMergeJoin, 3 re-executions of the decompose windows — measured
+    # in plans/r14/q_seasonal_anomalies_before.txt: 14 SMJ / 47
+    # Exchange, zero ReusedExchange). percentile ignores NULLs in both
+    # the aggregate and the window form, and every key has ≥1 row, so
+    # the inner joins dropped nothing — value-identical by construction.
+    w_key = Window.partitionBy(*keys)
+    out = (
+        dec.withColumn("__ru", ru)
+        .withColumn("__med", F.expr("percentile(__ru, 0.5)").over(w_key))
         .withColumn("__ad", F.abs(F.col("__ru") - F.col("__med")))
-        .groupBy(*keys)
-        .agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+        .withColumn("__mad", F.expr("percentile(__ad, 0.5)").over(w_key))
     )
-    out = staged.join(med, on=keys).join(madf, on=keys)
     thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
     return out.select(
         *keys,
