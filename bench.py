@@ -194,6 +194,23 @@ def _sweep_names(QUERIES) -> list[str]:
     ]
 
 
+def _record_cpus() -> tuple[int, int]:
+    """(current core count, record core count). Standing-record artifacts
+    (BENCH_FULL.json / BENCH_SWEEP.json) are only comparable at one core
+    count; round 14's driver ran the scaling arm at 8 cores and the
+    unconditional artifact writes polluted the rolling-record window with
+    an incomparable sweep (VERDICT r14 item 2)."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    record = int(os.environ.get("SPARK_GRAFT_BENCH_RECORD_CPUS", "32"))
+    return cpus, record
+
+
+def _progress_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PROGRESS.json"
+    )
+
+
 def _orchestrate(sf_dir: str, sf: float | None) -> None:
     """Full-sweep mode: run the suite as SEQUENTIAL fresh-JVM chunks of
     ~CHUNK queries instead of one JVM marathon. Measured round 12: a
@@ -205,7 +222,26 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
     the artifact itself becomes the evidence. Children are sequential
     (parallel JVMs on one host would recreate the contention this
     removes) and write raw timings to a temp file; the parent merges,
-    maintains BENCH_FULL.json and prints the single driver line."""
+    maintains BENCH_FULL.json and prints the single driver line.
+
+    Timeout resilience (round 14 post-mortem: the driver's 32-core run
+    hit its wall clock and rc=124 left ZERO evidence because all output
+    happened at the very end):
+      * children flush per-query timings to their out file as they go;
+      * the parent merges + writes BENCH_PROGRESS.json and prints a
+        stderr heartbeat after EVERY chunk;
+      * SIGTERM/SIGINT make the parent print the driver line over
+        whatever has completed (flagged ``"partial": true``) instead of
+        dying silently;
+      * a wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC; default 1800 s at
+        32 cores, scaled by sqrt(32/cpus) at lower core counts since the
+        same suite is legitimately slower there) degrades remaining
+        chunks to min-of-1 — and, only if even that cannot fit, skips
+        them — with the degradation named in the printed line. On a calm
+        host the 32-core sweep runs ~20 min and never triggers this.
+    """
+    import signal
+    import statistics
     import subprocess
     import tempfile
 
@@ -217,38 +253,144 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
     chunk_size = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "50")))
     timings: dict[str, float] = {}
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    for i in range(0, len(names), chunk_size):
-        chunk = names[i : i + chunk_size]
+    cpus, record_cpus = _record_cpus()
+    budget_env = os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+    budget = (
+        float(budget_env)
+        if budget_env
+        else 1800.0 * (max(record_cpus, cpus) / max(1, cpus)) ** 0.5
+    )
+    t_start = time.time()
+    chunks = [names[i : i + chunk_size] for i in range(0, len(names), chunk_size)]
+    notes: list[str] = []
+    current_out: dict[str, str] = {}
+
+    def _emit_partial(signum, frame):  # pragma: no cover - signal path
+        # a timeout (SIGTERM from `timeout`) or Ctrl-C must still leave a
+        # parseable driver line: merge the in-flight chunk's partial file
+        # and print over everything completed so far, then exit
+        try:
+            if current_out.get("path"):
+                with open(current_out["path"]) as fh:
+                    timings.update(json.load(fh).get("queries", {}))
+        except Exception:
+            pass
+        notes.append(f"interrupted by signal {signum}")
+        _print_line(
+            timings,
+            sf,
+            runs,
+            partial=True,
+            notes=notes,
+            n_expected=len(names),
+        )
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_partial)
+    signal.signal(signal.SIGINT, _emit_partial)
+
+    chunk_walls: list[tuple[int, float]] = []  # (n queries, wall sec)
+    degraded: list[str] = []
+    skipped: list[str] = []
+    for ci, chunk in enumerate(chunks):
+        elapsed = time.time() - t_start
+        remaining = budget - elapsed
+        child_runs = runs
+        if chunk_walls:
+            per_q = statistics.median(w / n for n, w in chunk_walls)
+            est_full = per_q * len(chunk)
+            # ~15 s JVM startup is inside per_q already (amortized)
+            if remaining < est_full * 1.15 and runs > 1:
+                # min-of-1 costs roughly 1/runs of the timed part plus
+                # the fixed JVM/registration overhead; estimate half
+                est_one = est_full * (1.0 / runs) + 20.0 * (len(chunk) / 50.0)
+                if remaining >= est_one * 1.15:
+                    child_runs = 1
+                    degraded.extend(chunk)
+                else:
+                    skipped.extend(n for c in chunks[ci:] for n in c)
+                    notes.append(
+                        f"budget {budget:.0f}s exhausted after {elapsed:.0f}s: "
+                        f"skipped {len(skipped)} queries"
+                    )
+                    break
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             out_path = tf.name
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(chunk)
         env["SPARK_GRAFT_BENCH_OUT"] = out_path
+        env["SPARK_GRAFT_BENCH_RUNS"] = str(child_runs)
+        current_out["path"] = out_path
+        t_chunk = time.time()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.PIPE,
         )
+        current_out["path"] = ""
         if proc.returncode != 0:
             # surface the child's actual failure (Spark/py4j traceback) —
             # a bare "chunk N failed" leaves the error unrecoverable
             tail = (proc.stderr or b"").decode(errors="replace").strip()
             tail = "\n".join(tail.splitlines()[-40:])
             raise SystemExit(
-                f"bench chunk {i // chunk_size} failed "
+                f"bench chunk {ci} failed "
                 f"(queries {chunk[:3]}...)\n--- child stderr tail ---\n{tail}"
             )
         with open(out_path) as fh:
             timings.update(json.load(fh)["queries"])
         os.unlink(out_path)
+        wall = time.time() - t_chunk
+        chunk_walls.append((len(chunk), wall))
+        if child_runs != runs:
+            notes.append(
+                f"chunk {ci} degraded to min-of-{child_runs} (budget)"
+            )
+        # per-chunk evidence: progress artifact + stderr heartbeat, so an
+        # external kill at ANY point leaves per-query numbers on disk
+        try:
+            with open(_progress_path(), "w") as fh:
+                json.dump(
+                    {
+                        "chunks_done": ci + 1,
+                        "chunks_total": len(chunks),
+                        "queries": timings,
+                        "wall_sec": round(time.time() - t_start, 1),
+                        "cpus": cpus,
+                        "sf": sf,
+                    },
+                    fh,
+                )
+        except Exception:
+            pass
+        print(
+            f"[bench] chunk {ci + 1}/{len(chunks)} done: "
+            f"{len(timings)}/{len(names)} queries, "
+            f"sum {sum(timings.values()):.1f}s, wall {time.time() - t_start:.0f}s"
+            + (f" (min-of-{child_runs})" if child_runs != runs else ""),
+            file=sys.stderr,
+            flush=True,
+        )
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.SIG_DFL)
+    complete = not skipped
+    if complete:
+        try:
+            os.unlink(_progress_path())  # full evidence lands in BENCH_FULL
+        except FileNotFoundError:
+            pass
     # Raw sweep artifact: BENCH_FULL.json keeps standing MINIMA, which
     # hides what THIS sweep actually measured — persist the un-merged map
     # so the tail-inflation audit (sweep value / standing record) is
     # computable from committed artifacts. Written ONLY here (full
     # sweeps): a targeted SPARK_GRAFT_BENCH_ONLY re-measure must not
-    # clobber the suite-wide evidence with its handful of names.
-    if sf == 0.1:
+    # clobber the suite-wide evidence with its handful of names. Guarded
+    # on the record core count AND on completeness at full min-of-N: a
+    # scaling-arm run (8 cores) or a budget-degraded sweep is not
+    # comparable with the rolling-record window (VERDICT r14 item 2).
+    if sf == 0.1 and cpus == record_cpus and complete and not degraded and not limit:
         sweep_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SWEEP.json"
         )
@@ -278,12 +420,13 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
                     "recent_sweeps": recent,
                     "sf": sf,
                     "runs_per_query": runs,
+                    "cpus": cpus,
                 },
                 fh,
                 indent=1,
                 sort_keys=True,
             )
-    _finalize(timings, QUERIES, sf, runs)
+    _finalize(timings, QUERIES, sf, runs, notes=notes, partial=not complete)
 
 
 def main() -> None:
@@ -328,8 +471,20 @@ def main() -> None:
     # worker setup); min-of-N measures the query, not the noise. Override
     # with SPARK_GRAFT_BENCH_RUNS=1 for single-shot behavior.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+
+    def _flush_child() -> None:
+        # incremental per-query flush (atomic rename so the parent's
+        # signal handler never reads a half-written file): an external
+        # kill mid-chunk loses at most the query in flight, not the chunk
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"queries": timings, "sf": sf}, fh)
+        os.replace(tmp, out_path)
+
     timings: dict[str, float] = {}
     for name in names:
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -337,13 +492,13 @@ def main() -> None:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        if out_path:
+            _flush_child()
+    spark.sparkContext.setJobDescription(None)
 
     # chunk-child mode (_orchestrate): hand raw timings to the parent and
     # leave BENCH_FULL bookkeeping + the driver line to it
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:
-        with open(out_path, "w") as fh:
-            json.dump({"queries": timings, "sf": sf}, fh)
         spark.stop()
         return
 
@@ -351,9 +506,14 @@ def main() -> None:
     spark.stop()
 
 
-def _finalize(timings: dict[str, float], QUERIES, sf: float | None, runs: int) -> None:
-    total = round(sum(timings.values()), 3)
-
+def _finalize(
+    timings: dict[str, float],
+    QUERIES,
+    sf: float | None,
+    runs: int,
+    notes: list[str] | None = None,
+    partial: bool = False,
+) -> None:
     # The driver captures only the LAST ~2000 characters of stdout and
     # json-parses them; a per-query map over the full 170+ query suite
     # blew that window from round 4 on (BENCH_r{4..7}.json all recorded
@@ -419,12 +579,26 @@ def _finalize(timings: dict[str, float], QUERIES, sf: float | None, runs: int) -
         "runs_per_query": runs,
     }
     # BENCH_FULL.json is the standing-record bookkeeping for BASELINE.md
-    # and is only meaningful at the benchmark scale — a sf0.001 smoke run
-    # (tools/gate.py step 4) must not clobber it
-    if sf == 0.1:
+    # and is only meaningful at the benchmark scale AND core count — a
+    # sf0.001 smoke run (tools/gate.py step 4) or the driver's low-core
+    # scaling arm must not clobber it (VERDICT r14 item 2)
+    cpus, record_cpus = _record_cpus()
+    if sf == 0.1 and cpus == record_cpus:
         with open(full_path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
 
+    _print_line(timings, sf, runs, partial=partial, notes=notes)
+
+
+def _print_line(
+    timings: dict[str, float],
+    sf: float | None,
+    runs: int,
+    partial: bool = False,
+    notes: list[str] | None = None,
+    n_expected: int | None = None,
+) -> None:
+    total = round(sum(timings.values()), 3)
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     line = {
         "metric": "headline_queries_wall_sec",
@@ -436,6 +610,12 @@ def _finalize(timings: dict[str, float], QUERIES, sf: float | None, runs: int) -
         "sf": sf,
         "runs_per_query": runs,
     }
+    if partial:
+        line["partial"] = True
+        if n_expected is not None:
+            line["n_expected"] = n_expected
+    if notes:
+        line["notes"] = "; ".join(notes)[:300]
     # never outgrow the driver's ~2000-char capture window: shrink the
     # per-query map until the line fits, down to a totals-only line
     out = json.dumps(line)

@@ -733,69 +733,95 @@ round) + pytest. Round-14 births (q_version_restore, q_version_clone,
 q_stream_cdf_ivm, …) born after this window is pinned follow the
 standing precedent: green in the full local gate + dedicated pytest
 pinning, they rotate into r15's window first.
+
+Round-15 rotation (VERDICT r14 task 4): the 11 never-driver-certified
+queries first (the partial-BUILD-round births — OHLC family, PCA pair,
+RESTORE/clone/schema-evolution, row policy, streaming CDF IVM pair —
+never sampled because the r14 window was pinned before they existed),
+then the round-14-TOUCHED paths whose newest cert predates their
+rewrite, in VERDICT's own priority order: the IVF/PQ broadcast-argmax
+family (q_ext_ivfpq_topk + the six index-lifecycle queries +
+q_ext_semantic_dedup + the other ANN consumers q_ext_pq_adc_topk /
+q_ext_pq_refined_topk / q_ext_ann_ivf), the window-form
+q_seasonal_anomalies, the repartition-sharing pipeline family (5
+uncertified members + q_pipeline_incremental + q_gen_payment_golden),
+q_stream_trailing_quantile + q_stream_trailing_features (fused
+trailing state), the footer-harvest skipping/storage family
+(q_skipping_* + q_deletion_vectors + q_fs_forget + q_version_changes),
+the stream-scaling + shared-shingle-hash consumers
+(q_stream_ingest_multibatch, q_stream_index_upserts, q_stream_hourly),
+save_many consumers (q_training_set_windowed, q_store_doctor), and the
+projection-before-boundary q_ext_bpe_roundtrip. The last slots take
+round-15's own optimization targets (q_stream_cms, q_cms_frequencies,
+q_ext_image_dhash, q_ext_dsir_weights) so this round's rewrites are
+driver-certified in the same round they land.
+
+OUT: all 50 round-14 window members — every one is round-14
+driver-green (CORRECTNESS_r14: 50/50) and stays exact-checked by the
+full local differential gate (279 queries) + pytest.
 """
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- round-14 window (see docstring tail) ----
-    # first-ever driver rows: the 8 r13 births (never certified)
-    "q_incr_cdf_refresh",
-    "q_incr_cdf_agg_refresh",
-    "q_compact_policy",
-    "q_stream_late_metrics",
-    "q_check_constraints",
-    "q_column_mapping",
-    "q_manifest_snapshot",
-    "q_generated_columns",
-    # r8-stale re-certifications (all 24 — oldest cohort first)
-    "q_backtest_folds",
-    "q_event_decay",
-    "q_ext_chunk_documents",
-    "q_ext_curate_corpus",
-    "q_ext_dedup_clusters_twophase",
-    "q_ext_exact_sample",
-    "q_ext_frequent_items",
-    "q_ext_mmr_rerank",
-    "q_ext_pmi_collocations",
-    "q_ext_quantization_error",
-    "q_ext_shuffle_shards",
-    "q_join_size_estimate",
-    "q_mutual_information",
-    "q_robust_outliers",
-    "q_semi_join_exists",
-    "q_triangle_count",
-    "q_val_cohens_kappa",
-    "q_val_count_anomalies",
-    "q_val_decile_lift",
-    "q_val_pit_leakage",
-    "q_val_pr_curve",
-    "q_val_psi_numeric",
-    "q_winsorize",
-    "q_zorder_key",
-    # r9-stale re-certifications (18 of 46, churn-prioritized)
-    "q_val_timetravel_crosscheck",
-    "q_training_set",
-    "q_training_set_refresh",
-    "q_training_set_stress",
-    "q_pipeline_credit_native",
-    "q_pipeline_payment_behavior",
-    "q_stream_ingest_dedup",
-    "q_stream_stateful_stats",
-    "q_stream_interval_join",
-    "q_stream_cusum",
-    "q_ext_multimodal_decode",
-    "q_ext_quality_classifier",
-    "q_ext_cross_corpus_dedup",
-    "q_ext_contamination_bloom",
-    "q_golden_records",
-    "q_pagerank",
-    "q_val_serving_skew",
-    "q_val_feature_screen",
+    # ---- round-15 window (see docstring tail) ----
+    # never-driver-certified: the 11 partial-BUILD-round births
+    "q_stream_cdf_ivm",
+    "q_stream_cdf_agg_ivm",
+    "q_version_restore",
+    "q_version_clone",
+    "q_version_schema_evolution",
+    "q_ohlc_bars",
+    "q_ohlc_weekly_rollup",
+    "q_stream_ohlc",
+    "q_row_policy",
+    "q_ext_embedding_pca",
+    "q_ext_pca_two_stage",
+    # r14-touched, newest cert predates the rewrite (VERDICT priority)
+    "q_ext_ivfpq_topk",
+    "q_ext_index_search",
+    "q_ext_index_refresh",
+    "q_ext_index_refine",
+    "q_ext_index_partitioned",
+    "q_ext_index_rebuild_policy",
+    "q_ext_index_doctor",
+    "q_ext_semantic_dedup",
+    "q_ext_pq_adc_topk",
+    "q_ext_pq_refined_topk",
+    "q_ext_ann_ivf",
+    "q_seasonal_anomalies",
+    "q_pipeline_customer_tx",
+    "q_pipeline_supplier_risk",
+    "q_pipeline_product_holdings",
+    "q_pipeline_holdings_native",
+    "q_pipeline_demographic",
+    "q_pipeline_incremental",
+    "q_gen_payment_golden",
+    "q_stream_trailing_quantile",
+    "q_stream_trailing_features",
+    "q_skipping_scan",
+    "q_skipping_zorder",
+    "q_skipping_bloom",
+    "q_skipping_incremental",
+    "q_deletion_vectors",
+    "q_fs_forget",
+    "q_version_changes",
+    "q_stream_ingest_multibatch",
+    "q_stream_index_upserts",
+    "q_stream_hourly",
+    "q_training_set_windowed",
+    "q_store_doctor",
+    "q_ext_bpe_roundtrip",
+    # round-15 optimization targets (certified in the round they change)
+    "q_stream_cms",
+    "q_cms_frequencies",
+    "q_ext_image_dhash",
+    "q_ext_dsir_weights",
+    "q_ext_dedup_keep_best",
 )
 
 # (older window tuples live in git history — r11: commit 0934e9c,
-#  r13: commit 24812cb)
+#  r13: commit 24812cb, r14: commit 50f8ec6)
 
 WINDOW_SIZE = 50
 

@@ -359,41 +359,64 @@ def cms_estimate(
     seed: int | str = 0,
 ) -> DataFrame:
     """Point-query the Count–Min sketch for every row of ``keys``:
-    ``(col, cms_count)`` with ``cms_count = min`` over the ``depth``
+    all ``keys`` columns plus ``cms_count = min`` over the ``depth``
     cells the key hashes to (missing cells read 0 — the key was never
     seen by that row). Pass the SAME (depth, width, seed) the sketch was
-    built with. The sketch is broadcast-sized by construction
-    (≤ depth·width rows), so the probe is a broadcast join however
-    large the key list is."""
+    built with.
+
+    Plan shape (round 15): the sketch is ≤ ``depth·width`` rows by
+    construction, so it collapses to ONE broadcast row carrying a
+    ``cell → n`` map; each key row computes its ``depth`` lookups as
+    plain column algebra (``least`` over ``element_at`` probes). The old
+    form exploded every key row ``depth``-ways, broadcast-joined the
+    cells and re-aggregated ``min(n) GROUP BY key`` — two extra
+    exchanges and a ×depth row blow-up that this removes (guide §2.3/
+    §2.4: shuffle fewer bytes / remove shuffles outright; same
+    broadcast-1-row-map pattern as the r14 IVF-assign rewrite).
+
+    Semantics note: output preserves ``keys``' columns and row
+    multiplicity (duplicate key values produce duplicate rows — the old
+    form collapsed them via its re-aggregation; every engine caller
+    passes distinct/grouped keys, where the two are identical).
+    """
     from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
 
-    probes = keys.select(
-        F.col(col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        F.pmod(
-                            portable_hash_col(
-                                F.concat(
-                                    F.lit(f"{i}:"), F.col(col).cast("string")
-                                ),
-                                seed=seed,
-                            ),
-                            F.lit(int(width)),
-                        ).cast("int").alias("bucket"),
-                    )
-                    for i in range(int(depth))
-                ]
+    width = int(width)
+    cell_map = sketch.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("row_idx").cast("long") * F.lit(width) + F.col("bucket"))
+                    .cast("long")
+                    .alias("k"),
+                    F.col("n").alias("v"),
+                )
             )
-        ).alias("__c"),
-    ).select(col, F.col("__c.row_idx").alias("row_idx"), F.col("__c.bucket").alias("bucket"))
-    joined = probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
-    return (
-        joined.groupBy(col)
-        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
-        .select(col, F.col("cms_count").cast("long").alias("cms_count"))
+        ).alias("__cells")
+    )
+    probes = [
+        F.coalesce(
+            F.element_at(
+                F.col("__cells"),
+                (
+                    F.lit(i * width)
+                    + F.pmod(
+                        portable_hash_col(
+                            F.concat(F.lit(f"{i}:"), F.col(col).cast("string")),
+                            seed=seed,
+                        ),
+                        F.lit(width),
+                    )
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for i in range(int(depth))
+    ]
+    est = probes[0] if len(probes) == 1 else F.least(*probes)
+    return keys.crossJoin(F.broadcast(cell_map)).select(
+        *[keys[c] for c in keys.columns],
+        est.cast("long").alias("cms_count"),
     )
 
 

@@ -924,7 +924,12 @@ def seasonal_anomalies(
     # in plans/r14/q_seasonal_anomalies_before.txt: 14 SMJ / 47
     # Exchange, zero ReusedExchange). percentile ignores NULLs in both
     # the aggregate and the window form, and every key has ≥1 row, so
-    # the inner joins dropped nothing — value-identical by construction.
+    # the inner joins dropped nothing — value-identical by construction
+    # for non-NULL keys. Contract note (ADVICE r14): rows whose KEY
+    # columns are NULL were dropped by the old inner joins but are kept
+    # here (Window.partitionBy groups NULL keys into one partition); the
+    # engine's callers all pass non-null keys (TPC-H dimension keys), so
+    # results are unchanged where it is used.
     w_key = Window.partitionBy(*keys)
     out = (
         dec.withColumn("__ru", ru)

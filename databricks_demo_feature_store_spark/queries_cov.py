@@ -2272,14 +2272,16 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select("l_suppkey")
     sk = count_min_sketch(li, "l_suppkey", depth=4, width=64)
-    keys = li.where(F.col("l_suppkey").isNotNull()).distinct()
-    est = cms_estimate(sk, keys, "l_suppkey", depth=4, width=64)
+    # exact counts double as the distinct key list: probing the broadcast
+    # cell map per exact row removes the old distinct + probe-explode +
+    # min-regroup + est⋈exact join (guide §2.4 — one exchange total; the
+    # row set is identical because GROUP BY keys ARE the distinct keys)
     exact = (
         li.where(F.col("l_suppkey").isNotNull())
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    return est.join(exact, "l_suppkey").select(
+    return cms_estimate(sk, exact, "l_suppkey", depth=4, width=64).select(
         "l_suppkey",
         F.col("exact_count").cast("long").alias("exact_count"),
         "cms_count",

@@ -4404,16 +4404,24 @@ def q_ext_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * 100).cast("long"),
     )
     base = emb.select(F.col("vec_id").alias("tile_id"), px.alias("p"))
-    tiles = base.unionByName(
-        base.select((F.col("tile_id") + 100000).alias("tile_id"), "p")
-    )
     grid = F.array(
         *[
             F.array(*[F.element_at(F.col("p"), i * 8 + j + 1) for j in range(8)])
             for i in range(8)
         ]
     )
-    hashed = tiles.select("tile_id", dhash_col(grid, 8, 8).alias("dhash"))
+    # the re-encoded copy has the same pixels, hence the same hash: hash
+    # the base corpus ONCE and explode the (original, re-encoded) tile-id
+    # pair, instead of unioning two branches that each re-run the scan +
+    # quantize + 56-term hash (guide §2.4/§1.2 — same row multiset, half
+    # the scan/compute; the old union re-executed the whole subtree per
+    # branch)
+    hashed = base.select("tile_id", dhash_col(grid, 8, 8).alias("dhash")).select(
+        F.explode(
+            F.array(F.col("tile_id"), F.col("tile_id") + F.lit(100000))
+        ).alias("tile_id"),
+        "dhash",
+    )
     return (
         hashed.groupBy("dhash")
         .agg(

@@ -2104,14 +2104,13 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     sk = read_count_min_sketch(spark, sketch)
-    keys = docs.where(F.col("source").isNotNull()).select("source").distinct()
-    est = cms_estimate(sk, keys, "source", depth=4, width=8)
+    # exact counts double as the distinct key list (see q_cms_frequencies)
     exact = (
         docs.where(F.col("source").isNotNull())
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    return est.join(exact, "source").select(
+    return cms_estimate(sk, exact, "source", depth=4, width=8).select(
         "source",
         F.col("exact_count").cast("long").alias("exact_count"),
         "cms_count",

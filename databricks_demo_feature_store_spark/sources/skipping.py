@@ -101,6 +101,10 @@ def _files_df(spark: SparkSession, files: Sequence[str]) -> DataFrame:
             [(f,) for f in files], "file_path string"
         )
     n = len(files)
+    if n == 0:
+        # parallelize(..., 0) raises; an empty list can reach here when a
+        # table's data files have all vanished while its sidecar remains
+        return spark.createDataFrame([], "file_path string")
     slices = max(
         min(n, 4),
         min(spark.sparkContext.defaultParallelism, -(-n // per_slice)),

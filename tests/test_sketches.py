@@ -224,3 +224,53 @@ def test_count_min_sketch_properties(spark):
     import pytest as _p
     with _p.raises(ValueError, match="depth"):
         count_min_sketch(df, "k", depth=0)
+
+
+def test_cms_estimate_map_lookup_matches_cell_replay(spark):
+    """Round-15 rewrite guard: cms_estimate now probes a broadcast 1-row
+    cell map with least(element_at(...)) instead of explode + broadcast
+    join + min-regroup. Pin the new form against a Python replay of the
+    OLD algorithm (min over the depth cells, missing cells read 0)
+    computed from the sketch rows themselves, and pin the new
+    keys-columns-preserved contract."""
+    from databricks_demo_feature_store_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from databricks_demo_feature_store_spark.textops.dedup import portable_hash_col
+
+    depth, width = 3, 4  # narrow: collisions guaranteed
+    rows = [(k,) for k in "aabbbccccddx"]
+    df = spark.createDataFrame(rows, "k string")
+    sk = count_min_sketch(df, "k", depth=depth, width=width)
+    cells = {(r["row_idx"], r["bucket"]): r["n"] for r in sk.collect()}
+
+    keys = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30), ("never", 40)], "k string, extra int"
+    )
+    # replay the old algorithm in python: bucket per (i, key) via the same
+    # portable hash, then min over coalesce(cell, 0)
+    probe = keys.select(
+        "k",
+        *[
+            F.pmod(
+                portable_hash_col(F.concat(F.lit(f"{i}:"), F.col("k")), seed=0),
+                F.lit(width),
+            ).cast("int").alias(f"b{i}")
+            for i in range(depth)
+        ],
+    )
+    expected = {}
+    for r in probe.collect():
+        expected[r["k"]] = min(
+            cells.get((i, r[f"b{i}"]), 0) for i in range(depth)
+        )
+
+    out = cms_estimate(sk, keys, "k", depth=depth, width=width)
+    assert out.columns == ["k", "extra", "cms_count"]  # keys cols preserved
+    got = {r["k"]: r["cms_count"] for r in out.collect()}
+    assert got == expected
+    assert {r["extra"] for r in out.collect()} == {10, 20, 30, 40}
+    # duplicate key rows stay duplicated (documented contract change)
+    dup = spark.createDataFrame([("a",), ("a",)], "k string")
+    assert cms_estimate(sk, dup, "k", depth=depth, width=width).count() == 2

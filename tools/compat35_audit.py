@@ -194,6 +194,11 @@ PYSPARK_35_CONF_KEYS_VERIFIED = {
     "spark.sql.session.timeZone",                      # 2.2
     "spark.sql.shuffle.partitions",                    # 1.1
     "spark.sql.sources.partitionOverwriteMode",        # 2.3
+    # Spark 4.1 checkpoint-checksum kill switch (session.py, r14): the
+    # key does not exist in 3.5, where it is an inert string — and its
+    # absence is exactly the behavior the code wants there (3.5 writes
+    # no checkpoint checksums to disable). Safe both ways.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled",
     "spark.sql.warehouse.dir",                         # 2.0
     "spark.ui.enabled",
     "spark.ui.showConsoleProgress",

@@ -134,7 +134,8 @@ def main() -> int:
     print("== round-artifact hygiene ==", flush=True)
     proc = subprocess.run(
         ["git", "status", "--porcelain", "--",
-         "BENCH_r*.json", "CORRECTNESS_r*.json",
+         "BENCH_r*.json", "CORRECTNESS_r*.json", "PERF_r*.json",
+         "VERIFY_r*.json", "VERDICT.md", "ADVICE.md", "BENCH_PROGRESS.json",
          "BENCH_FULL.json", "BENCH_SWEEP.json", "BASELINE.md", "SCALING.md"],
         cwd=REPO, capture_output=True, text=True,
     )
