@@ -345,8 +345,9 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
         wall = time.time() - t_chunk
         chunk_walls.append((len(chunk), wall))
         if child_runs != runs:
+            # 1-based to match the stderr heartbeat numbering
             notes.append(
-                f"chunk {ci} degraded to min-of-{child_runs} (budget)"
+                f"chunk {ci + 1} degraded to min-of-{child_runs} (budget)"
             )
         # per-chunk evidence: progress artifact + stderr heartbeat, so an
         # external kill at ANY point leaves per-query numbers on disk
@@ -376,9 +377,13 @@ def _orchestrate(sf_dir: str, sf: float | None) -> None:
     signal.signal(signal.SIGTERM, signal.SIG_DFL)
     signal.signal(signal.SIGINT, signal.SIG_DFL)
     complete = not skipped
-    if complete:
+    if complete and not degraded:
+        # full evidence lands in BENCH_SWEEP/BENCH_FULL; a degraded or
+        # partial sweep keeps BENCH_PROGRESS.json as its raw map — the
+        # record artifacts skip it by design, so deleting progress too
+        # would leave the run with no per-query evidence at all
         try:
-            os.unlink(_progress_path())  # full evidence lands in BENCH_FULL
+            os.unlink(_progress_path())
         except FileNotFoundError:
             pass
     # Raw sweep artifact: BENCH_FULL.json keeps standing MINIMA, which

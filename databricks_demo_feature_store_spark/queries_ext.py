@@ -1516,8 +1516,9 @@ def q_ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
+    # target ⊂ source: featurize once, filter the same pass (r15)
     return dsir_importance_weights(
-        docs, docs.where(F.col("lang") == "en"), n_buckets=_DSIR_B
+        docs, target_filter=F.col("lang") == "en", n_buckets=_DSIR_B
     )
 
 

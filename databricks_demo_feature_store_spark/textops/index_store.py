@@ -225,39 +225,43 @@ class VectorIndexStore:
             corpus, self.nlist, self.id_col, self.vec_col, kmeans_iterations
         )
         cb = pq_codebooks(corpus, self.m, self.pq_k, self.id_col, self.vec_col)
-        self.manager.save(
-            cents,
-            FeatureTableSpec(
-                self.centroids_table,
-                primary_keys=("centroid_id",),
-                description=f"IVF coarse quantizer for {self.name}",
-                tags={"nlist": str(self.nlist)},
-            ),
-            mode="overwrite",
-        )
-        self.manager.save(
-            cb,
-            FeatureTableSpec(
-                self.codebooks_table,
-                primary_keys=("sub", "code"),
-                description=f"PQ codebooks for {self.name}",
-                tags={"m": str(self.m), "pq_k": str(self.pq_k)},
-            ),
+        # Two overlap phases (guide §2.6 via manager.save_many — each
+        # save's write tail leaves most cores idle; the sibling table's
+        # training/encode jobs back-fill them). Phase 1: the two
+        # quantizer trainings are independent of each other; phase 2:
+        # _encode reads the SAVED quantizer tables so postings must wait
+        # for phase 1, but the flat vector tier depends only on corpus.
+        self.manager.save_many(
+            [
+                (
+                    cents,
+                    FeatureTableSpec(
+                        self.centroids_table,
+                        primary_keys=("centroid_id",),
+                        description=f"IVF coarse quantizer for {self.name}",
+                        tags={"nlist": str(self.nlist)},
+                    ),
+                ),
+                (
+                    cb,
+                    FeatureTableSpec(
+                        self.codebooks_table,
+                        primary_keys=("sub", "code"),
+                        description=f"PQ codebooks for {self.name}",
+                        tags={"m": str(self.m), "pq_k": str(self.pq_k)},
+                    ),
+                ),
+            ],
             mode="overwrite",
         )
         # build() trains on `corpus` then encodes the same frame — don't
         # recompute it per artifact
-        self.manager.save(
-            self._encode(corpus),
-            self._postings_spec(),
-            mode="overwrite",
-        )
+        phase2 = [(self._encode(corpus), self._postings_spec())]
         if store_vectors:
-            self.manager.save(
-                corpus.select(self.id_col, self.vec_col),
-                self._vectors_spec(),
-                mode="overwrite",
+            phase2.append(
+                (corpus.select(self.id_col, self.vec_col), self._vectors_spec())
             )
+        self.manager.save_many(phase2, mode="overwrite")
 
     def upsert(self, vectors: DataFrame) -> None:
         """Fold a batch of new/changed vectors into the index: encode
@@ -266,19 +270,13 @@ class VectorIndexStore:
         refinement tier exists (``build(store_vectors=True)``), the raw
         vectors MERGE into it under the same PK — refinement state can
         never lag the code bytes."""
-        self.manager.save(
-            self._encode(vectors),
-            self._postings_spec(),
-            mode="merge",
-            policy=EvolutionPolicy.FAIL,
-        )
+        items = [(self._encode(vectors), self._postings_spec())]
         if self.manager.exists(self.vectors_table):
-            self.manager.save(
-                vectors.select(self.id_col, self.vec_col),
-                self._vectors_spec(),
-                mode="merge",
-                policy=EvolutionPolicy.FAIL,
+            # distinct targets — overlap the two merges (guide §2.6)
+            items.append(
+                (vectors.select(self.id_col, self.vec_col), self._vectors_spec())
             )
+        self.manager.save_many(items, mode="merge", policy=EvolutionPolicy.FAIL)
 
     def delete(self, ids: DataFrame) -> None:
         """Tombstone the given ids (one column frame or any frame

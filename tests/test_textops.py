@@ -1893,3 +1893,38 @@ def test_dhash_col_rejects_oversized_grid(spark):
 
     with _pytest.raises(ValueError, match="63"):
         dhash_col(F.col("x"), rows=8, cols=10)
+
+
+def test_dsir_target_filter_matches_separate_target(spark):
+    """Round-15 rewrite guard: dsir_importance_weights(target_filter=p)
+    must equal dsir_importance_weights(target=source.where(p)) exactly —
+    the filtered path reuses the single featurization pass."""
+    from pyspark.sql import functions as F
+
+    from databricks_demo_feature_store_spark.textops.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "beta gamma delta", "en"),
+        (3, "delta epsilon", "fr"),
+        (4, "", "fr"),
+        (5, "alpha alpha beta", "en"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    via_target = dsir_importance_weights(
+        src, src.where(F.col("lang") == "en"), n_buckets=64
+    )
+    via_filter = dsir_importance_weights(
+        src, target_filter=F.col("lang") == "en", n_buckets=64
+    )
+    a = {r["doc_id"]: (r["n_feats"], r["log_weight"]) for r in via_target.collect()}
+    b = {r["doc_id"]: (r["n_feats"], r["log_weight"]) for r in via_filter.collect()}
+    assert a == b and len(a) == 5
+
+    import pytest as _p
+    with _p.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(src, src, target_filter=F.lit(True))
+    with _p.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(src)
